@@ -1,0 +1,127 @@
+"""Join strategies for Ray Data datasets.
+
+Two physical plans, chosen by the caller (SURVEY.md §2.4):
+
+- ``broadcast_join``: the small side is ``ray.put`` once and merged into
+  every batch of the big side inside ``map_batches`` — zero shuffle.
+  This is the plan for dimension tables (region/nation/supplier/part,
+  AOI polygons, width tables). The object ref is resolved once per
+  actor, not re-shipped per batch.
+- ``hash_partition_join``: both sides large — pad each side to a shared
+  Arrow schema, tag with ``bucket = hash(key) % B`` and a side marker,
+  union, ``groupby(bucket)`` and merge the two sides per bucket inside
+  ``map_groups``. One explicit all-to-all; B controls partition
+  granularity; hot keys can be salted by the caller before entry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+_BUCKET = "__jbucket"
+_SIDE = "__jside"
+
+
+class _BroadcastMerge:
+    """Stateful actor: resolves the broadcast ref once per actor."""
+
+    def __init__(self, small_ref, left_on: str, right_on: str, how: str,
+                 suffix: str):
+        self.small = ray.get(small_ref)
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(self.small, how=self.how, left_on=self.left_on,
+                          right_on=self.right_on, suffixes=("", self.suffix))
+        if self.right_on != self.left_on and self.right_on in out.columns:
+            out = out.drop(columns=[self.right_on])
+        return out
+
+
+def broadcast_join(big, small_df: pd.DataFrame, left_on: str,
+                   right_on: str | None = None, how: str = "inner",
+                   concurrency=(1, 4), batch_size: int = 65536,
+                   suffix: str = "_r"):
+    """Join a Dataset against a small pandas table without a shuffle.
+
+    The pool autoscales from 1 actor so concurrent stages never
+    deadlock on a small CPU budget.
+    """
+    ref = ray.put(small_df)
+    return big.map_batches(
+        _BroadcastMerge,
+        fn_constructor_args=(ref, left_on, right_on or left_on, how, suffix),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def _stable_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_array(np.asarray(values))
+    return (h % num_buckets).astype(np.int64)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, tolerating pandas-block datasets
+    (object dtype maps to string — adequate for the engine's tables)."""
+    s = ds.schema()
+    base = s.base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, base.types):
+        if typ == np.dtype("O"):
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+    return pa.schema(fields)
+
+
+def hash_partition_join(left, right, on: str, num_buckets: int = 32,
+                        how: str = "inner"):
+    """Large-large equi-join via an explicit partitioned hash join.
+
+    Both inputs are Datasets sharing the key column ``on``; other
+    column names must be disjoint. Null-padded to a common schema so
+    the tagged union is one homogeneous Dataset.
+    """
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    fields = list(lschema)
+    lnames = set(lschema.names)
+    for f in rschema:
+        if f.name not in lnames:
+            fields.append(f)
+    combined = pa.schema(fields)
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for field in combined:
+                names.append(field.name)
+                if field.name in t.column_names:
+                    arrays.append(t[field.name].cast(field.type))
+                else:
+                    arrays.append(pa.nulls(len(t), field.type))
+            b = _stable_bucket(t[on].to_pandas(), num_buckets)
+            names += [_BUCKET, _SIDE]
+            arrays += [pa.array(b), pa.array(np.full(len(t), side, dtype=np.int8))]
+            return pa.table(arrays, names=names)
+        return f
+
+    unioned = (left.map_batches(tag(0), batch_format="pyarrow")
+               .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group.loc[group[_SIDE] == 0, lcols]
+        r = group.loc[group[_SIDE] == 1, rcols]
+        return l.merge(r, on=on, how=how)
+
+    return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pandas")

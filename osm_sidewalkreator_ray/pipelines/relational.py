@@ -1,0 +1,302 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pandas
+DataFrame whose column names match the DuckDB oracle in
+``__ray_entry__.oracle_sql`` exactly. These exercise the engine's scan
+/ filter / project / broadcast-join / shuffle-join / pre-aggregated
+groupby / sort / top-k / distinct operators (SURVEY.md §2.4-2.7
+relational equivalents: J1-J6 joins, A1-A7 aggregations, §2.6 top-k,
+§2.7 dedup).
+
+Aggregate outputs are rounded to fixed decimals on BOTH sides (Ray and
+SQL) so value-hash comparison is robust to float summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.aggregates import grouped_agg
+from ..functions.joins import broadcast_join, hash_partition_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _small_df(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, n in cols.items():
+        df[c] = df[c].astype(float).round(n)
+    return df
+
+
+# ------------------------------------------------------------------ Q1
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan -> pre-aggregated groupby."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-01"))))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_base_price": ("l_extendedprice", "sum"),
+        "sum_disc_price": ("disc_price", "sum"),
+        "avg_qty": ("l_quantity", "mean"),
+        "count_order": (None, "count"),
+    })
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    return _round(df, {"sum_qty": 2, "sum_base_price": 2,
+                       "sum_disc_price": 2, "avg_qty": 4}).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ Q3
+
+def q3_top_revenue_orders(sf_dir: str):
+    """customer (broadcast) |><| orders, then orders |><| lineitem via the
+    partitioned hash join (both sides large at scale), top-10 revenue."""
+    cust = _small_df(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey")
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"],
+                                   pa.scalar(pd.Timestamp("1995-03-15"))))
+                   .select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(pd.Timestamp("1995-03-15"))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue_part": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    joined = hash_partition_join(orders, li, on="o_orderkey", num_buckets=16)
+    out = grouped_agg(joined, ["o_orderkey"], {"revenue": ("revenue_part", "sum")})
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "o_orderkey"],
+                        ascending=[False, True]).head(10)
+    return df[["o_orderkey", "revenue"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ Q5-ish
+
+def q5_nation_volume(sf_dir: str):
+    """Star join: all dimensions broadcast, fact scanned once."""
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _small_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue_part": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    joined = hash_partition_join(orders, li, on="o_orderkey", num_buckets=16)
+    joined = broadcast_join(joined, nation, left_on="c_nationkey",
+                            right_on="n_nationkey")
+    out = grouped_agg(joined, ["n_name"], {"revenue": ("revenue_part", "sum")})
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM nation, customer, orders, lineitem
+WHERE c_nationkey = n_nationkey AND o_custkey = c_custkey
+  AND l_orderkey = o_orderkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ------------------------------------------------------- scans & topk
+
+def filter_high_value_orders(sf_dir: str):
+    """Predicate scan + projection (M3 filter analogue)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400000.0))),
+        batch_format="pyarrow")
+    df = ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return df
+
+
+FILTER_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_totalprice > 400000
+ORDER BY o_orderkey
+"""
+
+
+def top_parts_by_price(sf_dir: str):
+    """Global top-k: sort + limit (§2.6)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    out = ds.sort(["p_retailprice", "p_partkey"],
+                  descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+TOPK_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct values (A4)."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+# ------------------------------------------------------------- events
+
+def events_type_stats(sf_dir: str):
+    """Grouped stats with the partial-aggregation combiner."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_agg(ds, ["event_type"], {
+        "n": (None, "count"),
+        "sum_value": ("value", "sum"),
+        "avg_value": ("value", "mean"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    })
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return _round(df, {"sum_value": 2, "avg_value": 4,
+                       "min_value": 2, "max_value": 2})
+
+
+EVENTS_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value,
+       ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_user_windows(sf_dir: str):
+    """Tumbling 1-hour windows per user (streaming-shaped groupby;
+    guide 'Streaming-shaped workloads' pattern — the reference has no
+    streaming semantics, SURVEY.md §2.10)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w)
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    out = grouped_agg(ds, ["user_id", "window_start"], {
+        "n_events": (None, "count"),
+        "sum_value": ("value", "sum"),
+    })
+    df = out.to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+EVENTS_WINDOW_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+ORDER BY user_id, window_start
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: per-group sorted pandas
+    inside map_groups; oracle via SQL gaps-and-islands."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        agg = g.groupby(sid).agg(
+            session_start=("ts", "min"), n_events=("event_id", "count"))
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg.reset_index(drop=True)[["user_id", "session_start", "n_events"]]
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (out.to_pandas().sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+
+
+EVENTS_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

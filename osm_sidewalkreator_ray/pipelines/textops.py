@@ -1,0 +1,326 @@
+"""Text-analysis + deduplication operators over the ``documents`` table.
+
+The training-data-pipeline operator family (per the build brief):
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, language
+ID, quality scoring, token counting, fingerprinting. Everything is
+vectorized per batch; the only shuffles are the dedup groupbys
+(hash-partition on content hash / LSH band), which move one small row
+per document, never the text payload, mirroring A5's
+hash-partition-then-first plan (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+STOPWORDS = {
+    "en": frozenset({"the", "a", "of", "and", "to"}),
+    "pt": frozenset({"de", "o", "que", "e", "um"}),
+    "es": frozenset({"el", "la", "de", "y", "un"}),
+}
+
+
+def _read_docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+# ------------------------------------------------------------ counting
+
+def doc_token_counts(sf_dir: str):
+    """doc_id -> whitespace token count (SQL-mirrored semantics)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].map(lambda s: len(_tokens(s)))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_tokens": n.astype("int64")})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_quality(sf_dir: str):
+    """Quality-scoring columns: token count, mean token length,
+    stopword ratio (en list) — M-series normalizer analogue."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    stop = STOPWORDS["en"]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].map(_tokens)
+        n = toks.map(len).astype("int64")
+        mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
+                            if ws else 0.0)
+        stop_ratio = toks.map(lambda ws: sum(w in stop for w in ws) / len(ws)
+                              if ws else 0.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"], "n_tokens": n,
+            "mean_token_len": mean_len.round(6),
+            "stop_ratio": stop_ratio.round(6)})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents)
+SELECT doc_id, len(w) AS n_tokens,
+       ROUND(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) END, 6)
+         AS mean_token_len,
+       ROUND(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+                  * 1.0 / len(w) END, 6) AS stop_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    text (the rolling-hash fingerprint's SQL-checkable cousin)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = batch["text"].map(lambda s: _WS.sub(" ", s.strip()))
+        fp = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id(sf_dir: str):
+    """Stopword-voting language ID with deterministic tie-break
+    (en > pt > es) — mirrored exactly in SQL."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].map(_tokens)
+        scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
+                  for lang, sw in STOPWORDS.items()}
+        en, pt, es = scores["en"], scores["pt"], scores["es"]
+        pred = np.where((en >= pt) & (en >= es), "en",
+                        np.where(pt >= es, "pt", "es"))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS en,
+         len(list_filter(w, x -> x IN ('de','o','que','e','um')))   AS pt,
+         len(list_filter(w, x -> x IN ('el','la','de','y','un')))   AS es
+  FROM t)
+SELECT doc_id,
+       CASE WHEN en >= pt AND en >= es THEN 'en'
+            WHEN pt >= es THEN 'pt' ELSE 'es' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+def lang_stats(sf_dir: str):
+    """Grouped stats on the labeled lang column (A4/A3 analogue)."""
+    from ..functions.aggregates import grouped_agg
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+    out = grouped_agg(ds, ["lang"], {
+        "n_docs": (None, "count"),
+        "avg_chars": ("n_chars", "mean"),
+    })
+    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["avg_chars"] = df["avg_chars"].round(4)
+    return df
+
+
+LANG_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------- dedup
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup (A5): content-hash per batch -> hash-partitioned
+    groupby -> keep min doc_id. Only (hash, doc_id) crosses the
+    shuffle, never the text."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def h(batch: pd.DataFrame) -> pd.DataFrame:
+        hh = batch["text"].map(lambda s: hashlib.sha1(s.encode()).hexdigest())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "__h": hh})
+
+    hashed = ds.map_batches(h, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g["doc_id"].min()],
+                             "n_dups": [np.int64(len(g))]})
+
+    out = hashed.groupby("__h").map_groups(first, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = np.fromiter(
+        (int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little")
+         for s in set(shingles)), dtype=np.uint64, count=len(set(shingles)))
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: permutation parameters built once per actor."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, words: list[str]) -> np.ndarray:
+        sh = _shingle_hashes(words, self.k)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (a*x + b) mod p, min over shingles, vectorized
+        x = sh[None, :].astype(np.uint64)
+        v = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.signature(_tokens(t)) for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "sig": [s.tobytes() for s in sigs],
+                             "text": batch["text"]})
+
+
+def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.5):
+    """MinHash+LSH near-dup: shingle->minhash (actor pool) -> band
+    explode -> groupby(band, band_hash) buckets -> verify exact 3-gram
+    Jaccard inside each bucket. Returns confirmed pairs (rows-only
+    check: not SQL-expressible at scale)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(MinHasher, fn_constructor_args=(num_perm,),
+                          batch_format="pandas", batch_size=1024,
+                          concurrency=(1, 2))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"band": [], "band_hash": [], "doc_id": [], "text": []}
+        for _, row in batch.iterrows():
+            sig = np.frombuffer(row["sig"], dtype=np.uint64)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                out["band"].append(b)
+                out["band_hash"].append(
+                    int.from_bytes(hashlib.sha1(chunk.tobytes()).digest()[:8],
+                                   "little") >> 1)
+                out["doc_id"].append(row["doc_id"])
+                out["text"].append(row["text"])
+        return pd.DataFrame(out)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        shingle_sets = [set(" ".join(ws[i:i + 3])
+                            for i in range(max(1, len(ws) - 2)))
+                        for ws in (_tokens(t) for t in g["text"])]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = shingle_sets[i], shingle_sets[j]
+                inter = len(si & sj)
+                union = len(si | sj)
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), round(jac, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        verify, batch_format="pandas")
+    df = pairs.to_pandas()
+    df = df.drop_duplicates(["doc_a", "doc_b"])
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_fingerprints(sf_dir: str):
+    """64-bit SimHash per document (deterministic; rows-only check)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in batch["text"]:
+            acc = np.zeros(64, dtype=np.int64)
+            for w in _tokens(t):
+                hv = np.uint64(int.from_bytes(
+                    hashlib.sha1(w.encode()).digest()[:8], "little"))
+                bits = (hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            out.append(int((acc > 0).astype(np.uint64)
+                           @ (np.uint64(1) << np.arange(64, dtype=np.uint64))))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "simhash": np.array(out, dtype=np.uint64).view(np.int64)})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,141 @@
+"""Ray pipelines vs DuckDB oracles on sf0.001 — mirrors the driver gate."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def check(ray_result, sql, con):
+    got = normalize(pd.DataFrame(ray_result))
+    want = normalize(con.sql(sql).df())
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    assert list(got.columns) == list(want.columns), (
+        f"columns {list(got.columns)} != {list(want.columns)}")
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(want[c]):
+            assert np.allclose(got[c].astype(float), want[c], atol=1e-5), c
+        else:
+            assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelationalOracles:
+    def test_q1(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q1_pricing_summary(SF), R.Q1_SQL, con)
+
+    def test_q3(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q3_top_revenue_orders(SF), R.Q3_SQL, con)
+
+    def test_q5(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q5_nation_volume(SF), R.Q5_SQL, con)
+
+    def test_filter(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.filter_high_value_orders(SF), R.FILTER_SQL, con)
+
+    def test_topk(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.top_parts_by_price(SF), R.TOPK_SQL, con)
+
+    def test_distinct(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.distinct_segments(SF), R.DISTINCT_SQL, con)
+
+    def test_events_stats(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_type_stats(SF), R.EVENTS_STATS_SQL, con)
+
+    def test_events_windows(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_user_windows(SF), R.EVENTS_WINDOW_SQL, con)
+
+    def test_events_sessionize(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_sessionize(SF), R.EVENTS_SESSION_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextOracles:
+    def test_token_counts(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.doc_token_counts(SF), T.TOKEN_COUNT_SQL, con)
+
+    def test_quality(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.doc_quality(SF), T.QUALITY_SQL, con)
+
+    def test_fingerprint(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.doc_fingerprint(SF), T.FINGERPRINT_SQL, con)
+
+    def test_lang_id(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.lang_id(SF), T.LANG_ID_SQL, con)
+
+    def test_lang_stats(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.lang_stats(SF), T.LANG_STATS_SQL, con)
+
+    def test_exact_dedup(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.exact_dedup(SF), T.EXACT_DEDUP_SQL, con)
+
+    def test_minhash_runs(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        df = T.minhash_dedup_pairs(SF)
+        assert list(df.columns) == ["doc_a", "doc_b", "jaccard"]
+        # deterministic across runs
+        df2 = T.minhash_dedup_pairs(SF)
+        pd.testing.assert_frame_equal(df, df2)
+
+    def test_simhash_runs(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        df = T.simhash_fingerprints(SF)
+        assert df["doc_id"].is_unique and len(df) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVectorOracles:
+    def test_norms(self, con):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        check(V.embedding_norms(SF), V.NORMS_SQL, con)
+
+    def test_ann_topk(self, con):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        check(V.ann_topk(SF), V.ANN_TOPK_SQL, con)
+
+    def test_knn_join(self, con):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        check(V.knn_join_sample(SF), V.KNN_SQL, con)
+
+    def test_near_dups_runs(self):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        df = V.embedding_near_dups(SF, sim_threshold=0.5)
+        assert list(df.columns) == ["vec_a", "vec_b", "cosine_sim"]
