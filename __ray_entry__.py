@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,82 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001.
+
+    Runs the web-scale graft end to end on a deterministic synthetic
+    pages corpus + street grid derived from sf0.001: HTML->text actor
+    pool, geotag extraction, cell encoding, sidewalk-tile generation,
+    and the per-cell point-in-polygon + kNN join.
+    """
+    from osm_sidewalkreator_ray.pipelines.page_join import flagship_entry
+    return flagship_entry("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_sidewalkreator_ray.pipelines import relational as R
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    from osm_sidewalkreator_ray.pipelines import geospatial as G
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators (SURVEY.md §2.4-2.7 equivalents)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_revenue_orders": R.q3_top_revenue_orders,
+        "q5_nation_volume": R.q5_nation_volume,
+        "filter_high_value_orders": R.filter_high_value_orders,
+        "top_parts_by_price": R.top_parts_by_price,
+        "distinct_segments": R.distinct_segments,
+        "events_type_stats": R.events_type_stats,
+        "events_user_windows": R.events_user_windows,
+        "events_sessionize": R.events_sessionize,
+        # text analysis + dedup (training-data operator family)
+        "doc_token_counts": T.doc_token_counts,
+        "doc_quality": T.doc_quality,
+        "doc_fingerprint": T.doc_fingerprint,
+        "lang_id": T.lang_id,
+        "lang_stats": T.lang_stats,
+        "exact_dedup": T.exact_dedup,
+        "minhash_dedup_pairs": T.minhash_dedup_pairs,
+        "simhash_fingerprints": T.simhash_fingerprints,
+        # vector similarity
+        "embedding_norms": V.embedding_norms,
+        "ann_topk": V.ann_topk,
+        "knn_join_sample": V.knn_join_sample,
+        "embedding_near_dups": V.embedding_near_dups,
+        # geospatial flagship (rows-only: not SQL-expressible)
+        "sidewalk_tiles": G.sidewalk_tiles_query,
+        "protoblocks": G.protoblocks_query,
+        "crossings_kerbs": G.crossings_kerbs_query,
+        "page_text_extract": G.page_text_extract_query,
+        "page_geotags": G.page_geotags_query,
+        "page_tile_join": G.page_tile_join_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_sidewalkreator_ray.pipelines import relational as R
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_top_revenue_orders": R.Q3_SQL,
+        "q5_nation_volume": R.Q5_SQL,
+        "filter_high_value_orders": R.FILTER_SQL,
+        "top_parts_by_price": R.TOPK_SQL,
+        "distinct_segments": R.DISTINCT_SQL,
+        "events_type_stats": R.EVENTS_STATS_SQL,
+        "events_user_windows": R.EVENTS_WINDOW_SQL,
+        "events_sessionize": R.EVENTS_SESSION_SQL,
+        "doc_token_counts": T.TOKEN_COUNT_SQL,
+        "doc_quality": T.QUALITY_SQL,
+        "doc_fingerprint": T.FINGERPRINT_SQL,
+        "lang_id": T.LANG_ID_SQL,
+        "lang_stats": T.LANG_STATS_SQL,
+        "exact_dedup": T.EXACT_DEDUP_SQL,
+        "embedding_norms": V.NORMS_SQL,
+        "ann_topk": V.ANN_TOPK_SQL,
+        "knn_join_sample": V.KNN_SQL,
+        # minhash_dedup_pairs / simhash_fingerprints /
+        # embedding_near_dups / geospatial: rows-only (non-SQL ops)
+    }

@@ -1,0 +1,221 @@
+"""Deterministic synthetic fixtures (FIXTURES.md; SURVEY.md §7.1-1).
+
+- ``streets_unit_square``  — the reference's 4-segment square-loop
+  fixture (test_processing_algorithms.py:62-89): 1 protoblock expected.
+- ``streets_grid(n, m)``   — parametric Manhattan grid near Curitiba
+  (-49.30, -25.52) with seeded widths/tags, dangling spurs, sub-0.5 m
+  classes: n*m protoblocks expected after cleaning.
+- ``pages_corpus(n)``      — Common-Crawl-style page table exactly in the
+  BASELINE.json ``input_hint`` shape (url, warc_ts, html, text, lang);
+  html embeds 0-3 geotag mentions; ``text`` is derived by the canonical
+  extractor so the byte-identity invariant is testable; ~30% of pages
+  geotag inside the AOI, 5% outside (must not join), and one hot cell
+  receives half the in-AOI geotags to exercise salting.
+
+All generators are pure functions of (params, seed): rerunning yields
+byte-identical tables. No external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb
+from ..stages.html_text import extract_text
+
+# Curitiba-like AOI origin (FIXTURES.md §2b)
+ORIGIN_LON = -49.30
+ORIGIN_LAT = -25.52
+M_PER_DEG_LAT = 111_132.954
+M_PER_DEG_LON = 111_319.491 * float(np.cos(np.radians(ORIGIN_LAT)))
+
+STREET_SCHEMA = pa.schema([
+    ("way_id", pa.int64()),
+    ("highway", pa.string()),
+    ("width", pa.string()),
+    ("sidewalk", pa.string()),
+    ("footway", pa.string()),
+    ("geometry_wkb", pa.binary()),
+])
+
+
+def _m_to_lonlat(x_m: np.ndarray, y_m: np.ndarray):
+    return (ORIGIN_LON + x_m / M_PER_DEG_LON,
+            ORIGIN_LAT + y_m / M_PER_DEG_LAT)
+
+
+def streets_unit_square(side_m: float = 100.0) -> pa.Table:
+    """4 residential segments forming a closed square loop."""
+    pts_m = np.array([[0, 0], [side_m, 0], [side_m, side_m], [0, side_m]])
+    rows = {k: [] for k in STREET_SCHEMA.names}
+    for i in range(4):
+        a = pts_m[i]
+        b = pts_m[(i + 1) % 4]
+        lon, lat = _m_to_lonlat(np.array([a[0], b[0]], dtype=float),
+                                np.array([a[1], b[1]], dtype=float))
+        rows["way_id"].append(i + 1)
+        rows["highway"].append("residential")
+        rows["width"].append(None)
+        rows["sidewalk"].append(None)
+        rows["footway"].append(None)
+        rows["geometry_wkb"].append(
+            wkb.encode_line(np.column_stack((lon, lat))))
+    return pa.table(rows, schema=STREET_SCHEMA)
+
+
+def streets_grid(n: int = 4, m: int = 4, spacing_m: float = 100.0,
+                 seed: int = 42, spur_frac: float = 0.05,
+                 tagged_frac: float = 0.10) -> pa.Table:
+    """Manhattan grid: (n+1) N-S x (m+1) E-W streets split into
+    segments; seeded highway classes/widths; dangling spurs; a couple
+    of ignored-width classes (class filter coverage)."""
+    rng = np.random.RandomState(seed)
+    classes = ["residential", "tertiary", "secondary"]
+    rows = {k: [] for k in STREET_SCHEMA.names}
+    wid = 1
+
+    def add_segment(a_m, b_m, highway, width=None, sidewalk=None, footway=None):
+        nonlocal wid
+        lon, lat = _m_to_lonlat(np.array([a_m[0], b_m[0]], dtype=float),
+                                np.array([a_m[1], b_m[1]], dtype=float))
+        rows["way_id"].append(wid)
+        rows["highway"].append(highway)
+        rows["width"].append(width)
+        rows["sidewalk"].append(sidewalk)
+        rows["footway"].append(footway)
+        rows["geometry_wkb"].append(wkb.encode_line(np.column_stack((lon, lat))))
+        wid += 1
+
+    # vertical streets: segments between consecutive horizontals
+    for i in range(n + 1):
+        x = i * spacing_m
+        for j in range(m):
+            hw = classes[rng.randint(0, len(classes))]
+            width = None
+            if rng.rand() < 0.2:
+                width = f"{rng.randint(4, 12)}"  # numeric OSM width tag
+            elif rng.rand() < 0.05:
+                width = "narrow"  # junk string -> fallback path
+            sidewalk = None
+            if rng.rand() < tagged_frac:
+                sidewalk = rng.choice(["no", "left", "right", "both"])
+            add_segment((x, j * spacing_m), (x, (j + 1) * spacing_m),
+                        hw, width, sidewalk)
+    # horizontal streets
+    for j in range(m + 1):
+        y = j * spacing_m
+        for i in range(n):
+            hw = classes[rng.randint(0, len(classes))]
+            add_segment((i * spacing_m, y), ((i + 1) * spacing_m, y), hw)
+    # dangling spurs (dead-end pruning fodder)
+    n_spur = max(1, int(spur_frac * wid))
+    for _ in range(n_spur):
+        i = rng.randint(0, n + 1)
+        j = rng.randint(0, m + 1)
+        add_segment((i * spacing_m, j * spacing_m),
+                    (i * spacing_m + 30.0, j * spacing_m + 45.0), "residential")
+    # ignored classes (width 0 -> class filter must drop them)
+    add_segment((10.0, 10.0), (40.0, 10.0), "footway")
+    add_segment((15.0, 15.0), (15.0, 55.0), "service")
+    return pa.table(rows, schema=STREET_SCHEMA)
+
+
+# ------------------------------------------------------------ pages
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+_CITY_SLUGS = ["curitiba", "parana", "centro", "batel", "agua-verde"]
+_LANGS = ["en", "pt", "es"]
+_LANG_W = [0.6, 0.3, 0.1]
+_FILLER = ("urban sidewalk accessibility mapping pedestrian "
+           "infrastructure city walk street network open data").split()
+
+
+def _page_html(rng: np.random.RandomState, url: str,
+               geotags: list[tuple[float, float]]) -> bytes:
+    words = rng.choice(_FILLER, size=rng.randint(20, 60))
+    para1 = " ".join(words[: len(words) // 2])
+    para2 = " ".join(words[len(words) // 2:])
+    spans = "".join(
+        f'<span class="geo">{lat:.4f}, {lon:.4f}</span> ' for lat, lon in geotags[:2])
+    freetext = ""
+    if len(geotags) > 2:
+        lat, lon = geotags[2]
+        freetext = f"<p>location lat {lat:.4f} lon {lon:.4f} nearby</p>"
+    doc = (f"<html><head><title>{url}</title>"
+           f"<style>body {{margin:0}}</style></head>"
+           f"<body><h1>Page {url}</h1>"
+           f"<script>var x = 1 &amp;&amp; 2;</script>"
+           f"<p>{para1}</p>{spans}{freetext}<p>{para2}</p>"
+           f"</body></html>")
+    return doc.encode("utf-8")
+
+
+def pages_corpus(n_pages: int, seed: int = 42,
+                 aoi_bounds=(-49.31, -25.53, -49.27, -25.50),
+                 hot_center=(-49.292, -25.515)) -> pa.Table:
+    """The graft input corpus. ~30% of pages carry 1-3 in-AOI geotags
+    (half of those in one hot cell around ``hot_center``), 5% carry
+    out-of-AOI coordinates, the rest carry none."""
+    rng = np.random.RandomState(seed)
+    min_lon, min_lat, max_lon, max_lat = aoi_bounds
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = {k: [] for k in PAGES_SCHEMA.names}
+    for i in range(n_pages):
+        slug = _CITY_SLUGS[i % len(_CITY_SLUGS)]
+        url = f"https://example.test/{slug}/{i}"
+        r = rng.rand()
+        geotags: list[tuple[float, float]] = []
+        if r < 0.30:
+            k = rng.randint(1, 4)
+            hot = rng.rand() < 0.5
+            for _ in range(k):
+                if hot:
+                    lat = hot_center[1] + rng.uniform(-0.002, 0.002)
+                    lon = hot_center[0] + rng.uniform(-0.002, 0.002)
+                else:
+                    lat = rng.uniform(min_lat, max_lat)
+                    lon = rng.uniform(min_lon, max_lon)
+                geotags.append((lat, lon))
+        elif r < 0.35:
+            # out-of-AOI coordinates: must never join
+            geotags.append((rng.uniform(40.0, 50.0), rng.uniform(2.0, 10.0)))
+        html = _page_html(rng, url, geotags)
+        rows["url"].append(url)
+        rows["warc_ts"].append(t0 + np.timedelta64(i, "s"))
+        rows["html"].append(html)
+        rows["text"].append(extract_text(html))
+        rows["lang"].append(_LANGS[int(rng.choice(3, p=_LANG_W))])
+    return pa.table(rows, schema=PAGES_SCHEMA)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """Parse the scale factor from a testdata dir name (sf0.01 -> 0.01)."""
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return 0.001
+
+
+def pages_for_sf(sf_dir: str) -> pa.Table:
+    """Corpus scaled to the testdata sf: 1000 pages at sf0.001."""
+    sf = sf_from_dir(sf_dir)
+    return pages_corpus(max(200, int(1_000_000 * sf)))
+
+
+def grid_for_sf(sf_dir: str) -> pa.Table:
+    """Street grid scaled to the testdata sf (4x4 blocks at sf0.001,
+    growing with sqrt(sf) so cells stay neighborhood-sized)."""
+    sf = sf_from_dir(sf_dir)
+    n = max(4, int(round(4 * np.sqrt(sf / 0.001))))
+    return streets_grid(n=n, m=n)

@@ -1,0 +1,52 @@
+"""Geotag extraction from page text (M16): actor-pool stage.
+
+Patterns are compiled once per actor; output is 0..k rows per page
+(flat_map semantics inside map_batches). Two mention forms, matching
+the corpus generator:
+- span form (after tag stripping): ``-25.4891, -49.2445``
+- free text: ``lat -25.4891 lon -49.2445``
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_PAIR = re.compile(
+    r"(-?\d{1,3}\.\d{3,6}),\s(-?\d{1,3}\.\d{3,6})")
+_FREE = re.compile(
+    r"lat\s(-?\d{1,3}\.\d{3,6})\slon\s(-?\d{1,3}\.\d{3,6})")
+
+
+class GeotagExtractor:
+    """map_batches(GeotagExtractor): (url, extracted_text) ->
+    (url, lat, lon) exploded rows."""
+
+    def __init__(self):
+        self.pair = _PAIR
+        self.free = _FREE
+
+    def extract(self, text: str) -> list[tuple[float, float]]:
+        out = []
+        for m in self.pair.finditer(text):
+            lat, lon = float(m.group(1)), float(m.group(2))
+            if -90 <= lat <= 90 and -180 <= lon <= 180:
+                out.append((lat, lon))
+        for m in self.free.finditer(text):
+            lat, lon = float(m.group(1)), float(m.group(2))
+            if -90 <= lat <= 90 and -180 <= lon <= 180:
+                out.append((lat, lon))
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        urls, lats, lons = [], [], []
+        for url, text in zip(batch["url"], batch["extracted_text"]):
+            for lat, lon in self.extract(text):
+                urls.append(url)
+                lats.append(lat)
+                lons.append(lon)
+        return pd.DataFrame({"url": pd.Series(urls, dtype="str"),
+                             "lat": np.asarray(lats, dtype=np.float64),
+                             "lon": np.asarray(lons, dtype=np.float64)})

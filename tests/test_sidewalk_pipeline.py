@@ -1,0 +1,120 @@
+"""End-to-end sidewalk pipeline on the reference-mirroring fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from osm_sidewalkreator_ray.config import PipelineConfig
+from osm_sidewalkreator_ray.pipelines import sidewalks as SW
+from osm_sidewalkreator_ray.sources import synthetic as SYN
+from osm_sidewalkreator_ray.geom import wkb, core
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(dead_end_iterations=3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnitSquare:
+    """Reference fixture semantics (test_processing_algorithms.py:128-133):
+    the 4-segment square loop yields exactly 1 protoblock, 1 sidewalk
+    ring, 0 crossings (all nodes are degree 2)."""
+
+    @pytest.fixture(scope="class")
+    def features(self, cfg):
+        streets = rd.from_arrow(SYN.streets_unit_square(side_m=120.0))
+        return SW.build_features(streets, cfg).to_pandas()
+
+    def test_one_protoblock(self, features):
+        pbs = features[features["kind"] == "protoblock"]
+        assert len(pbs) == 1
+        # ~120m x ~120m block
+        assert abs(pbs["area_m2"].iloc[0] - 120 * 120) < 500
+
+    def test_one_tile_inset(self, features):
+        tiles = features[features["kind"] == "tile"]
+        assert len(tiles) == 1
+        # residential width 6 -> halfwidth 3 + d_to_add/2 0.5 -> inset 3.5
+        expect = (120 - 7.0) ** 2
+        assert abs(tiles["area_m2"].iloc[0] - expect) < 900
+
+    def test_sidewalk_lines_exist(self, features):
+        sw = features[features["kind"] == "sidewalk"]
+        assert len(sw) >= 1
+        assert sw["length_m"].sum() > 4 * (120 - 7.0) * 0.8
+
+    def test_no_crossings_on_degree2(self, features):
+        assert len(features[features["kind"] == "crossing"]) == 0
+        assert len(features[features["kind"] == "kerb"]) == 0
+
+    def test_metrics_row(self, features):
+        m = features[features["kind"] == "metrics"]
+        assert len(m) >= 1
+        assert m["area_m2"].sum() == 1  # n_protoblocks across cells
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGrid:
+    @pytest.fixture(scope="class")
+    def features(self, cfg):
+        streets = rd.from_arrow(SYN.streets_grid(n=3, m=3, spacing_m=120.0))
+        return SW.build_features(streets, cfg).to_pandas()
+
+    def test_protoblock_count(self, features):
+        pbs = features[features["kind"] == "protoblock"]
+        assert len(pbs) == 9  # 3x3 blocks
+
+    def test_tiles_one_per_block(self, features):
+        tiles = features[features["kind"] == "tile"]
+        assert len(tiles) == 9
+        assert (tiles["area_m2"] > 0).all()
+
+    def test_crossings_at_interior_nodes(self, features):
+        # 3x3 grid: interior nodes have degree 4 -> crossings exist
+        crossings = features[features["kind"] == "crossing"]
+        assert len(crossings) > 0
+        kerbs = features[features["kind"] == "kerb"]
+        assert len(kerbs) == 2 * len(crossings)  # G8 invariant
+
+    def test_crossing_geometry_is_5pt(self, features):
+        crossings = features[features["kind"] == "crossing"]
+        coords, offs, _ = wkb.decode_lines(crossings["geometry_wkb"].tolist())
+        assert all(np.diff(offs) == 5)
+        # lengths bounded by abs_max_crossing_len
+        assert (crossings["length_m"] <= 100.0).all()
+        assert (crossings["length_m"] > 0).all()
+
+    def test_deterministic(self, cfg):
+        streets = rd.from_arrow(SYN.streets_grid(n=3, m=3, spacing_m=120.0))
+        f1 = SW.build_features(streets, cfg).to_pandas()
+        streets2 = rd.from_arrow(SYN.streets_grid(n=3, m=3, spacing_m=120.0))
+        f2 = SW.build_features(streets2, cfg).to_pandas()
+        k1 = f1.sort_values(["kind", "feature_id"]).reset_index(drop=True)
+        k2 = f2.sort_values(["kind", "feature_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(k1, k2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWidthAssign:
+    def test_width_semantics(self):
+        import pyarrow as pa
+        t = pa.table({
+            "way_id": [1, 2, 3, 4, 5],
+            "highway": ["residential", "secondary", "footway", "motorway",
+                        "unknownclass"],
+            "width": [None, "12.5", None, "junk", None],
+            "sidewalk": [None] * 5,
+            "footway": [None] * 5,
+            "geometry_wkb": [wkb.encode_line(np.array([[0, 0], [1, 1]]))] * 5,
+        })
+        out = SW.assign_widths(rd.from_arrow(t)).to_pandas()
+        got = dict(zip(out["way_id"], out["width_m"]))
+        # footway class width 0 -> dropped (M3)
+        assert 3 not in got
+        assert got[1] == 6.0          # default residential
+        assert got[2] == 12.5         # numeric tag wins (M4)
+        assert got[4] == 22.0         # junk tag -> class default
+        assert got[5] == 6.0          # unknown class -> fallback
