@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_headline", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "join_rows_per_sec": R, ...}
+
+--scaling: runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on identical input and reports both
+throughputs + scaling efficiency (BASELINE.md criterion: >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from osm_sidewalkreator_ray.pipelines import page_join as PJ
+    from osm_sidewalkreator_ray.pipelines import relational as R
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    from osm_sidewalkreator_ray.sources.synthetic import sf_from_dir
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: the flagship graft join (pages -> text -> geotags -> tiles -> join)
+    joined = timed("page_tile_join", lambda: PJ.flagship_entry(sf_dir))
+    extra["join_rows"] = int(len(joined))
+    extra["join_rows_per_sec"] = round(len(joined) / timings["page_tile_join"], 1)
+
+    timed("q1_pricing_summary", lambda: R.q1_pricing_summary(sf_dir))
+    timed("q3_top_revenue_orders", lambda: R.q3_top_revenue_orders(sf_dir))
+    timed("events_user_windows", lambda: R.events_user_windows(sf_dir))
+    timed("exact_dedup", lambda: T.exact_dedup(sf_dir))
+    timed("minhash_dedup_pairs", lambda: T.minhash_dedup_pairs(sf_dir))
+    timed("ann_topk", lambda: V.ann_topk(sf_dir))
+
+    headline = timings["page_tile_join"]
+    return {
+        "metric": "page_tile_join_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": r_lo.get("join_rows_per_sec"),
+        f"rows_per_sec_{hi}": r_hi.get("join_rows_per_sec"),
+        "sf": r_hi.get("sf"),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    result = run_bench(sf_dir, num_cpus)
+    print(json.dumps(result))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

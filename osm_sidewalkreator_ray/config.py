@@ -21,7 +21,7 @@ class PipelineConfig:
     # spatial partitioning
     cell_res: int = 13  # quad-cell resolution; ~1.3 km cells (see cells.py)
     page_salts: int = 8  # salt fan-out for skewed cells in the page join
-    hot_cell_threshold: int = 50_000  # rows/cell above which salting applies
+    hot_cell_threshold: int = 10_000  # rows/cell above which salting applies
 
     # geometry semantics (reference parameters.py)
     curve_radius: float = params.DEFAULT_CURVE_RADIUS
@@ -55,7 +55,7 @@ class PipelineConfig:
     # execution
     batch_size_scan: int = 32_768
     batch_size_html: int = 512  # wide binary rows -> small batches
-    actor_pool_size: int = 4
+    actor_pool_size: int = 12
     default_widths: dict[str, float] = field(
         default_factory=lambda: dict(params.DEFAULT_WIDTHS)
     )

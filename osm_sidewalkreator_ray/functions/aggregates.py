@@ -1,22 +1,31 @@
 """Partial pre-aggregation: combine inside map_batches, shuffle partials.
 
-A bare ``groupby(key).aggregate(...)`` shuffles every row; this helper
-computes per-batch partials (sum/count/min/max per key) so only one row
-per (key, batch) crosses the shuffle — the combiner pattern SURVEY.md
-§4.2 mandates for the wide aggregations (A1/A3/A7/A8).
+A bare ``groupby(key).aggregate(...)`` shuffles every row AND (in this
+Ray version) merges per group in Python — at 10^5 groups that is the
+bottleneck, measured at ~1.5 ms/group. This helper therefore:
+
+1. computes per-batch partials (sum/count/min/max per key) inside
+   ``map_batches`` — only one row per (key, batch) crosses the shuffle
+   (the combiner pattern SURVEY.md §4.2 mandates for A1/A3/A7/A8), and
+2. merges the partials with a *bucketed* shuffle: partials are hashed
+   into ``num_buckets`` partitions and each bucket is combined by ONE
+   vectorized pandas groupby inside ``map_groups`` — Python-call count
+   is O(buckets), not O(groups).
 
 Spec format: ``{out_name: (column, kind)}`` with kind in
-{"sum", "count", "min", "max", "mean"}. ``mean`` is decomposed into
-sum+count partials and finalized after the shuffle.
+{"sum", "count", "min", "max", "mean"}.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+
+_BUCKET = "__abucket"
 
 
 def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
-                batch_size: int = 65536):
+                batch_size: int = 65536, num_buckets: int = 32):
     partial_spec: dict[str, tuple[str | None, str]] = {}
     for out, (col, kind) in spec.items():
         if kind == "mean":
@@ -24,33 +33,35 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
             partial_spec[f"__{out}_c"] = (col, "count")
         else:
             partial_spec[out] = (col, kind)
+    merge_kind = {out: ("sum" if kind in ("sum", "count") else kind)
+                  for out, (_, kind) in partial_spec.items()}
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(keys, sort=False, dropna=False)
         cols = {}
         for out, (col, kind) in partial_spec.items():
             if kind == "count":
-                s = g[col].count() if col else g.size()
+                cols[out] = g[col].count() if col else g.size()
             else:
-                s = getattr(g[col], kind)()
-            cols[out] = s
-        return pd.DataFrame(cols).reset_index()
+                cols[out] = getattr(g[col], kind)()
+        p = pd.DataFrame(cols).reset_index()
+        h = np.zeros(len(p), dtype=np.uint64)
+        for k in keys:
+            h ^= pd.util.hash_array(np.asarray(p[k]))
+        p[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return p
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [group[k].iloc[0]] for k in keys}
-        for out, (col, kind) in spec.items():
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(keys, sort=False, dropna=False)
+        cols = {out: getattr(g[out], mk)() for out, mk in merge_kind.items()}
+        out_df = pd.DataFrame(cols).reset_index()
+        for out, (_, kind) in spec.items():
             if kind == "mean":
-                row[out] = [group[f"__{out}_s"].sum() / group[f"__{out}_c"].sum()]
-            elif kind == "count":
-                row[out] = [group[out].sum()]
-            elif kind == "sum":
-                row[out] = [group[out].sum()]
-            elif kind == "min":
-                row[out] = [group[out].min()]
-            elif kind == "max":
-                row[out] = [group[out].max()]
-        return pd.DataFrame(row)
+                out_df[out] = out_df[f"__{out}_s"] / out_df[f"__{out}_c"]
+                out_df = out_df.drop(columns=[f"__{out}_s", f"__{out}_c"])
+        return out_df[keys + list(spec.keys())]
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
-    return partials.groupby(keys).map_groups(combine, batch_format="pandas")
+    return partials.groupby(_BUCKET).map_groups(combine,
+                                                batch_format="pandas")

@@ -36,13 +36,25 @@ class SegmentGrid:
         ix1 = np.floor(mxx / cell).astype(np.int64)
         iy0 = np.floor(mny / cell).astype(np.int64)
         iy1 = np.floor(mxy / cell).astype(np.int64)
-        buckets: dict[tuple[int, int], list[int]] = {}
-        for i in range(m):
-            for gx in range(ix0[i], ix1[i] + 1):
-                for gy in range(iy0[i], iy1[i] + 1):
-                    buckets.setdefault((gx, gy), []).append(i)
-        self._buckets = {k: np.asarray(v, dtype=np.int64)
-                         for k, v in buckets.items()}
+        # vectorized (segment, bucket) expansion — no per-segment loop
+        ncx = ix1 - ix0 + 1
+        ncy = iy1 - iy0 + 1
+        counts = (ncx * ncy).astype(np.int64)
+        seg_idx = np.repeat(np.arange(m, dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rank = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+        rx = np.repeat(ncx, counts)
+        gx = ix0[seg_idx] + rank % rx
+        gy = iy0[seg_idx] + rank // rx
+        key = gx * np.int64(0x9E3779B1) + gy  # packed bucket key
+        order = np.argsort(key, kind="stable")
+        key_s, seg_s, gx_s, gy_s = key[order], seg_idx[order], gx[order], gy[order]
+        cut = np.nonzero(np.diff(key_s))[0] + 1
+        bounds = np.concatenate(([0], cut, [len(key_s)]))
+        self._buckets = {}
+        for b in range(len(bounds) - 1):
+            lo = bounds[b]
+            self._buckets[(int(gx_s[lo]), int(gy_s[lo]))] = seg_s[bounds[b]:bounds[b + 1]]
 
     def _ring_candidates(self, gx: int, gy: int, r: int = 1) -> np.ndarray:
         out = []

@@ -153,28 +153,27 @@ def trace_contours(mask: np.ndarray, origin: tuple[float, float], res: float):
     fg = mask
     pad = np.zeros((ny + 2, nx + 2), dtype=bool)
     pad[1:-1, 1:-1] = fg
-    # directed edges: start corner -> list of dir codes
+    # boundary-edge masks, fully vectorized (pad index = (y+1, x+1))
+    below = fg & ~pad[:-2, 1:-1]
+    above = fg & ~pad[2:, 1:-1]
+    left = fg & ~pad[1:-1, :-2]
+    right = fg & ~pad[1:-1, 2:]
+    # directed edges: start corner -> list of dir codes; only boundary
+    # pixels enter the Python dict (O(perimeter), not O(area))
     edges: dict[tuple[int, int], list[int]] = {}
 
-    def add(sx, sy, d):
-        edges.setdefault((sx, sy), []).append(d)
+    def add_all(ys, xs, sx_off, sy_off, d):
+        for x, y in zip(xs, ys):
+            edges.setdefault((x + sx_off, y + sy_off), []).append(d)
 
-    ys, xs = np.nonzero(fg)
-    below = ~pad[ys, xs + 1]      # pad[y+1-1+? ] careful: pad index = (y+1, x+1)
-    # recompute neighbor masks properly
-    below = ~pad[ys, xs + 1]
-    above = ~pad[ys + 2, xs + 1]
-    left = ~pad[ys + 1, xs]
-    right = ~pad[ys + 1, xs + 2]
-    for x, y, bb, aa, ll, rr in zip(xs, ys, below, above, left, right):
-        if bb:
-            add(x, y, 0)          # BL -> BR, +x
-        if rr:
-            add(x + 1, y, 1)      # BR -> TR, +y
-        if aa:
-            add(x + 1, y + 1, 2)  # TR -> TL, -x
-        if ll:
-            add(x, y + 1, 3)      # TL -> BL, -y
+    ys, xs = np.nonzero(below)
+    add_all(ys, xs, 0, 0, 0)          # BL -> BR, +x
+    ys, xs = np.nonzero(right)
+    add_all(ys, xs, 1, 0, 1)          # BR -> TR, +y
+    ys, xs = np.nonzero(above)
+    add_all(ys, xs, 1, 1, 2)          # TR -> TL, -x
+    ys, xs = np.nonzero(left)
+    add_all(ys, xs, 0, 1, 3)          # TL -> BL, -y
     rings = []
     # deterministic iteration order
     for start in sorted(edges.keys()):

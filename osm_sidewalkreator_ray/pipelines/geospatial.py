@@ -54,8 +54,7 @@ def crossings_kerbs_query(sf_dir: str) -> pd.DataFrame:
 def page_text_extract_query(sf_dir: str) -> pd.DataFrame:
     """Byte-identity invariant through the Ray actor-pool path: one row
     per url with the match flag vs the corpus reference text column."""
-    pages_tbl = SYN.pages_for_sf(sf_dir)
-    pages = rd.from_arrow(pages_tbl)
+    pages = SYN.pages_dataset_for_sf(sf_dir)
     out = pages.map_batches(HtmlExtractor, batch_format="pandas",
                             batch_size=DEFAULT_CONFIG.batch_size_html,
                             concurrency=(1, 2))
@@ -72,7 +71,7 @@ def page_text_extract_query(sf_dir: str) -> pd.DataFrame:
 
 
 def page_geotags_query(sf_dir: str) -> pd.DataFrame:
-    pages = rd.from_arrow(SYN.pages_for_sf(sf_dir))
+    pages = SYN.pages_dataset_for_sf(sf_dir)
     tags = PJ.extract_geotags(pages, DEFAULT_CONFIG).to_pandas()
     tags["lat"] = tags["lat"].round(6)
     tags["lon"] = tags["lon"].round(6)

@@ -76,11 +76,14 @@ def extract_geotags(pages, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 def _hot_cells(geotags, cfg: PipelineConfig) -> dict[int, int]:
     """Cheap pre-count over the (already tiny) geotag rows to find
-    cells needing salting. One small shuffle of count partials."""
-    counts = geotags.groupby("h3_cell").count().to_pandas()
-    col = [c for c in counts.columns if c != "h3_cell"][0]
-    hot = counts[counts[col] > cfg.hot_cell_threshold]
-    return {int(c): cfg.page_salts for c in hot["h3_cell"]}
+    cells needing salting: per-batch partial counts, combined on the
+    driver (cells are few; no groupby shuffle needed)."""
+    partials = geotags.map_batches(
+        lambda b: b.groupby("h3_cell").size().rename("n").reset_index(),
+        batch_format="pandas")
+    counts = partials.to_pandas().groupby("h3_cell")["n"].sum()
+    hot = counts[counts > cfg.hot_cell_threshold]
+    return {int(c): cfg.page_salts for c in hot.index}
 
 
 def _tag_pages(geotags, hot_ref, cfg: PipelineConfig):
@@ -220,22 +223,77 @@ def _join_metrics_frame(cell: int, salt: int, met: dict) -> pd.DataFrame:
         "dist_m": [-1.0]})
 
 
+def _scope_cells(features, cfg: PipelineConfig) -> np.ndarray:
+    """Cells where a join can possibly match: cells holding a tile plus
+    the k-ring(1) of cells holding sidewalk lines (the kNN spill
+    radius). Tiny (one int per populated cell) — broadcast, not
+    shuffled: the semi-join prune of SURVEY.md J2."""
+    cells_df = (features.map_batches(
+        lambda b: b.loc[b["kind"].isin(["tile", "sidewalk"]),
+                        ["h3_cell", "kind"]].drop_duplicates(),
+        batch_format="pandas").to_pandas().drop_duplicates())
+    out: set[int] = set()
+    for _, r in cells_df.iterrows():
+        c = int(r["h3_cell"])
+        out.add(c)
+        if r["kind"] == "sidewalk":
+            out.update(int(x) for x in cells.k_ring(c, 1))
+    return np.fromiter(out, dtype=np.int64) if out else np.empty(0, np.int64)
+
+
 def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
     """The co-grouped shuffle join. Returns the assignments Dataset
-    (metric rows carry url prefix ``__metrics__/``)."""
+    (metric rows carry url prefix ``__metrics__/``).
+
+    Only geotags inside the scope-cell set enter the shuffle; the long
+    tail of pages nowhere near a sidewalk tile (most of the web) is
+    finished by a stateless map — no singleton shuffle groups."""
     # geotags are tiny rows (url, lat, lon, cell) — pin them so the
     # hot-cell pre-count doesn't recompute the HTML extraction stage
     geotags = geotags.materialize()
+    features = features.materialize()
+    scope = _scope_cells(features, cfg)
+    scope_ref = ray.put(scope)
     hot = _hot_cells(geotags, cfg)
     hot_ref = ray.put(hot)
-    unioned = _tag_pages(geotags, hot_ref, cfg).union(
+
+    def in_scope_f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(scope_ref)
+        return batch[np.isin(batch["h3_cell"].to_numpy(), s)]
+
+    def out_scope_f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(scope_ref)
+        b = batch[~np.isin(batch["h3_cell"].to_numpy(), s)]
+        n = len(b)
+        out = pd.DataFrame({
+            "url": b["url"].to_numpy(),
+            "lat": b["lat"].to_numpy(),
+            "lon": b["lon"].to_numpy(),
+            "h3_cell": b["h3_cell"].to_numpy().astype(np.int64),
+            "tile_id": np.full(n, -1, dtype=np.int64),
+            "inside_tile": np.zeros(n, dtype=bool),
+            "nearest_sidewalk_id": np.full(n, -1, dtype=np.int64),
+            "dist_m": np.full(n, -1.0)})
+        if n == 0:
+            return out
+        met = _join_metrics_frame(-1, 0, {"pages_joined": n,
+                                          "exact_matches": 0,
+                                          "spill_rows": 0})
+        met["url"] = f"__metrics__/far/{b['url'].iloc[0]}"
+        return pd.concat([out, met], ignore_index=True)
+
+    in_scope = geotags.map_batches(in_scope_f, batch_format="pandas")
+    far = geotags.map_batches(out_scope_f, batch_format="pandas")
+
+    unioned = _tag_pages(in_scope, hot_ref, cfg).union(
         _tag_tiles(features, hot_ref, cfg))
 
     def jf(g: pd.DataFrame) -> pd.DataFrame:
         return _join_group(g, cfg)
 
-    return unioned.groupby(["h3_cell", "salt"]).map_groups(
+    joined = unioned.groupby(["h3_cell", "salt"]).map_groups(
         jf, batch_format="pandas")
+    return joined.union(far)
 
 
 def split_metrics(assign_df: pd.DataFrame):
@@ -248,8 +306,9 @@ def split_metrics(assign_df: pd.DataFrame):
 
 def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     """The driver's entry(): synthetic corpus + street grid scaled from
-    sf_dir -> sidewalk tiles -> page join -> assignments DataFrame."""
-    pages = rd.from_arrow(SYN.pages_for_sf(sf_dir))
+    sf_dir -> sidewalk tiles -> page join -> assignments DataFrame.
+    Corpus generation itself is distributed (pages_dataset_for_sf)."""
+    pages = SYN.pages_dataset_for_sf(sf_dir)
     streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
     features = SW.build_features(streets, cfg)
     geotags = extract_geotags(pages, cfg)

@@ -1,33 +1,33 @@
 """Street centerlines -> sidewalk tiles / lines / protoblocks /
 crossings / kerbs, as one Ray Data pipeline.
 
-Physical plan (SURVEY.md §4.3):
+Physical plan (SURVEY.md §4.3), three stages so the expensive raster
+work parallelizes per PROTOBLOCK, not per cell (a dense cell would
+otherwise serialize hundreds of blocks behind one task — the skew
+SURVEY.md §7.4 warns about):
 
-  read streets -> map_batches(width assign, M3/M4, Arrow-vectorized)
-              -> map_batches(cell-cover explode, M17)
-              -> groupby(h3_cell).map_groups(build_cell)   # THE shuffle
-              -> filter is_primary dups (A5 by construction: a feature
-                 is emitted only by the cell that owns its anchor point)
-              -> write/collect per output kind
+  A. read -> width assign (M3/M4, Arrow) -> cell-cover explode (M17)
+     -> groupby(h3_cell).map_groups(cell_graph):      # shuffle 1
+        node + prune + polygonize (G2/G3/G1); emits
+        - protoblock rows (owned faces only -> exact-dedup by
+          construction, A5)
+        - packed per-protoblock work rows (face ring + nearby noded
+          segments + exclusion zones, in the cell's local frame)
+        - one packed graph row per cell (noded segments + widths, for
+          the crossing stage)
+        - per-cell metrics row (A8)
+  B. map_batches over work rows (stateless tasks, small batches):
+     distance-field + morphology + contour tile extraction (M6-M10) +
+     exclusion-zone arcs (M12) -> tile + sidewalk rows
+  C. union(graph rows, sidewalk rows).groupby(h3_cell)   # shuffle 2
+     -> crossings + kerbs (G5 headless clone,
+        full_sidewalkreator_bbox_algorithm.py:515-936)
 
-``build_cell`` is the composite geometric operator G1-G8: everything
-runs in the cell's local metric frame (pure function of the cell id),
-using the numpy kernels in ``..geom``:
-
-- node + prune + polygonize (G2/G3/G1)   <- polygonize.py
-- per-protoblock sidewalk extraction (M6-M10): the distance-field /
-  morphology / contour kernel replaces GEOS buffer->dissolve->
-  open/close->difference with identical downstream semantics
-  (reference osm_sidewalkreator.py:1897-1943,
-  sidewalk_generation_logic.py:297-421)
-- exclusion zones from sidewalk tags (M12,
-  sidewalk_generation_logic.py:436-619): boundary arcs inside a
-  tagged street's zone are dropped
-- crossings + kerbs (G5 headless clone semantics,
-  full_sidewalkreator_bbox_algorithm.py:515-936): endpoint degree
-  test, inward interpolation, perpendicular ray-cast against sidewalk
-  lines, 5-point A-B-C-D-E crossing, kerbs at 25%
-- per-cell lineage/metrics row (A8, north_rule)
+Geometry semantics notes are on the individual helpers; the raster
+kernel replaces GEOS buffer->dissolve->open/close->difference
+(reference osm_sidewalkreator.py:1897-1943,
+sidewalk_generation_logic.py:297-421) with identical downstream
+semantics at fixed resolution.
 """
 
 from __future__ import annotations
@@ -44,11 +44,13 @@ from .. import cells
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..geom import core, polygonize as pg, project, raster, wkb
 from ..geom.grid_index import SegmentGrid
-from .. import params as P
 
 # margin added to street bboxes when computing covering cells, so a
 # face straddling a cell border still sees all its boundary streets
 COVER_MARGIN_DEG = 0.003
+
+FEATURE_COLUMNS = ["kind", "h3_cell", "feature_id", "parent_id",
+                   "geometry_wkb", "length_m", "area_m2"]
 
 
 def _stable_id(*parts) -> np.int64:
@@ -90,8 +92,7 @@ def assign_widths(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
 # ------------------------------------------------------- cell explode
 
 def encode_cells(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """M17: one output row per (street, covering cell); the anchor
-    (first-vertex) cell is flagged ``is_primary`` for later dedup."""
+    """M17: one output row per (street, covering cell)."""
     res = cfg.cell_res
 
     def f(t: pa.Table) -> pa.Table:
@@ -101,134 +102,107 @@ def encode_cells(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
         row_idx, cell = cells.cover_bboxes(
             mnx - COVER_MARGIN_DEG, mny - COVER_MARGIN_DEG,
             mxx + COVER_MARGIN_DEG, mxy + COVER_MARGIN_DEG, res)
-        # anchor cell: first vertex of each line
-        anchor = cells.latlng_to_cell(coords[offsets[:-1], 1],
-                                      coords[offsets[:-1], 0], res)
         src = part[row_idx]
         out = t.take(pa.array(src))
-        out = out.append_column("h3_cell", pa.array(cell))
-        out = out.append_column(
-            "is_primary", pa.array(np.asarray(anchor)[row_idx] == cell))
-        return out
+        return out.append_column("h3_cell", pa.array(cell))
 
     return streets.map_batches(f, batch_format="pyarrow")
 
 
-# ---------------------------------------------------------- build_cell
+# ------------------------------------------------------- pack helpers
 
-_EMPTY_OUT = {
-    "kind": pd.Series([], dtype="str"),
-    "h3_cell": pd.Series([], dtype="int64"),
-    "feature_id": pd.Series([], dtype="int64"),
-    "parent_id": pd.Series([], dtype="int64"),
-    "geometry_wkb": pd.Series([], dtype=object),
-    "length_m": pd.Series([], dtype="float64"),
-    "area_m2": pd.Series([], dtype="float64"),
-}
-
-
-def _empty_cell_output() -> pd.DataFrame:
-    return pd.DataFrame(_EMPTY_OUT)
+def _pack_arrays(*arrays: np.ndarray) -> bytes:
+    parts = [np.int64(len(arrays)).tobytes()]
+    for a in arrays:
+        a = np.ascontiguousarray(a, dtype=np.float64)
+        shape = np.asarray(a.shape, dtype=np.int64)
+        parts.append(np.int64(a.ndim).tobytes())
+        parts.append(shape.tobytes())
+        parts.append(a.tobytes())
+    return b"".join(parts)
 
 
-def _exclusion_zones(seg0, seg1, seg_width, seg_sidewalk, cfg):
-    """M12 zone list: (s0, s1, radius, side) per tagged street segment.
-    side: 0 = both, -1 = left of segment direction, +1 = right."""
-    zones = []
-    for i in range(len(seg0)):
+def _unpack_arrays(blob: bytes) -> list[np.ndarray]:
+    out = []
+    n = int(np.frombuffer(blob, dtype=np.int64, count=1)[0])
+    off = 8
+    for _ in range(n):
+        ndim = int(np.frombuffer(blob, dtype=np.int64, count=1, offset=off)[0])
+        off += 8
+        shape = np.frombuffer(blob, dtype=np.int64, count=ndim, offset=off)
+        off += 8 * ndim
+        cnt = int(np.prod(shape)) if ndim else 0
+        a = np.frombuffer(blob, dtype=np.float64, count=cnt, offset=off)
+        off += 8 * cnt
+        out.append(a.reshape(shape))
+    return out
+
+
+def _exclusion_zones(n0, n1, seg_width, seg_sidewalk, cfg) -> np.ndarray:
+    """M12 zones as an array: rows (ax, ay, bx, by, radius, side);
+    side 0=both, -1=left of direction, +1=right
+    (sidewalk_generation_logic.py:436-619 tag dispatch)."""
+    rows = []
+    for i in range(len(n0)):
         tag = seg_sidewalk[i]
         if tag is None or tag in ("", "yes", "both"):
             continue
         radius = (seg_width[i] + cfg.d_to_add_to_each_side + 1.0) / 2.0 + 0.5
-        if tag == "no":
-            zones.append((seg0[i], seg1[i], radius, 0))
-        elif tag == "left":
-            zones.append((seg0[i], seg1[i], radius, -1))
-        elif tag == "right":
-            zones.append((seg0[i], seg1[i], radius, 1))
-    return zones
+        side = {"no": 0.0, "left": -1.0, "right": 1.0}.get(tag)
+        if side is None:
+            continue
+        rows.append((n0[i, 0], n0[i, 1], n1[i, 0], n1[i, 1], radius, side))
+    return np.asarray(rows, dtype=np.float64).reshape(-1, 6)
 
 
-def _points_in_zone(pts: np.ndarray, zone) -> np.ndarray:
-    (a, b, radius, side) = zone
-    d = core.point_segment_dist(pts[:, 0], pts[:, 1], a[0], a[1], b[0], b[1])
-    mask = d <= radius
-    if side != 0:
-        cross = ((b[0] - a[0]) * (pts[:, 1] - a[1])
-                 - (b[1] - a[1]) * (pts[:, 0] - a[0]))
-        mask &= (cross > 0) if side == -1 else (cross < 0)
-    return mask
+def _metrics_row(cell: int, metrics: dict) -> dict:
+    payload = "|".join(f"{k}={v}" for k, v in sorted(metrics.items()))
+    return {"kind": "metrics", "h3_cell": cell,
+            "feature_id": np.int64(metrics.get("n_protoblocks", 0)),
+            "parent_id": np.int64(metrics.get("n_segments", 0)),
+            "geometry_wkb": payload.encode(),
+            "length_m": 0.0, "area_m2": 0.0}
 
 
-def _ring_to_arcs(ring: np.ndarray, drop_mask: np.ndarray) -> list[np.ndarray]:
-    """Split a closed ring into kept arcs (consecutive vertices not
-    dropped). drop_mask refers to ring[:-1]."""
-    n = len(ring) - 1
-    if not drop_mask.any():
-        return [ring]
-    if drop_mask.all():
-        return []
-    keep = ~drop_mask
-    # rotate so position 0 is dropped -> arcs are contiguous runs
-    start = int(np.argmin(keep))  # first dropped index
-    order = (np.arange(n) + start) % n
-    arcs, cur = [], []
-    for idx in order:
-        if keep[idx]:
-            cur.append(ring[idx])
-        else:
-            if len(cur) >= 2:
-                arcs.append(np.asarray(cur))
-            cur = []
-    if len(cur) >= 2:
-        arcs.append(np.asarray(cur))
-    return arcs
+# --------------------------------------------------------- stage A
 
-
-def build_cell(group: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
-               ) -> pd.DataFrame:
-    """One cell's full geometric chain. Emits a tall tagged table
-    (kind in {protoblock, tile, sidewalk, crossing, kerb, metrics})."""
+def cell_graph(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """Per-cell graph stage: noding, pruning, polygonization; emits
+    protoblocks + packed per-protoblock work + packed graph row."""
     cell = int(group["h3_cell"].iloc[0])
     frame = project.frame_for_cell(cell)
     cmnx, cmny, cmxx, cmxy = (float(v) for v in cells.cell_bounds(cell))
-    res = cfg.raster_res_m
 
     coords, offsets, part = wkb.decode_lines(group["geometry_wkb"].tolist())
     local = project.coords_to_local(coords, frame)
     widths = group["width_m"].to_numpy()[part]
-    sidewalk_tags = group["sidewalk"].to_numpy()[part] if "sidewalk" in group \
-        else np.array([None] * len(part), dtype=object)
+    sidewalk_tags = (group["sidewalk"].to_numpy()[part]
+                     if "sidewalk" in group
+                     else np.array([None] * len(part), dtype=object))
 
     s0, s1, li = pg.explode_segments(local, offsets)
+    metrics = {"n_streets": len(group), "n_segments": 0, "n_protoblocks": 0}
     if len(s0) == 0:
-        return pd.DataFrame([_metrics_row(cell, {
-            "n_streets": len(group), "n_segments": 0, "n_protoblocks": 0,
-            "n_tiles": 0, "n_sidewalks": 0, "n_crossings": 0, "n_kerbs": 0})])
+        return pd.DataFrame([_metrics_row(cell, metrics)])
     n0, n1, parent = pg.node_segments(s0, s1, li, snap_tol=1e-6)
     n0, n1, parent = pg.prune_dead_ends(n0, n1, parent,
                                         cfg.dead_end_iterations)
-    out_rows: list[dict] = []
-    metrics = {"n_streets": len(group), "n_segments": len(n0),
-               "n_protoblocks": 0, "n_tiles": 0, "n_sidewalks": 0,
-               "n_crossings": 0, "n_kerbs": 0}
+    metrics["n_segments"] = len(n0)
     if len(n0) == 0:
-        out_rows.append(_metrics_row(cell, metrics))
-        return pd.DataFrame(out_rows)
+        return pd.DataFrame([_metrics_row(cell, metrics)])
 
     halfw = widths[parent] / 2.0 + cfg.d_to_add_to_each_side / 2.0
-    zones = _exclusion_zones(n0, n1, widths[parent],
-                             sidewalk_tags[parent], cfg)
+    zones = _exclusion_zones(n0, n1, widths[parent], sidewalk_tags[parent],
+                             cfg)
 
-    # cell-ownership test for emitted features (A5 dedup by construction)
     def owns(x: float, y: float) -> bool:
         lon, lat = project.to_lonlat(x, y, frame)
         return (cmnx <= lon < cmxx) and (cmny <= lat < cmxy)
 
+    out_rows: list[dict] = []
     faces = pg.polygonize_faces(n0, n1)
     seg_grid = SegmentGrid(n0, n1, cell=64.0)
-    k_px = max(1, int(round(cfg.curve_radius / res)))
-    sidewalk_segments: list[tuple[np.ndarray, np.ndarray, int]] = []
+    max_pad = float(widths.max()) / 2 + cfg.curve_radius + 2.0
 
     for face in faces:
         cx, cy = face[:-1].mean(axis=0)
@@ -244,19 +218,92 @@ def build_cell(group: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
             "geometry_wkb": wkb.encode_polygon(
                 [project.coords_to_lonlat(face, frame)]),
             "length_m": float(perim), "area_m2": float(area)})
+        fmnx, fmny = face.min(axis=0) - max_pad
+        fmxx, fmxy = face.max(axis=0) + max_pad
+        cand = seg_grid.query_bbox(fmnx, fmny, fmxx, fmxy)
+        segs = np.column_stack((n0[cand], n1[cand], halfw[cand]))
+        if len(zones):
+            zin = np.zeros(len(zones), dtype=bool)
+            for zi in range(len(zones)):
+                zin[zi] = not (zones[zi, [0, 2]].max() < fmnx
+                               or zones[zi, [0, 2]].min() > fmxx
+                               or zones[zi, [1, 3]].max() < fmny
+                               or zones[zi, [1, 3]].min() > fmxy)
+            fzones = zones[zin]
+        else:
+            fzones = zones
+        out_rows.append({
+            "kind": "pbwork", "h3_cell": cell, "feature_id": pb_id,
+            "parent_id": np.int64(-1),
+            "geometry_wkb": _pack_arrays(face, segs, fzones),
+            "length_m": 0.0, "area_m2": 0.0})
 
-        # ---- per-protoblock sidewalk extraction (M6-M10) ----
-        pad = float(widths.max()) / 2 + cfg.curve_radius + 2.0
+    # packed graph row for the crossing stage (G5 needs noded segments)
+    out_rows.append({
+        "kind": "graph", "h3_cell": cell, "feature_id": np.int64(0),
+        "parent_id": np.int64(0),
+        "geometry_wkb": _pack_arrays(n0, n1, widths[parent]),
+        "length_m": 0.0, "area_m2": 0.0})
+    out_rows.append(_metrics_row(cell, metrics))
+    return pd.DataFrame(out_rows)[FEATURE_COLUMNS]
+
+
+# --------------------------------------------------------- stage B
+
+def _points_in_zone(pts: np.ndarray, zone: np.ndarray) -> np.ndarray:
+    ax, ay, bx, by, radius, side = zone
+    d = core.point_segment_dist(pts[:, 0], pts[:, 1], ax, ay, bx, by)
+    mask = d <= radius
+    if side != 0:
+        cross = (bx - ax) * (pts[:, 1] - ay) - (by - ay) * (pts[:, 0] - ax)
+        mask &= (cross > 0) if side < 0 else (cross < 0)
+    return mask
+
+
+def _ring_to_arcs(ring: np.ndarray, drop_mask: np.ndarray) -> list[np.ndarray]:
+    n = len(ring) - 1
+    if not drop_mask.any():
+        return [ring]
+    if drop_mask.all():
+        return []
+    keep = ~drop_mask
+    start = int(np.argmin(keep))
+    order = (np.arange(n) + start) % n
+    arcs, cur = [], []
+    for idx in order:
+        if keep[idx]:
+            cur.append(ring[idx])
+        else:
+            if len(cur) >= 2:
+                arcs.append(np.asarray(cur))
+            cur = []
+    if len(cur) >= 2:
+        arcs.append(np.asarray(cur))
+    return arcs
+
+
+def extract_tiles(batch: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """Stage B: per-protoblock raster -> tile polygon + sidewalk arcs."""
+    res = cfg.raster_res_m
+    k_px = max(1, int(round(cfg.curve_radius / res)))
+    out_rows: list[dict] = []
+    for _, r in batch.iterrows():
+        cell = int(r["h3_cell"])
+        pb_id = np.int64(r["feature_id"])
+        frame = project.frame_for_cell(cell)
+        face, segs, zones = _unpack_arrays(r["geometry_wkb"])
+        if len(segs) == 0:
+            continue
+        n0 = segs[:, 0:2]; n1 = segs[:, 2:4]; halfw = segs[:, 4]
+        pad = float(halfw.max()) + cfg.curve_radius + 2 * res
         fmnx, fmny = face.min(axis=0) - pad
         fmxx, fmxy = face.max(axis=0) + pad
         nx = int((fmxx - fmnx) / res) + 1
         ny = int((fmxy - fmny) / res) + 1
         if nx * ny > 16_000_000:
-            # degenerate giant face: skip tile extraction, keep protoblock
-            continue
-        cand = seg_grid.query_bbox(fmnx, fmny, fmxx, fmxy)
-        field = raster.distance_field(n0[cand], n1[cand], halfw[cand],
-                                      (fmnx, fmny), (ny, nx), res)
+            continue  # degenerate giant face
+        field = raster.distance_field(n0, n1, halfw, (fmnx, fmny), (ny, nx),
+                                      res)
         gx = fmnx + (np.arange(nx) + 0.5) * res
         gy = fmny + (np.arange(ny) + 0.5) * res
         mesh_x = np.broadcast_to(gx[None, :], (ny, nx)).ravel()
@@ -270,93 +317,100 @@ def build_cell(group: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
         tile_idx = 0
         for ring, sarea in rings:
             if sarea <= 0:
-                continue  # holes inside a tile: kept implicitly in polygon? rare; skip
+                continue
             ring = raster.simplify_ring(ring, res)
             r_perim = core.line_lengths(ring, np.array([0, len(ring)]))[0]
             if r_perim <= 0 or sarea / r_perim < cfg.min_area_perimeter_ratio:
-                continue  # M10 thin-polygon filter
+                continue  # M10
             tcx, tcy = ring[:-1].mean(axis=0)
             tile_id = _stable_id(cell, "tile", round(tcx, 2), round(tcy, 2),
                                  tile_idx)
             tile_idx += 1
-            metrics["n_tiles"] += 1
             out_rows.append({
                 "kind": "tile", "h3_cell": cell, "feature_id": tile_id,
                 "parent_id": pb_id,
                 "geometry_wkb": wkb.encode_polygon(
                     [project.coords_to_lonlat(ring, frame)]),
                 "length_m": float(r_perim), "area_m2": float(sarea)})
-            # ---- sidewalk lines: ring boundary minus exclusion zones ----
             drop = np.zeros(len(ring) - 1, dtype=bool)
             for z in zones:
                 drop |= _points_in_zone(ring[:-1], z)
-            arcs = _ring_to_arcs(ring, drop)
-            for ai, arc in enumerate(arcs):
+            for ai, arc in enumerate(_ring_to_arcs(ring, drop)):
                 alen = core.line_lengths(arc, np.array([0, len(arc)]))[0]
                 if alen < cfg.tiny_segments_tol:
                     continue  # M13
                 sw_id = _stable_id(cell, "sw", tile_id, ai)
-                metrics["n_sidewalks"] += 1
                 out_rows.append({
                     "kind": "sidewalk", "h3_cell": cell, "feature_id": sw_id,
                     "parent_id": tile_id,
                     "geometry_wkb": wkb.encode_line(
                         project.coords_to_lonlat(arc, frame)),
                     "length_m": float(alen), "area_m2": 0.0})
-                a0 = arc[:-1]; a1 = arc[1:]
-                sidewalk_segments.append((a0, a1, sw_id))
+    if not out_rows:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+            FEATURE_COLUMNS,
+            ["str", "int64", "int64", "int64", object, "float64", "float64"])})
+    return pd.DataFrame(out_rows)[FEATURE_COLUMNS]
 
-    # ---- crossings + kerbs (G5 headless semantics) ----
-    if sidewalk_segments:
-        sw0 = np.concatenate([s[0] for s in sidewalk_segments])
-        sw1 = np.concatenate([s[1] for s in sidewalk_segments])
-        crossings = _crossings_for_cell(n0, n1, widths[parent], sw0, sw1,
-                                        cfg, owns)
-        for ci, (pts, clen) in enumerate(crossings):
-            cr_id = _stable_id(cell, "cr", round(pts[2, 0], 2),
-                               round(pts[2, 1], 2))
-            metrics["n_crossings"] += 1
+
+# --------------------------------------------------------- stage C
+
+def cell_crossings(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """G5 headless clone per cell, co-grouping the packed street graph
+    with the generated sidewalk lines."""
+    cell = int(group["h3_cell"].iloc[0])
+    graph = group[group["kind"] == "graph"]
+    sw = group[group["kind"] == "sidewalk"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+        FEATURE_COLUMNS,
+        ["str", "int64", "int64", "int64", object, "float64", "float64"])})
+    if len(graph) == 0 or len(sw) == 0:
+        return empty
+    frame = project.frame_for_cell(cell)
+    cmnx, cmny, cmxx, cmxy = (float(v) for v in cells.cell_bounds(cell))
+
+    def owns(x, y):
+        lon, lat = project.to_lonlat(x, y, frame)
+        return (cmnx <= lon < cmxx) and (cmny <= lat < cmxy)
+
+    n0, n1, seg_width = _unpack_arrays(graph["geometry_wkb"].iloc[0])
+    coords, offs, _ = wkb.decode_lines(sw["geometry_wkb"].tolist())
+    loc = project.coords_to_local(coords, frame)
+    ls0, ls1, _li = pg.explode_segments(loc, offs)
+    crossings = _crossings_for_cell(n0, n1, seg_width, ls0, ls1, cfg, owns)
+    out_rows = []
+    for pts, clen in crossings:
+        cr_id = _stable_id(cell, "cr", round(pts[2, 0], 2),
+                           round(pts[2, 1], 2))
+        out_rows.append({
+            "kind": "crossing", "h3_cell": cell, "feature_id": cr_id,
+            "parent_id": np.int64(-1),
+            "geometry_wkb": wkb.encode_line(
+                project.coords_to_lonlat(pts, frame)),
+            "length_m": float(clen), "area_m2": 0.0})
+        for kb in (pts[1], pts[3]):  # kerbs at B and D (G8)
+            kb_id = _stable_id(cell, "kb", cr_id, round(kb[0], 2),
+                               round(kb[1], 2))
+            lon, lat = project.to_lonlat(kb[0], kb[1], frame)
             out_rows.append({
-                "kind": "crossing", "h3_cell": cell, "feature_id": cr_id,
-                "parent_id": np.int64(-1),
-                "geometry_wkb": wkb.encode_line(
-                    project.coords_to_lonlat(pts, frame)),
-                "length_m": float(clen), "area_m2": 0.0})
-            for kb in (pts[1], pts[3]):  # kerbs at B and D (G8)
-                kb_id = _stable_id(cell, "kb", cr_id, round(kb[0], 2),
-                                   round(kb[1], 2))
-                metrics["n_kerbs"] += 1
-                lon, lat = project.to_lonlat(kb[0], kb[1], frame)
-                out_rows.append({
-                    "kind": "kerb", "h3_cell": cell, "feature_id": kb_id,
-                    "parent_id": cr_id,
-                    "geometry_wkb": wkb.encode_point(float(lon), float(lat)),
-                    "length_m": 0.0, "area_m2": 0.0})
-
-    out_rows.append(_metrics_row(cell, metrics))
-    return pd.DataFrame(out_rows)
-
-
-def _metrics_row(cell: int, metrics: dict) -> dict:
-    """A8 lineage/metrics side row for the cell partition."""
-    payload = "|".join(f"{k}={v}" for k, v in sorted(metrics.items()))
-    return {"kind": "metrics", "h3_cell": cell,
-            "feature_id": np.int64(metrics["n_tiles"]),
-            "parent_id": np.int64(metrics["n_sidewalks"]),
-            "geometry_wkb": payload.encode(),
-            "length_m": float(metrics["n_crossings"]),
-            "area_m2": float(metrics["n_protoblocks"])}
+                "kind": "kerb", "h3_cell": cell, "feature_id": kb_id,
+                "parent_id": cr_id,
+                "geometry_wkb": wkb.encode_point(float(lon), float(lat)),
+                "length_m": 0.0, "area_m2": 0.0})
+    if not out_rows:
+        return empty
+    return pd.DataFrame(out_rows)[FEATURE_COLUMNS]
 
 
 def _crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
-    """G5 headless clone (full_..._bbox_algorithm.py:515-936):
-    for each noded street segment endpoint with >=1 other segment
-    within 2 m: interpolate center inward, perpendicular ray both ways
-    to the nearest sidewalk intersection, emit the 5-point crossing.
-    Vectorized ray-cast against all sidewalk segments at once."""
+    """G5 semantics (full_..._bbox_algorithm.py:515-936): endpoint with
+    >=1 other segment within 2 m; center interpolated inward by
+    max_w/2 + curve_radius + d_to_add (capped at 10% length); ray-cast
+    perpendicular both ways to the nearest sidewalk line; 5-point
+    A-B-C-D-E crossing; kerbs at 25% (line :906); min segment 20 m;
+    max crossing 100 m (parameters.py:172)."""
     out = []
     seglen = np.linalg.norm(n1 - n0, axis=1)
-    # node degrees via quantized endpoints
     nodes, deg, aid, bid = pg.node_degrees(n0, n1, tol=2.0)
     for i in range(len(n0)):
         L = seglen[i]
@@ -367,7 +421,6 @@ def _crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
             n_other = deg[end_id] - 1
             if n_other < 1:
                 continue
-            # max width among segments sharing the node
             shared = (aid == end_id) | (bid == end_id)
             shared[i] = False
             max_w = seg_width[shared].max() if shared.any() else seg_width[i]
@@ -397,7 +450,7 @@ def _crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
                 continue
             if not owns(center[0], center[1]):
                 continue
-            kerb_perc = 0.25  # full_..._bbox_algorithm.py:906
+            kerb_perc = 0.25
             ptB = ptA + (center - ptA) * kerb_perc
             ptD = ptE + (center - ptE) * kerb_perc
             out.append((np.vstack((ptA, ptB, center, ptD, ptE)), clen))
@@ -407,20 +460,35 @@ def _crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
 # ------------------------------------------------------------ pipeline
 
 def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """streets Dataset -> tall features Dataset (kind-tagged rows)."""
+    """streets Dataset -> tall features Dataset (kind-tagged rows:
+    protoblock / tile / sidewalk / crossing / kerb / metrics)."""
     ds = assign_widths(streets, cfg)
     ds = encode_cells(ds, cfg)
-    # only primary copies carry is_primary=True, but geometry ops need
-    # every covering copy inside the group -> keep all rows here
-    def cell_fn(g: pd.DataFrame) -> pd.DataFrame:
-        return build_cell(g, cfg)
 
-    return ds.groupby("h3_cell").map_groups(cell_fn, batch_format="pandas")
+    graphs = ds.groupby("h3_cell").map_groups(
+        lambda g: cell_graph(g, cfg), batch_format="pandas")
+    # stage-A output is compact packed geometry — pin it so the three
+    # consumers below don't re-run the graph shuffle
+    graphs = graphs.materialize()
+
+    # stage-A groups produce one block per cell; re-split so the raster
+    # stage parallelizes per protoblock across every CPU, not per cell
+    import ray as _ray
+    nsplit = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    work = graphs.filter(expr="kind == 'pbwork'").repartition(nsplit)
+    tiles = work.map_batches(lambda b: extract_tiles(b, cfg),
+                             batch_format="pandas", batch_size=4)
+    tiles = tiles.materialize()
+
+    graph_rows = graphs.filter(expr="kind == 'graph'")
+    crossing_in = graph_rows.union(tiles.filter(expr="kind == 'sidewalk'"))
+    crossings = crossing_in.groupby("h3_cell").map_groups(
+        lambda g: cell_crossings(g, cfg), batch_format="pandas")
+
+    static = graphs.filter(
+        expr="kind == 'protoblock' or kind == 'metrics'")
+    return static.union(tiles).union(crossings)
 
 
 def features_of_kind(features, kind: str):
     return features.filter(expr=f"kind == '{kind}'")
-
-
-def streets_dataset_from_table(table: pa.Table, parallelism: int = 8):
-    return rd.from_arrow(table)

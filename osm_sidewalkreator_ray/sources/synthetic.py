@@ -158,42 +158,67 @@ def _page_html(rng: np.random.RandomState, url: str,
     return doc.encode("utf-8")
 
 
-def pages_corpus(n_pages: int, seed: int = 42,
-                 aoi_bounds=(-49.31, -25.53, -49.27, -25.50),
-                 hot_center=(-49.292, -25.515)) -> pa.Table:
-    """The graft input corpus. ~30% of pages carry 1-3 in-AOI geotags
-    (half of those in one hot cell around ``hot_center``), 5% carry
-    out-of-AOI coordinates, the rest carry none."""
-    rng = np.random.RandomState(seed)
+AOI_BOUNDS = (-49.31, -25.53, -49.27, -25.50)
+HOT_CENTER = (-49.292, -25.515)
+_T0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _page_row(i: int, seed: int,
+              aoi_bounds=AOI_BOUNDS, hot_center=HOT_CENTER) -> dict:
+    """One page, a pure function of (i, seed) — so generation can run
+    distributed (rd.range(n).map_batches) and still be byte-identical
+    to the driver-side ``pages_corpus``."""
+    rng = np.random.RandomState((seed * 1_000_003 + i) % (1 << 32))
     min_lon, min_lat, max_lon, max_lat = aoi_bounds
-    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    slug = _CITY_SLUGS[i % len(_CITY_SLUGS)]
+    url = f"https://example.test/{slug}/{i}"
+    r = rng.rand()
+    geotags: list[tuple[float, float]] = []
+    if r < 0.30:
+        k = rng.randint(1, 4)
+        hot = rng.rand() < 0.5
+        for _ in range(k):
+            if hot:
+                lat = hot_center[1] + rng.uniform(-0.002, 0.002)
+                lon = hot_center[0] + rng.uniform(-0.002, 0.002)
+            else:
+                lat = rng.uniform(min_lat, max_lat)
+                lon = rng.uniform(min_lon, max_lon)
+            geotags.append((lat, lon))
+    elif r < 0.35:
+        # out-of-AOI coordinates: must never join
+        geotags.append((rng.uniform(40.0, 50.0), rng.uniform(2.0, 10.0)))
+    html = _page_html(rng, url, geotags)
+    return {"url": url, "warc_ts": _T0 + np.timedelta64(i, "s"),
+            "html": html, "text": extract_text(html),
+            "lang": _LANGS[int(rng.choice(3, p=_LANG_W))]}
+
+
+def _pages_table(ids, seed: int) -> pa.Table:
     rows = {k: [] for k in PAGES_SCHEMA.names}
-    for i in range(n_pages):
-        slug = _CITY_SLUGS[i % len(_CITY_SLUGS)]
-        url = f"https://example.test/{slug}/{i}"
-        r = rng.rand()
-        geotags: list[tuple[float, float]] = []
-        if r < 0.30:
-            k = rng.randint(1, 4)
-            hot = rng.rand() < 0.5
-            for _ in range(k):
-                if hot:
-                    lat = hot_center[1] + rng.uniform(-0.002, 0.002)
-                    lon = hot_center[0] + rng.uniform(-0.002, 0.002)
-                else:
-                    lat = rng.uniform(min_lat, max_lat)
-                    lon = rng.uniform(min_lon, max_lon)
-                geotags.append((lat, lon))
-        elif r < 0.35:
-            # out-of-AOI coordinates: must never join
-            geotags.append((rng.uniform(40.0, 50.0), rng.uniform(2.0, 10.0)))
-        html = _page_html(rng, url, geotags)
-        rows["url"].append(url)
-        rows["warc_ts"].append(t0 + np.timedelta64(i, "s"))
-        rows["html"].append(html)
-        rows["text"].append(extract_text(html))
-        rows["lang"].append(_LANGS[int(rng.choice(3, p=_LANG_W))])
+    for i in ids:
+        row = _page_row(int(i), seed)
+        for k in rows:
+            rows[k].append(row[k])
     return pa.table(rows, schema=PAGES_SCHEMA)
+
+
+def pages_corpus(n_pages: int, seed: int = 42) -> pa.Table:
+    """Driver-side corpus (tests, small scales)."""
+    return _pages_table(range(n_pages), seed)
+
+
+def pages_dataset(n_pages: int, seed: int = 42, parallelism: int = -1):
+    """Distributed corpus generation: the scale path. Same bytes as
+    ``pages_corpus`` for the same (n, seed)."""
+    import ray.data as rd
+
+    def gen(batch) -> pa.Table:
+        return _pages_table(batch["id"], seed)
+
+    return rd.range(n_pages, override_num_blocks=parallelism if parallelism > 0
+                    else None).map_batches(gen, batch_format="pandas",
+                                           batch_size=2048)
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -207,10 +232,18 @@ def sf_from_dir(sf_dir: str) -> float:
     return 0.001
 
 
+def n_pages_for_sf(sf_dir: str) -> int:
+    return max(200, int(1_000_000 * sf_from_dir(sf_dir)))
+
+
 def pages_for_sf(sf_dir: str) -> pa.Table:
-    """Corpus scaled to the testdata sf: 1000 pages at sf0.001."""
-    sf = sf_from_dir(sf_dir)
-    return pages_corpus(max(200, int(1_000_000 * sf)))
+    """Driver-side corpus scaled to the testdata sf (1000 at sf0.001)."""
+    return pages_corpus(n_pages_for_sf(sf_dir))
+
+
+def pages_dataset_for_sf(sf_dir: str):
+    """Distributed corpus scaled to the testdata sf — the bench path."""
+    return pages_dataset(n_pages_for_sf(sf_dir))
 
 
 def grid_for_sf(sf_dir: str) -> pa.Table:

@@ -53,7 +53,7 @@ class TestUnitSquare:
     def test_metrics_row(self, features):
         m = features[features["kind"] == "metrics"]
         assert len(m) >= 1
-        assert m["area_m2"].sum() == 1  # n_protoblocks across cells
+        assert m["feature_id"].sum() == 1  # n_protoblocks across cells
 
 
 @pytest.mark.usefixtures("ray_session")
