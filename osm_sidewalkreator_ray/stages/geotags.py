@@ -50,3 +50,29 @@ class GeotagExtractor:
         return pd.DataFrame({"url": pd.Series(urls, dtype="str"),
                              "lat": np.asarray(lats, dtype=np.float64),
                              "lon": np.asarray(lons, dtype=np.float64)})
+
+
+class PageGeotagger:
+    """Fused actor stage: html -> text -> geotag rows in one pool.
+
+    One actor hop instead of two, and the extracted text (the bulk
+    payload) never crosses the object store — only (url, lat, lon)
+    rows leave the stage. The standalone HtmlExtractor stage remains
+    the byte-identity reference path."""
+
+    def __init__(self):
+        from .html_text import extract_text
+        self._extract_text = extract_text
+        self._geo = GeotagExtractor()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        urls, lats, lons = [], [], []
+        for url, html in zip(batch["url"], batch["html"]):
+            text = self._extract_text(html)
+            for lat, lon in self._geo.extract(text):
+                urls.append(url)
+                lats.append(lat)
+                lons.append(lon)
+        return pd.DataFrame({"url": pd.Series(urls, dtype="str"),
+                             "lat": np.asarray(lats, dtype=np.float64),
+                             "lon": np.asarray(lons, dtype=np.float64)})

@@ -1,0 +1,133 @@
+"""Per-partition checkpointing with a manifest (north_rule: "every
+partition records lineage and tile-assignment metrics so the job
+resumes from checkpoint").
+
+Layout (SURVEY.md §4.2):
+
+    out_dir/
+      part/<key1>=<v1>/<key2>=<v2>/part.parquet   # written atomically
+      _manifest.jsonl                             # one row per finished partition
+
+A partition's parquet file is written to a temp name and renamed, and
+its manifest row (key, row count, fingerprint, config hash, metrics)
+is appended only after the rename — a killed run leaves either a
+complete partition (skipped on resume) or no record (recomputed).
+Resume filters completed partitions out of the INPUT before the
+shuffle, so no work is re-done for them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _part_dir(out_dir: str, key_cols: list[str], key_vals) -> str:
+    parts = "/".join(f"{k}={v}" for k, v in zip(key_cols, key_vals))
+    return os.path.join(out_dir, "part", parts)
+
+
+def load_manifest(out_dir: str) -> list[dict]:
+    path = os.path.join(out_dir, "_manifest.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def completed_keys(out_dir: str) -> set[tuple]:
+    return {tuple(r["key"]) for r in load_manifest(out_dir)}
+
+
+def _append_manifest(out_dir: str, rows: list[dict]) -> None:
+    path = os.path.join(out_dir, "_manifest.jsonl")
+    with open(path, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+
+
+def run_partitioned(ds, key_cols: list[str], group_fn, out_dir: str,
+                    config_hash: str = "",
+                    skip_keys: set[tuple] | None = None) -> pd.DataFrame:
+    """Execute ``group_fn`` per key-partition of ``ds``, writing each
+    partition's output parquet atomically and recording it in the
+    manifest. Partitions already in the manifest are filtered OUT OF
+    THE INPUT (pre-shuffle) and skipped. Returns the manifest rows of
+    this run (lineage + metrics).
+
+    ``skip_keys`` is fault injection for resume tests: those partitions
+    are neither written nor recorded, exactly as if the job was killed
+    before reaching them. Key columns must be integer-valued (hashes
+    must agree across driver and workers; Python int hashing is
+    unsalted).
+    """
+    os.makedirs(os.path.join(out_dir, "part"), exist_ok=True)
+    done = completed_keys(out_dir)
+    skip_keys = skip_keys or set()
+
+    if done:
+        done_arr = np.array([hash(k) for k in done], dtype=np.int64)
+
+        def flt(batch: pd.DataFrame) -> pd.DataFrame:
+            h = np.fromiter(
+                (hash(tuple(t)) for t in
+                 zip(*(batch[k] for k in key_cols))),
+                dtype=np.int64, count=len(batch))
+            return batch[~np.isin(h, done_arr)]
+
+        ds = ds.map_batches(flt, batch_format="pandas")
+
+    empty_manifest = pd.DataFrame({
+        "key": pd.Series([], dtype="str"),
+        "rows": pd.Series([], dtype="int64"),
+        "fingerprint": pd.Series([], dtype="str"),
+        "config_hash": pd.Series([], dtype="str")})
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        key = tuple(int(g[k].iloc[0]) for k in key_cols)
+        if key in skip_keys:
+            return empty_manifest
+        out = group_fn(g)
+        pdir = _part_dir(out_dir, key_cols, key)
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(pdir, "part.parquet"))
+        fp = hashlib.sha1(
+            pd.util.hash_pandas_object(
+                out.astype(str).sort_values(list(out.columns))
+                .reset_index(drop=True)).values.tobytes()).hexdigest()
+        return pd.DataFrame({
+            "key": [json.dumps(list(key))],
+            "rows": [np.int64(len(out))],
+            "fingerprint": [fp],
+            "config_hash": [config_hash]})
+
+    manifest_ds = ds.groupby(key_cols).map_groups(write_group,
+                                                  batch_format="pandas")
+    mrows = manifest_ds.to_pandas()
+    rows = [{"key": json.loads(r["key"]), "rows": int(r["rows"]),
+             "fingerprint": r["fingerprint"],
+             "config_hash": r["config_hash"]}
+            for _, r in mrows.iterrows()]
+    _append_manifest(out_dir, rows)
+    return mrows
+
+
+def read_output(out_dir: str) -> pd.DataFrame:
+    """All completed partitions' rows (driver-side; for big outputs use
+    ray.data.read_parquet on out_dir/part)."""
+    import glob
+    files = sorted(glob.glob(os.path.join(out_dir, "part", "**",
+                                          "part.parquet"), recursive=True))
+    if not files:
+        return pd.DataFrame()
+    return pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
