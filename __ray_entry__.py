@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": V.ann_topk,
         "knn_join_sample": V.knn_join_sample,
         "embedding_near_dups": V.embedding_near_dups,
+        "ivf_topk": G.ivf_topk_query,
         # geospatial flagship (rows-only: not SQL-expressible)
         "sidewalk_tiles": G.sidewalk_tiles_query,
         "protoblocks": G.protoblocks_query,
@@ -65,6 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_text_extract": G.page_text_extract_query,
         "page_geotags": G.page_geotags_query,
         "page_tile_join": G.page_tile_join_query,
+        "width_shrink": G.width_shrink_query,
+        "protoblock_coverage": G.protoblock_coverage_query,
+        "crossing_spacing": G.crossing_spacing_query,
+        "sidewalk_split": G.sidewalk_split_query,
+        "osm_xml_parse": G.osm_xml_parse_query,
     }
 
 

@@ -47,6 +47,7 @@ class PipelineConfig:
     abs_max_crossing_len: float = params.ABS_MAX_CROSSING_LEN
     knn_max_dist: float = params.KNN_MAX_DIST
     min_seg_len_for_crossing: float = 20.0  # reference osm_sidewalkreator.py min_seg_len
+    min_stretch_size: float = params.MIN_STRETCH_SIZE  # G7 merge threshold
 
     # raster kernel (engine-specific: distance-field/marching-squares
     # replaces GEOS buffer booleans, which are unavailable here)

@@ -188,6 +188,26 @@ def wkb_type(b: bytes) -> int:
     return _read_hdr(b, 0)[0]
 
 
+def decode_bboxes(wkbs):
+    """Per-geometry bboxes for mixed WKB (point/line/polygon/multi*).
+
+    Returns (min_x, min_y, max_x, max_y) float64 arrays.
+    """
+    n = len(wkbs)
+    mnx = np.empty(n); mny = np.empty(n); mxx = np.empty(n); mxy = np.empty(n)
+    for i, b in enumerate(wkbs):
+        typ = wkb_type(b)
+        if typ in (WKB_POINT, WKB_MULTIPOINT):
+            pts = decode_points([b])
+        elif typ in (WKB_LINESTRING, WKB_MULTILINESTRING):
+            pts, _, _ = decode_lines([b])
+        else:
+            pts, _, _, _ = decode_polygons([b])
+        mnx[i], mny[i] = pts.min(axis=0)
+        mxx[i], mxy[i] = pts.max(axis=0)
+    return mnx, mny, mxx, mxy
+
+
 def bbox_of_lines(coords, offsets):
     """Per-line bboxes -> (min_x, min_y, max_x, max_y) arrays.
 

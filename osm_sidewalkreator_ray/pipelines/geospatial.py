@@ -80,3 +80,102 @@ def page_geotags_query(sf_dir: str) -> pd.DataFrame:
 
 def page_tile_join_query(sf_dir: str) -> pd.DataFrame:
     return PJ.flagship_entry(sf_dir)
+
+
+def width_shrink_query(sf_dir: str) -> pd.DataFrame:
+    """M5 building-overlap width shrink over the sf-scaled grid."""
+    from . import enrich as EN
+    n = _grid_n(sf_dir)
+    streets = rd.from_arrow(SYN.streets_grid(n=n, m=n))
+    buildings = rd.from_arrow(SYN.buildings_grid(n=n, m=n))
+    out = EN.shrink_widths_near_buildings(streets, buildings,
+                                          DEFAULT_CONFIG).to_pandas()
+    out["width_m"] = out["width_m"].round(3)
+    out["adjusted_width_m"] = out["adjusted_width_m"].round(3)
+    return out.sort_values(["h3_cell", "way_id"]).reset_index(drop=True)
+
+
+def protoblock_coverage_query(sf_dir: str) -> pd.DataFrame:
+    """J1 incidence join + A7 coverage-ratio filter: existing footway
+    rows of the grid fixture vs generated protoblocks."""
+    from . import enrich as EN
+    import pyarrow.compute as pc
+    n = _grid_n(sf_dir)
+    tbl = SYN.streets_grid(n=n, m=n)
+    streets = rd.from_arrow(tbl)
+    features = SW.build_features(streets, DEFAULT_CONFIG).materialize()
+    existing = rd.from_arrow(
+        tbl.filter(pc.equal(pc.coalesce(tbl["highway"], ""), "footway")))
+    out = EN.protoblock_coverage(features, existing,
+                                 DEFAULT_CONFIG).to_pandas()
+    return out.sort_values(["h3_cell", "protoblock_id"]).reset_index(drop=True)
+
+
+def crossing_spacing_query(sf_dir: str) -> pd.DataFrame:
+    """J5 crossing-center kNN spacing attribute."""
+    from . import enrich as EN
+    out = EN.crossing_spacing(
+        SW.build_features(rd.from_arrow(SYN.grid_for_sf(sf_dir)),
+                          DEFAULT_CONFIG),
+        DEFAULT_CONFIG).to_pandas()
+    return out.sort_values(["h3_cell", "crossing_id"]).reset_index(drop=True)
+
+
+def sidewalk_split_query(sf_dir: str) -> pd.DataFrame:
+    """G6c length splitting + G7 small-stretch merge."""
+    from . import splitting as SP
+    features = SW.build_features(rd.from_arrow(SYN.grid_for_sf(sf_dir)),
+                                 DEFAULT_CONFIG)
+    pieces = SP.split_sidewalks(features, DEFAULT_CONFIG, method="length",
+                                max_len=50.0).materialize()
+    merged = SP.merge_small_stretches(pieces, DEFAULT_CONFIG).to_pandas()
+    out = merged[["h3_cell", "feature_id", "parent_id", "length_m"]].copy()
+    out["length_m"] = out["length_m"].round(2)
+    return out.sort_values(["h3_cell", "feature_id"]).reset_index(drop=True)
+
+
+def osm_xml_parse_query(sf_dir: str) -> pd.DataFrame:
+    """S3 OSM-XML parser through the Ray stage: the grid fixture is
+    serialized to .osm XML, parsed back, and summarized."""
+    from ..sources.osm_xml import OsmXmlParser
+    n = _grid_n(sf_dir)
+    tbl = SYN.streets_grid(n=n, m=n)
+    # serialize fixture -> OSM XML (deterministic)
+    from ..geom import wkb as _wkb
+    parts = ["<osm>"]
+    nid = {}
+    for i, b in enumerate(tbl["geometry_wkb"].to_pylist()):
+        coords, offs, _ = _wkb.decode_lines([b])
+        for x, y in coords:
+            key = (round(x, 7), round(y, 7))
+            if key not in nid:
+                nid[key] = len(nid) + 1
+                parts.append(
+                    f'<node id="{nid[key]}" lat="{y:.7f}" lon="{x:.7f}"/>')
+    rows = tbl.to_pylist()
+    for r in rows:
+        coords, offs, _ = _wkb.decode_lines([r["geometry_wkb"]])
+        parts.append(f'<way id="{r["way_id"]}">')
+        for x, y in coords:
+            parts.append(f'<nd ref="{nid[(round(x,7), round(y,7))]}"/>')
+        parts.append(f'<tag k="highway" v="{r["highway"]}"/>')
+        if r["width"]:
+            parts.append(f'<tag k="width" v="{r["width"]}"/>')
+        parts.append("</way>")
+    parts.append("</osm>")
+    xml = "".join(parts).encode()
+    ds = rd.from_items([{"osm_xml": xml}])
+    out = ds.map_batches(OsmXmlParser, batch_format="pandas",
+                         concurrency=(1, 2)).to_pandas()
+    out = out[["way_id", "highway", "width"]].fillna({"width": ""})
+    return out.sort_values("way_id").reset_index(drop=True)
+
+
+def ivf_topk_query(sf_dir: str) -> pd.DataFrame:
+    from . import vectors as V
+    return V.ivf_topk(sf_dir)
+
+
+def _grid_n(sf_dir: str) -> int:
+    import numpy as np
+    return max(3, int(round(3 * np.sqrt(SYN.sf_from_dir(sf_dir) / 0.001))))

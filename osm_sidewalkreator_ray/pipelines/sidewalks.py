@@ -97,13 +97,11 @@ def encode_cells(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     def f(t: pa.Table) -> pa.Table:
         geoms = t["geometry_wkb"].to_pylist()
-        coords, offsets, part = wkb.decode_lines(geoms)
-        mnx, mny, mxx, mxy = wkb.bbox_of_lines(coords, offsets)
+        mnx, mny, mxx, mxy = wkb.decode_bboxes(geoms)
         row_idx, cell = cells.cover_bboxes(
             mnx - COVER_MARGIN_DEG, mny - COVER_MARGIN_DEG,
             mxx + COVER_MARGIN_DEG, mxy + COVER_MARGIN_DEG, res)
-        src = part[row_idx]
-        out = t.take(pa.array(src))
+        out = t.take(pa.array(row_idx))
         return out.append_column("h3_cell", pa.array(cell))
 
     return streets.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,231 @@
+"""Sidewalk splitting (G6) and small-stretch merge (G7).
+
+- G6c split by max length / N divisions with the reference's
+  float-safety epsilon (osm_sidewalkreator.py:3443-3491,
+  split_lines_by_max_len generic_functions.py:108-121)
+- G6a split at protoblock-corner vertices: a vertex whose interior
+  angle falls outside the 160-200 deg near-collinear band is a corner
+  (select_vertex_pol_nodes generic_functions.py:1348-1387)
+- G6b POI/Voronoi splitting: each sidewalk vertex is labeled with its
+  nearest POI (building centroid / address point); the arc is split
+  where the label changes — exactly the boundary of the POI Voronoi
+  cells restricted to the sidewalk line (voronoi_splitting
+  osm_sidewalkreator.py:3493-3557) without needing a Voronoi
+  tessellation library
+- G7 merge stretches shorter than ``min_stretch_size`` (7 m,
+  parameters.py:169) into a touching neighbor
+  (try_to_merge_small_stretches osm_sidewalkreator.py:3940-4068)
+
+Splitting is a stateless ``map_batches`` over sidewalk rows; the POI
+variant and the merge are per-cell ``map_groups`` (they need the
+cell's POIs / the touching-neighbor graph).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..geom import core, project, wkb
+from . import sidewalks as SW
+
+EPS = 1e-9
+
+
+def split_arc_by_max_len(arc: np.ndarray, max_len: float) -> list[np.ndarray]:
+    total = core.line_lengths(arc, np.array([0, len(arc)]))[0]
+    if total <= max_len + EPS:
+        return [arc]
+    n = int(np.ceil(total / max_len - EPS))
+    piece = total / n
+    return [core.substring(arc, i * piece, min((i + 1) * piece, total))
+            for i in range(n)]
+
+
+def split_arc_at_corners(arc: np.ndarray, band=(160.0, 200.0)
+                         ) -> list[np.ndarray]:
+    if len(arc) <= 2:
+        return [arc]
+    # angle_at folds to [0,180]; the reference keeps vertices in the
+    # 160-200 deg near-collinear band -> a corner is angle < 160
+    cuts = [i for i in range(1, len(arc) - 1)
+            if core.angle_at(arc[i - 1], arc[i], arc[i + 1]) < band[0]]
+    if not cuts:
+        return [arc]
+    pieces = []
+    prev = 0
+    for c in cuts:
+        pieces.append(arc[prev:c + 1])
+        prev = c
+    pieces.append(arc[prev:])
+    return [p for p in pieces if len(p) >= 2]
+
+
+def split_arc_by_pois(arc: np.ndarray, pois: np.ndarray) -> list[np.ndarray]:
+    if len(pois) == 0 or len(arc) < 2:
+        return [arc]
+    d = np.linalg.norm(arc[:, None, :] - pois[None, :, :], axis=2)
+    label = d.argmin(axis=1)
+    cuts = np.nonzero(np.diff(label))[0] + 1
+    if len(cuts) == 0:
+        return [arc]
+    pieces = []
+    prev = 0
+    for c in cuts:
+        pieces.append(arc[prev:c + 1])
+        prev = c
+    pieces.append(arc[prev:])
+    return [p for p in pieces if len(p) >= 2]
+
+
+def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    method: str = "length", max_len: float = 50.0,
+                    pois=None):
+    """sidewalk rows -> split sidewalk rows (kind='sidewalk_piece').
+
+    method: 'length' (G6c) or 'corner' (G6a) run stateless; 'poi'
+    (G6b) co-groups the cell's POI points.
+    """
+    sw = features.filter(expr="kind == 'sidewalk'")
+
+    def split_batch(batch: pd.DataFrame, poi_by_cell=None) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            cell = int(r["h3_cell"])
+            frame = project.frame_for_cell(cell)
+            coords, offs, _ = wkb.decode_lines([r["geometry_wkb"]])
+            arc = project.coords_to_local(coords, frame)
+            if method == "length":
+                pieces = split_arc_by_max_len(arc, max_len)
+            elif method == "corner":
+                pieces = split_arc_at_corners(arc)
+            elif method == "poi":
+                pts = (poi_by_cell or {}).get(cell,
+                                              np.empty((0, 2)))
+                pieces = split_arc_by_pois(arc, pts)
+            else:
+                raise ValueError(method)
+            for pi, p in enumerate(pieces):
+                plen = core.line_lengths(p, np.array([0, len(p)]))[0]
+                if plen < cfg.tiny_segments_tol:
+                    continue  # M13
+                rows.append({
+                    "kind": "sidewalk_piece", "h3_cell": cell,
+                    "feature_id": SW._stable_id(cell, "swp",
+                                                int(r["feature_id"]), pi),
+                    "parent_id": np.int64(r["feature_id"]),
+                    "geometry_wkb": wkb.encode_line(
+                        project.coords_to_lonlat(p, frame)),
+                    "length_m": float(plen), "area_m2": 0.0})
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+                SW.FEATURE_COLUMNS,
+                ["str", "int64", "int64", "int64", object, "float64",
+                 "float64"])})
+        return pd.DataFrame(rows)[SW.FEATURE_COLUMNS]
+
+    if method != "poi":
+        return sw.map_batches(split_batch, batch_format="pandas")
+
+    # POI variant: build the per-cell POI map driver-side (POIs are a
+    # small table: building centroids + address points) and broadcast
+    import ray
+
+    poi_df = pois.to_pandas() if hasattr(pois, "to_pandas") else pois
+    by_cell: dict[int, np.ndarray] = {}
+    if poi_df is not None and len(poi_df):
+        pts = wkb.decode_points(poi_df["geometry_wkb"].tolist())
+        from .. import cells as _cells
+        cell_arr = np.asarray(_cells.latlng_to_cell(pts[:, 1], pts[:, 0],
+                                                    cfg.cell_res))
+        for c in np.unique(cell_arr):
+            frame = project.frame_for_cell(int(c))
+            sel = pts[cell_arr == c]
+            by_cell[int(c)] = project.coords_to_local(sel, frame)
+    ref = ray.put(by_cell)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return split_batch(batch, poi_by_cell=ray.get(ref))
+
+    return sw.map_batches(f, batch_format="pandas")
+
+
+def merge_small_stretches(features, cfg: PipelineConfig = DEFAULT_CONFIG,
+                          kind: str = "sidewalk_piece"):
+    """G7: per cell, stretches shorter than ``min_stretch_size`` are
+    merged into a touching neighbor (shared endpoint within
+    ``duplicate_points_tol``) via union-find; output rows carry the
+    merged length and the concatenated geometry of each component."""
+    sw = features.filter(expr=f"kind == '{kind}'")
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["h3_cell"].iloc[0])
+        frame = project.frame_for_cell(cell)
+        arcs = []
+        for b in g["geometry_wkb"]:
+            coords, offs, _ = wkb.decode_lines([b])
+            arcs.append(project.coords_to_local(coords, frame))
+        lens = np.array([core.line_lengths(a, np.array([0, len(a)]))[0]
+                         for a in arcs])
+        n = len(arcs)
+        tol = cfg.duplicate_points_tol
+        # endpoint adjacency
+        ends = np.array([[a[0], a[-1]] for a in arcs])  # (n, 2, 2)
+        parentu = list(range(n))
+
+        def find(x):
+            while parentu[x] != x:
+                parentu[x] = parentu[parentu[x]]
+                x = parentu[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parentu[rb] = ra
+
+        flat = ends.reshape(-1, 2)
+        for i in range(n):
+            if lens[i] >= cfg.min_stretch_size:
+                continue
+            # merge the short stretch into any touching neighbor
+            d = np.linalg.norm(flat[None, :, :] - ends[i][:, None, :],
+                               axis=2)
+            js = np.unique(np.nonzero(d <= tol)[1] // 2)
+            for j in js:
+                if j != i:
+                    union(i, int(j))
+        comp: dict[int, list[int]] = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        rows = []
+        fids = g["feature_id"].to_numpy()
+        for ci, members in sorted(comp.items()):
+            total = float(lens[members].sum())
+            # concatenated multilinestring of the component
+            coords = np.concatenate([arcs[m] for m in members])
+            offs = np.concatenate(
+                ([0], np.cumsum([len(arcs[m]) for m in members])))
+            geom = wkb.encode_lines(project.coords_to_lonlat(coords, frame),
+                                    offs)
+            from ..geom.wkb import encode_line
+            rows.append({
+                "kind": "sidewalk_merged", "h3_cell": cell,
+                "feature_id": SW._stable_id(cell, "swm", int(fids[ci])),
+                "parent_id": np.int64(fids[ci]),
+                "geometry_wkb": geom[0] if len(geom) == 1 else
+                    _multiline(coords, offs, frame),
+                "length_m": round(total, 3), "area_m2": 0.0})
+        return pd.DataFrame(rows)[SW.FEATURE_COLUMNS]
+
+    return sw.groupby("h3_cell").map_groups(grp, batch_format="pandas")
+
+
+def _multiline(coords_local, offs, frame) -> bytes:
+    """MultiLineString WKB from ragged local coords."""
+    import struct
+    ll = project.coords_to_lonlat(coords_local, frame)
+    parts = wkb.encode_lines(ll, offs)
+    return (b"\x01\x05\x00\x00\x00" + struct.pack("<I", len(parts))
+            + b"".join(parts))

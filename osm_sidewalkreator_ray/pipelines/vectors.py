@@ -141,6 +141,56 @@ ORDER BY query_id, cosine_sim DESC, e.vec_id
 """
 
 
+def ivf_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, seed: int = 42):
+    """IVF-style ANN (the scale path next to brute force): deterministic
+    mini-kmeans centroids (fixed 5 Lloyd iterations over a driver-side
+    sample), vectors bucketed by nearest centroid via map_batches, and
+    the query probes only ``n_probe`` inverted lists. Rows-only check
+    (approximate by construction); recall vs the exact oracle is
+    asserted in tests."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in t["embedding"].to_pylist()[:2048]])
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(5):
+        lab = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            sel = sample[lab == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(-(cent @ q))[:n_probe]
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(np.asarray(probes))
+    q_ref = ray.put(q[None, :])
+
+    def bucket_and_score(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        pr = ray.get(probe_ref)
+        qv = ray.get(q_ref)
+        m = _batch_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        lab = (m @ c.T).argmax(axis=1)
+        keep = np.isin(lab, pr)
+        sims = (m[keep] @ qv.T)[:, 0]
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[keep],
+                             "cosine_sim": sims})
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    df = ds.map_batches(bucket_and_score, batch_format="pandas").to_pandas()
+    df = df.sort_values(["cosine_sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df.reset_index(drop=True)
+
+
 def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
                         n_planes: int = 12, seed: int = 42):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets:

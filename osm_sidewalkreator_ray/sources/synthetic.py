@@ -158,6 +158,60 @@ def _page_html(rng: np.random.RandomState, url: str,
     return doc.encode("utf-8")
 
 
+BUILDING_SCHEMA = pa.schema([
+    ("building_id", pa.int64()),
+    ("addr_housenumber", pa.string()),
+    ("geometry_wkb", pa.binary()),
+])
+
+
+def buildings_grid(n: int = 4, m: int = 4, spacing_m: float = 100.0,
+                   seed: int = 42) -> pa.Table:
+    """FIXTURES.md §3: one rectangle per grid block, inset 2-12 m
+    (seeded) from the block edge; a few nearly touching the road
+    corridor to exercise the min-width floor (M5); ~half carry an
+    address tag (Voronoi-splitting POIs)."""
+    rng = np.random.RandomState(seed + 1)
+    rows = {k: [] for k in BUILDING_SCHEMA.names}
+    bid = 1
+    for i in range(n):
+        for j in range(m):
+            inset = rng.uniform(2.0, 12.0)
+            if rng.rand() < 0.15:
+                inset = 1.0  # close to the corridor -> width shrink path
+            x0 = i * spacing_m + inset
+            y0 = j * spacing_m + inset
+            x1 = (i + 1) * spacing_m - inset
+            y1 = (j + 1) * spacing_m - inset
+            ring_m = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                               [x0, y0]])
+            lon, lat = _m_to_lonlat(ring_m[:, 0], ring_m[:, 1])
+            rows["building_id"].append(bid)
+            rows["addr_housenumber"].append(
+                str(rng.randint(1, 999)) if rng.rand() < 0.5 else None)
+            rows["geometry_wkb"].append(
+                wkb.encode_polygon([np.column_stack((lon, lat))]))
+            bid += 1
+    return pa.table(rows, schema=BUILDING_SCHEMA)
+
+
+def building_pois(buildings: pa.Table) -> pa.Table:
+    """Building centroids + address points -> POI table for G6b
+    (reference merges centroids and addr nodes,
+    osm_sidewalkreator.py:2908-2931)."""
+    coords, ro, po, part = wkb.decode_polygons(
+        buildings["geometry_wkb"].to_pylist())
+    pts = []
+    for p in range(len(po) - 1):
+        ring = coords[ro[po[p]]:ro[po[p] + 1]]
+        pts.append(ring[:-1].mean(axis=0))
+    pts = np.asarray(pts)
+    return pa.table({
+        "poi_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "geometry_wkb": pa.array(wkb.encode_points(pts), pa.binary()),
+    })
+
+
 AOI_BOUNDS = (-49.31, -25.53, -49.27, -25.50)
 HOT_CENTER = (-49.292, -25.515)
 _T0 = np.datetime64("2024-01-01T00:00:00", "us")
