@@ -19,7 +19,7 @@ from . import params
 @dataclass
 class PipelineConfig:
     # spatial partitioning
-    cell_res: int = 13  # quad-cell resolution; ~1.3 km cells (see cells.py)
+    cell_res: int = 14  # quad-cell resolution; ~1.2 km cells (see cells.py)
     page_salts: int = 8  # salt fan-out for skewed cells in the page join
     hot_cell_threshold: int = 10_000  # rows/cell above which salting applies
 

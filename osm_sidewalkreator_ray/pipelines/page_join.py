@@ -98,15 +98,19 @@ def build_tile_index(features, cfg: PipelineConfig) -> dict[int, dict]:
     if len(tiles):
         coords, ro, po, part = wkb.decode_polygons(
             tiles["geometry_wkb"].tolist())
-        cells_arr = tiles["h3_cell"].to_numpy()
         fids = tiles["feature_id"].to_numpy()
         for j in range(len(po) - 1):
             i = part[j]
-            e = index.setdefault(int(cells_arr[i]),
-                                 {"tiles": [], "sw_pts": []})
             r0 = po[j]
-            e["tiles"].append((int(fids[i]),
-                               coords[ro[r0]:ro[r0 + 1]]))
+            ring = coords[ro[r0]:ro[r0 + 1]]
+            # register the tile under EVERY cell its bbox covers, so a
+            # geotag just across a cell border still finds the tile
+            # (tiles may straddle borders; ownership is centroid-based)
+            mnx, mny = ring.min(axis=0)
+            mxx, mxy = ring.max(axis=0)
+            for c in cells.cover_bbox(mnx, mny, mxx, mxy, cfg.cell_res):
+                e = index.setdefault(int(c), {"tiles": [], "sw_pts": []})
+                e["tiles"].append((int(fids[i]), ring))
     sws = df[df["kind"] == "sidewalk"]
     if len(sws):
         coords, offs, part = wkb.decode_lines(sws["geometry_wkb"].tolist())
