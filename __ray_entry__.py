@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": R.events_type_stats,
         "events_user_windows": R.events_user_windows,
         "events_sessionize": R.events_sessionize,
+        "events_window_delta": R.events_window_delta,
+        "events_asof_join": R.events_asof_join,
         # text analysis + dedup (training-data operator family)
         "doc_token_counts": T.doc_token_counts,
         "doc_quality": T.doc_quality,
@@ -89,6 +91,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_stats": R.EVENTS_STATS_SQL,
         "events_user_windows": R.EVENTS_WINDOW_SQL,
         "events_sessionize": R.EVENTS_SESSION_SQL,
+        "events_window_delta": R.EVENTS_WINDOW_DELTA_SQL,
+        "events_asof_join": R.EVENTS_ASOF_SQL,
         "doc_token_counts": T.TOKEN_COUNT_SQL,
         "doc_quality": T.QUALITY_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

@@ -283,6 +283,81 @@ def events_sessionize(sf_dir: str):
             .reset_index(drop=True))
 
 
+def events_window_delta(sf_dir: str):
+    """Hourly window counts per user plus the delta vs the user's
+    previous window (windowed aggregate + lag — ordered per-group
+    pandas inside map_groups; SURVEY.md §2.10 streaming-shaped)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        w = g["ts"].dt.floor("h")
+        agg = w.groupby(w).size().rename("n_events").reset_index()
+        agg.columns = ["window_start", "n_events"]
+        agg["prev_n"] = agg["n_events"].shift(1).fillna(0).astype("int64")
+        agg["delta"] = agg["n_events"] - agg["prev_n"]
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg[["user_id", "window_start", "n_events", "delta"]]
+
+    out = ds.groupby("user_id").map_groups(win, batch_format="pandas")
+    return (out.to_pandas().sort_values(["user_id", "window_start"])
+            .reset_index(drop=True))
+
+
+EVENTS_WINDOW_DELTA_SQL = """
+WITH w AS (
+  SELECT user_id, date_trunc('hour', ts) AS window_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id, date_trunc('hour', ts))
+SELECT user_id, window_start, n_events,
+       n_events - COALESCE(LAG(n_events) OVER (
+         PARTITION BY user_id ORDER BY window_start), 0) AS delta
+FROM w ORDER BY user_id, window_start
+"""
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join (§'custom operators'): for each click event, the
+    most recent prior error ts of the same user — pd.merge_asof per
+    user group inside map_groups (sorted-within-partition assumption
+    stated: rows are sorted by ts inside each group before joining)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        clicks = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
+        errors = g[g["event_type"] == "error"][["ts"]].rename(
+            columns={"ts": "last_error_ts"})
+        if len(clicks) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "last_error_ts": pd.Series([], dtype="datetime64[us]")})
+        merged = pd.merge_asof(clicks, errors, left_on="ts",
+                               right_on="last_error_ts",
+                               allow_exact_matches=False)
+        return merged[["event_id", "user_id", "ts", "last_error_ts"]]
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return (out.to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+EVENTS_ASOF_SQL = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'error' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_error_ts
+  FROM events)
+SELECT event_id, user_id, ts, last_error_ts
+FROM marked WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
 EVENTS_SESSION_SQL = """
 WITH marked AS (
   SELECT user_id, ts,

@@ -71,12 +71,14 @@ def assign_widths(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
     max_w = cfg.max_sidewalk_width
 
     def f(t: pa.Table) -> pa.Table:
+        # an all-null column arrives as Arrow null type — normalize
+        width_col = t["width"].cast(pa.string())
         tag_w = pc.cast(
             pc.if_else(
                 pc.match_substring_regex(
-                    pc.coalesce(t["width"], pa.scalar("")),
+                    pc.coalesce(width_col, pa.scalar("")),
                     r"^\s*\d+(\.\d+)?\s*$"),
-                t["width"], pa.scalar(None, pa.string())),
+                width_col, pa.scalar(None, pa.string())),
             pa.float64())
         hw = t["highway"].to_pandas().map(
             lambda h: widths.get(h, fallback) if h is not None else fallback)

@@ -139,3 +139,14 @@ class TestVectorOracles:
         from osm_sidewalkreator_ray.pipelines import vectors as V
         df = V.embedding_near_dups(SF, sim_threshold=0.5)
         assert list(df.columns) == ["vec_a", "vec_b", "cosine_sim"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingShaped:
+    def test_window_delta(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_window_delta(SF), R.EVENTS_WINDOW_DELTA_SQL, con)
+
+    def test_asof_join(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_asof_join(SF), R.EVENTS_ASOF_SQL, con)
