@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossing_spacing": G.crossing_spacing_query,
         "sidewalk_split": G.sidewalk_split_query,
         "osm_xml_parse": G.osm_xml_parse_query,
+        "media_features": G.media_features_query,
     }
 
 

@@ -176,6 +176,13 @@ def ivf_topk_query(sf_dir: str) -> pd.DataFrame:
     return V.ivf_topk(sf_dir)
 
 
+def media_features_query(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode stage (stubbed codecs, real Ray plumbing)."""
+    from ..stages.multimodal import media_features
+    n = max(100, int(20_000 * SYN.sf_from_dir(sf_dir)))
+    return media_features(n=n)
+
+
 def _grid_n(sf_dir: str) -> int:
     import numpy as np
     return max(3, int(round(3 * np.sqrt(SYN.sf_from_dir(sf_dir) / 0.001))))
