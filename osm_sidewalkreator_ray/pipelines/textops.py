@@ -214,14 +214,24 @@ def _minhash_params(num_perm: int, seed: int = 42):
 
 
 def _shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little")
-         for s in set(shingles)), dtype=np.uint64, count=len(set(shingles)))
-    return out
+    """Unique k-gram shingle hashes, fully vectorized: per-token
+    64-bit hashes (pandas siphash, deterministic) combined across the
+    k-window with distinct odd multipliers."""
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    th = pd.util.hash_array(np.asarray(words, dtype=object))
+    if len(th) < k:
+        combo = np.uint64(0)
+        for j, h in enumerate(th):
+            combo ^= np.uint64(h) * np.uint64(_MIX[j % k])
+        return np.array([combo], dtype=np.uint64)
+    acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc ^= th[j:len(th) - k + 1 + j] * np.uint64(_MIX[j])
+    return np.unique(acc)
+
+
+_MIX = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
 
 
 class MinHasher:
@@ -233,7 +243,9 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, words: list[str]) -> np.ndarray:
-        sh = _shingle_hashes(words, self.k)
+        return self.signature_from_shingles(_shingle_hashes(words, self.k))
+
+    def signature_from_shingles(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (a*x + b) mod p, min over shingles, vectorized
@@ -242,65 +254,107 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(_tokens(t)) for t in batch["text"]]
+        sigs, shingles = [], []
+        for t in batch["text"]:
+            sh = _shingle_hashes(_tokens(t), self.k)
+            shingles.append(np.sort(sh).tobytes())
+            sigs.append(self.signature_from_shingles(sh).tobytes())
         return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "sig": [s.tobytes() for s in sigs],
-                             "text": batch["text"]})
+                             "sig": sigs, "shingles": shingles})
 
 
 def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                        threshold: float = 0.5):
-    """MinHash+LSH near-dup: shingle->minhash (actor pool) -> band
-    explode -> groupby(band, band_hash) buckets -> verify exact 3-gram
-    Jaccard inside each bucket. Returns confirmed pairs (rows-only
-    check: not SQL-expressible at scale)."""
+                        threshold: float = 0.5, coarse_buckets: int = 64):
+    """MinHash+LSH near-dup (rows-only: not SQL-expressible at scale).
+
+    Physical plan: shingle->minhash signatures (actor pool, shingle
+    hashes kept as a bytes column) -> SLIM band rows (band, band_hash,
+    doc_id — never the text) -> coarse-bucketed groupby (Python-call
+    count O(coarse_buckets), real LSH buckets resolved by a vectorized
+    pandas groupby inside) -> candidate pairs -> exact shingle-Jaccard
+    verification in map_batches against the broadcast shingle store.
+    At corpus scale the broadcast store becomes a hash-partition join
+    of candidates against the shingle table on doc_id; the plan shape
+    is otherwise identical.
+    """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(MinHasher, fn_constructor_args=(num_perm,),
                           batch_format="pandas", batch_size=1024,
-                          concurrency=(1, 2))
+                          concurrency=(1, 2)).materialize()
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band": [], "band_hash": [], "doc_id": [], "text": []}
-        for _, row in batch.iterrows():
-            sig = np.frombuffer(row["sig"], dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                out["band"].append(b)
-                out["band_hash"].append(
-                    int.from_bytes(hashlib.sha1(chunk.tobytes()).digest()[:8],
-                                   "little") >> 1)
-                out["doc_id"].append(row["doc_id"])
-                out["text"].append(row["text"])
-        return pd.DataFrame(out)
+        n = len(batch)
+        s = np.frombuffer(b"".join(batch["sig"]),
+                          dtype=np.uint64).reshape(n, num_perm)
+        chunks = s.reshape(n, bands, rows_per_band)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            bh ^= (chunks[:, :, j] + np.uint64(j + 1)) \
+                * np.uint64(_MIX[j % len(_MIX)])
+        bh >>= np.uint64(1)  # keep int64-positive for Arrow
+        return pd.DataFrame({
+            "band": np.tile(np.arange(bands), n),
+            "band_hash": bh.reshape(-1).view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            "__cb": (bh.reshape(-1) % np.uint64(coarse_buckets))
+                .astype(np.int64)})
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = np.sort(sub["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[ii])
+            rows_b.append(ids[jj])
+        if not rows_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        shingle_sets = [set(" ".join(ws[i:i + 3])
-                            for i in range(max(1, len(ws) - 2)))
-                        for ws in (_tokens(t) for t in g["text"])]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                si, sj = shingle_sets[i], shingle_sets[j]
-                inter = len(si & sj)
-                union = len(si | sj)
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(jac, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(rows_a),
+                             "doc_b": np.concatenate(rows_b)}
+                            ).drop_duplicates()
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        verify, batch_format="pandas")
-    df = pairs.to_pandas()
-    df = df.drop_duplicates(["doc_a", "doc_b"])
+    cand = (exploded.groupby("__cb")
+            .map_groups(candidates, batch_format="pandas")
+            .to_pandas().drop_duplicates(["doc_a", "doc_b"]))
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    # broadcast shingle store; verify candidates distributed
+    import ray
+    import ray.data as rd
+    store_df = sigs.map_batches(
+        lambda b: b[["doc_id", "shingles"]], batch_format="pandas"
+        ).to_pandas()
+    store_ref = ray.put(dict(zip(store_df["doc_id"].astype(int),
+                                 store_df["shingles"])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        store = ray.get(store_ref)
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa = np.frombuffer(store[int(a)], dtype=np.uint64)
+            sb = np.frombuffer(store[int(b)], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                out["doc_a"].append(int(a))
+                out["doc_b"].append(int(b))
+                out["jaccard"].append(round(jac, 6))
+        return pd.DataFrame(out)
+
+    df = (rd.from_pandas(cand).map_batches(verify, batch_format="pandas")
+          .to_pandas())
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
