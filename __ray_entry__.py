@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sidewalk_split": G.sidewalk_split_query,
         "osm_xml_parse": G.osm_xml_parse_query,
         "media_features": G.media_features_query,
+        "intersections_voronoi": G.intersections_voronoi_query,
     }
 
 

@@ -183,6 +183,42 @@ def media_features_query(sf_dir: str) -> pd.DataFrame:
     return media_features(n=n)
 
 
+def intersections_voronoi_query(sf_dir: str) -> pd.DataFrame:
+    """G9: per-cell Voronoi of street intersection points (validation
+    aid, osm_sidewalkreator.py:836-845) — raster tessellation."""
+    from ..geom import polygonize as pg, project, voronoi, wkb
+    streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
+    ds = SW.encode_cells(SW.assign_widths(streets, DEFAULT_CONFIG),
+                         DEFAULT_CONFIG)
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["h3_cell"].iloc[0])
+        frame = project.frame_for_cell(cell)
+        coords, offs, _ = wkb.decode_lines(g["geometry_wkb"].tolist())
+        loc = project.coords_to_local(coords, frame)
+        s0, s1, _li = pg.explode_segments(loc, offs)
+        pts = pg.intersection_points(s0, s1)
+        empty = pd.DataFrame({"h3_cell": pd.Series([], dtype="int64"),
+                              "site": pd.Series([], dtype="int64"),
+                              "area_m2": pd.Series([], dtype="float64")})
+        if len(pts) < 2:
+            return empty
+        pad = 50.0
+        cells_v = voronoi.voronoi_polygons(
+            pts, (loc[:, 0].min() - pad, loc[:, 1].min() - pad,
+                  loc[:, 0].max() + pad, loc[:, 1].max() + pad), res=2.0)
+        if not cells_v:
+            return empty
+        return pd.DataFrame({
+            "h3_cell": np.full(len(cells_v), cell, dtype=np.int64),
+            "site": np.array([s for s, _r, _a in cells_v], dtype=np.int64),
+            "area_m2": np.round([a for _s, _r, a in cells_v], 1)})
+
+    out = ds.groupby("h3_cell").map_groups(grp, batch_format="pandas")
+    return (out.to_pandas().sort_values(["h3_cell", "site"])
+            .reset_index(drop=True))
+
+
 def _grid_n(sf_dir: str) -> int:
     import numpy as np
     return max(3, int(round(3 * np.sqrt(SYN.sf_from_dir(sf_dir) / 0.001))))
