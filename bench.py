@@ -71,6 +71,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                                   collect="count"))
     extra["join_rows"] = n_rows
     extra["join_inside_tile"] = n_inside
+    extra["tile_assignment_rate"] = round(n_inside / max(1, n_rows), 4)
     extra["join_rows_per_sec"] = round(n_rows / timings["page_tile_join"], 1)
 
     timed("q1_pricing_summary", lambda: R.q1_pricing_summary(sf_dir))
@@ -100,10 +101,13 @@ def run_scaling(sf_dir: str, lo: int | None = None,
     # regime; 8 -> 32 numbers are also recorded there for transparency.
     lo = lo or int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = hi or int(os.environ.get("GRAFT_SCALE_HI", "8"))
+    # scaling needs the compute-dominated regime (BASELINE.md): default
+    # to the 4M-page corpus unless the caller pinned a size
+    pages = os.environ.get("GRAFT_BENCH_PAGES", "4000000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=sf_dir)
+                   GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_PAGES=pages)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
