@@ -88,10 +88,17 @@ def build_tile_index(features, cfg: PipelineConfig) -> dict[int, dict]:
             "sw_pts": [(sidewalk_id, coords lonlat ndarray)]}}.
     The kNN spill is resolved at lookup time via k_ring, so segments
     are stored once (no replication)."""
-    df = (features.map_batches(
-        lambda b: b.loc[b["kind"].isin(["tile", "sidewalk"]),
-                        ["kind", "h3_cell", "feature_id", "geometry_wkb"]],
-        batch_format="pandas").to_pandas())
+    cols = ["kind", "h3_cell", "feature_id", "geometry_wkb"]
+
+    def sel(b: pd.DataFrame) -> pd.DataFrame:
+        if "kind" not in b.columns:  # empty upstream -> column-less batch
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+                cols, ["str", "int64", "int64", object])})
+        return b.loc[b["kind"].isin(["tile", "sidewalk"]), cols]
+
+    df = features.map_batches(sel, batch_format="pandas").to_pandas()
+    if df.empty or "kind" not in df.columns:
+        return {}
     index: dict[int, dict] = {}
     # bulk-decode each kind once, then slice per row (no per-row WKB)
     tiles = df[df["kind"] == "tile"]

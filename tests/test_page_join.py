@@ -105,3 +105,27 @@ def test_salting_replicates_tiles():
         return out.sort_values(["url", "lat", "lon"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(cfg_plain), run(cfg_salted))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_with_no_tiles_anywhere():
+    """Pages with geotags vs an EMPTY street network: everything comes
+    back unjoined, nothing crashes (empty-batch schema path)."""
+    import pyarrow as pa
+    from osm_sidewalkreator_ray.sources.synthetic import (PAGES_SCHEMA,
+                                                          STREET_SCHEMA)
+    cfg = PipelineConfig()
+    empty_streets = pa.table({k: [] for k in STREET_SCHEMA.names},
+                             schema=STREET_SCHEMA)
+    pages = pa.table({
+        "url": ["https://example.test/x/1"],
+        "warc_ts": pa.array([np.datetime64("2024-01-01", "us")]),
+        "html": [b"<html><body><p>lat 10.1234 lon 20.5678</p></body></html>"],
+        "text": ["x"], "lang": ["en"]}, schema=PAGES_SCHEMA)
+    geotags = PJ.extract_geotags(rd.from_arrow(pages), cfg)
+    feats = SW.build_features(rd.from_arrow(empty_streets), cfg)
+    out = PJ.join_pages_to_tiles(geotags, feats, cfg).to_pandas()
+    real, _ = PJ.split_metrics(out)
+    assert len(real) == 1
+    assert (real["tile_id"] == -1).all()
+    assert (real["nearest_sidewalk_id"] == -1).all()
