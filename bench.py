@@ -47,15 +47,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extra: dict[str, float] = {}
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) \
         or n_pages_for_sf(sf_dir)
-
-    # the corpus arrives as parquet (input_hint); materialize it once
-    # OUTSIDE the timed region — corpus synthesis is harness work, not
-    # engine work. Cached across runs/processes by (n_pages, seed).
-    corpus = f"/tmp/graft_corpus/n{n_pages}_s42"
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        pages_dataset(n_pages).write_parquet(corpus)
-        with open(os.path.join(corpus, "_SUCCESS"), "w") as f:
-            f.write("ok")
+    corpus = _ensure_corpus(n_pages)
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -93,6 +85,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _ensure_corpus(n_pages: int) -> str:
+    """The corpus arrives as parquet (input_hint); materialize it once
+    OUTSIDE any timed region — corpus synthesis is harness work, not
+    engine work. Cached across runs/processes by (n_pages, seed)."""
+    from osm_sidewalkreator_ray.sources.synthetic import pages_dataset
+    corpus = f"/tmp/graft_corpus/n{n_pages}_s42"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        pages_dataset(n_pages).write_parquet(corpus)
+        with open(os.path.join(corpus, "_SUCCESS"), "w") as f:
+            f.write("ok")
+    return corpus
+
+
 def run_scaling(sf_dir: str, lo: int | None = None,
                 hi: int | None = None) -> dict:
     # Default to 2 -> 8 CPUs: host calibration (BASELINE.md) shows this
@@ -102,8 +108,14 @@ def run_scaling(sf_dir: str, lo: int | None = None,
     lo = lo or int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = hi or int(os.environ.get("GRAFT_SCALE_HI", "8"))
     # scaling needs the compute-dominated regime (BASELINE.md): default
-    # to the 4M-page corpus unless the caller pinned a size
+    # to the 4M-page corpus unless the caller pinned a size. Generate
+    # it HERE (parent, full CPUs) so the low-CPU subprocess never pays
+    # corpus synthesis.
     pages = os.environ.get("GRAFT_BENCH_PAGES", "4000000")
+    _ensure_corpus(int(pages))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
