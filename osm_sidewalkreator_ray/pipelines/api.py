@@ -85,8 +85,11 @@ def full_sidewalkreator_from_polygon(streets, aoi_wkb: bytes,
         adj = shrink_widths_near_buildings(streets, buildings,
                                            cfg).to_pandas()
         if len(adj):
-            shrink = dict(zip(adj["way_id"].astype(int),
-                              adj["adjusted_width_m"].astype(float)))
+            # shrink output has one row per (street, covering cell):
+            # reduce deterministically (min across cells) before
+            # building the map, so border streets get a stable width
+            agg = adj.groupby("way_id")["adjusted_width_m"].min()
+            shrink = {int(k): float(v) for k, v in agg.items()}
             ref = ray.put(shrink)
 
             def apply_shrink(batch: pd.DataFrame) -> pd.DataFrame:

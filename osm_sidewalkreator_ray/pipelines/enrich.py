@@ -91,6 +91,10 @@ def shrink_widths_near_buildings(streets, buildings,
         scoords, soffs, spart = wkb.decode_lines(stre["geometry_wkb"].tolist())
         sl = project.coords_to_local(scoords, frame)
         for i in range(len(soffs) - 1):
+            # decode_lines flattens MultiLineStrings: index street-row
+            # arrays via the part mapping, taking the min across a
+            # street's parts (mirrors cell_graph's widths[part] pattern)
+            row = int(spart[i])
             line = sl[soffs[i]:soffs[i + 1]]
             # sample at ~1 m along each segment
             pts = [line]
@@ -106,12 +110,12 @@ def shrink_widths_near_buildings(streets, buildings,
             dmin = d.min() if np.isfinite(d).any() else np.inf
             if not np.isfinite(dmin):
                 continue
-            w = widths[i]
+            w = widths[row]
             eff = w / 2.0 + cfg.d_to_add_to_each_side / 2.0
             diff = (dmin - cfg.min_d_to_building) - eff
             if diff < 0:
                 new_w = 2 * ((eff + diff) - cfg.d_to_add_to_each_side / 2.0)
-                adj[i] = max(new_w, cfg.minimal_buffer)
+                adj[row] = min(adj[row], max(new_w, cfg.minimal_buffer))
         out["adjusted_width_m"] = adj
         return out
 

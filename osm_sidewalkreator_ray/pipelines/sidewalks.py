@@ -69,20 +69,25 @@ def assign_widths(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
     fallback = cfg.fallback_width
     min_w = cfg.min_valid_width
     max_w = cfg.max_sidewalk_width
+    # class-width lookup table as Arrow arrays (index_in + take, no
+    # per-row Python); last slot is the fallback for unknown classes
+    cls_keys = pa.array(list(widths.keys()), pa.string())
+    cls_vals = pa.array(list(widths.values()) + [fallback], pa.float64())
 
     def f(t: pa.Table) -> pa.Table:
-        # an all-null column arrives as Arrow null type — normalize
-        width_col = t["width"].cast(pa.string())
+        # an all-null column arrives as Arrow null type — normalize;
+        # trim before casting (Arrow rejects surrounding whitespace)
+        width_col = pc.utf8_trim_whitespace(
+            pc.coalesce(t["width"].cast(pa.string()), pa.scalar("")))
         tag_w = pc.cast(
             pc.if_else(
-                pc.match_substring_regex(
-                    pc.coalesce(width_col, pa.scalar("")),
-                    r"^\s*\d+(\.\d+)?\s*$"),
+                pc.match_substring_regex(width_col, r"^\d+(\.\d+)?$"),
                 width_col, pa.scalar(None, pa.string())),
             pa.float64())
-        hw = t["highway"].to_pandas().map(
-            lambda h: widths.get(h, fallback) if h is not None else fallback)
-        cls_w = pa.array(hw.astype(np.float64))
+        idx = pc.fill_null(
+            pc.index_in(t["highway"].cast(pa.string()), value_set=cls_keys),
+            len(widths))
+        cls_w = pc.take(cls_vals, idx)
         w = pc.coalesce(tag_w, cls_w)
         w = pc.min_element_wise(w, pa.scalar(float(max_w)))
         t = t.append_column("width_m", w)

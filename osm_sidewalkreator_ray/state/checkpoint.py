@@ -8,12 +8,16 @@ Layout (SURVEY.md §4.2):
       part/<key1>=<v1>/<key2>=<v2>/part.parquet   # written atomically
       _manifest.jsonl                             # one row per finished partition
 
-A partition's parquet file is written to a temp name and renamed, and
-its manifest row (key, row count, fingerprint, config hash, metrics)
-is appended only after the rename — a killed run leaves either a
-complete partition (skipped on resume) or no record (recomputed).
-Resume filters completed partitions out of the INPUT before the
-shuffle, so no work is re-done for them.
+A partition's parquet file is written to a temp name and renamed;
+immediately after the rename the SAME worker writes the partition's
+manifest row as an atomic sidecar (``<part dir>/manifest.json``, temp +
+rename) — so a killed run leaves either a fully committed partition
+(parquet + sidecar, skipped on resume) or no record (recomputed). A
+consolidated ``_manifest.jsonl`` is additionally appended by the driver
+at end of run (a convenience view; resume does not depend on it).
+``load_manifest`` merges both, deduplicating by key. Resume filters
+completed partitions out of the INPUT before the shuffle, so no work
+is re-done for them.
 """
 
 from __future__ import annotations
@@ -35,11 +39,24 @@ def _part_dir(out_dir: str, key_cols: list[str], key_vals) -> str:
 
 
 def load_manifest(out_dir: str) -> list[dict]:
+    """All committed partition rows: per-partition sidecars (the
+    authoritative record, written right after each partition's rename)
+    merged with the driver's consolidated jsonl, deduplicated by key."""
+    import glob
+    rows: dict[tuple, dict] = {}
     path = os.path.join(out_dir, "_manifest.jsonl")
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    rows[tuple(r["key"])] = r
+    for p in glob.glob(os.path.join(out_dir, "part", "**", "manifest.json"),
+                       recursive=True):
+        with open(p) as f:
+            r = json.load(f)
+        rows[tuple(r["key"])] = r
+    return list(rows.values())
 
 
 def completed_keys(out_dir: str) -> set[tuple]:
@@ -104,6 +121,15 @@ def run_partitioned(ds, key_cols: list[str], group_fn, out_dir: str,
             pd.util.hash_pandas_object(
                 out.astype(str).sort_values(list(out.columns))
                 .reset_index(drop=True)).values.tobytes()).hexdigest()
+        # commit the partition's manifest row HERE (same worker, right
+        # after the data rename) so a mid-run kill leaves a resumable
+        # record for every finished partition
+        row = {"key": list(key), "rows": int(len(out)), "fingerprint": fp,
+               "config_hash": config_hash}
+        mtmp = os.path.join(pdir, f".mtmp-{uuid.uuid4().hex}")
+        with open(mtmp, "w") as f:
+            json.dump(row, f, sort_keys=True)
+        os.replace(mtmp, os.path.join(pdir, "manifest.json"))
         return pd.DataFrame({
             "key": [json.dumps(list(key))],
             "rows": [np.int64(len(out))],

@@ -161,3 +161,69 @@ class TestEnrichPipelines:
                                     pois=pois.to_pandas()).to_pandas()
         assert len(pieces) >= len(
             features.to_pandas().query("kind == 'sidewalk'"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_width_shrink_multilinestring_street():
+    """Regression (round-2 advice): MultiLineString streets flatten
+    into several decoded lines; width/adjusted arrays must be indexed
+    via the part mapping, with min across a street's parts."""
+    import struct
+    from osm_sidewalkreator_ray.sources.synthetic import (
+        STREET_SCHEMA, _m_to_lonlat)
+    import pyarrow as pa
+
+    def ml_wkb(parts):
+        body = b"".join(wkb.encode_line(p) for p in parts)
+        return struct.pack("<BII", 1, 5, len(parts)) + body
+
+    def line_m(a, b):
+        lon, lat = _m_to_lonlat(np.array([a[0], b[0]], dtype=float),
+                                np.array([a[1], b[1]], dtype=float))
+        return np.column_stack((lon, lat))
+
+    # street 1: a MultiLineString with one part far from the building
+    # and one part adjacent to it; street 2: plain far-away line
+    streets = pa.table({
+        "way_id": [1, 2],
+        "highway": ["residential", "residential"],
+        "width": [None, None], "sidewalk": [None, None],
+        "footway": [None, None],
+        "geometry_wkb": [
+            ml_wkb([line_m((500.0, 0.0), (560.0, 0.0)),
+                    line_m((0.0, 0.0), (60.0, 0.0))]),
+            wkb.encode_line(line_m((500.0, 300.0), (560.0, 300.0)))],
+    }, schema=STREET_SCHEMA)
+    # building hugging street 1's SECOND part
+    bx = np.array([10.0, 50.0, 50.0, 10.0, 10.0])
+    by = np.array([2.0, 2.0, 6.0, 6.0, 2.0])
+    blon, blat = _m_to_lonlat(bx, by)
+    bld = pa.table({
+        "building_id": pa.array([1], pa.int64()),
+        "geometry_wkb": [wkb.encode_polygon([np.column_stack((blon, blat))])],
+    })
+    cfg = PipelineConfig()
+    out = EN.shrink_widths_near_buildings(
+        rd.from_arrow(streets), rd.from_arrow(bld), cfg).to_pandas()
+    out = out.groupby("way_id").agg(
+        w=("width_m", "min"), adj=("adjusted_width_m", "min"))
+    # street 1 must be shrunk (its 2nd part touches the building);
+    # street 2 untouched
+    assert out.loc[1, "adj"] < out.loc[1, "w"]
+    assert out.loc[2, "adj"] == out.loc[2, "w"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assign_widths_whitespace_tag():
+    """Regression (round-2 advice): a width tag like ' 7 ' must not
+    abort the Arrow cast — trim then cast."""
+    import pyarrow as pa
+    from osm_sidewalkreator_ray.sources.synthetic import STREET_SCHEMA
+    tbl = SYN.streets_unit_square()
+    tbl = tbl.set_column(tbl.schema.get_field_index("width"), "width",
+                         pa.array([" 7 ", "8.5", "junk", None]))
+    out = SW.assign_widths(rd.from_arrow(tbl),
+                           PipelineConfig()).to_pandas()
+    got = dict(zip(out["way_id"], out["width_m"]))
+    assert got[1] == 7.0 and got[2] == 8.5
+    assert got[3] == got[4]  # junk -> class default, same as None
