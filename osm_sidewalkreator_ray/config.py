@@ -21,6 +21,11 @@ class PipelineConfig:
     # spatial partitioning
     cell_res: int = 14  # quad-cell resolution; ~1.2 km cells (see cells.py)
     page_salts: int = 8  # salt fan-out for skewed cells in the page join
+    # True (scale default): salt EVERY cell and replicate the (tiny)
+    # feature side into all salts — one-pass, no hot-cell pre-count.
+    # False: count geotags per cell first and salt only cells above
+    # hot_cell_threshold.
+    salt_all: bool = True
     hot_cell_threshold: int = 10_000  # rows/cell above which salting applies
 
     # geometry semantics (reference parameters.py)

@@ -3,37 +3,48 @@ encode -> per-cell point-in-polygon + kNN join against sidewalk tiles.
 
 This is the flagship shuffle (SURVEY.md J7/J8): geotag rows are
 grouped by ``(h3_cell, salt)`` — the explicit groupby-on-cell the
-north_rule mandates — and each partition joins against a per-cell tile
-index that is broadcast once via ``ray.put`` (map-side small-side join:
-only the SLIM page rows move through the shuffle; tile geometry never
-does — measured 2.5x faster and scaling-friendly vs shipping WKB
-through the sort):
+north_rule mandates — and each partition joins against a SHARDED tile
+index (round 2; replaces round 1's single driver-built ``ray.put``):
 
-- PIP: geotag point -> containing sidewalk tile (bbox prefilter, then
-  vectorized ray-crossing against the tile ring)
-- kNN: nearest sidewalk line within ``knn_max_dist`` (50 m cap,
-  reference parameters.py:157) via the uniform segment grid; the index
-  entry for a cell bundles the k-ring(1) neighbors' sidewalk segments
-  so near-boundary points find their true nearest line
-- skew: cells whose geotag count exceeds ``hot_cell_threshold`` are
-  salted — pages fan out over ``page_salts`` sub-partitions (the tile
-  index is read-shared, so salting costs nothing on the tile side)
-- semi-join prune: only geotags in cells that could match (tile cells
-  + spill ring) enter the shuffle; the long tail of pages nowhere near
-  a sidewalk finishes in a stateless map
+- the feature side is exploded by distributed tasks into slim
+  (shard, target_cell, wkb) rows — tiles registered under every cell
+  their bbox covers (J7 border correctness), sidewalk lines under
+  their own cell plus its k-ring(1) (the J8 kNN spill radius) — and
+  one ``groupby(shard)`` builds a per-shard index object
+  (``ray.put`` inside the build task). A shard covers 4x4 cells, so
+  no object anywhere in the plan is proportional to the total tile
+  count, and the driver only ever holds {shard: ObjectRef} + the
+  distinct-cell scope (O(#cells)).
+- each join partition fetches exactly its shard (object-store read,
+  shared by all groups of the shard on a node); only the SLIM page
+  rows move through the shuffle — tile geometry never does.
+- skew: pages are salted ``hash(url) % page_salts`` for every cell
+  (``salt_all``, the scale default — the shard index is read-shared,
+  so salting costs nothing on the feature side). The measured
+  hot-cell mode (pre-count, salt only hot cells) is kept behind
+  ``cfg.salt_all=False``.
+- semi-join prune: only geotags in cells that could match (indexed
+  target cells) enter the shuffle; the long tail of pages nowhere
+  near a sidewalk finishes in a stateless map.
 - every (cell, salt) partition emits a metrics row (pages_joined,
-  exact_matches, spills) — the A8 lineage requirement
+  exact_matches, spills) — the A8 lineage requirement.
 
-Scale assumption (documented per SURVEY.md §2 'custom operators'): one
-AOI's decoded tile index fits the object store (tiles are a few KB per
-city block). For a multi-region corpus, build one index per region and
-run the join per region, or shard the index by cell prefix.
+Within a shard entry, tiles and sidewalks are sorted by feature_id so
+the join is deterministic regardless of build-task arrival order.
+
+Ownership note: shard index objects are owned by the Ray Data worker
+that built them; they live for the session (workers are pooled). On a
+long-lived multi-node deployment the build stage would pin owners via
+an actor or re-put on loss — the plan shape is unchanged.
 """
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -52,26 +63,25 @@ def extract_geotags(pages, cfg: PipelineConfig = DEFAULT_CONFIG):
     """pages -> (url, lat, lon, h3_cell): one fused actor pool
     (html -> text -> geotag regex; wide binary rows, small batches,
     html and text never leave the stage — SURVEY.md §7.4), then
-    vectorized cell encode."""
+    vectorized Arrow-native cell encode."""
     tags = pages.map_batches(
         PageGeotagger, batch_format="pandas",
         batch_size=cfg.batch_size_html,
         concurrency=(1, cfg.actor_pool_size))
 
-    def encode(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["h3_cell"] = np.asarray(
-            cells.latlng_to_cell(batch["lat"].to_numpy(),
-                                 batch["lon"].to_numpy(), cfg.cell_res))
-        return batch
+    def encode(t: pa.Table) -> pa.Table:
+        cell = cells.latlng_to_cell(t["lat"].to_numpy(),
+                                    t["lon"].to_numpy(), cfg.cell_res)
+        return t.append_column(
+            "h3_cell", pa.array(np.asarray(cell, dtype=np.int64)))
 
-    return tags.map_batches(encode, batch_format="pandas")
+    return tags.map_batches(encode, batch_format="pyarrow")
 
 
 def _hot_cells(geotags, cfg: PipelineConfig) -> dict[int, int]:
-    """Cheap pre-count over the (already tiny) geotag rows to find
-    cells needing salting: per-batch partial counts, combined on the
-    driver (cells are few; no groupby shuffle needed)."""
+    """Hot-cell mode only (cfg.salt_all=False): per-batch partial
+    counts over the (already slim) geotag rows, combined on the driver
+    (one small row per (cell, batch) — no groupby shuffle needed)."""
     partials = geotags.map_batches(
         lambda b: b.groupby("h3_cell").size().rename("n").reset_index(),
         batch_format="pandas")
@@ -80,76 +90,224 @@ def _hot_cells(geotags, cfg: PipelineConfig) -> dict[int, int]:
     return {int(c): cfg.page_salts for c in hot.index}
 
 
-# --------------------------------------------------------- tile index
+# --------------------------------------------------- sharded tile index
 
-def build_tile_index(features, cfg: PipelineConfig) -> dict[int, dict]:
-    """Per-cell join index from the features Dataset:
-    {cell: {"tiles": [(tile_id, ring lonlat ndarray)],
-            "sw_pts": [(sidewalk_id, coords lonlat ndarray)]}}.
-    The kNN spill is resolved at lookup time via k_ring, so segments
-    are stored once (no replication)."""
-    cols = ["kind", "h3_cell", "feature_id", "geometry_wkb"]
+_SIDE_TILE, _SIDE_SW = 1, 2
+_SHARD_SHIFT = 2  # one shard = 4x4 cells
 
-    def sel(b: pd.DataFrame) -> pd.DataFrame:
-        if "kind" not in b.columns:  # empty upstream -> column-less batch
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
-                cols, ["str", "int64", "int64", object])})
-        return b.loc[b["kind"].isin(["tile", "sidewalk"]), cols]
+_EXPLODE_SCHEMA = pa.schema([
+    ("shard", pa.int64()),
+    ("h3_cell", pa.int64()),      # target (join) cell
+    ("side", pa.int8()),
+    ("feature_id", pa.int64()),
+    ("orig_cell", pa.int64()),    # feature's owning cell (spill metric)
+    ("geometry_wkb", pa.binary()),
+])
 
-    df = features.map_batches(sel, batch_format="pandas").to_pandas()
-    if df.empty or "kind" not in df.columns:
-        return {}
-    index: dict[int, dict] = {}
-    # bulk-decode each kind once, then slice per row (no per-row WKB)
-    tiles = df[df["kind"] == "tile"]
+
+def _shard_of(cell_arr):
+    ix, iy = cells.cell_ixy(np.asarray(cell_arr, dtype=np.int64))
+    return ((ix >> _SHARD_SHIFT) << 29) | (iy >> _SHARD_SHIFT)
+
+
+@ray.remote(num_cpus=0)
+class _IndexHolder:
+    """Owns the shard-index objects (``ray.put(_owner=holder)``), so
+    they outlive the short-lived Ray Data build workers that create
+    them. One detached holder per session; refs accumulate (each shard
+    is tiny next to the corpus) and are freed at session shutdown."""
+
+    def __init__(self):
+        self._refs = []
+
+    def hold(self, refs) -> bool:
+        self._refs.extend(refs)
+        return True
+
+
+def _index_holder():
+    return _IndexHolder.options(
+        name="sidewalkreator_index_holder", get_if_exists=True,
+        lifetime="detached").remote()
+
+
+def _empty_explode_table() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in _EXPLODE_SCHEMA},
+                    schema=_EXPLODE_SCHEMA)
+
+
+def _explode_targets(features, cfg: PipelineConfig):
+    """Distributed feature-side explode: one slim row per
+    (feature, target cell). Tiles cover their bbox cells; sidewalk
+    lines cover their own cell's k-ring(1)."""
+    res = cfg.cell_res
+
+    def f(b: pd.DataFrame) -> pa.Table:
+        if "kind" not in b.columns or len(b) == 0:
+            return _empty_explode_table()
+        tcell_l, fid_l, orig_l, wkb_l, side_l = [], [], [], [], []
+        tiles = b[b["kind"] == "tile"]
+        if len(tiles):
+            mnx, mny, mxx, mxy = wkb.decode_bboxes(
+                tiles["geometry_wkb"].tolist())
+            ridx, cell = cells.cover_bboxes(mnx, mny, mxx, mxy, res)
+            tcell_l.append(cell)
+            fid_l.append(tiles["feature_id"].to_numpy()[ridx])
+            orig_l.append(tiles["h3_cell"].to_numpy()[ridx])
+            wkb_l.append(tiles["geometry_wkb"].to_numpy()[ridx])
+            side_l.append(np.full(len(ridx), _SIDE_TILE, dtype=np.int8))
+        sws = b[b["kind"] == "sidewalk"]
+        if len(sws):
+            sw_orig = sws["h3_cell"].to_numpy()
+            for c in np.unique(sw_orig):
+                ring = cells.k_ring(int(c), 1)
+                sel = np.nonzero(sw_orig == c)[0]
+                ridx = np.repeat(sel, len(ring))
+                tcell_l.append(np.tile(ring, len(sel)))
+                fid_l.append(sws["feature_id"].to_numpy()[ridx])
+                orig_l.append(sw_orig[ridx])
+                wkb_l.append(sws["geometry_wkb"].to_numpy()[ridx])
+                side_l.append(np.full(len(ridx), _SIDE_SW, dtype=np.int8))
+        if not tcell_l:
+            return _empty_explode_table()
+        tcell = np.concatenate(tcell_l).astype(np.int64)
+        return pa.table({
+            "shard": pa.array(_shard_of(tcell)),
+            "h3_cell": pa.array(tcell),
+            "side": pa.array(np.concatenate(side_l)),
+            "feature_id": pa.array(np.concatenate(fid_l).astype(np.int64)),
+            "orig_cell": pa.array(np.concatenate(orig_l).astype(np.int64)),
+            "geometry_wkb": pa.array(list(np.concatenate(wkb_l)),
+                                     pa.binary()),
+        }, schema=_EXPLODE_SCHEMA)
+
+    return features.map_batches(f, batch_format="pandas")
+
+
+def _build_shard(g: pd.DataFrame, holder, cfg: PipelineConfig
+                 ) -> pd.DataFrame:
+    """Build one shard's FULLY PREPARED index and ray.put it (owned by
+    the holder actor); returns (shard, ref, h3_cell) rows — one per
+    indexed cell (the scope).
+
+    Per cell the entry holds join-ready state in the cell's local
+    frame (built ONCE here, shared read-only by every salt group):
+    ``tiles``: [(fid, local_ring, bbox)], ``grid``: prebuilt
+    SegmentGrid over the cell+ring-1 sidewalk segments, ``sid``:
+    per-segment sidewalk ids, ``spill``: ring-1 line count (metrics)."""
+    shard = int(g["shard"].iloc[0])
+    raw: dict[int, dict] = {}
+    tiles = g[g["side"] == _SIDE_TILE].sort_values("feature_id",
+                                                   kind="stable")
     if len(tiles):
         coords, ro, po, part = wkb.decode_polygons(
             tiles["geometry_wkb"].tolist())
         fids = tiles["feature_id"].to_numpy()
+        tcells = tiles["h3_cell"].to_numpy()
         for j in range(len(po) - 1):
             i = part[j]
             r0 = po[j]
             ring = coords[ro[r0]:ro[r0 + 1]]
-            # register the tile under EVERY cell its bbox covers, so a
-            # geotag just across a cell border still finds the tile
-            # (tiles may straddle borders; ownership is centroid-based)
-            mnx, mny = ring.min(axis=0)
-            mxx, mxy = ring.max(axis=0)
-            for c in cells.cover_bbox(mnx, mny, mxx, mxy, cfg.cell_res):
-                e = index.setdefault(int(c), {"tiles": [], "sw_pts": []})
-                e["tiles"].append((int(fids[i]), ring))
-    sws = df[df["kind"] == "sidewalk"]
+            e = raw.setdefault(int(tcells[i]), {"tiles": [], "sw": []})
+            e["tiles"].append((int(fids[i]), ring))
+    sws = g[g["side"] == _SIDE_SW].sort_values("feature_id", kind="stable")
     if len(sws):
         coords, offs, part = wkb.decode_lines(sws["geometry_wkb"].tolist())
-        cells_arr = sws["h3_cell"].to_numpy()
         fids = sws["feature_id"].to_numpy()
+        tcells = sws["h3_cell"].to_numpy()
+        origs = sws["orig_cell"].to_numpy()
         for j in range(len(offs) - 1):
             i = part[j]
-            e = index.setdefault(int(cells_arr[i]),
-                                 {"tiles": [], "sw_pts": []})
-            e["sw_pts"].append((int(fids[i]), coords[offs[j]:offs[j + 1]]))
-    return index
+            e = raw.setdefault(int(tcells[i]), {"tiles": [], "sw": []})
+            e["sw"].append((int(fids[i]), coords[offs[j]:offs[j + 1]],
+                            int(origs[i])))
+    index: dict[int, dict] = {}
+    for cell, e in raw.items():
+        frame = project.frame_for_cell(cell)
+        prepped_tiles = []
+        for fid, ring_ll in e["tiles"]:
+            ring = project.coords_to_local(ring_ll, frame)
+            mnx, mny = ring.min(axis=0)
+            mxx, mxy = ring.max(axis=0)
+            prepped_tiles.append((fid, ring, (mnx, mny, mxx, mxy)))
+        grid = None
+        sid = np.empty(0, dtype=np.int64)
+        spill = 0
+        if e["sw"]:
+            seg0s, seg1s, segids = [], [], []
+            for fid, coords_ll, orig in e["sw"]:
+                if orig != cell:
+                    spill += 1
+                loc = project.coords_to_local(coords_ll, frame)
+                seg0s.append(loc[:-1])
+                seg1s.append(loc[1:])
+                segids.append(np.full(len(loc) - 1, fid, dtype=np.int64))
+            s0 = np.concatenate(seg0s); s1 = np.concatenate(seg1s)
+            sid = np.concatenate(segids)
+            grid = SegmentGrid(s0, s1, cell=cfg.knn_max_dist)
+        index[cell] = {"tiles": prepped_tiles, "grid": grid, "sid": sid,
+                       "spill": spill}
+    ref = ray.put(index, _owner=holder)
+    # the owner must register the ref before this task's local ref
+    # goes out of scope, else the object is reclaimed
+    ray.get(holder.hold.remote([ref]))
+    cell_list = sorted(index)
+    return pd.DataFrame({
+        "shard": np.full(len(cell_list), shard, dtype=np.int64),
+        "ref": [ref] * len(cell_list),
+        "h3_cell": np.asarray(cell_list, dtype=np.int64)})
 
 
-def _scope_cells(index: dict[int, dict]) -> np.ndarray:
-    """Cells where a join can possibly match: indexed cells plus the
-    k-ring(1) of cells holding sidewalk lines (the kNN spill radius) —
-    the semi-join prune set (SURVEY.md J2)."""
-    out: set[int] = set()
-    for c, e in index.items():
-        out.add(c)
-        if e["sw_pts"]:
-            out.update(int(x) for x in cells.k_ring(c, 1))
-    return np.fromiter(out, dtype=np.int64) if out else np.empty(0, np.int64)
+def _prepare_index(features, cfg: PipelineConfig):
+    """(shard_map_ref, scope): {shard: ObjectRef} broadcast + the
+    distinct indexed cells (semi-join prune set). Only O(#cells) rows
+    ever reach the driver — never geometry."""
+    holder = _index_holder()
+    # the holder must be scheduled before any ray.put(_owner=holder)
+    ray.get(holder.hold.remote([]))
+    # coalesce the slim exploded rows before the keyed shuffle — the
+    # upstream feature pipeline leaves O(100) tiny blocks and the sort
+    # pays per-block constants otherwise
+    rows = (_explode_targets(features, cfg)
+            .repartition(16)
+            .groupby("shard").map_groups(
+                lambda g: _build_shard(g, holder, cfg),
+                batch_format="pandas")
+            .to_pandas())
+    if rows.empty or "h3_cell" not in rows.columns:
+        return ray.put({}), np.empty(0, np.int64)
+    scope = np.unique(rows["h3_cell"].to_numpy()).astype(np.int64)
+    shard_map = {int(s): r for s, r in zip(rows["shard"], rows["ref"])}
+    return ray.put(shard_map), scope
 
 
 # ------------------------------------------------------------ join fn
 
-def _join_group(g: pd.DataFrame, index_ref, cfg: PipelineConfig
+# per-worker-process deserialization cache: shard objects are immutable
+# and read by every (cell, salt) group of the shard that lands on this
+# worker — without the cache each group call re-unpickles the shard
+_OBJ_CACHE: dict[str, object] = {}
+_OBJ_CACHE_MAX = 64
+
+
+def _get_cached(ref):
+    key = ref.hex()
+    v = _OBJ_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        if len(_OBJ_CACHE) >= _OBJ_CACHE_MAX:
+            _OBJ_CACHE.pop(next(iter(_OBJ_CACHE)))
+        _OBJ_CACHE[key] = v
+    return v
+
+
+def _join_group(g: pd.DataFrame, shard_map_ref, cfg: PipelineConfig
                 ) -> pd.DataFrame:
     cell = int(g["h3_cell"].iloc[0])
     salt = int(g["salt"].iloc[0])
-    index = ray.get(index_ref)
+    shard_map = _get_cached(shard_map_ref)
+    ref = shard_map.get(int(_shard_of(cell)))
+    entry = _get_cached(ref).get(cell) if ref is not None else None
     frame = project.frame_for_cell(cell)
     px, py = project.to_local(g["lon"].to_numpy(), g["lat"].to_numpy(),
                               frame)
@@ -157,13 +315,9 @@ def _join_group(g: pd.DataFrame, index_ref, cfg: PipelineConfig
     n = len(pts)
     tile_id = np.full(n, -1, dtype=np.int64)
     inside = np.zeros(n, dtype=bool)
-    entry = index.get(cell)
-    # ---- PIP against the cell's tile polygons (J7) ----
+    # ---- PIP against the cell's prepared tile polygons (J7) ----
     if entry:
-        for tid, ring_ll in entry["tiles"]:
-            ring = project.coords_to_local(ring_ll, frame)
-            mnx, mny = ring.min(axis=0)
-            mxx, mxy = ring.max(axis=0)
+        for tid, ring, (mnx, mny, mxx, mxy) in entry["tiles"]:
             cand = ((px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)
                     & ~inside)
             if not cand.any():
@@ -172,29 +326,16 @@ def _join_group(g: pd.DataFrame, index_ref, cfg: PipelineConfig
             hit = core.points_in_ring(px[idx], py[idx], ring)
             inside[idx[hit]] = True
             tile_id[idx[hit]] = tid
-    # ---- kNN vs sidewalk lines of cell + ring-1 (J8 spill) ----
+    # ---- kNN vs the prepared segment grid (J8; ring-1 rows were
+    # replicated in by the index explode) ----
     near_id = np.full(n, -1, dtype=np.int64)
     dist = np.full(n, -1.0)
-    seg0s, seg1s, segids = [], [], []
     spill_rows = 0
-    for nb in cells.k_ring(cell, 1):
-        e = index.get(int(nb))
-        if not e:
-            continue
-        if int(nb) != cell:
-            spill_rows += len(e["sw_pts"])
-        for sid, coords_ll in e["sw_pts"]:
-            loc = project.coords_to_local(coords_ll, frame)
-            seg0s.append(loc[:-1])
-            seg1s.append(loc[1:])
-            segids.append(np.full(len(loc) - 1, sid, dtype=np.int64))
-    if seg0s:
-        s0 = np.concatenate(seg0s); s1 = np.concatenate(seg1s)
-        sid = np.concatenate(segids)
-        grid = SegmentGrid(s0, s1, cell=cfg.knn_max_dist)
-        d, si = grid.nearest(pts, max_dist=cfg.knn_max_dist)
+    if entry and entry["grid"] is not None:
+        spill_rows = entry["spill"]
+        d, si = entry["grid"].nearest(pts, max_dist=cfg.knn_max_dist)
         ok = si >= 0
-        near_id[ok] = sid[si[ok]]
+        near_id[ok] = entry["sid"][si[ok]]
         dist[ok] = np.round(d[ok], 3)
     met = {"pages_joined": n, "exact_matches": int(inside.sum()),
            "spill_rows": spill_rows}
@@ -222,36 +363,42 @@ def _join_metrics_frame(cell: int, salt: int, met: dict) -> pd.DataFrame:
         "dist_m": [-1.0]})
 
 
-def _salted(geotags, hot_ref, cfg: PipelineConfig):
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        hot = ray.get(hot_ref)
-        batch = batch.copy()
-        salts = np.zeros(len(batch), dtype=np.int64)
-        if hot:
-            cell = batch["h3_cell"].to_numpy()
-            hot_mask = np.isin(cell, np.fromiter(hot, dtype=np.int64))
-            if hot_mask.any():
-                h = pd.util.hash_array(batch["url"].to_numpy()[hot_mask])
-                salts[hot_mask] = (h % cfg.page_salts).astype(np.int64)
-        batch["salt"] = salts
-        return batch
-    return geotags.map_batches(f, batch_format="pandas")
+def _salt_pages(geotags, salts_ref, cfg: PipelineConfig):
+    """Arrow-native page-side salting (zero-copy batches)."""
+    def f(t: pa.Table) -> pa.Table:
+        salts = ray.get(salts_ref)
+        n = len(t)
+        cell = t["h3_cell"].to_numpy()
+        if salts == "all":
+            h = pd.util.hash_array(t["url"].to_numpy(zero_copy_only=False))
+            salt = (h % cfg.page_salts).astype(np.int64)
+        else:
+            salt = np.zeros(n, dtype=np.int64)
+            if salts:
+                hot = np.isin(cell, np.fromiter(salts, dtype=np.int64))
+                if hot.any():
+                    h = pd.util.hash_array(
+                        t["url"].to_numpy(zero_copy_only=False)[hot])
+                    salt[hot] = (h % cfg.page_salts).astype(np.int64)
+        return t.append_column("salt", pa.array(salt))
+
+    return geotags.map_batches(f, batch_format="pyarrow")
 
 
 def _split_scope(geotags, scope_ref):
-    def in_scope_f(batch: pd.DataFrame) -> pd.DataFrame:
+    def in_scope_f(t: pa.Table) -> pa.Table:
         s = ray.get(scope_ref)
-        return batch[np.isin(batch["h3_cell"].to_numpy(), s)]
+        return t.filter(pa.array(np.isin(t["h3_cell"].to_numpy(), s)))
 
-    def out_scope_f(batch: pd.DataFrame) -> pd.DataFrame:
+    def out_scope_f(t: pa.Table) -> pd.DataFrame:
         s = ray.get(scope_ref)
-        b = batch[~np.isin(batch["h3_cell"].to_numpy(), s)]
-        n = len(b)
+        keep = ~np.isin(t["h3_cell"].to_numpy(), s)
+        n = int(keep.sum())
         out = pd.DataFrame({
-            "url": b["url"].to_numpy(),
-            "lat": b["lat"].to_numpy(),
-            "lon": b["lon"].to_numpy(),
-            "h3_cell": b["h3_cell"].to_numpy().astype(np.int64),
+            "url": t["url"].to_numpy(zero_copy_only=False)[keep],
+            "lat": t["lat"].to_numpy()[keep],
+            "lon": t["lon"].to_numpy()[keep],
+            "h3_cell": t["h3_cell"].to_numpy()[keep].astype(np.int64),
             "tile_id": np.full(n, -1, dtype=np.int64),
             "inside_tile": np.zeros(n, dtype=bool),
             "nearest_sidewalk_id": np.full(n, -1, dtype=np.int64),
@@ -261,28 +408,43 @@ def _split_scope(geotags, scope_ref):
         met = _join_metrics_frame(-1, 0, {"pages_joined": n,
                                           "exact_matches": 0,
                                           "spill_rows": 0})
-        met["url"] = f"__metrics__/far/{b['url'].iloc[0]}"
+        met["url"] = f"__metrics__/far/{uuid.uuid4().hex}"
         return pd.concat([out, met], ignore_index=True)
 
-    return (geotags.map_batches(in_scope_f, batch_format="pandas"),
-            geotags.map_batches(out_scope_f, batch_format="pandas"))
+    return (geotags.map_batches(in_scope_f, batch_format="pyarrow"),
+            geotags.map_batches(out_scope_f, batch_format="pyarrow"))
+
+
+def _salting_plan(geotags, cfg: PipelineConfig):
+    return "all" if cfg.salt_all else _hot_cells(geotags, cfg)
 
 
 def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
     """The explicit groupby-on-cell join. Returns the assignments
     Dataset (metric rows carry url prefix ``__metrics__/``)."""
+    import threading
+    # index build (feature side) and geotag extraction (page side) are
+    # independent — run them as two concurrent Ray Data executions so
+    # neither serializes behind the other
+    index_out: dict = {}
+
+    def _build():
+        index_out["v"] = _prepare_index(features, cfg)
+
+    th = threading.Thread(target=_build)
+    th.start()
     # geotags are tiny rows (url, lat, lon, cell) — pin them so the
-    # hot-cell pre-count doesn't recompute the HTML extraction stage
+    # scope split doesn't recompute the HTML extraction stage
     geotags = geotags.materialize()
-    index = build_tile_index(features, cfg)
-    index_ref = ray.put(index)
-    scope_ref = ray.put(_scope_cells(index))
-    hot_ref = ray.put(_hot_cells(geotags, cfg))
+    th.join()
+    shard_map_ref, scope = index_out["v"]
+    scope_ref = ray.put(scope)
+    salts_ref = ray.put(_salting_plan(geotags, cfg))
     in_scope, far = _split_scope(geotags, scope_ref)
-    salted = _salted(in_scope, hot_ref, cfg)
+    salted = _salt_pages(in_scope, salts_ref, cfg)
 
     def jf(g: pd.DataFrame) -> pd.DataFrame:
-        return _join_group(g, index_ref, cfg)
+        return _join_group(g, shard_map_ref, cfg)
 
     joined = salted.groupby(["h3_cell", "salt"]).map_groups(
         jf, batch_format="pandas")
@@ -305,15 +467,24 @@ def checkpointed_join(geotags, features, out_dir: str,
     (north_rule resume semantics). Returns this run's manifest rows."""
     from ..state.checkpoint import run_partitioned
 
+    import threading
+    index_out: dict = {}
+
+    def _build():
+        index_out["v"] = _prepare_index(features, cfg)
+
+    th = threading.Thread(target=_build)
+    th.start()
     geotags = geotags.materialize()
-    index = build_tile_index(features, cfg)
-    index_ref = ray.put(index)
-    scope_ref = ray.put(_scope_cells(index))
-    hot_ref = ray.put(_hot_cells(geotags, cfg))
+    th.join()
+    shard_map_ref, scope = index_out["v"]
+    scope_ref = ray.put(scope)
+    salts_ref = ray.put(_salting_plan(geotags, cfg))
     in_scope, _far = _split_scope(geotags, scope_ref)
-    salted = _salted(in_scope, hot_ref, cfg)
+    salted = _salt_pages(in_scope, salts_ref, cfg)
     return run_partitioned(salted, ["h3_cell", "salt"],
-                           lambda g: _join_group(g, index_ref, cfg), out_dir,
+                           lambda g: _join_group(g, shard_map_ref, cfg),
+                           out_dir,
                            config_hash=cfg.to_json()[:40],
                            skip_keys=skip_keys)
 

@@ -90,10 +90,13 @@ class TestGraft:
 
 @pytest.mark.usefixtures("ray_session")
 def test_salting_replicates_tiles():
-    """Force a tiny hot threshold: every cell salts; assignments must be
-    identical to the unsalted run (salting is a physical-plan change)."""
-    cfg_plain = PipelineConfig()
-    cfg_salted = PipelineConfig(hot_cell_threshold=1, page_salts=4)
+    """Salting is a physical-plan change only: the unsalted run (hot
+    mode, threshold never reached), the hot-cell-salted run, and the
+    salt-all run must produce identical assignments."""
+    cfg_plain = PipelineConfig(salt_all=False)
+    cfg_hot = PipelineConfig(salt_all=False, hot_cell_threshold=1,
+                             page_salts=4)
+    cfg_all = PipelineConfig(salt_all=True, page_salts=4)
     pages = SYN.pages_corpus(200)
 
     def run(cfg):
@@ -104,7 +107,9 @@ def test_salting_replicates_tiles():
         out, _ = PJ.split_metrics(df)
         return out.sort_values(["url", "lat", "lon"]).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(run(cfg_plain), run(cfg_salted))
+    plain = run(cfg_plain)
+    pd.testing.assert_frame_equal(plain, run(cfg_hot))
+    pd.testing.assert_frame_equal(plain, run(cfg_all))
 
 
 @pytest.mark.usefixtures("ray_session")
