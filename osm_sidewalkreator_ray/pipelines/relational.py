@@ -110,8 +110,16 @@ def q3_top_revenue_orders(sf_dir: str):
     li = li.map_batches(li_prep, batch_format="pyarrow")
     joined = hash_partition_join(orders, li, on="o_orderkey", num_buckets=16)
     out = grouped_agg(joined, ["o_orderkey"], {"revenue": ("revenue_part", "sum")})
-    df = out.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+
+    # distributed top-k: each block contributes its local top-10, the
+    # driver merges only k rows per block (never the full aggregate)
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = b["revenue"].round(2)
+        return b.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    df = out.map_batches(partial_topk, batch_format="pandas").to_pandas()
     df = df.sort_values(["revenue", "o_orderkey"],
                         ascending=[False, True]).head(10)
     return df[["o_orderkey", "revenue"]].reset_index(drop=True)
@@ -264,42 +272,61 @@ ORDER BY user_id, window_start
 """
 
 
+def _bucket_by_user(ds, num_buckets: int = 32):
+    """Add a stable user-hash bucket column: the per-user streaming
+    queries shuffle on it and run ONE vectorized pandas computation per
+    bucket (Python-call count O(buckets), not O(users) — the same
+    combiner trick as functions/aggregates.grouped_agg)."""
+    def f(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy())
+        return t.append_column(
+            "__ubucket", pa.array((h % num_buckets).astype(np.int64)))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min gap) per user: per-group sorted pandas
-    inside map_groups; oracle via SQL gaps-and-islands."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    """Session windows (30-min gap) per user — bucketed: users hash
+    into O(32) partitions; inside each, ONE sorted vectorized pandas
+    pass computes every user's sessions (gaps-and-islands). Oracle via
+    SQL gaps-and-islands."""
+    ds = _bucket_by_user(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
-        agg = g.groupby(sid).agg(
-            session_start=("ts", "min"), n_events=("event_id", "count"))
-        agg["user_id"] = g["user_id"].iloc[0]
-        return agg.reset_index(drop=True)[["user_id", "session_start", "n_events"]]
+        sid = (new_user | gap).cumsum()
+        agg = g.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"), session_start=("ts", "min"),
+            n_events=("event_id", "count"))
+        return agg.reset_index(drop=True)[
+            ["user_id", "session_start", "n_events"]]
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = ds.groupby("__ubucket").map_groups(sessions,
+                                             batch_format="pandas")
     return (out.to_pandas().sort_values(["user_id", "session_start"])
             .reset_index(drop=True))
 
 
 def events_window_delta(sf_dir: str):
     """Hourly window counts per user plus the delta vs the user's
-    previous window (windowed aggregate + lag — ordered per-group
-    pandas inside map_groups; SURVEY.md §2.10 streaming-shaped)."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    previous window (windowed aggregate + lag) — bucketed: one
+    vectorized pandas groupby + shift per user-hash partition
+    (SURVEY.md §2.10 streaming-shaped)."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["user_id", "ts"]))
 
     def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
         w = g["ts"].dt.floor("h")
-        agg = w.groupby(w).size().rename("n_events").reset_index()
-        agg.columns = ["window_start", "n_events"]
-        agg["prev_n"] = agg["n_events"].shift(1).fillna(0).astype("int64")
-        agg["delta"] = agg["n_events"] - agg["prev_n"]
-        agg["user_id"] = g["user_id"].iloc[0]
+        agg = (g.assign(window_start=w)
+               .groupby(["user_id", "window_start"], sort=True)
+               .size().rename("n_events").reset_index())
+        prev = agg.groupby("user_id", sort=False)["n_events"].shift(1)
+        agg["delta"] = agg["n_events"] - prev.fillna(0).astype("int64")
         return agg[["user_id", "window_start", "n_events", "delta"]]
 
-    out = ds.groupby("user_id").map_groups(win, batch_format="pandas")
+    out = ds.groupby("__ubucket").map_groups(win, batch_format="pandas")
     return (out.to_pandas().sort_values(["user_id", "window_start"])
             .reset_index(drop=True))
 
@@ -318,16 +345,18 @@ FROM w ORDER BY user_id, window_start
 
 def events_asof_join(sf_dir: str):
     """As-of join (§'custom operators'): for each click event, the
-    most recent prior error ts of the same user — pd.merge_asof per
-    user group inside map_groups (sorted-within-partition assumption
-    stated: rows are sorted by ts inside each group before joining)."""
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
-                                          "event_type"])
+    most recent prior error ts of the same user — bucketed: one
+    ``pd.merge_asof(..., by="user_id")`` per user-hash partition
+    (rows sorted by ts inside the partition; the by= key keeps the
+    as-of semantics per user)."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"]))
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values("ts", kind="stable")
         clicks = g[g["event_type"] == "click"][["event_id", "user_id", "ts"]]
-        errors = g[g["event_type"] == "error"][["ts"]].rename(
+        errors = g[g["event_type"] == "error"][["user_id", "ts"]].rename(
             columns={"ts": "last_error_ts"})
         if len(clicks) == 0:
             return pd.DataFrame({
@@ -336,11 +365,11 @@ def events_asof_join(sf_dir: str):
                 "ts": pd.Series([], dtype="datetime64[us]"),
                 "last_error_ts": pd.Series([], dtype="datetime64[us]")})
         merged = pd.merge_asof(clicks, errors, left_on="ts",
-                               right_on="last_error_ts",
+                               right_on="last_error_ts", by="user_id",
                                allow_exact_matches=False)
         return merged[["event_id", "user_id", "ts", "last_error_ts"]]
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    out = ds.groupby("__ubucket").map_groups(asof, batch_format="pandas")
     return (out.to_pandas().sort_values("event_id").reset_index(drop=True))
 
 

@@ -271,11 +271,11 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     hashes kept as a bytes column) -> SLIM band rows (band, band_hash,
     doc_id — never the text) -> coarse-bucketed groupby (Python-call
     count O(coarse_buckets), real LSH buckets resolved by a vectorized
-    pandas groupby inside) -> candidate pairs -> exact shingle-Jaccard
-    verification in map_batches against the broadcast shingle store.
-    At corpus scale the broadcast store becomes a hash-partition join
-    of candidates against the shingle table on doc_id; the plan shape
-    is otherwise identical.
+    pandas groupby inside) -> candidate pairs, deduplicated by a
+    pair-hash groupby -> exact shingle-Jaccard verification via TWO
+    hash-partition joins of the candidate pairs against the (doc_id,
+    shingles) table — nothing whole-corpus is ever broadcast or
+    collected; every shuffle moves one slim row per candidate/doc.
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     rows_per_band = num_perm // bands
@@ -319,27 +319,55 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                             ).drop_duplicates()
 
     cand = (exploded.groupby("__cb")
-            .map_groups(candidates, batch_format="pandas")
-            .to_pandas().drop_duplicates(["doc_a", "doc_b"]))
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    # broadcast shingle store; verify candidates distributed
-    import ray
-    import ray.data as rd
-    store_df = sigs.map_batches(
-        lambda b: b[["doc_id", "shingles"]], batch_format="pandas"
-        ).to_pandas()
-    store_ref = ray.put(dict(zip(store_df["doc_id"].astype(int),
-                                 store_df["shingles"])))
+            .map_groups(candidates, batch_format="pandas"))
+
+    # a pair found by several bands lands in several coarse buckets:
+    # dedup with a pair-hash groupby (one slim row per pair)
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = (pd.util.hash_array(b["doc_a"].to_numpy())
+             ^ pd.util.hash_array(b["doc_b"].to_numpy()))
+        b["__pb"] = (h % 64).astype(np.int64)
+        return b
+
+    cand = (cand.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(lambda g: g.drop_duplicates(["doc_a", "doc_b"])
+                        [["doc_a", "doc_b"]],
+                        batch_format="pandas"))
+
+    # exact-Jaccard verify via two hash-partition joins against the
+    # slim (doc_id, shingles) table — no broadcast store
+    from ..functions.joins import hash_partition_join
+    # explicit Arrow schemas (binary shingles) so the join's tagged
+    # union pads with the right types
+    shingle_tbl = sigs.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+            "shingles": pa.array(list(b["shingles"]), pa.binary())}),
+        batch_format="pandas")
+    left_a = cand.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(b["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    j1 = hash_partition_join(left_a, shingle_tbl, on="doc_id",
+                             num_buckets=32)
+    left_b = j1.map_batches(
+        lambda b: pa.table({
+            "doc_a": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+            "sh_a": pa.array(list(b["shingles"]), pa.binary()),
+            "doc_id": pa.array(b["doc_b"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    j2 = hash_partition_join(left_b, shingle_tbl, on="doc_id",
+                             num_buckets=32)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        store = ray.get(store_ref)
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa = np.frombuffer(store[int(a)], dtype=np.uint64)
-            sb = np.frombuffer(store[int(b)], dtype=np.uint64)
+        for a, b, ba, bb in zip(batch["doc_a"], batch["doc_id"],
+                                batch["sh_a"], batch["shingles"]):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac = inter / union if union else 0.0
@@ -347,10 +375,12 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                 out["doc_a"].append(int(a))
                 out["doc_b"].append(int(b))
                 out["jaccard"].append(round(jac, 6))
-        return pd.DataFrame(out)
+        return pd.DataFrame({"doc_a": pd.Series(out["doc_a"], dtype="int64"),
+                             "doc_b": pd.Series(out["doc_b"], dtype="int64"),
+                             "jaccard": pd.Series(out["jaccard"],
+                                                  dtype="float64")})
 
-    df = (rd.from_pandas(cand).map_batches(verify, batch_format="pandas")
-          .to_pandas())
+    df = j2.map_batches(verify, batch_format="pandas").to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),

@@ -150,10 +150,11 @@ def ivf_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
     (approximate by construction); recall vs the exact oracle is
     asserted in tests."""
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    # train centroids on a Ray-side sample: only 2048 rows ever reach
+    # the driver, not the whole table
+    sample_df = (_read_emb(sf_dir, ["embedding"]).limit(2048)).to_pandas()
     sample = np.stack([np.asarray(v, dtype=np.float64)
-                       for v in t["embedding"].to_pylist()[:2048]])
+                       for v in sample_df["embedding"]])
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), n_clusters, replace=False)]
@@ -164,6 +165,9 @@ def ivf_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
             if len(sel):
                 v = sel.mean(axis=0)
                 cent[c] = v / np.linalg.norm(v)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
     q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
     q = q / np.linalg.norm(q)
     probes = np.argsort(-(cent @ q))[:n_probe]
@@ -191,46 +195,114 @@ def ivf_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
     return df.reset_index(drop=True)
 
 
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                         "vec_b": pd.Series([], dtype="int64"),
+                         "cosine_sim": pd.Series([], dtype="float64")})
+
+
 def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
-                        n_planes: int = 12, seed: int = 42):
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets:
-    signature per batch -> groupby(signature) -> within-bucket pairwise
-    cosine (rows-only check; candidates never cross buckets)."""
+                        n_bands: int = 8, planes_per_band: int = 8,
+                        seed: int = 42):
+    """Embedding-cosine near-dup via MULTI-BAND random-hyperplane LSH
+    (rows-only check).
+
+    A single 12-plane signature misses ~70% of cos>=0.95 pairs; with 8
+    OR'd bands of 8 planes each, P(candidate | cos=0.95) ~ 0.99. The
+    physical plan mirrors the MinHash path: slim (band, bucket,
+    vec_id) rows -> per-bucket candidate pairs -> pair-hash dedup ->
+    exact-cosine verify via two hash-partition joins against the
+    (vec_id, embedding) table. Nothing whole-corpus is broadcast."""
+    import pyarrow as pa
+    from ..functions.joins import hash_partition_join
     ds = _read_emb(sf_dir, ["vec_id", "embedding"])
 
-    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         m = _batch_matrix(batch)
         d = m.shape[1]
         rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((n_planes, d))
-        bits = (m @ planes.T) > 0
-        sig = bits @ (1 << np.arange(n_planes))
-        return pd.DataFrame({"vec_id": batch["vec_id"],
-                             "bucket": sig.astype(np.int64),
-                             "embedding": batch["embedding"]})
+        planes = rng.standard_normal((n_bands * planes_per_band, d))
+        bits = (m @ planes.T) > 0  # (n, bands*planes)
+        n = len(m)
+        bands_bits = bits.reshape(n, n_bands, planes_per_band)
+        bucket = bands_bits @ (1 << np.arange(planes_per_band))
+        return pd.DataFrame({
+            "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+            "bucket": bucket.reshape(-1).astype(np.int64),
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), n_bands)})
 
-    bucketed = ds.map_batches(sig, batch_format="pandas")
+    exploded = ds.map_batches(band_rows, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        rows_a, rows_b = [], []
+        for _, sub in g.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = np.sort(sub["vec_id"].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[ii])
+            rows_b.append(ids[jj])
+        if not rows_a:
             return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64"),
-                                 "cosine_sim": pd.Series([], dtype="float64")})
-        g = g.sort_values("vec_id")
-        m = _batch_matrix(g)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ids = g["vec_id"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= sim_threshold
-        return pd.DataFrame({"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]],
-                             "cosine_sim": sims[ii[keep], jj[keep]].round(6)})
+                                 "vec_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"vec_a": np.concatenate(rows_a),
+                             "vec_b": np.concatenate(rows_b)}
+                            ).drop_duplicates()
 
-    out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    df = out.to_pandas()
+    cand = exploded.groupby("band").map_groups(pairs,
+                                               batch_format="pandas")
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = (pd.util.hash_array(b["vec_a"].to_numpy())
+             ^ pd.util.hash_array(b["vec_b"].to_numpy()))
+        b["__pb"] = (h % 32).astype(np.int64)
+        return b
+
+    cand = (cand.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(lambda g: g.drop_duplicates(["vec_a", "vec_b"])
+                        [["vec_a", "vec_b"]],
+                        batch_format="pandas"))
+
+    emb_tbl = ds.map_batches(
+        lambda b: pa.table({
+            "vec_id": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+            "emb": pa.array([np.asarray(v, dtype=np.float64).tobytes()
+                             for v in b["embedding"]], pa.binary())}),
+        batch_format="pandas")
+    left_a = cand.map_batches(
+        lambda b: pa.table({
+            "vec_id": pa.array(b["vec_a"].to_numpy(), pa.int64()),
+            "vec_b": pa.array(b["vec_b"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    j1 = hash_partition_join(left_a, emb_tbl, on="vec_id", num_buckets=32)
+    left_b = j1.map_batches(
+        lambda b: pa.table({
+            "vec_a": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+            "emb_a": pa.array(list(b["emb"]), pa.binary()),
+            "vec_id": pa.array(b["vec_b"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    j2 = hash_partition_join(left_b, emb_tbl, on="vec_id", num_buckets=32)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"vec_a": [], "vec_b": [], "cosine_sim": []}
+        for a, b, ea, eb in zip(batch["vec_a"], batch["vec_id"],
+                                batch["emb_a"], batch["emb"]):
+            va = np.frombuffer(ea, dtype=np.float64)
+            vb = np.frombuffer(eb, dtype=np.float64)
+            sim = float(va @ vb
+                        / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if sim >= sim_threshold:
+                out["vec_a"].append(int(a))
+                out["vec_b"].append(int(b))
+                out["cosine_sim"].append(round(sim, 6))
+        return pd.DataFrame({
+            "vec_a": pd.Series(out["vec_a"], dtype="int64"),
+            "vec_b": pd.Series(out["vec_b"], dtype="int64"),
+            "cosine_sim": pd.Series(out["cosine_sim"], dtype="float64")})
+
+    df = j2.map_batches(verify, batch_format="pandas").to_pandas()
     if df.empty:
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64"),
-                             "cosine_sim": pd.Series([], dtype="float64")})
-    df = df.drop_duplicates(["vec_a", "vec_b"])
+        return _empty_pairs()
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -21,3 +21,42 @@ def test_ivf_recall_vs_exact():
     # deterministic
     import pandas as pd
     pd.testing.assert_frame_equal(approx_df, V.ivf_topk(SF))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_recall(tmp_path):
+    """Multi-band LSH recall on planted near-dups: >= 90% of true
+    cos>=0.95 pairs must be found (a single 12-plane signature finds
+    ~30% — the round-1 weakness this guards against)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    rng = np.random.RandomState(11)
+    d = 64
+    base = rng.standard_normal((60, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 20 near-dups: tiny perturbations of the first 20 vectors
+    planted = base[:20] + 0.03 * rng.standard_normal((20, d))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    emb = np.vstack([base, planted])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float64()))})
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/embeddings.parquet")
+
+    # ground truth: all pairs with cosine >= 0.95
+    sims = emb @ emb.T
+    ii, jj = np.triu_indices(len(emb), k=1)
+    truth = {(int(a), int(b)) for a, b in zip(ii[sims[ii, jj] >= 0.95],
+                                              jj[sims[ii, jj] >= 0.95])}
+    assert len(truth) >= 15  # the plant worked
+
+    got_df = V.embedding_near_dups(sf_dir)
+    got = set(zip(got_df["vec_a"], got_df["vec_b"]))
+    assert got <= truth  # exact verify: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"
