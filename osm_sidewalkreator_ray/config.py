@@ -44,6 +44,12 @@ class PipelineConfig:
     dead_end_iterations: int = 3  # GUI spinbox 0..7 (dialog .ui)
 
     # crossings (G5)
+    # "headless": the full_..._bbox_algorithm.py:515-936 clone
+    # (kerb 25%, perpendicular rays). "gui": draw_crossings fidelity
+    # (osm_sidewalkreator.py:1186-1812): min-angle direction pick,
+    # iterative doubling ray-cast, 20-iteration inward re-centering,
+    # kerbs at 30%.
+    crossing_mode: str = "headless"
     perc_draw_kerbs: float = params.PERC_DRAW_KERBS
     perc_to_interpolate: float = params.PERC_TO_INTERPOLATE
     d_to_add_interp_d: float = params.D_TO_ADD_INTERP_D
@@ -53,6 +59,12 @@ class PipelineConfig:
     knn_max_dist: float = params.KNN_MAX_DIST
     min_seg_len_for_crossing: float = 20.0  # reference osm_sidewalkreator.py min_seg_len
     min_stretch_size: float = params.MIN_STRETCH_SIZE  # G7 merge threshold
+    # GUI-mode knobs (dialog defaults, osm_sidewalkreator_dialog_base.ui)
+    gui_d_to_add: float = 2.0            # d_to_add_box default
+    d_to_add_inward: float = params.D_TO_ADD_INTERP_D  # d_to_add_inward_box
+    perc_tol_crossings: float = params.PERC_TOL_CROSSINGS
+    use_parallel_crossings: bool = True  # opt_parallel_crossings default
+    remove_above_tol: bool = False       # ch_remove_abovetol default
 
     # raster kernel (engine-specific: distance-field/marching-squares
     # replaces GEOS buffer booleans, which are unavailable here)

@@ -51,6 +51,21 @@ def crossings_kerbs_query(sf_dir: str) -> pd.DataFrame:
     return pd.concat([cr, kb], ignore_index=True)
 
 
+def crossings_kerbs_gui_query(sf_dir: str) -> pd.DataFrame:
+    """G5 GUI fidelity (draw_crossings, osm_sidewalkreator.py:1186):
+    min-angle direction pick, doubling ray-cast, 20-iter re-centering,
+    kerbs at 30% — next to the headless clone above."""
+    import dataclasses
+    cfg = dataclasses.replace(DEFAULT_CONFIG, crossing_mode="gui")
+    streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
+    df = SW.build_features(streets, cfg).to_pandas()
+    cr = _kind_summary(df, "crossing")
+    kb = _kind_summary(df, "kerb")
+    cr["kind"] = "crossing"
+    kb["kind"] = "kerb"
+    return pd.concat([cr, kb], ignore_index=True)
+
+
 def page_text_extract_query(sf_dir: str) -> pd.DataFrame:
     """Byte-identity invariant through the Ray actor-pool path: one row
     per url with the match flag vs the corpus reference text column."""

@@ -382,7 +382,12 @@ def cell_crossings(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     coords, offs, _ = wkb.decode_lines(sw["geometry_wkb"].tolist())
     loc = project.coords_to_local(coords, frame)
     ls0, ls1, _li = pg.explode_segments(loc, offs)
-    crossings = _crossings_for_cell(n0, n1, seg_width, ls0, ls1, cfg, owns)
+    if cfg.crossing_mode == "gui":
+        crossings = _gui_crossings_for_cell(n0, n1, seg_width, ls0, ls1,
+                                            cfg, owns)
+    else:
+        crossings = _crossings_for_cell(n0, n1, seg_width, ls0, ls1, cfg,
+                                        owns)
     out_rows = []
     for pts, clen in crossings:
         cr_id = _stable_id(cell, "cr", round(pts[2, 0], 2),
@@ -459,6 +464,190 @@ def _crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
             ptB = ptA + (center - ptA) * kerb_perc
             ptD = ptE + (center - ptE) * kerb_perc
             out.append((np.vstack((ptA, ptB, center, ptD, ptE)), clen))
+    return out
+
+
+# ----------------------------------------------------- G5 GUI fidelity
+
+def _major_dif_signed(w: float, others: dict, tol: float = 0.5) -> float:
+    """generic_functions.py:1026-1059: among the other incident
+    streets' widths, take the one with the largest SIGNED difference
+    (ignoring widths within ``tol`` of our own); fall back to our own
+    width when every other street is equally wide."""
+    diffs = {k: float(v) - w for k, v in others.items()
+             if abs(float(v) - w) > tol}
+    if diffs:
+        k = max(diffs, key=diffs.get)
+        return w + diffs[k]
+    return w
+
+
+def _in_any_face(pt: np.ndarray, faces: list) -> bool:
+    for face in faces:
+        if core.points_in_ring(pt[0:1], pt[1:2], face)[0]:
+            return True
+    return False
+
+
+def _gui_raycast(vec: np.ndarray, C: np.ndarray, pA: np.ndarray,
+                 u: np.ndarray, L: float, curr, w: float,
+                 cfg: PipelineConfig, sw0, sw1):
+    """two_intersections_byvector_with_sidewalks
+    (osm_sidewalkreator.py:3034-3175): cast both sides of ``vec`` from
+    the center, DOUBLING the reach each failed iteration; when both
+    sides hit, validate the crossing length against
+    ``(d_to_add + width) * (1 + tol%)`` and re-center 0.5 m inward
+    (``increment_inward``) up to ``max_crossings_iterations``; reject
+    outright above ``abs_max_crossing_len``. ``curr=None`` (the
+    interpolation already passed 40% of the street) disables both the
+    length check and re-centering, exactly as in the reference."""
+    vlen = float(np.linalg.norm(vec))
+    if vlen == 0:
+        return None
+    vunit = vec / vlen
+    max_len = (cfg.gui_d_to_add + w) * (1 + cfg.perc_tol_crossings / 100.0)
+    coefA = coefB = 1.0
+    okA = okB = False
+    Cnew = None
+    center = C.copy()
+    ptA = ptE = None
+    it = 0
+    while not (okA and okB):
+        tA, iA = core.ray_segments_first_hit(center, vunit, sw0, sw1,
+                                             max_t=vlen * coefA)
+        tB, iB = core.ray_segments_first_hit(center, -vunit, sw0, sw1,
+                                             max_t=vlen * coefB)
+        okA = iA >= 0
+        okB = iB >= 0
+        if okA:
+            ptA = center + vunit * tA
+        if okB:
+            ptE = center - vunit * tB
+        if not okA:
+            coefA *= 2.0
+        if not okB:
+            coefB *= 2.0
+        not_max_iters = it < cfg.max_crossings_iterations
+        if okA and okB and curr is not None and not_max_iters:
+            clen = float(np.linalg.norm(ptA - ptE))
+            if clen > cfg.abs_max_crossing_len:
+                return None
+            if clen > max_len:
+                curr += cfg.increment_inward
+                if curr < L / 2.0:
+                    okA = okB = False
+                    Cnew = pA + u * curr
+                    center = Cnew
+        it += 1
+        if it > cfg.max_crossings_iterations:
+            return None
+    return ptA, ptE, Cnew
+
+
+def _gui_crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
+    """draw_crossings fidelity (osm_sidewalkreator.py:1186-1812), per
+    cell in the local frame. Semantics replicated exactly, with dialog
+    defaults (osm_sidewalkreator_dialog_base.ui):
+
+    - endpoint eligible when >2 segments touch it (0.1 m tolerance)
+      and the street segment is >= min_seg_len (20 m)
+    - inward distance = major-dif width/2 + curve_radius +
+      d_to_add_inward(2); capped at 40% length (then no length checks
+      — ``inward_distances[id] = None``, :1360-1363)
+    - direction: min-angle pick over the other incident streets'
+      1 m-circle intersections (generic_functions.py:1184-1238) — but
+      ONLY for segment-end (PF) endpoints: for P0 endpoints the
+      reference indexes the candidate list with a QgsGeometry
+      (:1411-1417), the except path fires, and the perpendicular
+      fallback is used every time. That quirk is replicated: P0 is
+      always perpendicular.
+    - crossing-center eligibility: the 1 m disk around the center must
+      be inside the dissolved protoblocks (:1536-1550); implemented as
+      both 0.5 m side-offsets of the center falling inside faces
+    - ray-cast/validation: see _gui_raycast
+    - kerbs B, D at perc_draw_kerbs=30% along A->C / E->C (:1622-1625)
+    - above-tolerance crossings are kept (flagged) unless
+      cfg.remove_above_tol, mirroring ch_remove_abovetol unchecked
+    """
+    out = []
+    seglen = np.linalg.norm(n1 - n0, axis=1)
+    nodes, deg, aid, bid = pg.node_degrees(n0, n1, tol=0.1)
+    inc: dict[int, list[int]] = {}
+    for i in range(len(n0)):
+        inc.setdefault(int(aid[i]), []).append(i)
+        inc.setdefault(int(bid[i]), []).append(i)
+    faces = pg.polygonize_faces(n0, n1)
+    for i in range(len(n0)):
+        L = float(seglen[i])
+        if L <= 0 or L < cfg.min_seg_len_for_crossing:
+            continue
+        w = float(seg_width[i])
+        for is_begin, end_id, pA, pB_ in ((True, int(aid[i]), n0[i], n1[i]),
+                                          (False, int(bid[i]), n1[i], n0[i])):
+            if deg[end_id] <= 2:
+                continue
+            others = [j for j in inc.get(end_id, []) if j != i]
+            tr = _major_dif_signed(w, {j: seg_width[j] for j in others})
+            d = tr * 0.5 + cfg.curve_radius + cfg.d_to_add_inward
+            curr = d
+            if d > 0.5 * L:
+                d = L * cfg.perc_to_interpolate
+                curr = None
+            u = (pB_ - pA) / L
+            C = pA + u * d
+            vec_len = w + cfg.gui_d_to_add
+            dirvec = None
+            if cfg.use_parallel_crossings and not is_begin:
+                best, best_angle = None, None
+                v1 = C - pA
+                a1 = np.arctan2(v1[1], v1[0])
+                for j in others:
+                    q0, q1 = ((n0[j], n1[j]) if int(aid[j]) == end_id
+                              else (n1[j], n0[j]))
+                    lj = float(np.linalg.norm(q1 - q0))
+                    if lj < 1.0:
+                        continue  # segment inside the unit circle
+                    cand = q0 + (q1 - q0) / lj
+                    v2 = cand - pA
+                    ang = abs(np.degrees(
+                        np.arctan2(v2[1], v2[0]) - a1)) % 360.0
+                    if ang > 180.0:
+                        ang = 360.0 - ang
+                    if best_angle is None or ang < best_angle:
+                        best_angle, best = ang, cand
+                if best is not None:
+                    dv = best - pA
+                    nrm = float(np.linalg.norm(dv))
+                    if nrm > 0:
+                        dirvec = dv / nrm * vec_len
+            if dirvec is None:
+                sv = C - pA
+                nrm = float(np.linalg.norm(sv))
+                if nrm == 0:
+                    continue
+                sv = sv / nrm * vec_len
+                dirvec = np.array([-sv[1], sv[0]])
+            pn = np.array([-u[1], u[0]])
+            if not (_in_any_face(C + pn * 0.5, faces)
+                    and _in_any_face(C - pn * 0.5, faces)):
+                continue
+            res = _gui_raycast(dirvec, C, pA, u, L, curr, w, cfg, sw0, sw1)
+            if res is None:
+                continue
+            ptA, ptE, Cnew = res
+            C_eff = Cnew if Cnew is not None else C
+            if not owns(C_eff[0], C_eff[1]):
+                continue
+            clen = (float(np.linalg.norm(ptA - C_eff))
+                    + float(np.linalg.norm(ptE - C_eff)))
+            ortholen = cfg.gui_d_to_add + w
+            above_tol = clen > ortholen * (1 + cfg.perc_tol_crossings / 100.0)
+            if cfg.remove_above_tol and above_tol:
+                continue
+            kp = cfg.perc_draw_kerbs / 100.0
+            ptB = ptA + (C_eff - ptA) * kp
+            ptD = ptE + (C_eff - ptE) * kp
+            out.append((np.vstack((ptA, ptB, C_eff, ptD, ptE)), clen))
     return out
 
 

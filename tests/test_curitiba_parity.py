@@ -102,3 +102,52 @@ class TestCuritibaOsmExtract:
         assert len(feats[feats["kind"] == "tile"]) >= 3
         ncr = len(feats[feats["kind"] == "crossing"])
         assert len(feats[feats["kind"] == "kerb"]) == 2 * ncr
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGuiCrossings:
+    """G5 GUI fidelity (draw_crossings) on the reference's own
+    Curitiba fixture — mirrors the structural assertions of
+    test_full_bbox_preloaded.py:36-80 and pins the GUI semantics
+    (kerbs at 30%, A-B-C-D-E collinear, length caps) that differ from
+    the headless clone."""
+
+    @pytest.fixture(scope="class")
+    def both(self):
+        import dataclasses
+        from osm_sidewalkreator_ray.config import DEFAULT_CONFIG
+        streets = rd.from_arrow(_streets_from_geojson(GEOJSON))
+        cfg_h = PipelineConfig(dead_end_iterations=0)
+        cfg_g = dataclasses.replace(cfg_h, crossing_mode="gui")
+        fh = SW.build_features(rd.from_arrow(_streets_from_geojson(GEOJSON)),
+                               cfg_h).to_pandas()
+        fg = SW.build_features(streets, cfg_g).to_pandas()
+        return fh, fg
+
+    def test_gui_crossings_exist_and_consistent(self, both):
+        _, fg = both
+        ncr = len(fg[fg["kind"] == "crossing"])
+        nkb = len(fg[fg["kind"] == "kerb"])
+        assert ncr > 0
+        assert nkb == 2 * ncr
+
+    def test_gui_count_comparable_to_headless(self, both):
+        # the two modes pick direction/centering differently but must
+        # agree on the order of magnitude on the same street grid
+        fh, fg = both
+        nh = len(fh[fh["kind"] == "crossing"])
+        ng = len(fg[fg["kind"] == "crossing"])
+        assert nh > 0 and ng > 0
+        assert 0.2 * nh <= ng <= 5 * nh
+
+    def test_gui_crossing_geometry_invariants(self, both):
+        _, fg = both
+        crs = fg[fg["kind"] == "crossing"]
+        for b in crs["geometry_wkb"]:
+            coords, offs, _ = wkb.decode_lines([b])
+            assert len(coords) == 5  # A-B-C-D-E
+            A, B, C, D, E = coords
+            # kerbs at 30% along A->C and E->C (GUI perc_draw_kerbs)
+            assert np.allclose(B, A + (C - A) * 0.30, atol=1e-6)
+            assert np.allclose(D, E + (C - E) * 0.30, atol=1e-6)
+        assert (crs["length_m"] <= 100.0).all()  # abs_max_crossing_len
