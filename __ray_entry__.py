@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "protoblocks": G.protoblocks_query,
         "crossings_kerbs": G.crossings_kerbs_query,
         "crossings_kerbs_gui": G.crossings_kerbs_gui_query,
+        "sure_zones": G.sure_zones_query,
         "page_text_extract": G.page_text_extract_query,
         "page_geotags": G.page_geotags_query,
         "page_tile_join": G.page_tile_join_query,

@@ -105,7 +105,7 @@ def full_sidewalkreator_from_polygon(streets, aoi_wkb: bytes,
     features = SW.build_features(streets, cfg).materialize()
     return {kind: features.filter(expr=f"kind == '{kind}'")
             for kind in ("protoblock", "tile", "sidewalk", "crossing",
-                         "kerb", "metrics")}
+                         "kerb", "sure_zone", "metrics")}
 
 
 def full_sidewalkreator_from_bbox(streets, min_lon, min_lat, max_lon,

@@ -66,6 +66,12 @@ def crossings_kerbs_gui_query(sf_dir: str) -> pd.DataFrame:
     return pd.concat([cr, kb], ignore_index=True)
 
 
+def sure_zones_query(sf_dir: str) -> pd.DataFrame:
+    """M12 positive half: sure-zone polygons from sidewalk=yes/left/
+    right/both tags (reference sure_zones layer)."""
+    return _kind_summary(_features_df(sf_dir), "sure_zone")
+
+
 def page_text_extract_query(sf_dir: str) -> pd.DataFrame:
     """Byte-identity invariant through the Ray actor-pool path: one row
     per url with the match flag vs the corpus reference text column."""

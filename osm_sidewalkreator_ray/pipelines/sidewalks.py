@@ -143,21 +143,57 @@ def _unpack_arrays(blob: bytes) -> list[np.ndarray]:
     return out
 
 
-def _exclusion_zones(n0, n1, seg_width, seg_sidewalk, cfg) -> np.ndarray:
-    """M12 zones as an array: rows (ax, ay, bx, by, radius, side);
-    side 0=both, -1=left of direction, +1=right
-    (sidewalk_generation_logic.py:436-619 tag dispatch)."""
-    rows = []
+def _tag_zones(n0, n1, seg_width, seg_sidewalk, cfg):
+    """M12 exclusion + sure zones as arrays: rows
+    (ax, ay, bx, by, radius, side); side 0=both, -1=left of direction,
+    +1=right. Reference tag dispatch (osm_sidewalkreator.py:1999-2090,
+    sidewalk_generation_logic.py:436-619, Qgis.BufferSide Left=0/
+    Right=1):
+
+    - sidewalk=no    -> exclusion both sides
+    - sidewalk=left  -> SURE zone left,  exclusion right
+    - sidewalk=right -> SURE zone right, exclusion left
+    - sidewalk=yes/both -> sure zone both sides
+
+    Returns (exclusion_rows, sure_rows)."""
+    excl, sure = [], []
     for i in range(len(n0)):
         tag = seg_sidewalk[i]
-        if tag is None or tag in ("", "yes", "both"):
+        if tag is None or tag == "":
             continue
         radius = (seg_width[i] + cfg.d_to_add_to_each_side + 1.0) / 2.0 + 0.5
-        side = {"no": 0.0, "left": -1.0, "right": 1.0}.get(tag)
-        if side is None:
-            continue
-        rows.append((n0[i, 0], n0[i, 1], n1[i, 0], n1[i, 1], radius, side))
-    return np.asarray(rows, dtype=np.float64).reshape(-1, 6)
+        row = (n0[i, 0], n0[i, 1], n1[i, 0], n1[i, 1], radius)
+        if tag == "no":
+            excl.append(row + (0.0,))
+        elif tag == "left":
+            sure.append(row + (-1.0,))
+            excl.append(row + (1.0,))
+        elif tag == "right":
+            sure.append(row + (1.0,))
+            excl.append(row + (-1.0,))
+        elif tag in ("yes", "both"):
+            sure.append(row + (0.0,))
+    return (np.asarray(excl, dtype=np.float64).reshape(-1, 6),
+            np.asarray(sure, dtype=np.float64).reshape(-1, 6))
+
+
+def _zone_polygon(zone: np.ndarray) -> np.ndarray:
+    """Flat-capped (one- or two-sided) rectangle for one zone row."""
+    ax, ay, bx, by, r, side = zone
+    a = np.array([ax, ay]); b = np.array([bx, by])
+    d = b - a
+    ln = np.linalg.norm(d)
+    if ln == 0:
+        return np.vstack([a, a, a, a])
+    nl = np.array([-d[1], d[0]]) / ln  # left normal
+    if side == 0:
+        ring = [a + nl * r, b + nl * r, b - nl * r, a - nl * r]
+    elif side < 0:  # left side
+        ring = [a, b, b + nl * r, a + nl * r]
+    else:  # right side
+        ring = [a, b, b - nl * r, a - nl * r]
+    ring.append(ring[0])
+    return np.vstack(ring)
 
 
 def _metrics_row(cell: int, metrics: dict) -> dict:
@@ -197,8 +233,8 @@ def cell_graph(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         return pd.DataFrame([_metrics_row(cell, metrics)])
 
     halfw = widths[parent] / 2.0 + cfg.d_to_add_to_each_side / 2.0
-    zones = _exclusion_zones(n0, n1, widths[parent], sidewalk_tags[parent],
-                             cfg)
+    zones, sure_zones = _tag_zones(n0, n1, widths[parent],
+                                   sidewalk_tags[parent], cfg)
 
     def owns(x: float, y: float) -> bool:
         lon, lat = project.to_lonlat(x, y, frame)
@@ -242,6 +278,25 @@ def cell_graph(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             "parent_id": np.int64(-1),
             "geometry_wkb": _pack_arrays(face, segs, fzones),
             "length_m": 0.0, "area_m2": 0.0})
+
+    # sure-zone polygons (M12 positive half): a first-class output
+    # layer like the reference's sure_zones (osm_sidewalkreator.py:
+    # 2105-2120 — rendered, not subtracted); ownership by midpoint
+    for zi in range(len(sure_zones)):
+        z = sure_zones[zi]
+        mx, my = (z[0] + z[2]) / 2.0, (z[1] + z[3]) / 2.0
+        if not owns(mx, my):
+            continue
+        ring = _zone_polygon(z)
+        area = abs(core.ring_signed_area(ring))
+        out_rows.append({
+            "kind": "sure_zone", "h3_cell": cell,
+            "feature_id": _stable_id(cell, "sz", round(mx, 2), round(my, 2),
+                                     round(float(z[5]), 1)),
+            "parent_id": np.int64(-1),
+            "geometry_wkb": wkb.encode_polygon(
+                [project.coords_to_lonlat(ring, frame)]),
+            "length_m": 0.0, "area_m2": float(area)})
 
     # packed graph row for the crossing stage (G5 needs noded segments)
     out_rows.append({
@@ -680,7 +735,8 @@ def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
         lambda g: cell_crossings(g, cfg), batch_format="pandas")
 
     static = graphs.filter(
-        expr="kind == 'protoblock' or kind == 'metrics'")
+        expr="kind == 'protoblock' or kind == 'metrics' "
+             "or kind == 'sure_zone'")
     return static.union(tiles).union(crossings)
 
 

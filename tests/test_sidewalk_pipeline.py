@@ -118,3 +118,53 @@ class TestWidthAssign:
         assert got[2] == 12.5         # numeric tag wins (M4)
         assert got[4] == 22.0         # junk tag -> class default
         assert got[5] == 6.0          # unknown class -> fallback
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tag_zone_sides_match_reference():
+    """M12 dispatch parity (osm_sidewalkreator.py:1999-2090, QGIS
+    BufferSide Left=0/Right=1): sidewalk=left -> SURE left + exclusion
+    RIGHT; sidewalk=right -> sure right + exclusion left; no ->
+    exclusion both; yes/both -> sure both."""
+    import numpy as np
+    from osm_sidewalkreator_ray.pipelines.sidewalks import _tag_zones
+    from osm_sidewalkreator_ray.config import PipelineConfig
+    n0 = np.zeros((4, 2))
+    n1 = np.tile([100.0, 0.0], (4, 1))  # all pointing +x: left is +y
+    w = np.full(4, 6.0)
+    tags = np.array(["left", "right", "no", "yes"], dtype=object)
+    excl, sure = _tag_zones(n0, n1, w, tags, PipelineConfig())
+    # rows are (ax, ay, bx, by, radius, side); side -1=left, +1=right
+    assert len(excl) == 2 + 1  # left->1, right->1, no->1
+    assert len(sure) == 2 + 1  # left->1, right->1, yes->1
+    # sidewalk=left: sure LEFT (-1), exclusion RIGHT (+1)
+    assert sure[0][5] == -1.0 and excl[0][5] == 1.0
+    # sidewalk=right: sure RIGHT (+1), exclusion LEFT (-1)
+    assert sure[1][5] == 1.0 and excl[1][5] == -1.0
+    # sidewalk=no: exclusion both (0)
+    assert excl[2][5] == 0.0
+    # sidewalk=yes: sure both (0)
+    assert sure[2][5] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sure_zone_features_emitted():
+    """Grid fixture with tagged streets must yield sure-zone polygon
+    rows (M12 positive half) with positive areas."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.sources import synthetic as SYN
+    from osm_sidewalkreator_ray.pipelines import sidewalks as SW
+    from osm_sidewalkreator_ray.config import PipelineConfig
+    import pyarrow as pa
+    tbl = SYN.streets_grid(n=4, m=4, spacing_m=150.0)
+    # force some positive tags (the generator only plants no/left/right/both)
+    sw_col = tbl["sidewalk"].to_pylist()
+    sw_col[0] = "yes"
+    sw_col[1] = "both"
+    tbl = tbl.set_column(tbl.schema.get_field_index("sidewalk"),
+                         "sidewalk", pa.array(sw_col))
+    feats = SW.build_features(rd.from_arrow(tbl),
+                              PipelineConfig()).to_pandas()
+    sz = feats[feats["kind"] == "sure_zone"]
+    assert len(sz) > 0
+    assert (sz["area_m2"] > 0).all()
