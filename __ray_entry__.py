@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossing_spacing": G.crossing_spacing_query,
         "sidewalk_split": G.sidewalk_split_query,
         "osm_xml_parse": G.osm_xml_parse_query,
+        "osm_buildings_pois": G.osm_buildings_pois_query,
         "media_features": G.media_features_query,
         "intersections_voronoi": G.intersections_voronoi_query,
     }

@@ -192,6 +192,30 @@ def osm_xml_parse_query(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("way_id").reset_index(drop=True)
 
 
+def osm_buildings_pois_query(sf_dir: str) -> pd.DataFrame:
+    """S3 multipolygons/points layers + the G6b POI builder on the
+    reference's own Curitiba extract, through the Ray parser stage
+    (building relations assembled; centroids + addr nodes merged)."""
+    from ..sources.osm_xml import OsmXmlParser, build_pois
+    from ..geom import wkb as _wkb
+    import pyarrow as pa
+    raw = open("/root/reference/test/data/curitiba_sample.osm", "rb").read()
+    ds = rd.from_items([{"osm_xml": raw}])
+    bld = pa.Table.from_pandas(
+        ds.map_batches(OsmXmlParser, fn_constructor_args=("multipolygons",),
+                       batch_format="pandas", concurrency=(1, 2)).to_pandas())
+    pts = pa.Table.from_pandas(
+        ds.map_batches(OsmXmlParser, fn_constructor_args=("points",),
+                       batch_format="pandas", concurrency=(1, 2)).to_pandas())
+    pois = build_pois(bld, pts).to_pandas()
+    xy = _wkb.decode_points(pois["geometry_wkb"].tolist())
+    out = pd.DataFrame({
+        "poi_id": pois["poi_id"].astype("int64"),
+        "housenumber": pois["housenumber"],
+        "lon": np.round(xy[:, 0], 7), "lat": np.round(xy[:, 1], 7)})
+    return out.sort_values(["poi_id", "lon"]).reset_index(drop=True)
+
+
 def ivf_topk_query(sf_dir: str) -> pd.DataFrame:
     from . import vectors as V
     return V.ivf_topk(sf_dir)

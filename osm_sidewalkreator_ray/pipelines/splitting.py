@@ -81,15 +81,20 @@ def split_arc_by_pois(arc: np.ndarray, pois: np.ndarray) -> list[np.ndarray]:
 
 def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
                     method: str = "length", max_len: float = 50.0,
-                    pois=None):
+                    pois=None, minimum_pois: int = 4):
     """sidewalk rows -> split sidewalk rows (kind='sidewalk_piece').
 
     method: 'length' (G6c) or 'corner' (G6a) run stateless; 'poi'
-    (G6b) co-groups the cell's POI points.
+    (G6b) labels each arc vertex with its nearest POI among the POIs
+    CONTAINED in the arc's protoblock, splitting where the label
+    changes (the Voronoi-restriction equivalence) — and only when the
+    protoblock holds MORE than ``minimum_pois`` POIs (the reference's
+    minimum_pois_box gate, default 4, osm_sidewalkreator.py:3516);
+    otherwise the arc is left whole.
     """
     sw = features.filter(expr="kind == 'sidewalk'")
 
-    def split_batch(batch: pd.DataFrame, poi_by_cell=None) -> pd.DataFrame:
+    def split_batch(batch: pd.DataFrame, poi_by_tile=None) -> pd.DataFrame:
         rows = []
         for _, r in batch.iterrows():
             cell = int(r["h3_cell"])
@@ -101,9 +106,10 @@ def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
             elif method == "corner":
                 pieces = split_arc_at_corners(arc)
             elif method == "poi":
-                pts = (poi_by_cell or {}).get(cell,
+                pts = (poi_by_tile or {}).get(int(r["parent_id"]),
                                               np.empty((0, 2)))
-                pieces = split_arc_by_pois(arc, pts)
+                pieces = (split_arc_by_pois(arc, pts)
+                          if len(pts) > minimum_pois else [arc])
             else:
                 raise ValueError(method)
             for pi, p in enumerate(pieces):
@@ -128,25 +134,40 @@ def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
     if method != "poi":
         return sw.map_batches(split_batch, batch_format="pandas")
 
-    # POI variant: build the per-cell POI map driver-side (POIs are a
-    # small table: building centroids + address points) and broadcast
+    # POI variant: POIs are assigned to the PROTOBLOCK containing them
+    # (reference voronoi_splitting intersects POIs per protoblock,
+    # :3507-3516), then keyed by tile so each arc looks up its own
+    # block's POIs. The pb/tile/POI tables are feature-side small
+    # (buildings + addresses of the AOI) — the map is slim local
+    # coordinates, built driver-side and ray.put once.
     import ray
 
     poi_df = pois.to_pandas() if hasattr(pois, "to_pandas") else pois
-    by_cell: dict[int, np.ndarray] = {}
+    by_tile: dict[int, np.ndarray] = {}
     if poi_df is not None and len(poi_df):
         pts = wkb.decode_points(poi_df["geometry_wkb"].tolist())
-        from .. import cells as _cells
-        cell_arr = np.asarray(_cells.latlng_to_cell(pts[:, 1], pts[:, 0],
-                                                    cfg.cell_res))
-        for c in np.unique(cell_arr):
-            frame = project.frame_for_cell(int(c))
-            sel = pts[cell_arr == c]
-            by_cell[int(c)] = project.coords_to_local(sel, frame)
-    ref = ray.put(by_cell)
+        pbs = (features.filter(expr="kind == 'protoblock'")
+               .to_pandas())
+        tiles = (features.filter(expr="kind == 'tile'")
+                 .to_pandas())[["feature_id", "parent_id"]]
+        pb_pts: dict[int, np.ndarray] = {}
+        for _, pb in pbs.iterrows():
+            cell = int(pb["h3_cell"])
+            frame = project.frame_for_cell(cell)
+            coords, ro, po, _ = wkb.decode_polygons([pb["geometry_wkb"]])
+            ring = project.coords_to_local(coords[ro[0]:ro[1]], frame)
+            loc = project.coords_to_local(pts, frame)
+            inside = core.points_in_ring(loc[:, 0], loc[:, 1], ring)
+            if inside.any():
+                pb_pts[int(pb["feature_id"])] = loc[inside]
+        for _, t in tiles.iterrows():
+            p = pb_pts.get(int(t["parent_id"]))
+            if p is not None:
+                by_tile[int(t["feature_id"])] = p
+    ref = ray.put(by_tile)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return split_batch(batch, poi_by_cell=ray.get(ref))
+        return split_batch(batch, poi_by_tile=ray.get(ref))
 
     return sw.map_batches(f, batch_format="pandas")
 

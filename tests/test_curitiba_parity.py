@@ -151,3 +151,98 @@ class TestGuiCrossings:
             assert np.allclose(B, A + (C - A) * 0.30, atol=1e-6)
             assert np.allclose(D, E + (C - E) * 0.30, atol=1e-6)
         assert (crs["length_m"] <= 100.0).all()  # abs_max_crossing_len
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOsmLayers:
+    """S3 relation/multipolygon + points layers and the POI pipeline
+    (reference osm_fetch.py:203-305 GDAL layers; POI merge
+    osm_sidewalkreator.py:2908-2931)."""
+
+    def test_multipolygon_relation_assembly(self):
+        xml = b"""<osm>
+          <node id="1" lat="0.0" lon="0.0"/><node id="2" lat="0.0" lon="0.001"/>
+          <node id="3" lat="0.001" lon="0.001"/><node id="4" lat="0.001" lon="0.0"/>
+          <node id="5" lat="0.0003" lon="0.0003"/><node id="6" lat="0.0003" lon="0.0006"/>
+          <node id="7" lat="0.0006" lon="0.0006"/><node id="8" lat="0.0006" lon="0.0003"/>
+          <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+          <way id="11"><nd ref="3"/><nd ref="4"/><nd ref="1"/></way>
+          <way id="12"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="8"/><nd ref="5"/></way>
+          <relation id="100">
+            <member type="way" ref="10" role="outer"/>
+            <member type="way" ref="11" role="outer"/>
+            <member type="way" ref="12" role="inner"/>
+            <tag k="type" v="multipolygon"/><tag k="building" v="yes"/>
+          </relation>
+        </osm>"""
+        from osm_sidewalkreator_ray.sources.osm_xml import parse_osm_xml
+        t = parse_osm_xml(xml, layer="multipolygons")
+        assert t.num_rows == 1
+        assert t["building_id"][0].as_py() == 100
+        coords, ro, po, _ = wkb.decode_polygons([t["geometry_wkb"][0].as_py()])
+        assert po[1] - po[0] == 2  # shell + hole
+        shell = coords[ro[0]:ro[1]]
+        assert np.allclose(shell[0], shell[-1])  # closed
+
+    def test_curitiba_buildings_and_pois(self):
+        from osm_sidewalkreator_ray.sources.osm_xml import (build_pois,
+                                                            parse_osm_xml)
+        raw = open(OSM, "rb").read()
+        bld = parse_osm_xml(raw, layer="multipolygons")
+        assert bld.num_rows >= 5  # building ways in the sample
+        pts = parse_osm_xml(raw, layer="points")
+        assert pts.num_rows > 100  # hundreds of addr nodes
+        pois = build_pois(bld, pts)
+        # centroids + housenumber nodes
+        assert pois.num_rows > bld.num_rows
+        xy = wkb.decode_points(pois["geometry_wkb"].to_pylist())
+        assert (xy[:, 0] > -49.4).all() and (xy[:, 0] < -49.2).all()
+
+    def test_width_shrink_on_parsed_buildings(self):
+        """M5 runs on real parsed building footprints, not synthetic."""
+        from osm_sidewalkreator_ray.pipelines import enrich as EN
+        from osm_sidewalkreator_ray.sources.osm_xml import parse_osm_xml
+        raw = open(OSM, "rb").read()
+        streets = parse_osm_xml(raw, layer="lines")
+        bld = parse_osm_xml(raw, layer="multipolygons")
+        out = EN.shrink_widths_near_buildings(
+            rd.from_arrow(streets), rd.from_arrow(bld),
+            PipelineConfig()).to_pandas()
+        assert len(out) > 0
+        assert (out["adjusted_width_m"] <= out["width_m"]).all()
+
+    def test_poi_voronoi_gate(self):
+        """G6b minimum_pois=4 gate: protoblocks with <=4 POIs keep
+        whole arcs; >4 POIs split them."""
+        from osm_sidewalkreator_ray.pipelines import splitting as SP
+        from osm_sidewalkreator_ray.sources import synthetic as SYN
+        import pyarrow as pa
+        from osm_sidewalkreator_ray.sources.osm_xml import build_pois
+        streets = rd.from_arrow(SYN.streets_grid(n=4, m=4, spacing_m=200.0))
+        features = SW.build_features(streets, PipelineConfig()).materialize()
+        pbs = features.filter(expr="kind == 'protoblock'").to_pandas()
+        assert len(pbs) > 0
+        # plant 6 POIs inside the first protoblock
+        coords, ro, po, _ = wkb.decode_polygons(
+            [pbs.iloc[0]["geometry_wkb"]])
+        ring = coords[ro[0]:ro[1]]
+        c = ring[:-1].mean(axis=0)
+        verts = ring[:-1][np.arange(6) % (len(ring) - 1)]
+        jitter = (np.arange(6)[:, None] + 1) / 8.0
+        pts = c + (verts - c) * 0.25 * jitter  # 6 distinct interior pts
+        pois = pa.table({
+            "poi_id": pa.array(np.arange(6), pa.int64()),
+            "housenumber": pa.array(["1"] * 6, pa.string()),
+            "geometry_wkb": pa.array(
+                [wkb.encode_point(float(x), float(y)) for x, y in pts],
+                pa.binary())})
+        split = SP.split_sidewalks(features, PipelineConfig(),
+                                   method="poi", pois=pois.to_pandas(),
+                                   minimum_pois=4).to_pandas()
+        unsplit = SP.split_sidewalks(features, PipelineConfig(),
+                                     method="poi", pois=pois.to_pandas(),
+                                     minimum_pois=99).to_pandas()
+        assert len(split) > len(unsplit)  # gate passed -> more pieces
+        # with the high gate nothing splits: one piece per arc
+        assert len(unsplit) == features.filter(
+            expr="kind == 'sidewalk'").count()
