@@ -42,6 +42,11 @@ class PipelineConfig:
     protoblocks_buffer: float = params.PROTOBLOCKS_BUFFER
     cutoff_percent_protoblock: float = params.CUTOFF_PERCENT_PROTOBLOCK
     dead_end_iterations: int = 3  # GUI spinbox 0..7 (dialog .ui)
+    # GUI semantics at dead_end_iterations=0: one protected pass that
+    # keeps culs-de-sac inside (buffered) protoblock faces
+    # (remove_lines_from_no_block, osm_sidewalkreator.py:803-806).
+    # Off by default to keep the plain 0-iteration no-op behavior.
+    protect_culdesacs: bool = False
 
     # crossings (G5)
     # "headless": the full_..._bbox_algorithm.py:515-936 clone
@@ -65,6 +70,12 @@ class PipelineConfig:
     perc_tol_crossings: float = params.PERC_TOL_CROSSINGS
     use_parallel_crossings: bool = True  # opt_parallel_crossings default
     remove_above_tol: bool = False       # ch_remove_abovetol default
+
+    # G7 snap rounds + G8 ALT_SCHEMA finalize stage (off by default so
+    # the raw geometry chain stays fixture-stable; see _finalize_cell)
+    snap_rounds: bool = False
+    snap_disjointed_tol: float = 0.5  # reference snap_disjointed_tol
+    alt_schema: bool = False
 
     # raster kernel (engine-specific: distance-field/marching-squares
     # replaces GEOS buffer booleans, which are unavailable here)

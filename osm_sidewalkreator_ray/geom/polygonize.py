@@ -133,6 +133,44 @@ def prune_dead_ends(n0, n1, parent, iterations: int, tol: float = 1e-6):
     return n0, n1, parent
 
 
+def prune_dead_ends_protected(n0, n1, parent, faces, buffer: float = 0.5,
+                              tol: float = 1e-6):
+    """G3 culs-de-sac variant (remove_lines_from_no_block,
+    generic_functions.py:859-918, caller osm_sidewalkreator.py:803-806):
+    ONE pass that drops segments with a free endpoint UNLESS the
+    segment lies within a (0.5 m-buffered) protoblock face — dead-end
+    streets inside a block (culs-de-sac) are protected."""
+    from . import core as _core
+    if len(n0) == 0:
+        return n0, n1, parent
+    _, deg, a, b = node_degrees(n0, n1, tol)
+    dead = (deg[a] == 1) | (deg[b] == 1)
+    if not dead.any():
+        return n0, n1, parent
+    keep = ~dead
+    if faces:
+        mid = (n0 + n1) / 2.0
+        for i in np.nonzero(dead)[0]:
+            pts = np.vstack((n0[i], mid[i], n1[i]))
+            for face in faces:
+                inside = _core.points_in_ring(pts[:, 0], pts[:, 1], face)
+                if inside.all():
+                    keep[i] = True
+                    break
+                # buffered-within: points outside but within `buffer`
+                # of the ring still count (protoblocks_buffer)
+                d = np.array([
+                    _core.point_segment_dist(
+                        pts[:, 0], pts[:, 1],
+                        face[j, 0], face[j, 1],
+                        face[j + 1, 0], face[j + 1, 1])
+                    for j in range(len(face) - 1)]).min(axis=0)
+                if (inside | (d <= buffer)).all():
+                    keep[i] = True
+                    break
+    return n0[keep], n1[keep], parent[keep]
+
+
 def polygonize_faces(n0: np.ndarray, n1: np.ndarray, tol: float = 1e-6):
     """Faces of a noded segment graph (G1 protoblocks).
 

@@ -226,8 +226,16 @@ def cell_graph(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     if len(s0) == 0:
         return pd.DataFrame([_metrics_row(cell, metrics)])
     n0, n1, parent = pg.node_segments(s0, s1, li, snap_tol=1e-6)
-    n0, n1, parent = pg.prune_dead_ends(n0, n1, parent,
-                                        cfg.dead_end_iterations)
+    if cfg.dead_end_iterations == 0 and cfg.protect_culdesacs:
+        # GUI semantics at 0 iterations: one pass protecting culs-de-
+        # sac inside faces (faces are unchanged by dead-end removal,
+        # so the pre-prune polygonization is the checker geometry)
+        pre_faces = pg.polygonize_faces(n0, n1)
+        n0, n1, parent = pg.prune_dead_ends_protected(
+            n0, n1, parent, pre_faces, buffer=cfg.protoblocks_buffer)
+    else:
+        n0, n1, parent = pg.prune_dead_ends(n0, n1, parent,
+                                            cfg.dead_end_iterations)
     metrics["n_segments"] = len(n0)
     if len(n0) == 0:
         return pd.DataFrame([_metrics_row(cell, metrics)])
@@ -706,6 +714,97 @@ def _gui_crossings_for_cell(n0, n1, seg_width, sw0, sw1, cfg, owns):
     return out
 
 
+# ------------------------------------------------- G7 snap / G8 alt
+
+def _finalize_cell(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
+    """Topological cleanup (G7 head) + ALT_SCHEMA (G8), per cell.
+
+    snap_rounds replays the reference's three sequential snap rounds
+    (osm_sidewalkreator.py:1087-1119): dup-vertex removal (0.1 m) ->
+    sidewalks self-snapped (snap_disjointed_tol+0.01 = 0.51 m) ->
+    crossing ENDpoints snapped to sidewalks (0.1 m, behavior 5) ->
+    sidewalk vertices snapped to crossings (0.1 m, behavior 1).
+
+    alt_schema additionally splits every surviving 5-point crossing
+    into two sidewalk-tagged end segments [A,B] / [D,E] and one
+    crossing-tagged center [B,C,D] (osm_sidewalkreator.py:3592-3667).
+    Kerbs (crossing vertices B, D) are untouched by endpoint snapping,
+    so kerb regeneration is a pass-through here."""
+    from ..geom import snap as gsnap
+    cell = int(group["h3_cell"].iloc[0])
+    frame = project.frame_for_cell(cell)
+    sws = group[group["kind"] == "sidewalk"]
+    crs = group[group["kind"] == "crossing"]
+    out_rows: list[dict] = []
+
+    arcs = []
+    for b in sws["geometry_wkb"]:
+        coords, _, _ = wkb.decode_lines([b])
+        arcs.append(project.coords_to_local(coords, frame))
+    cr_lines = []
+    for b in crs["geometry_wkb"]:
+        coords, _, _ = wkb.decode_lines([b])
+        cr_lines.append(project.coords_to_local(coords, frame))
+
+    if cfg.snap_rounds:
+        arcs = [core.remove_repeated_points(a, cfg.duplicate_points_tol)
+                for a in arcs]
+        arcs = gsnap.snap_lines_mutual(arcs, cfg.snap_disjointed_tol + 0.01)
+        if arcs:
+            s0 = np.concatenate([a[:-1] for a in arcs])
+            s1 = np.concatenate([a[1:] for a in arcs])
+            snapped_cr = []
+            for ln in cr_lines:
+                ends = gsnap.snap_line_to_segments(
+                    ln[[0, -1]], s0, s1, 0.1)
+                ln = ln.copy()
+                ln[0] = ends[0]
+                ln[-1] = ends[1]
+                snapped_cr.append(ln)
+            cr_lines = snapped_cr
+        if cr_lines:
+            c0 = np.concatenate([c[:-1] for c in cr_lines])
+            c1 = np.concatenate([c[1:] for c in cr_lines])
+            arcs = [gsnap.snap_line_to_segments(a, c0, c1, 0.1)
+                    for a in arcs]
+
+    for (_, r), arc in zip(sws.iterrows(), arcs):
+        alen = core.line_lengths(arc, np.array([0, len(arc)]))[0]
+        row = r.to_dict()
+        row["geometry_wkb"] = wkb.encode_line(
+            project.coords_to_lonlat(arc, frame))
+        row["length_m"] = round(float(alen), 6)
+        out_rows.append(row)
+    for (_, r), ln in zip(crs.iterrows(), cr_lines):
+        clen = core.line_lengths(ln, np.array([0, len(ln)]))[0]
+        row = r.to_dict()
+        row["geometry_wkb"] = wkb.encode_line(
+            project.coords_to_lonlat(ln, frame))
+        row["length_m"] = round(float(clen), 6)
+        out_rows.append(row)
+        if cfg.alt_schema and len(ln) == 5:
+            cr_id = np.int64(r["feature_id"])
+            for kind, pts, ki in (
+                    ("crossing_end", ln[[0, 1]], 0),
+                    ("crossing_end", ln[[3, 4]], 1),
+                    ("crossing_center", ln[[1, 2, 3]], 2)):
+                seg_len = core.line_lengths(
+                    pts, np.array([0, len(pts)]))[0]
+                out_rows.append({
+                    "kind": kind, "h3_cell": cell,
+                    "feature_id": _stable_id(cell, kind, cr_id, ki),
+                    "parent_id": cr_id,
+                    "geometry_wkb": wkb.encode_line(
+                        project.coords_to_lonlat(pts, frame)),
+                    "length_m": round(float(seg_len), 6), "area_m2": 0.0})
+    if not out_rows:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+            FEATURE_COLUMNS,
+            ["str", "int64", "int64", "int64", object, "float64",
+             "float64"])})
+    return pd.DataFrame(out_rows)[FEATURE_COLUMNS]
+
+
 # ------------------------------------------------------------ pipeline
 
 def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -737,7 +836,16 @@ def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
     static = graphs.filter(
         expr="kind == 'protoblock' or kind == 'metrics' "
              "or kind == 'sure_zone'")
-    return static.union(tiles).union(crossings)
+    full = static.union(tiles).union(crossings)
+    if cfg.snap_rounds or cfg.alt_schema:
+        moving = full.filter(
+            expr="kind == 'sidewalk' or kind == 'crossing'")
+        rest = full.filter(
+            expr="kind != 'sidewalk' and kind != 'crossing'")
+        moved = moving.groupby("h3_cell").map_groups(
+            lambda g: _finalize_cell(g, cfg), batch_format="pandas")
+        full = rest.union(moved)
+    return full
 
 
 def features_of_kind(features, kind: str):

@@ -82,3 +82,58 @@ def test_golden_features():
 @pytest.mark.usefixtures("ray_session")
 def test_golden_page_assignments():
     _check_or_write(_assignments_frame(), "expected_page_assignments_500")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snap_rounds_and_alt_schema_deltas():
+    """G7 snap rounds + G8 ALT_SCHEMA wired into build_features behind
+    config flags: compare against the flag-off golden baseline."""
+    import dataclasses
+    from osm_sidewalkreator_ray.geom import wkb as _wkb
+    from osm_sidewalkreator_ray.geom import core as _core
+    from osm_sidewalkreator_ray.geom import project as _project
+
+    streets = rd.from_arrow(SYN.streets_grid(n=4, m=4, spacing_m=120.0))
+    cfg = PipelineConfig(snap_rounds=True, alt_schema=True)
+    df = SW.build_features(streets, cfg).to_pandas()
+    base = _features_frame()  # flag-off baseline (golden-checked)
+
+    # ALT_SCHEMA rows: 2 ends + 1 center per 5-pt crossing
+    ncr = (df["kind"] == "crossing").sum()
+    assert (df["kind"] == "crossing_end").sum() == 2 * ncr
+    assert (df["kind"] == "crossing_center").sum() == ncr
+    assert ncr == (base["kind"] == "crossing").sum()
+    # sidewalk/tile/protoblock row counts unchanged by the finalize
+    for kind in ("sidewalk", "tile", "protoblock"):
+        assert (df["kind"] == kind).sum() == (base["kind"] == kind).sum()
+
+    # snapped crossings: endpoints lie ON a sidewalk segment (the
+    # behavior-5 round); verify distance ~0 after snapping
+    sws = df[df["kind"] == "sidewalk"]
+    crs = df[df["kind"] == "crossing"]
+    from osm_sidewalkreator_ray.geom.grid_index import SegmentGrid
+    by_cell = {}
+    for cell, sub in sws.groupby("h3_cell"):
+        frame = _project.frame_for_cell(int(cell))
+        segs0, segs1 = [], []
+        for b in sub["geometry_wkb"]:
+            c, _, _ = _wkb.decode_lines([b])
+            loc = _project.coords_to_local(c, frame)
+            segs0.append(loc[:-1]); segs1.append(loc[1:])
+        by_cell[int(cell)] = SegmentGrid(np.concatenate(segs0),
+                                         np.concatenate(segs1), cell=1.0)
+    checked = 0
+    for _, r in crs.iterrows():
+        grid = by_cell.get(int(r["h3_cell"]))
+        if grid is None:
+            continue
+        frame = _project.frame_for_cell(int(r["h3_cell"]))
+        c, _, _ = _wkb.decode_lines([r["geometry_wkb"]])
+        loc = _project.coords_to_local(c, frame)
+        d, idx = grid.nearest(loc[[0, -1]], max_dist=1.0)
+        # endpoints that were within 0.1 m pre-snap are now exact
+        close = d <= 0.11
+        exact = d <= 1e-6
+        assert (exact | ~close).all()
+        checked += int(close.sum())
+    assert checked > 0  # the snap actually moved something

@@ -168,3 +168,29 @@ def test_sure_zone_features_emitted():
     sz = feats[feats["kind"] == "sure_zone"]
     assert len(sz) > 0
     assert (sz["area_m2"] > 0).all()
+
+
+def test_prune_dead_ends_protected_culdesac():
+    """G3 culs-de-sac variant: a dead-end inside a block survives the
+    protected pass; one outside the block is removed."""
+    import numpy as np
+    from osm_sidewalkreator_ray.geom import polygonize as pg
+    # unit-square loop (one face) + inner spur + outer spur
+    sq = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    n0 = [sq[0], sq[1], sq[2], sq[3],
+          np.array([50.0, 0.0]), np.array([100.0, 50.0])]
+    n1 = [sq[1], sq[2], sq[3], sq[0],
+          np.array([50.0, 40.0]),     # inner spur (inside the face)
+          np.array([160.0, 50.0])]    # outer spur (outside)
+    n0 = np.array(n0); n1 = np.array(n1)
+    # node the loop edges so the spur bases connect
+    parent = np.arange(len(n0))
+    nn0, nn1, par = pg.node_segments(n0, n1, parent, snap_tol=1e-6)
+    faces = pg.polygonize_faces(nn0, nn1)
+    assert len(faces) == 1
+    k0, k1, kp = pg.prune_dead_ends_protected(nn0, nn1, par, faces)
+    # plain prune would drop both spurs
+    p0, p1, pp = pg.prune_dead_ends(nn0, nn1, par, 3)
+    assert len(k0) == len(p0) + 1  # the inner spur survived
+    mids = (k0 + k1) / 2
+    assert any(np.allclose(m, [50.0, 20.0]) for m in mids)
