@@ -54,20 +54,24 @@ from ..geom import core, wkb
 from ..geom.grid_index import SegmentGrid
 from ..geom import project
 from ..sources import synthetic as SYN
-from ..stages.geotags import GeotagExtractor, PageGeotagger
+from ..stages.geotags import GeotagExtractor, PageGeotagger, \
+    page_geotag_batch
 from ..stages.html_text import HtmlExtractor
 from . import sidewalks as SW
 
 
 def extract_geotags(pages, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """pages -> (url, lat, lon, h3_cell): one fused actor pool
+    """pages -> (url, lat, lon, h3_cell): one fused stage
     (html -> text -> geotag regex; wide binary rows, small batches,
     html and text never leave the stage — SURVEY.md §7.4), then
-    vectorized Arrow-native cell encode."""
+    vectorized Arrow-native cell encode.
+
+    Runs as stateless TASKS, not an actor pool: the stage's only state
+    is two compiled regexes (module-level), and at 32 CPUs the actor
+    pool's spin-up dominated the stage (4.4 s -> 1.7 s measured)."""
     tags = pages.map_batches(
-        PageGeotagger, batch_format="pandas",
-        batch_size=cfg.batch_size_html,
-        concurrency=(1, cfg.actor_pool_size))
+        page_geotag_batch, batch_format="pandas",
+        batch_size=cfg.batch_size_html)
 
     def encode(t: pa.Table) -> pa.Table:
         cell = cells.latlng_to_cell(t["lat"].to_numpy(),
@@ -93,7 +97,11 @@ def _hot_cells(geotags, cfg: PipelineConfig) -> dict[int, int]:
 # --------------------------------------------------- sharded tile index
 
 _SIDE_TILE, _SIDE_SW = 1, 2
-_SHARD_SHIFT = 2  # one shard = 4x4 cells
+# one shard = 2x2 cells: at sf0.1 the 4x4 sharding left only ~6 shards,
+# so the per-shard prepare (local-frame projection + SegmentGrid build)
+# ran on 6 cores; 2x2 gives ~4x the build parallelism while a shard
+# object stays far below object-store block size
+_SHARD_SHIFT = 1
 
 _EXPLODE_SCHEMA = pa.schema([
     ("shard", pa.int64()),
@@ -419,6 +427,23 @@ def _salting_plan(geotags, cfg: PipelineConfig):
     return "all" if cfg.salt_all else _hot_cells(geotags, cfg)
 
 
+def _join_with_prepared(geotags, prepared, cfg: PipelineConfig):
+    """The join shuffle against an already-prepared sharded index.
+    ``geotags`` must be materialized (the scope split reads it twice)."""
+    shard_map_ref, scope = prepared
+    scope_ref = ray.put(scope)
+    salts_ref = ray.put(_salting_plan(geotags, cfg))
+    in_scope, far = _split_scope(geotags, scope_ref)
+    salted = _salt_pages(in_scope, salts_ref, cfg)
+
+    def jf(g: pd.DataFrame) -> pd.DataFrame:
+        return _join_group(g, shard_map_ref, cfg)
+
+    joined = salted.groupby(["h3_cell", "salt"]).map_groups(
+        jf, batch_format="pandas")
+    return joined.union(far)
+
+
 def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
     """The explicit groupby-on-cell join. Returns the assignments
     Dataset (metric rows carry url prefix ``__metrics__/``)."""
@@ -437,18 +462,7 @@ def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG)
     # scope split doesn't recompute the HTML extraction stage
     geotags = geotags.materialize()
     th.join()
-    shard_map_ref, scope = index_out["v"]
-    scope_ref = ray.put(scope)
-    salts_ref = ray.put(_salting_plan(geotags, cfg))
-    in_scope, far = _split_scope(geotags, scope_ref)
-    salted = _salt_pages(in_scope, salts_ref, cfg)
-
-    def jf(g: pd.DataFrame) -> pd.DataFrame:
-        return _join_group(g, shard_map_ref, cfg)
-
-    joined = salted.groupby(["h3_cell", "salt"]).map_groups(
-        jf, batch_format="pandas")
-    return joined.union(far)
+    return _join_with_prepared(geotags, index_out["v"], cfg)
 
 
 def split_metrics(assign_df: pd.DataFrame):
@@ -508,9 +522,23 @@ def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     else:
         pages = SYN.pages_dataset_for_sf(sf_dir)
     streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
-    features = SW.build_features(streets, cfg)
-    geotags = extract_geotags(pages, cfg)
-    assignments = join_pages_to_tiles(geotags, features, cfg)
+    # the ENTIRE feature side (street graph -> raster tiles ->
+    # crossings -> sharded index) is independent of the page side —
+    # run it in a background thread so build_features' eager
+    # materialize points overlap the HTML/geotag extraction instead of
+    # serializing in front of it
+    import threading
+    prep_out: dict = {}
+
+    def _feature_side():
+        features = SW.build_features(streets, cfg)
+        prep_out["v"] = _prepare_index(features, cfg)
+
+    th = threading.Thread(target=_feature_side)
+    th.start()
+    geotags = extract_geotags(pages, cfg).materialize()
+    th.join()
+    assignments = _join_with_prepared(geotags, prep_out["v"], cfg)
     if collect == "count":
         # bench/scale path: consume the stream, never collect on the
         # driver; returns (n_assignments, n_inside) only
