@@ -25,40 +25,53 @@ _BUCKET = "__jbucket"
 _SIDE = "__jside"
 
 
-class _BroadcastMerge:
-    """Stateful actor: resolves the broadcast ref once per actor."""
+# per-worker-process cache of resolved broadcast tables: the small
+# side is ray.put once and unpickled once per WORKER PROCESS (workers
+# are pooled and reused across stages), so plain tasks get the same
+# resolve-once behavior an actor pool gave — without paying pool
+# spin-up (~2-3 s at 32 CPUs) on every join call
+_SMALL_CACHE: dict[str, pd.DataFrame] = {}
+_SMALL_CACHE_MAX = 16
 
-    def __init__(self, small_ref, left_on: str, right_on: str, how: str,
-                 suffix: str):
-        self.small = ray.get(small_ref)
-        self.left_on = left_on
-        self.right_on = right_on
-        self.how = how
-        self.suffix = suffix
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.merge(self.small, how=self.how, left_on=self.left_on,
-                          right_on=self.right_on, suffixes=("", self.suffix))
-        if self.right_on != self.left_on and self.right_on in out.columns:
-            out = out.drop(columns=[self.right_on])
-        return out
+def _resolve_small(ref) -> pd.DataFrame:
+    key = ref.hex()
+    v = _SMALL_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        if len(_SMALL_CACHE) >= _SMALL_CACHE_MAX:
+            _SMALL_CACHE.pop(next(iter(_SMALL_CACHE)))
+        _SMALL_CACHE[key] = v
+    return v
 
 
 def broadcast_join(big, small_df: pd.DataFrame, left_on: str,
                    right_on: str | None = None, how: str = "inner",
-                   concurrency=(1, 4), batch_size: int = 65536,
+                   concurrency=None, batch_size: int = 65536,
                    suffix: str = "_r"):
     """Join a Dataset against a small pandas table without a shuffle.
 
-    The pool autoscales from 1 actor so concurrent stages never
-    deadlock on a small CPU budget.
+    Runs as stateless tasks; the broadcast ref resolves through a
+    process-level cache (``concurrency`` is accepted for backward
+    compatibility and caps the task parallelism if given).
     """
     ref = ray.put(small_df)
-    return big.map_batches(
-        _BroadcastMerge,
-        fn_constructor_args=(ref, left_on, right_on or left_on, how, suffix),
-        batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency)
+    r_on = right_on or left_on
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = _resolve_small(ref)
+        out = batch.merge(small, how=how, left_on=left_on,
+                          right_on=r_on, suffixes=("", suffix))
+        if r_on != left_on and r_on in out.columns:
+            out = out.drop(columns=[r_on])
+        return out
+
+    kw = {}
+    if concurrency is not None:
+        kw["concurrency"] = (concurrency if isinstance(concurrency, int)
+                             else concurrency[-1])
+    return big.map_batches(merge, batch_format="pandas",
+                           batch_size=batch_size, **kw)
 
 
 def _stable_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
@@ -83,12 +96,18 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def hash_partition_join(left, right, on: str, num_buckets: int = 32,
-                        how: str = "inner"):
+                        how: str = "inner", group_fn=None):
     """Large-large equi-join via an explicit partitioned hash join.
 
     Both inputs are Datasets sharing the key column ``on``; other
     column names must be disjoint. Null-padded to a common schema so
     the tagged union is one homogeneous Dataset.
+
+    ``group_fn``: optional aggregate pushdown — applied to each
+    bucket's merged frame INSIDE the join stage. Because the bucket
+    holds every row of each key that hashes into it, any per-``on``-key
+    group aggregate is exact here, and running it in-bucket removes
+    the follow-up groupby shuffle a caller would otherwise need.
     """
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
@@ -122,6 +141,7 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         l = group.loc[group[_SIDE] == 0, lcols]
         r = group.loc[group[_SIDE] == 1, rcols]
-        return l.merge(r, on=on, how=how)
+        out = l.merge(r, on=on, how=how)
+        return group_fn(out) if group_fn is not None else out
 
     return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pandas")

@@ -108,18 +108,21 @@ def q3_top_revenue_orders(sf_dir: str):
         return pa.table({"o_orderkey": t["l_orderkey"], "revenue_part": rev})
 
     li = li.map_batches(li_prep, batch_format="pyarrow")
-    joined = hash_partition_join(orders, li, on="o_orderkey", num_buckets=16)
-    out = grouped_agg(joined, ["o_orderkey"], {"revenue": ("revenue_part", "sum")})
 
-    # distributed top-k: each block contributes its local top-10, the
-    # driver merges only k rows per block (never the full aggregate)
-    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["revenue"] = b["revenue"].round(2)
-        return b.sort_values(["revenue", "o_orderkey"],
-                             ascending=[False, True]).head(10)
+    # aggregate pushdown: the join bucket already co-locates every
+    # lineitem of an orderkey, so the revenue sum AND the local top-10
+    # run inside the join stage — one shuffle total, and only 10 rows
+    # per bucket ever leave it
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (df.groupby("o_orderkey", as_index=False)["revenue_part"]
+                 .sum().rename(columns={"revenue_part": "revenue"}))
+        agg["revenue"] = agg["revenue"].round(2)
+        return agg.sort_values(["revenue", "o_orderkey"],
+                               ascending=[False, True]).head(10)
 
-    df = out.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = hash_partition_join(orders, li, on="o_orderkey", num_buckets=16,
+                              group_fn=bucket_topk)
+    df = out.to_pandas()
     df = df.sort_values(["revenue", "o_orderkey"],
                         ascending=[False, True]).head(10)
     return df[["o_orderkey", "revenue"]].reset_index(drop=True)

@@ -263,6 +263,23 @@ class MinHasher:
                              "sig": sigs, "shingles": shingles})
 
 
+# task-form of MinHasher: the only state is the (a, b) permutation
+# array pair, derived from (num_perm, seed) — cache it per worker
+# process so stateless tasks get actor-style setup-once without an
+# actor pool (whose size would otherwise cap this compute-bound
+# stage's parallelism)
+_HASHER_CACHE: dict[tuple, MinHasher] = {}
+
+
+def _minhash_batch(batch: pd.DataFrame, num_perm: int, k: int,
+                   seed: int) -> pd.DataFrame:
+    key = (num_perm, k, seed)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm, k, seed)
+    return h(batch)
+
+
 def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                         threshold: float = 0.5, coarse_buckets: int = 64):
     """MinHash+LSH near-dup (rows-only: not SQL-expressible at scale).
@@ -277,11 +294,12 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     shingles) table — nothing whole-corpus is ever broadcast or
     collected; every shuffle moves one slim row per candidate/doc.
     """
+    import functools
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     rows_per_band = num_perm // bands
-    sigs = ds.map_batches(MinHasher, fn_constructor_args=(num_perm,),
-                          batch_format="pandas", batch_size=1024,
-                          concurrency=(1, 2)).materialize()
+    sigs = ds.map_batches(
+        functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42),
+        batch_format="pandas", batch_size=1024).materialize()
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -321,23 +339,12 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     cand = (exploded.groupby("__cb")
             .map_groups(candidates, batch_format="pandas"))
 
-    # a pair found by several bands lands in several coarse buckets:
-    # dedup with a pair-hash groupby (one slim row per pair)
-    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        h = (pd.util.hash_array(b["doc_a"].to_numpy())
-             ^ pd.util.hash_array(b["doc_b"].to_numpy()))
-        b["__pb"] = (h % 64).astype(np.int64)
-        return b
-
-    cand = (cand.map_batches(pair_bucket, batch_format="pandas")
-            .groupby("__pb")
-            .map_groups(lambda g: g.drop_duplicates(["doc_a", "doc_b"])
-                        [["doc_a", "doc_b"]],
-                        batch_format="pandas"))
-
     # exact-Jaccard verify via two hash-partition joins against the
-    # slim (doc_id, shingles) table — no broadcast store
+    # slim (doc_id, shingles) table — no broadcast store.
+    # A pair found by several bands lands in several coarse buckets;
+    # every copy of pair (a, b) shares doc_a, so it co-locates in the
+    # SAME j1 bucket — the cross-bucket pair dedup runs as j1's
+    # group_fn instead of costing its own shuffle.
     from ..functions.joins import hash_partition_join
     # explicit Arrow schemas (binary shingles) so the join's tagged
     # union pads with the right types
@@ -352,7 +359,9 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
             "doc_b": pa.array(b["doc_b"].to_numpy(), pa.int64())}),
         batch_format="pandas")
     j1 = hash_partition_join(left_a, shingle_tbl, on="doc_id",
-                             num_buckets=32)
+                             num_buckets=32,
+                             group_fn=lambda df: df.drop_duplicates(
+                                 ["doc_id", "doc_b"]))
     left_b = j1.map_batches(
         lambda b: pa.table({
             "doc_a": pa.array(b["doc_id"].to_numpy(), pa.int64()),
