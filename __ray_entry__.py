@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": T.lang_stats,
         "exact_dedup": T.exact_dedup,
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "near_dup_components": T.near_dup_components,
         "simhash_fingerprints": T.simhash_fingerprints,
         # vector similarity
         "embedding_norms": V.embedding_norms,

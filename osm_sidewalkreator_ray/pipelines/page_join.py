@@ -531,7 +531,10 @@ def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     prep_out: dict = {}
 
     def _feature_side():
-        features = SW.build_features(streets, cfg)
+        # join-relevant kinds only (tile, sidewalk): stage C
+        # (crossings) is dead work for the join and stays off the
+        # critical path
+        features = SW.build_join_features(streets, cfg)
         prep_out["v"] = _prepare_index(features, cfg)
 
     th = threading.Thread(target=_feature_side)

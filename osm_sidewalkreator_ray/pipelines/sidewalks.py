@@ -807,15 +807,16 @@ def _finalize_cell(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
 
 # ------------------------------------------------------------ pipeline
 
-def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """streets Dataset -> tall features Dataset (kind-tagged rows:
-    protoblock / tile / sidewalk / crossing / kerb / metrics)."""
+def _stages_ab(streets, cfg: PipelineConfig):
+    """Stages A (cell graph) + B (per-protoblock raster) -> pinned
+    (graphs, tiles) Datasets. ``tiles`` holds exactly the tile +
+    sidewalk rows."""
     ds = assign_widths(streets, cfg)
     ds = encode_cells(ds, cfg)
 
     graphs = ds.groupby("h3_cell").map_groups(
         lambda g: cell_graph(g, cfg), batch_format="pandas")
-    # stage-A output is compact packed geometry — pin it so the three
+    # stage-A output is compact packed geometry — pin it so the
     # consumers below don't re-run the graph shuffle
     graphs = graphs.materialize()
 
@@ -829,7 +830,27 @@ def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
     work = graphs.filter(expr="kind == 'pbwork'").repartition(nsplit)
     tiles = work.map_batches(lambda b: extract_tiles(b, cfg),
                              batch_format="pandas", batch_size=16)
-    tiles = tiles.materialize()
+    return graphs, tiles.materialize()
+
+
+def build_join_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """The page-join feature side: tile + sidewalk rows ONLY. Skips
+    stage C (crossings) when the config doesn't move sidewalk geometry
+    — the join never reads crossings, so computing them on the join's
+    critical path is dead work. Identical rows to filtering
+    ``build_features`` output down to kinds (tile, sidewalk)."""
+    if cfg.snap_rounds or cfg.alt_schema:
+        # snap/ALT move sidewalk lines in finalize — need full build
+        return build_features(streets, cfg).filter(
+            expr="kind == 'tile' or kind == 'sidewalk'")
+    _graphs, tiles = _stages_ab(streets, cfg)
+    return tiles
+
+
+def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """streets Dataset -> tall features Dataset (kind-tagged rows:
+    protoblock / tile / sidewalk / crossing / kerb / metrics)."""
+    graphs, tiles = _stages_ab(streets, cfg)
 
     graph_rows = graphs.filter(expr="kind == 'graph'")
     crossing_in = graph_rows.union(tiles.filter(expr="kind == 'sidewalk'"))

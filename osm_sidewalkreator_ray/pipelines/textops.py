@@ -185,15 +185,22 @@ def exact_dedup(sf_dir: str):
 
     def h(batch: pd.DataFrame) -> pd.DataFrame:
         hh = batch["text"].map(lambda s: hashlib.sha1(s.encode()).hexdigest())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "__h": hh})
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"], "__h": hh,
+            # coarse bucket so the shuffle groups O(buckets) times, not
+            # O(distinct hashes): one vectorized pandas groupby per
+            # bucket resolves the real hash groups
+            "__b": (pd.util.hash_array(hh.to_numpy(dtype=object)) % 256)
+            .astype(np.int64)})
 
     hashed = ds.map_batches(h, batch_format="pandas")
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()],
-                             "n_dups": [np.int64(len(g))]})
+        out = g.groupby("__h").agg(doc_id=("doc_id", "min"),
+                                   n_dups=("doc_id", "size"))
+        return out.reset_index(drop=True).astype({"n_dups": "int64"})
 
-    out = hashed.groupby("__h").map_groups(first, batch_format="pandas")
+    out = hashed.groupby("__b").map_groups(first, batch_format="pandas")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -281,7 +288,8 @@ def _minhash_batch(batch: pd.DataFrame, num_perm: int, k: int,
 
 
 def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                        threshold: float = 0.5, coarse_buckets: int = 64):
+                        threshold: float = 0.5, coarse_buckets: int = 64,
+                        _as_dataset: bool = False):
     """MinHash+LSH near-dup (rows-only: not SQL-expressible at scale).
 
     Physical plan: shingle->minhash signatures (actor pool, shingle
@@ -389,7 +397,10 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                              "jaccard": pd.Series(out["jaccard"],
                                                   dtype="float64")})
 
-    df = j2.map_batches(verify, batch_format="pandas").to_pandas()
+    pairs = j2.map_batches(verify, batch_format="pandas")
+    if _as_dataset:
+        return pairs
+    df = pairs.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
@@ -417,3 +428,154 @@ def simhash_fingerprints(sf_dir: str):
 
     out = ds.map_batches(f, batch_format="pandas")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------- exact n-gram Jaccard
+
+def _shingle_batch(batch: pd.DataFrame, k: int) -> pd.DataFrame:
+    out_sh, out_n = [], []
+    for t in batch["text"]:
+        sh = _shingle_hashes(_tokens(t), k)
+        out_sh.append(np.sort(sh).tobytes())
+        out_n.append(len(sh))
+    return pd.DataFrame({"doc_id": batch["doc_id"], "shingles": out_sh,
+                         "n_sh": pd.Series(out_n, dtype="int64")})
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
+                        coarse_buckets: int = 64,
+                        max_posting: int | None = None):
+    """EXACT n-gram (word k-shingle) Jaccard near-dup pairs — no LSH,
+    no recall loss: every pair with Jaccard >= threshold is returned.
+
+    Physical plan (inverted shingle index, all shuffles slim):
+    shingle hashes per doc -> exploded (shingle, doc_id) rows, grouped
+    by ``shingle % coarse_buckets`` (Python-call count O(buckets)) ->
+    per-shingle candidate pairs with PARTIAL shared-shingle counts
+    pre-summed inside the bucket -> pair-keyed groupby sums the
+    partials -> two hash-partition joins attach |A| and |B| ->
+    jaccard = shared / (|A| + |B| - shared), filtered.
+
+    ``max_posting``: at corpus scale, a shingle shared by thousands of
+    docs contributes O(len^2) candidate pairs; capping the posting
+    list drops those shingles (UNDER-counting intersections — the op
+    becomes a lower bound). Default None = exact.
+
+    Cost is quadratic in true duplicate-cluster sizes — the inherent
+    output complexity of all-pairs dedup — but never in corpus size.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    import functools
+    sh = ds.map_batches(functools.partial(_shingle_batch, k=k),
+                        batch_format="pandas",
+                        batch_size=1024).materialize()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for d, blob in zip(b["doc_id"], b["shingles"]):
+            v = np.frombuffer(blob, dtype=np.uint64)
+            hashes.append(v)
+            ids.append(np.full(len(v), d, dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({"cb": pd.Series([], dtype="int64"),
+                                 "sh": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        h = np.concatenate(hashes)
+        return pd.DataFrame({
+            "cb": (h % np.uint64(coarse_buckets)).astype(np.int64),
+            "sh": h.view(np.int64),
+            "doc_id": np.concatenate(ids)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_l, b_l = [], []
+        for _, sub in g.groupby("sh", sort=False):
+            n = len(sub)
+            if n < 2 or (max_posting is not None and n > max_posting):
+                continue
+            ids = np.sort(sub["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(n, k=1)
+            a_l.append(ids[ii])
+            b_l.append(ids[jj])
+        if not a_l:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "shared": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"doc_a": np.concatenate(a_l),
+                           "doc_b": np.concatenate(b_l)})
+        # pre-sum inside the bucket: one slim row per pair leaves it
+        out = df.groupby(["doc_a", "doc_b"], as_index=False).size()
+        return out.rename(columns={"size": "shared"})
+
+    partial = (sh.map_batches(explode, batch_format="pandas")
+               .groupby("cb").map_groups(bucket_pairs,
+                                         batch_format="pandas"))
+
+    from ..functions.joins import hash_partition_join
+    sizes = sh.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+            "n_sh": pa.array(b["n_sh"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+
+    def sum_shared(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_id", "doc_b"], as_index=False).agg(
+            shared=("shared", "sum"), n_sh=("n_sh", "first"))
+
+    left_a = partial.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(b["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy(), pa.int64()),
+            "shared": pa.array(b["shared"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    # copies of a pair share doc_a -> the cross-bucket partial-count
+    # sum rides the first join's bucket (same trick as minhash dedup)
+    j1 = hash_partition_join(left_a, sizes, on="doc_id", num_buckets=32,
+                             group_fn=sum_shared)
+    left_b = j1.map_batches(
+        lambda b: pa.table({
+            "doc_a": pa.array(b["doc_id"].to_numpy().astype(np.int64)),
+            "na": pa.array(b["n_sh"].to_numpy().astype(np.int64)),
+            "shared": pa.array(b["shared"].to_numpy().astype(np.int64)),
+            "doc_id": pa.array(b["doc_b"].to_numpy().astype(np.int64))}),
+        batch_format="pandas")
+    j2 = hash_partition_join(left_b, sizes, on="doc_id", num_buckets=32)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        shared = b["shared"].to_numpy(dtype=np.float64)
+        union = (b["na"].to_numpy() + b["n_sh"].to_numpy()
+                 - b["shared"].to_numpy())
+        jac = np.divide(shared, union, out=np.zeros_like(shared),
+                        where=union > 0)
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "doc_a": b["doc_a"].to_numpy()[keep].astype(np.int64),
+            "doc_b": b["doc_id"].to_numpy()[keep].astype(np.int64),
+            "jaccard": np.round(jac[keep], 6)})
+
+    df = j2.map_batches(finalize, batch_format="pandas").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------- near-dup -> keep/drop
+
+def near_dup_components(sf_dir: str, threshold: float = 0.5):
+    """Dedup DECISIONS from near-dup pairs: MinHash+LSH pairs ->
+    distributed connected components (functions.graph, iterative
+    min-label propagation) -> one row per clustered doc:
+    (doc_id, component, keep) with keep = the cluster's min doc_id.
+    Docs in no near-dup pair are implicitly kept and not listed."""
+    from ..functions.graph import connected_components
+    pairs = minhash_dedup_pairs(sf_dir, threshold=threshold,
+                                _as_dataset=True)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": b["doc_a"].astype("int64"),
+                                "dst": b["doc_b"].astype("int64")}),
+        batch_format="pandas")
+    comp = connected_components(edges)
+    comp = comp.rename(columns={"vertex": "doc_id"})
+    comp["keep"] = comp["doc_id"] == comp["component"]
+    return comp.sort_values("doc_id").reset_index(drop=True)

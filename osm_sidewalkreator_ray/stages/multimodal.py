@@ -1,18 +1,24 @@
-"""Multimodal binary columns: decode / feature-extract / frame-sample
-stages with real Ray plumbing and stubbed codecs.
+"""Multimodal binary columns: decode / feature-extract / resize /
+frame-sample stages with real Ray plumbing and REAL codecs for the
+container-decodable formats.
 
-Per the build brief, image/audio/video payloads are opaque ``binary``
-columns with typed metadata; the decode step is an actor-pool
-``map_batches`` stage. The actual codecs (PIL/ffmpeg/librosa) are NOT
-in this container, so decoding is stubbed behind a deterministic fake
-(`fake=True`, the default: a seeded ndarray derived from the payload
-bytes, so pipelines are testable end-to-end) or a clearly-marked
-``NotImplementedError`` (`fake=False`: the production wiring point).
-Everything around the stub — schema, batch size, actor signature,
-output layout — is real and tested:
+Per the build brief, image/audio payloads are opaque ``binary``
+columns with typed metadata; decode is a ``map_batches`` stage.
+Two codecs are fully real, implemented on numpy + stdlib only:
+
+- **BMP** (24-bit uncompressed, the format the synthetic generator
+  emits): header parse + bottom-up BGR row decode in ``_decode_bmp``.
+- **WAV** (16-bit PCM via stdlib ``wave``): ``_decode_wav``.
+
+Formats that need codec libraries this container doesn't ship
+(JPEG/PNG/MP3/video) hit a clearly-marked ``NotImplementedError``
+plug point; ``fake=True`` remains as a deterministic pseudo-decode
+for pipeline tests that want payload-independence. Everything around
+decode — schema, batch size, setup-once state, output layout — is
+real and tested:
 
 - wide binary rows -> small batches (``batch_size`` ~64)
-- decode state (the codec) constructed once per actor in ``__init__``
+- decode state constructed once per actor in ``__init__``
 - payload column dropped on output; only compact features leave the
   stage (SURVEY.md §7.4 wide-row rule)
 """
@@ -20,6 +26,9 @@ output layout — is real and tested:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -39,25 +48,95 @@ def _seed_from_bytes(b: bytes) -> int:
     return int.from_bytes(hashlib.sha1(b).digest()[:4], "little")
 
 
-class ImageDecoder:
-    """Actor-pool stage: image payload -> (mean_luma, edge_score,
-    thumb_8x8 as 64 float list). ``fake=True`` produces a deterministic
-    pseudo-decode; ``fake=False`` raises NotImplementedError at the
-    exact call site where a real codec (PIL) plugs in."""
+# ------------------------------------------------------------ codecs
 
-    def __init__(self, fake: bool = True, thumb: int = 8):
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB -> 24-bit uncompressed BMP bytes."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    size_img = (row + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + size_img, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_img,
+                       2835, 2835, 0, 0)
+    zero = b"\x00" * pad
+    body = b"".join(img[y, :, ::-1].tobytes() + zero
+                    for y in range(h - 1, -1, -1))
+    return header + info + body
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> uint8 (h, w, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    row = w * 3
+    stride = row + ((4 - row % 4) % 4)
+    flip = h > 0
+    h = abs(h)
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=off)
+    img = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM mono WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes((np.clip(samples, -1, 1)
+                        * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV")
+        sr = wv.getframerate()
+        raw = wv.readframes(wv.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    return x, sr
+
+
+# ------------------------------------------------------------ stages
+
+class ImageDecoder:
+    """map_batches stage: image payload -> (mean_luma, edge_score,
+    thumb as thumb*thumb float list — the resize step).
+
+    Sniffs the payload: ``BM`` magic -> real BMP decode; anything else
+    raises at the plug point where PIL would slot in (or, with
+    ``fake=True``, yields a deterministic payload-seeded pseudo-image
+    so pipelines stay testable with undecodable payloads)."""
+
+    def __init__(self, fake: bool = False, thumb: int = 8):
         self.fake = fake
         self.thumb = thumb
-        # real path would do: from PIL import Image; self.codec = Image
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        """-> uint8 grayscale (h, w)."""
+        if payload[:2] == b"BM":
+            img = _decode_bmp(payload)
+            # ITU-R 601 luma, kept integer for determinism
+            return ((299 * img[:, :, 0].astype(np.uint32)
+                     + 587 * img[:, :, 1]
+                     + 114 * img[:, :, 2]) // 1000).astype(np.uint8)
         if not self.fake:
             raise NotImplementedError(
-                "image codec not available in this container; "
+                "non-BMP image codec not available in this container; "
                 "plug PIL.Image.open here")
         rng = np.random.RandomState(_seed_from_bytes(payload))
-        return rng.randint(0, 256, size=(height, width),
-                           dtype=np.uint8)
+        return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = {"media_id": [], "mean_luma": [], "edge_score": [],
@@ -79,51 +158,79 @@ class ImageDecoder:
 
 
 class AudioFrameSampler:
-    """Actor-pool stage: audio payload -> fixed number of frame-energy
-    features. Same stub contract as ImageDecoder."""
+    """map_batches stage: audio payload -> per-frame RMS energies +
+    duration. RIFF magic -> real 16-bit PCM WAV decode; otherwise the
+    NotImplementedError plug point (or the ``fake=True`` pseudo-decode)."""
 
-    def __init__(self, fake: bool = True, n_frames: int = 16):
+    def __init__(self, fake: bool = False, n_frames: int = 16):
         self.fake = fake
         self.n_frames = n_frames
 
     def _decode(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        if payload[:4] == b"RIFF":
+            x, _sr = _decode_wav(payload)
+            return x
         if not self.fake:
             raise NotImplementedError(
-                "audio codec not available; plug soundfile/librosa here")
+                "non-WAV audio codec not available; plug "
+                "soundfile/librosa here")
         rng = np.random.RandomState(_seed_from_bytes(payload))
         return rng.standard_normal(sample_rate)  # 1 s of fake samples
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"media_id": [], "frame_energy": []}
+        rows = {"media_id": [], "frame_energy": [], "duration_s": []}
         for _, r in batch.iterrows():
-            x = self._decode(r["payload"], int(r["sample_rate"]))
+            sr = int(r["sample_rate"])
+            x = self._decode(r["payload"], sr)
             frames = np.array_split(x, self.n_frames)
             rows["media_id"].append(int(r["media_id"]))
             rows["frame_energy"].append(
                 [float(np.sqrt((f ** 2).mean())) for f in frames])
+            rows["duration_s"].append(round(len(x) / sr, 6))
         return pd.DataFrame(rows)
 
 
+# ------------------------------------------------------------ source
+
 def synthetic_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media table in MEDIA_SCHEMA (payload bytes are a
-    pure function of (i, seed))."""
+    """Deterministic media table in MEDIA_SCHEMA. Payloads are REAL
+    encoded files — 24-bit BMP gradients+noise for images, 16-bit PCM
+    WAV tones for audio — each a pure function of (i, seed), so the
+    decode stages exercise the actual codecs."""
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     rng = np.random.RandomState(seed)
     for i in range(n):
         kind = "image" if i % 2 == 0 else "audio"
-        payload = hashlib.sha1(f"{seed}/{i}".encode()).digest() * 32
+        w = int(rng.randint(16, 64))
+        h = int(rng.randint(16, 64))
+        sr = 8000
+        if kind == "image":
+            gx = np.linspace(0, 255, w, dtype=np.float64)
+            gy = np.linspace(0, 255, h, dtype=np.float64)
+            base = (gy[:, None] + gx[None, :]) / 2
+            img = np.stack([
+                np.clip(base + rng.randint(-20, 20, (h, w)), 0, 255),
+                np.clip(255 - base + rng.randint(-20, 20, (h, w)), 0, 255),
+                np.full((h, w), (i * 37) % 256, dtype=np.float64),
+            ], axis=2).astype(np.uint8)
+            payload = encode_bmp(img)
+        else:
+            dur = 0.25 + float(rng.randint(0, 4)) / 8.0
+            t = np.arange(int(sr * dur)) / sr
+            freq = 110.0 * (1 + i % 8)
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), sr)
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["width"].append(int(rng.randint(16, 64)))
-        rows["height"].append(int(rng.randint(16, 64)))
-        rows["sample_rate"].append(8000)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(sr)
         rows["payload"].append(payload)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
 def media_features(n: int = 200, seed: int = 42):
     """End-to-end multimodal pipeline over the synthetic media table:
-    split by kind, decode via the matching actor pool (small batches,
+    split by kind, decode via the matching stage (small batches,
     payload dropped), union the compact features."""
     import ray.data as rd
 

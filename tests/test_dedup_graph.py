@@ -1,0 +1,94 @@
+"""Exact n-gram Jaccard dedup + connected-components decisions.
+
+Brute-force oracles computed in-process on sf0.001/sf0.01 documents.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _brute_jaccard_pairs(sf_dir, threshold=0.5, k=3):
+    import pyarrow.parquet as pq
+    from osm_sidewalkreator_ray.pipelines.textops import (_shingle_hashes,
+                                                          _tokens)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    sh = {int(d): _shingle_hashes(_tokens(s), k)
+          for d, s in zip(t["doc_id"], t["text"])}
+    ids = sorted(sh)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh[a], sh[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                rows.append((a, b, round(jac, 6)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+        if rows else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                   "doc_b": pd.Series([], dtype="int64"),
+                                   "jaccard": pd.Series([], dtype="float64")})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramJaccard:
+    def test_matches_brute_force(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        got = T.ngram_jaccard_pairs(SF_SMALL)
+        want = _brute_jaccard_pairs(SF_SMALL).sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_a": "int64", "doc_b": "int64"}), want,
+            check_dtype=False)
+
+    def test_superset_of_minhash(self):
+        # exact all-pairs Jaccard must contain every LSH-found pair
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        exact = T.ngram_jaccard_pairs(SF)
+        lsh = T.minhash_dedup_pairs(SF)
+        ek = set(zip(exact["doc_a"], exact["doc_b"]))
+        lk = set(zip(lsh["doc_a"], lsh["doc_b"]))
+        assert lk <= ek
+        assert len(exact) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def test_chain_propagates(self):
+        # a-b, b-c, c-d chain (no shortcut edges) + isolated pair
+        from osm_sidewalkreator_ray.functions.graph import \
+            connected_components
+        edges = pd.DataFrame({"src": [10, 20, 30, 70],
+                              "dst": [20, 30, 40, 80]})
+        df = connected_components(edges)
+        comp = dict(zip(df["vertex"], df["component"]))
+        assert comp == {10: 10, 20: 10, 30: 10, 40: 10, 70: 70, 80: 70}
+
+    def test_empty_edges(self):
+        from osm_sidewalkreator_ray.functions.graph import \
+            connected_components
+        df = connected_components(
+            pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                          "dst": pd.Series([], dtype="int64")}))
+        assert len(df) == 0
+
+    def test_near_dup_components(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        comp = T.near_dup_components(SF)
+        pairs = T.minhash_dedup_pairs(SF)
+        # every doc in a pair gets a component row
+        docs = set(pairs["doc_a"]) | set(pairs["doc_b"])
+        assert set(comp["doc_id"]) == docs
+        # exactly one keeper per component, and it's the min doc_id
+        for c, sub in comp.groupby("component"):
+            assert sub["keep"].sum() == 1
+            assert sub.loc[sub["keep"], "doc_id"].iloc[0] == sub["doc_id"].min()
+        # paired docs always share a component
+        cmap = dict(zip(comp["doc_id"], comp["component"]))
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            assert cmap[a] == cmap[b]
