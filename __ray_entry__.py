@@ -106,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.LANG_ID_SQL,
         "lang_stats": T.LANG_STATS_SQL,
         "exact_dedup": T.EXACT_DEDUP_SQL,
+        # string-shingle Jaccard == the engine's hash-shingle Jaccard
+        # (64-bit hashes; set semantics identical absent collisions)
+        "ngram_jaccard_pairs": T.NGRAM_JACCARD_SQL,
         "embedding_norms": V.NORMS_SQL,
         "ann_topk": V.ANN_TOPK_SQL,
         "knn_join_sample": V.KNN_SQL,

@@ -560,6 +560,30 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+NGRAM_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, chr(1))]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || chr(1) || w[i+1] || chr(1) || w[i+2]))
+         END AS s
+  FROM tok
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(inter * 1.0 / uni, 6) AS jaccard
+FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------- near-dup -> keep/drop
 
 def near_dup_components(sf_dir: str, threshold: float = 0.5):
