@@ -427,20 +427,9 @@ def _salting_plan(geotags, cfg: PipelineConfig):
     return "all" if cfg.salt_all else _hot_cells(geotags, cfg)
 
 
-def _coalesce_slim(ds):
-    """Coalesce slim materialized rows into ~2 blocks/CPU (bounded by
-    ~128 MB/block). The upstream wide-row extraction rightly runs at
-    fine granularity (256 blocks at 4M pages), but feeding those tiny
-    blocks straight into the sort shuffle costs ~3 small tasks per
-    block: measured 25-40 s -> 5.4 s for the 4M-page join at 8 CPUs
-    after coalescing. The coalesce itself is a 0.25 s streaming
-    concat, no shuffle."""
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nbytes = ds.size_bytes() or 0
-    target = max(cpus * 2, int(nbytes / (128 << 20)) + 1)
-    if ds.num_blocks() > target * 2:
-        ds = ds.repartition(target).materialize()
-    return ds
+# measured here: 25-40 s -> 5.4 s for the 4M-page join at 8 CPUs
+# (256 extraction blocks coalesced to 16 before the sort shuffle)
+from ..functions.blocks import coalesce_slim as _coalesce_slim
 
 
 def _join_with_prepared(geotags, prepared, cfg: PipelineConfig):

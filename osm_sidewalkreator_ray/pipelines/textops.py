@@ -305,9 +305,10 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     import functools
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
+    from ..functions.blocks import coalesce_slim
+    sigs = coalesce_slim(ds.map_batches(
         functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42),
-        batch_format="pandas", batch_size=1024).materialize()
+        batch_format="pandas", batch_size=1024).materialize())
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -466,9 +467,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     import functools
-    sh = ds.map_batches(functools.partial(_shingle_batch, k=k),
-                        batch_format="pandas",
-                        batch_size=1024).materialize()
+    from ..functions.blocks import coalesce_slim
+    sh = coalesce_slim(ds.map_batches(
+        functools.partial(_shingle_batch, k=k),
+        batch_format="pandas", batch_size=1024).materialize())
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []
