@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": R.events_sessionize,
         "events_window_delta": R.events_window_delta,
         "events_asof_join": R.events_asof_join,
+        "events_distinct_users": R.events_distinct_users,
         # text analysis + dedup (training-data operator family)
         "doc_token_counts": T.doc_token_counts,
         "doc_quality": T.doc_quality,
@@ -57,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "near_dup_components": T.near_dup_components,
         "simhash_fingerprints": T.simhash_fingerprints,
+        "token_topk": T.token_topk,
+        "doc_length_quantiles": T.doc_length_quantiles,
+        "corpus_clean": T.corpus_clean,
         # vector similarity
         "embedding_norms": V.embedding_norms,
         "ann_topk": V.ann_topk,
@@ -100,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": R.EVENTS_SESSION_SQL,
         "events_window_delta": R.EVENTS_WINDOW_DELTA_SQL,
         "events_asof_join": R.EVENTS_ASOF_SQL,
+        "events_distinct_users": R.EVENTS_DISTINCT_SQL,
         "doc_token_counts": T.TOKEN_COUNT_SQL,
         "doc_quality": T.QUALITY_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
@@ -109,6 +114,9 @@ def oracle_sql() -> dict[str, str]:
         # string-shingle Jaccard == the engine's hash-shingle Jaccard
         # (64-bit hashes; set semantics identical absent collisions)
         "ngram_jaccard_pairs": T.NGRAM_JACCARD_SQL,
+        "token_topk": T.TOKEN_TOPK_SQL,
+        "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
+        "corpus_clean": T.CORPUS_CLEAN_SQL,
         "embedding_norms": V.NORMS_SQL,
         "ann_topk": V.ANN_TOPK_SQL,
         "knn_join_sample": V.KNN_SQL,

@@ -407,3 +407,48 @@ SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type + event counts.
+
+    Distributed-exact distinct: per-batch (type, user) dedup (partial)
+    -> groupby on hash(type, user) bucket -> per-bucket global dedup
+    and per-type partial distinct counts -> driver sums one tiny row
+    per (bucket, type). Event counts ride the grouped_agg combiner.
+    Only slim deduped pairs cross the shuffle — never raw events."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.drop_duplicates(["event_type", "user_id"])
+        h = (pd.util.hash_array(p["event_type"].to_numpy(dtype=object))
+             ^ pd.util.hash_array(p["user_id"].to_numpy()))
+        return pd.DataFrame({
+            "event_type": p["event_type"].to_numpy(),
+            "user_id": p["user_id"].to_numpy(),
+            "__b": (h % 64).astype(np.int64)})
+
+    def distinct_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        vc = d.groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": vc.index.astype(str),
+                             "n_users": vc.to_numpy(dtype=np.int64)})
+
+    users = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(distinct_counts,
+                                        batch_format="pandas")
+             .to_pandas().groupby("event_type", as_index=False)["n_users"]
+             .sum())
+    counts = grouped_agg(ds, ["event_type"], {"n_events": (None, "count")}) \
+        .to_pandas()
+    df = users.merge(counts, on="event_type")
+    df["n_users"] = df["n_users"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -605,3 +605,142 @@ def near_dup_components(sf_dir: str, threshold: float = 0.5):
     comp = comp.rename(columns={"vertex": "doc_id"})
     comp["keep"] = comp["doc_id"] == comp["component"]
     return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------- corpus-level analysis
+
+def token_topk(sf_dir: str, k: int = 20):
+    """Global top-k most frequent tokens (vocabulary head).
+
+    Partial value_counts per batch (vectorized explode) -> bucketed
+    combiner keyed on hash(token) -> per-bucket top-k (exact: a token
+    lives wholly in one bucket) -> driver merges k rows per bucket.
+    Only (token, count) rows cross the shuffle."""
+    ds = _read_docs(sf_dir, ["text"])
+    from ..functions.aggregates import grouped_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         ["token"], {"n": ("n", "sum")})
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+
+    df = counts.map_batches(topk, batch_format="pandas").to_pandas()
+    df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    df["n"] = df["n"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+TOKEN_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, COUNT(*) AS n FROM tok
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact continuous quantiles of n_chars (p25/p50/p75/p95) via a
+    distributed value histogram: (n_chars, count) partial counts are
+    bucket-combined (slim rows; cardinality = distinct lengths, not
+    docs), then the driver interpolates on the cumulative counts —
+    semantics identical to SQL quantile_cont (h = (n-1)q linear
+    interpolation)."""
+    ds = _read_docs(sf_dir, ["n_chars"])
+    from ..functions.aggregates import grouped_agg
+    hist = grouped_agg(ds, ["n_chars"], {"cnt": (None, "count")}) \
+        .to_pandas().sort_values("n_chars").reset_index(drop=True)
+    v = hist["n_chars"].to_numpy(dtype=np.float64)
+    c = hist["cnt"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        x_lo = v[np.searchsorted(cum, lo + 1)]
+        x_hi = v[np.searchsorted(cum, hi + 1)]
+        return float(x_lo + (h - lo) * (x_hi - x_lo))
+
+    return pd.DataFrame({
+        "p25": [round(q_cont(0.25), 6)], "p50": [round(q_cont(0.5), 6)],
+        "p75": [round(q_cont(0.75), 6)], "p95": [round(q_cont(0.95), 6)]})
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents
+"""
+
+
+def corpus_clean(sf_dir: str, min_tokens: int = 5):
+    """Composed training-data cleaning pass, one slim shuffle:
+    keep a doc iff (a) it is the exact-dup canonical representative
+    (min doc_id per text), (b) it has >= min_tokens tokens, (c) its
+    predicted language agrees with the labeled ``lang`` column.
+
+    Per batch: content hash + token count + stopword lang vote (all
+    vectorized) -> slim (doc_id, hash, flags) rows -> coarse-bucketed
+    groupby resolves canonical-per-hash and applies the gates."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    stop = STOPWORDS
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        hh = batch["text"].map(
+            lambda s: hashlib.sha1(s.encode()).hexdigest())
+        toks = batch["text"].map(_tokens)
+        n = toks.map(len).astype("int64")
+        scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
+                  for lang, sw in stop.items()}
+        en, pt, es = scores["en"], scores["pt"], scores["es"]
+        pred = np.where((en >= pt) & (en >= es), "en",
+                        np.where(pt >= es, "pt", "es"))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"], "__h": hh,
+            "ok": (n >= min_tokens) & (pred == batch["lang"].to_numpy()),
+            "__b": (pd.util.hash_array(hh.to_numpy(dtype=object)) % 256)
+            .astype(np.int64)})
+
+    rows = ds.map_batches(prep, batch_format="pandas")
+
+    def keepers(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g.loc[g.groupby("__h")["doc_id"].idxmin()]
+        kept = canon.loc[canon["ok"], ["doc_id"]]
+        return kept.astype({"doc_id": "int64"})
+
+    df = rows.groupby("__b").map_groups(keepers, batch_format="pandas") \
+        .to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_CLEAN_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, len(w) AS n_tokens,
+         len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS en,
+         len(list_filter(w, x -> x IN ('de','o','que','e','um')))   AS pt,
+         len(list_filter(w, x -> x IN ('el','la','de','y','un')))   AS es
+  FROM t),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT s.doc_id FROM s JOIN canon USING (doc_id)
+WHERE s.n_tokens >= 5
+  AND (CASE WHEN en >= pt AND en >= es THEN 'en'
+            WHEN pt >= es THEN 'pt' ELSE 'es' END) = s.lang
+ORDER BY s.doc_id
+"""

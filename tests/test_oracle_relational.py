@@ -150,3 +150,26 @@ class TestStreamingShaped:
     def test_asof_join(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.events_asof_join(SF), R.EVENTS_ASOF_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound2Oracles:
+    def test_ngram_jaccard_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.ngram_jaccard_pairs(SF), T.NGRAM_JACCARD_SQL, con)
+
+    def test_token_topk(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.token_topk(SF), T.TOKEN_TOPK_SQL, con)
+
+    def test_doc_length_quantiles(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.doc_length_quantiles(SF), T.DOC_LENGTH_QUANTILES_SQL, con)
+
+    def test_corpus_clean(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.corpus_clean(SF), T.CORPUS_CLEAN_SQL, con)
+
+    def test_events_distinct_users(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_distinct_users(SF), R.EVENTS_DISTINCT_SQL, con)
