@@ -330,20 +330,15 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b = [], []
-        for _, sub in g.groupby(["band", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            ids = np.sort(sub["doc_id"].to_numpy())
-            ii, jj = np.triu_indices(len(ids), k=1)
-            rows_a.append(ids[ii])
-            rows_b.append(ids[jj])
-        if not rows_a:
+        from ..functions.pairgen import pairs_sharing_key
+        # (band, band_hash) folded to one key: band_hash is already a
+        # 63-bit mix, so xor-ing the band keeps buckets distinct
+        key = g["band_hash"].to_numpy() ^ (g["band"].to_numpy() + 1)
+        a, b = pairs_sharing_key(key, g["doc_id"].to_numpy())
+        if len(a) == 0:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"doc_a": np.concatenate(rows_a),
-                             "doc_b": np.concatenate(rows_b)}
-                            ).drop_duplicates()
+        return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
 
     cand = (exploded.groupby("__cb")
             .map_groups(candidates, batch_format="pandas"))
@@ -489,21 +484,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
             "doc_id": np.concatenate(ids)})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a_l, b_l = [], []
-        for _, sub in g.groupby("sh", sort=False):
-            n = len(sub)
-            if n < 2 or (max_posting is not None and n > max_posting):
-                continue
-            ids = np.sort(sub["doc_id"].to_numpy())
-            ii, jj = np.triu_indices(n, k=1)
-            a_l.append(ids[ii])
-            b_l.append(ids[jj])
-        if not a_l:
+        from ..functions.pairgen import pairs_sharing_key
+        a, b = pairs_sharing_key(g["sh"].to_numpy(),
+                                 g["doc_id"].to_numpy(),
+                                 max_group=max_posting)
+        if len(a) == 0:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "shared": pd.Series([], dtype="int64")})
-        df = pd.DataFrame({"doc_a": np.concatenate(a_l),
-                           "doc_b": np.concatenate(b_l)})
+        df = pd.DataFrame({"doc_a": a, "doc_b": b})
         # pre-sum inside the bucket: one slim row per pair leaves it
         out = df.groupby(["doc_a", "doc_b"], as_index=False).size()
         return out.rename(columns={"size": "shared"})

@@ -234,20 +234,13 @@ def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
     exploded = ds.map_batches(band_rows, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b = [], []
-        for _, sub in g.groupby("bucket", sort=False):
-            if len(sub) < 2:
-                continue
-            ids = np.sort(sub["vec_id"].to_numpy())
-            ii, jj = np.triu_indices(len(ids), k=1)
-            rows_a.append(ids[ii])
-            rows_b.append(ids[jj])
-        if not rows_a:
+        from ..functions.pairgen import pairs_sharing_key
+        a, b = pairs_sharing_key(g["bucket"].to_numpy(),
+                                 g["vec_id"].to_numpy())
+        if len(a) == 0:
             return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                                  "vec_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"vec_a": np.concatenate(rows_a),
-                             "vec_b": np.concatenate(rows_b)}
-                            ).drop_duplicates()
+        return pd.DataFrame({"vec_a": a, "vec_b": b}).drop_duplicates()
 
     cand = exploded.groupby("band").map_groups(pairs,
                                                batch_format="pandas")
