@@ -83,15 +83,21 @@ def extract_geotags(pages, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 
 def _hot_cells(geotags, cfg: PipelineConfig) -> dict[int, int]:
-    """Hot-cell mode only (cfg.salt_all=False): per-batch partial
-    counts over the (already slim) geotag rows, combined on the driver
-    (one small row per (cell, batch) — no groupby shuffle needed)."""
-    partials = geotags.map_batches(
-        lambda b: b.groupby("h3_cell").size().rename("n").reset_index(),
-        batch_format="pandas")
-    counts = partials.to_pandas().groupby("h3_cell")["n"].sum()
-    hot = counts[counts > cfg.hot_cell_threshold]
-    return {int(c): cfg.page_salts for c in hot.index}
+    """Hot-cell mode only (cfg.salt_all=False): bucketed combiner over
+    the (already slim) geotag rows; the hot filter runs distributed so
+    ONLY hot-cell rows (by definition few) reach the driver — never
+    one row per (cell, batch)."""
+    from ..functions.aggregates import grouped_agg
+    counts = grouped_agg(geotags, ["h3_cell"], {"n": (None, "count")})
+    def hot_f(b: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in b.columns:  # empty upstream block
+            return pd.DataFrame({"h3_cell": pd.Series([], dtype="int64")})
+        return b.loc[b["n"] > cfg.hot_cell_threshold, ["h3_cell"]]
+
+    hot = counts.map_batches(hot_f, batch_format="pandas").to_pandas()
+    if "h3_cell" not in hot.columns:  # no hot cells anywhere
+        return {}
+    return {int(c): cfg.page_salts for c in hot["h3_cell"]}
 
 
 # --------------------------------------------------- sharded tile index
