@@ -11,7 +11,7 @@ index (round 2; replaces round 1's single driver-built ``ray.put``):
   their bbox covers (J7 border correctness), sidewalk lines under
   their own cell plus its k-ring(1) (the J8 kNN spill radius) — and
   one ``groupby(shard)`` builds a per-shard index object
-  (``ray.put`` inside the build task). A shard covers 4x4 cells, so
+  (``ray.put`` inside the build task). A shard covers 2x2 cells, so
   no object anywhere in the plan is proportional to the total tile
   count, and the driver only ever holds {shard: ObjectRef} + the
   distinct-cell scope (O(#cells)).
@@ -32,10 +32,11 @@ index (round 2; replaces round 1's single driver-built ``ray.put``):
 Within a shard entry, tiles and sidewalks are sorted by feature_id so
 the join is deterministic regardless of build-task arrival order.
 
-Ownership note: shard index objects are owned by the Ray Data worker
-that built them; they live for the session (workers are pooled). On a
-long-lived multi-node deployment the build stage would pin owners via
-an actor or re-put on loss — the plan shape is unchanged.
+Ownership note: shard index objects are ``ray.put(_owner=...)`` into a
+named driver-owned holder actor (``_IndexHolder``), so they outlive
+the transient Ray Data build workers but die with the driver session;
+refs are tracked per index generation (``release_before`` frees
+superseded generations in long-lived services).
 """
 
 from __future__ import annotations
@@ -54,9 +55,7 @@ from ..geom import core, wkb
 from ..geom.grid_index import SegmentGrid
 from ..geom import project
 from ..sources import synthetic as SYN
-from ..stages.geotags import GeotagExtractor, PageGeotagger, \
-    page_geotag_batch
-from ..stages.html_text import HtmlExtractor
+from ..stages.geotags import page_geotag_batch
 from . import sidewalks as SW
 
 
@@ -128,21 +127,36 @@ def _shard_of(cell_arr):
 class _IndexHolder:
     """Owns the shard-index objects (``ray.put(_owner=holder)``), so
     they outlive the short-lived Ray Data build workers that create
-    them. One detached holder per session; refs accumulate (each shard
-    is tiny next to the corpus) and are freed at session shutdown."""
+    them. The holder is a named DRIVER-OWNED actor (not detached): it
+    — and every ref it pins — dies with the driver session, so nothing
+    leaks across driver runs on a shared cluster. Within a process,
+    refs are tracked per index GENERATION; a long-lived service that
+    rebuilds the index repeatedly calls ``release_before(gen)`` once
+    older joins have drained to free superseded generations."""
 
     def __init__(self):
-        self._refs = []
+        self._refs: dict[int, list] = {}
+        self._gen = 0
 
-    def hold(self, refs) -> bool:
-        self._refs.extend(refs)
+    def new_generation(self) -> int:
+        self._gen += 1
+        self._refs[self._gen] = []
+        return self._gen
+
+    def hold(self, gen: int, refs) -> bool:
+        self._refs.setdefault(gen, []).extend(refs)
         return True
+
+    def release_before(self, gen: int) -> int:
+        old = [g for g in self._refs if g < gen]
+        for g in old:
+            del self._refs[g]
+        return len(old)
 
 
 def _index_holder():
     return _IndexHolder.options(
-        name="sidewalkreator_index_holder", get_if_exists=True,
-        lifetime="detached").remote()
+        name="sidewalkreator_index_holder", get_if_exists=True).remote()
 
 
 def _empty_explode_table() -> pa.Table:
@@ -198,7 +212,7 @@ def _explode_targets(features, cfg: PipelineConfig):
     return features.map_batches(f, batch_format="pandas")
 
 
-def _build_shard(g: pd.DataFrame, holder, cfg: PipelineConfig
+def _build_shard(g: pd.DataFrame, holder, gen: int, cfg: PipelineConfig
                  ) -> pd.DataFrame:
     """Build one shard's FULLY PREPARED index and ray.put it (owned by
     the holder actor); returns (shard, ref, h3_cell) rows — one per
@@ -264,7 +278,7 @@ def _build_shard(g: pd.DataFrame, holder, cfg: PipelineConfig
     ref = ray.put(index, _owner=holder)
     # the owner must register the ref before this task's local ref
     # goes out of scope, else the object is reclaimed
-    ray.get(holder.hold.remote([ref]))
+    ray.get(holder.hold.remote(gen, [ref]))
     cell_list = sorted(index)
     return pd.DataFrame({
         "shard": np.full(len(cell_list), shard, dtype=np.int64),
@@ -277,15 +291,16 @@ def _prepare_index(features, cfg: PipelineConfig):
     distinct indexed cells (semi-join prune set). Only O(#cells) rows
     ever reach the driver — never geometry."""
     holder = _index_holder()
-    # the holder must be scheduled before any ray.put(_owner=holder)
-    ray.get(holder.hold.remote([]))
+    # the holder must be scheduled before any ray.put(_owner=holder);
+    # the generation id scopes this build's refs for later release
+    gen = ray.get(holder.new_generation.remote())
     # coalesce the slim exploded rows before the keyed shuffle — the
     # upstream feature pipeline leaves O(100) tiny blocks and the sort
     # pays per-block constants otherwise
     rows = (_explode_targets(features, cfg)
             .repartition(16)
             .groupby("shard").map_groups(
-                lambda g: _build_shard(g, holder, cfg),
+                lambda g: _build_shard(g, holder, gen, cfg),
                 batch_format="pandas")
             .to_pandas())
     if rows.empty or "h3_cell" not in rows.columns:
@@ -456,25 +471,42 @@ def _join_with_prepared(geotags, prepared, cfg: PipelineConfig):
     return joined.union(far)
 
 
+class _SideThread:
+    """Run ``fn`` on a thread; ``result()`` joins and RE-RAISES any
+    exception (a bare dict hand-off would surface a failed feature
+    side as ``KeyError: 'v'`` and bury the real traceback)."""
+
+    def __init__(self, fn):
+        import threading
+        self._out: dict = {}
+
+        def run():
+            try:
+                self._out["v"] = fn()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                self._out["e"] = e
+
+        self._th = threading.Thread(target=run)
+        self._th.start()
+
+    def result(self):
+        self._th.join()
+        if "e" in self._out:
+            raise self._out["e"]
+        return self._out["v"]
+
+
 def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
     """The explicit groupby-on-cell join. Returns the assignments
     Dataset (metric rows carry url prefix ``__metrics__/``)."""
-    import threading
     # index build (feature side) and geotag extraction (page side) are
     # independent — run them as two concurrent Ray Data executions so
     # neither serializes behind the other
-    index_out: dict = {}
-
-    def _build():
-        index_out["v"] = _prepare_index(features, cfg)
-
-    th = threading.Thread(target=_build)
-    th.start()
+    th = _SideThread(lambda: _prepare_index(features, cfg))
     # geotags are tiny rows (url, lat, lon, cell) — pin them so the
     # scope split doesn't recompute the HTML extraction stage
     geotags = geotags.materialize()
-    th.join()
-    return _join_with_prepared(geotags, index_out["v"], cfg)
+    return _join_with_prepared(geotags, th.result(), cfg)
 
 
 def split_metrics(assign_df: pd.DataFrame):
@@ -493,18 +525,10 @@ def checkpointed_join(geotags, features, out_dir: str,
     (north_rule resume semantics). Returns this run's manifest rows."""
     from ..state.checkpoint import run_partitioned
 
-    import threading
-    index_out: dict = {}
-
-    def _build():
-        index_out["v"] = _prepare_index(features, cfg)
-
-    th = threading.Thread(target=_build)
-    th.start()
+    th = _SideThread(lambda: _prepare_index(features, cfg))
     geotags = geotags.materialize()
-    th.join()
+    shard_map_ref, scope = th.result()
     geotags = _coalesce_slim(geotags)
-    shard_map_ref, scope = index_out["v"]
     scope_ref = ray.put(scope)
     salts_ref = ray.put(_salting_plan(geotags, cfg))
     in_scope, _far = _split_scope(geotags, scope_ref)
@@ -512,7 +536,8 @@ def checkpointed_join(geotags, features, out_dir: str,
     return run_partitioned(salted, ["h3_cell", "salt"],
                            lambda g: _join_group(g, shard_map_ref, cfg),
                            out_dir,
-                           config_hash=cfg.to_json()[:40],
+                           config_hash=__import__("hashlib").sha1(
+                               cfg.to_json().encode()).hexdigest(),
                            skip_keys=skip_keys)
 
 
@@ -540,21 +565,16 @@ def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     # run it in a background thread so build_features' eager
     # materialize points overlap the HTML/geotag extraction instead of
     # serializing in front of it
-    import threading
-    prep_out: dict = {}
-
     def _feature_side():
         # join-relevant kinds only (tile, sidewalk): stage C
         # (crossings) is dead work for the join and stays off the
         # critical path
         features = SW.build_join_features(streets, cfg)
-        prep_out["v"] = _prepare_index(features, cfg)
+        return _prepare_index(features, cfg)
 
-    th = threading.Thread(target=_feature_side)
-    th.start()
+    th = _SideThread(_feature_side)
     geotags = extract_geotags(pages, cfg).materialize()
-    th.join()
-    assignments = _join_with_prepared(geotags, prep_out["v"], cfg)
+    assignments = _join_with_prepared(geotags, th.result(), cfg)
     if collect == "count":
         # bench/scale path: consume the stream, never collect on the
         # driver; returns (n_assignments, n_inside) only

@@ -226,23 +226,30 @@ def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
         n = len(m)
         bands_bits = bits.reshape(n, n_bands, planes_per_band)
         bucket = bands_bits @ (1 << np.arange(planes_per_band))
+        band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        bucket = bucket.reshape(-1).astype(np.int64)
+        # one exact LSH key per (band, bucket); sharded across 64
+        # coarse groups so candidate generation parallelizes with the
+        # cluster instead of being capped at n_bands groups each
+        # holding the whole corpus's rows
+        key = (bucket << np.int64(4)) | band
         return pd.DataFrame({
-            "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
-            "bucket": bucket.reshape(-1).astype(np.int64),
+            "key": key,
+            "__cb": (pd.util.hash_array(key) % 64).astype(np.int64),
             "vec_id": np.repeat(batch["vec_id"].to_numpy(), n_bands)})
 
     exploded = ds.map_batches(band_rows, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.pairgen import pairs_sharing_key
-        a, b = pairs_sharing_key(g["bucket"].to_numpy(),
+        a, b = pairs_sharing_key(g["key"].to_numpy(),
                                  g["vec_id"].to_numpy())
         if len(a) == 0:
             return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                                  "vec_b": pd.Series([], dtype="int64")})
         return pd.DataFrame({"vec_a": a, "vec_b": b}).drop_duplicates()
 
-    cand = exploded.groupby("band").map_groups(pairs,
+    cand = exploded.groupby("__cb").map_groups(pairs,
                                                batch_format="pandas")
 
     def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:

@@ -165,10 +165,29 @@ def parse_osm_xml(xml_bytes: bytes, layer: str = "lines") -> pa.Table:
                 continue
             by_role.setdefault(m.get("role") or "outer", []).append(
                 list(coords))
-        rings = (_assemble_rings(by_role.get("outer", []))
-                 + _assemble_rings(by_role.get("inner", [])))
-        if rings:
-            emit(int(rel.get("id")), tags, rings)
+        outers = _assemble_rings(by_role.get("outer", []))
+        inners = _assemble_rings(by_role.get("inner", []))
+        if not outers:
+            continue
+        if len(outers) == 1:
+            emit(int(rel.get("id")), tags, outers + inners)
+        else:
+            # multiple outer rings = a true MULTIPOLYGON (e.g. a
+            # multi-building complex). The engine's polygon WKB is
+            # single-polygon (ring 0 = shell, rest = holes), so emit
+            # one row per outer ring — mirroring the GDAL driver's
+            # per-part geometry — assigning each inner ring to the
+            # outer that contains its first vertex. Part ids extend
+            # the relation id so they stay stable and unique.
+            from ..geom import core as _core
+            rid = int(rel.get("id"))
+            for pi, outer in enumerate(outers):
+                ring_np = np.asarray(outer, dtype=np.float64)
+                mine = [inn for inn in inners
+                        if _core.points_in_ring(
+                            np.asarray([inn[0][0]]),
+                            np.asarray([inn[0][1]]), ring_np)[0]]
+                emit(rid * 1000 + pi, tags, [outer] + mine)
 
     return pa.table({
         "building_id": pa.array(rows["building_id"], pa.int64()),

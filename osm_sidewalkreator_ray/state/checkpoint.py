@@ -86,7 +86,20 @@ def run_partitioned(ds, key_cols: list[str], group_fn, out_dir: str,
     unsalted).
     """
     os.makedirs(os.path.join(out_dir, "part"), exist_ok=True)
-    done = completed_keys(out_dir)
+    prior = load_manifest(out_dir)
+    # resume is only valid under the SAME config: a changed config can
+    # change the partitioning itself (e.g. salting mode), and skipping
+    # old-config partitions while computing new-config ones would
+    # silently duplicate rows across partitions
+    stale = {tuple(r["key"]) for r in prior
+             if r.get("config_hash", "") != config_hash}
+    if stale:
+        raise ValueError(
+            f"checkpoint dir {out_dir!r} holds {len(stale)} partitions "
+            "written under a DIFFERENT config_hash; resuming would mix "
+            "partitioning schemes. Use a fresh out_dir (or delete the "
+            "stale partitions) to run with the new config.")
+    done = {tuple(r["key"]) for r in prior}
     skip_keys = skip_keys or set()
 
     if done:

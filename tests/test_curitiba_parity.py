@@ -246,3 +246,33 @@ class TestOsmLayers:
         # with the high gate nothing splits: one piece per arc
         assert len(unsplit) == features.filter(
             expr="kind == 'sidewalk'").count()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiOuterRelations:
+    def test_two_outer_rings_become_two_buildings(self):
+        from osm_sidewalkreator_ray.pipelines.geospatial import \
+            _fallback_buildings_osm
+        from osm_sidewalkreator_ray.sources.osm_xml import parse_osm_xml
+        t = parse_osm_xml(_fallback_buildings_osm(),
+                          layer="multipolygons").to_pandas()
+        # 1 closed way + 2 parts of the 2-outer relation
+        assert len(t) == 3
+        rel_parts = t[t["building_id"] >= 200000]
+        assert len(rel_parts) == 2
+        # each part decodes as a simple polygon (shell only, no
+        # phantom hole made from the sibling outer)
+        from osm_sidewalkreator_ray.geom import wkb
+        for b in rel_parts["geometry_wkb"]:
+            coords, ring_offs, poly_offs, _ = wkb.decode_polygons([b])
+            assert len(ring_offs) - 1 == 1  # exactly one ring
+
+    def test_fallback_pois_pipeline(self):
+        from osm_sidewalkreator_ray.pipelines.geospatial import \
+            _fallback_buildings_osm
+        from osm_sidewalkreator_ray.sources.osm_xml import (parse_osm_xml,
+                                                            build_pois)
+        bld = parse_osm_xml(_fallback_buildings_osm(), layer="multipolygons")
+        pts = parse_osm_xml(_fallback_buildings_osm(), layer="points")
+        pois = build_pois(bld, pts).to_pandas()
+        assert len(pois) >= 3  # way centroid + addr nodes
