@@ -1,6 +1,8 @@
 """Distributed iterative graph operators.
 
-``connected_components``: min-label propagation over an edge Dataset —
+``connected_components``: min-label propagation over an edge Dataset
+(the HCC/"hash-to-min" family: Kang et al. PEGASUS, ICDM'09;
+Rastogi et al., ICDE'13) —
 the canonical way to turn near-dup PAIRS into dedup DECISIONS (keep
 one representative per duplicate cluster). Each iteration is one
 bucketed shuffle of slim (vertex, label) rows; no step ever holds the

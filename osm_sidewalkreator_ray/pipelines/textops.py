@@ -291,6 +291,8 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                         threshold: float = 0.5, coarse_buckets: int = 64,
                         _as_dataset: bool = False):
     """MinHash+LSH near-dup (rows-only: not SQL-expressible at scale).
+    (Broder '97 resemblance sketches; banding per Leskovec/Rajaraman/
+    Ullman, Mining of Massive Datasets ch. 3.)
 
     Physical plan: shingle->minhash signatures (actor pool, shingle
     hashes kept as a bytes column) -> SLIM band rows (band, band_hash,
@@ -455,7 +457,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     ``max_posting``: at corpus scale, a shingle shared by thousands of
     docs contributes O(len^2) candidate pairs; capping the posting
     list drops those shingles (UNDER-counting intersections — the op
-    becomes a lower bound). Default None = exact.
+    becomes a lower bound). Default None = exact. The published scale
+    path beyond the cap is prefix filtering (Bayardo/Ma/Srikant
+    "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    ppjoin, WWW'08): index only each doc's first
+    |d| - ceil(t*|d|) + 1 shingles in a global order for candidate
+    generation, then verify candidates against full shingle sets —
+    the same candidates+verify shape as ``minhash_dedup_pairs``.
 
     Cost is quadratic in true duplicate-cluster sizes — the inherent
     output complexity of all-pairs dedup — but never in corpus size.

@@ -79,3 +79,22 @@ def test_manifest_atomic_layout(tmp_path):
                             f"h3_cell={key[0]}", f"salt={key[1]}")
         assert os.path.exists(os.path.join(pdir, "part.parquet"))
         assert r["rows"] >= 0 and len(r["fingerprint"]) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_refuses_config_change(tmp_path):
+    """A checkpoint dir written under one config must not be resumed
+    under another: the partitioning scheme itself (e.g. salting mode)
+    is config-dependent, so mixing would silently duplicate rows."""
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 2],
+                                      "v": [1.0, 2.0, 3.0, 4.0]}))
+    out = str(tmp_path / "run")
+    CK.run_partitioned(ds, ["k"], lambda g: g, out, config_hash="cfgA")
+    # same config: resume is a no-op re-run, no error
+    ds2 = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [9.0, 9.0]}))
+    CK.run_partitioned(ds2, ["k"], lambda g: g, out, config_hash="cfgA")
+    # different config: refuse
+    with pytest.raises(ValueError, match="DIFFERENT config_hash"):
+        CK.run_partitioned(ds2, ["k"], lambda g: g, out,
+                           config_hash="cfgB")
