@@ -67,3 +67,40 @@ def merge_geojsons(input_pathlist: list[str], outputpath: str) -> None:
             merged["features"].extend(json.load(f).get("features", []))
     with open(outputpath, "w") as f:
         json.dump(merged, f)
+
+
+def read_streets_geojson(path_or_str: str):
+    """GeoJSON FeatureCollection -> streets table (STREET_SCHEMA).
+
+    The reference's input direction (QgsVectorLayer(path, "ogr") over a
+    GeoJSON): LineString features become street rows with the hot tag
+    columns promoted; other geometry types are skipped. Driver-side
+    (GeoJSON is the small-scale interchange format — S4/S5); wrap with
+    ``ray.data.from_arrow`` to enter a pipeline."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .synthetic import STREET_SCHEMA
+
+    if os.path.exists(path_or_str):
+        gj = json.load(open(path_or_str))
+    else:
+        gj = json.loads(path_or_str)
+    rows = {k: [] for k in STREET_SCHEMA.names}
+    for i, feat in enumerate(gj.get("features", [])):
+        geom = feat.get("geometry") or {}
+        props = feat.get("properties") or {}
+        if geom.get("type") != "LineString":
+            continue
+        coords = np.asarray(geom["coordinates"], dtype=np.float64)
+        if len(coords) < 2:
+            continue
+        rows["way_id"].append(int(props.get("way_id", i + 1)))
+        rows["highway"].append(props.get("highway"))
+        rows["width"].append(props.get("width"))
+        rows["sidewalk"].append(props.get("sidewalk"))
+        rows["footway"].append(props.get("footway"))
+        rows["geometry_wkb"].append(wkb.encode_line(coords))
+    return pa.table(rows, schema=STREET_SCHEMA)

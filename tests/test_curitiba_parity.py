@@ -29,20 +29,8 @@ OSM = "/root/reference/test/data/curitiba_sample.osm"
 
 
 def _streets_from_geojson(path: str) -> pa.Table:
-    gj = json.load(open(path))
-    rows = {k: [] for k in STREET_SCHEMA.names}
-    for i, feat in enumerate(gj["features"]):
-        geom = feat["geometry"]
-        if geom["type"] != "LineString":
-            continue
-        rows["way_id"].append(i + 1)
-        rows["highway"].append(feat["properties"].get("highway"))
-        rows["width"].append(feat["properties"].get("width"))
-        rows["sidewalk"].append(feat["properties"].get("sidewalk"))
-        rows["footway"].append(feat["properties"].get("footway"))
-        rows["geometry_wkb"].append(
-            wkb.encode_line(np.asarray(geom["coordinates"], dtype=float)))
-    return pa.table(rows, schema=STREET_SCHEMA)
+    from osm_sidewalkreator_ray.sources.geojson import read_streets_geojson
+    return read_streets_geojson(path)
 
 
 @pytest.mark.usefixtures("ray_session")
