@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_delta": R.events_window_delta,
         "events_asof_join": R.events_asof_join,
         "events_distinct_users": R.events_distinct_users,
+        "events_funnel": R.events_funnel,
         # text analysis + dedup (training-data operator family)
         "doc_token_counts": T.doc_token_counts,
         "doc_quality": T.doc_quality,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_delta": R.EVENTS_WINDOW_DELTA_SQL,
         "events_asof_join": R.EVENTS_ASOF_SQL,
         "events_distinct_users": R.EVENTS_DISTINCT_SQL,
+        "events_funnel": R.EVENTS_FUNNEL_SQL,
         "doc_token_counts": T.TOKEN_COUNT_SQL,
         "doc_quality": T.QUALITY_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

@@ -452,3 +452,46 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def events_funnel(sf_dir: str):
+    """Two-step funnel: per user, did a 'view' happen and was it
+    followed (strictly later) by a 'purchase'? Emits corpus-level
+    conversion counts. Bucketed per-user pattern: one vectorized
+    pandas pass per user-hash partition computes each user's first
+    'view' ts and whether any 'purchase' follows it — only one slim
+    row per (bucket) leaves the shuffle."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["user_id", "ts", "event_type"]))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"]
+        first_view = views.groupby("user_id")["ts"].min()
+        pur = g[g["event_type"] == "purchase"]
+        if len(pur) and len(first_view):
+            pm = pur.merge(first_view.rename("fv"), left_on="user_id",
+                           right_index=True)
+            converted = pm.loc[pm["ts"] > pm["fv"], "user_id"].nunique()
+        else:
+            converted = 0
+        return pd.DataFrame({"viewers": [np.int64(len(first_view))],
+                             "converted": [np.int64(converted)]})
+
+    out = ds.groupby("__ubucket").map_groups(funnel, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({"viewers": [int(out["viewers"].sum())],
+                         "converted": [int(out["converted"].sum())]})
+
+
+EVENTS_FUNNEL_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT fv.user_id
+  FROM fv JOIN events e ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+)
+SELECT (SELECT COUNT(*) FROM fv) AS viewers,
+       (SELECT COUNT(*) FROM conv) AS converted
+"""

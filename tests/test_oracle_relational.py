@@ -173,3 +173,7 @@ class TestRound2Oracles:
     def test_events_distinct_users(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.events_distinct_users(SF), R.EVENTS_DISTINCT_SQL, con)
+
+    def test_events_funnel(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_funnel(SF), R.EVENTS_FUNNEL_SQL, con)
