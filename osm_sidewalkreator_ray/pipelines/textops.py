@@ -407,22 +407,34 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
 
 def simhash_fingerprints(sf_dir: str):
-    """64-bit SimHash per document (deterministic; rows-only check)."""
+    """64-bit SimHash per document (Charikar '02; deterministic,
+    rows-only check). Fully vectorized per batch: every token of every
+    doc is hashed in ONE ``pd.util.hash_array`` call, bits unpacked to
+    a (tokens, 64) sign matrix, and per-doc bit sums computed with
+    ``np.add.reduceat`` — no per-word Python loop."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for w in _tokens(t):
-                hv = np.uint64(int.from_bytes(
-                    hashlib.sha1(w.encode()).digest()[:8], "little"))
-                bits = (hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            out.append(int((acc > 0).astype(np.uint64)
-                           @ (np.uint64(1) << np.arange(64, dtype=np.uint64))))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "simhash": np.array(out, dtype=np.uint64).view(np.int64)})
+        toks = [_tokens(t) for t in batch["text"]]
+        counts = np.array([len(t) for t in toks], dtype=np.int64)
+        flat = [w for ws in toks for w in ws]
+        if flat:
+            hv = pd.util.hash_array(np.asarray(flat, dtype=object))
+            signs = np.where(
+                (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1), 1, -1).astype(np.int64)
+            starts = np.zeros(len(toks), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            # reduceat needs strictly valid offsets; empty docs produce
+            # a bogus row we overwrite with 0 below
+            acc = np.add.reduceat(signs, np.minimum(starts, len(flat) - 1),
+                                  axis=0)
+            acc[counts == 0] = 0
+        else:
+            acc = np.zeros((len(toks), 64), dtype=np.int64)
+        sim = ((acc > 0).astype(np.uint64) @ powers).view(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sim})
 
     out = ds.map_batches(f, batch_format="pandas")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,85 @@
+"""Unit tests for shared function helpers: pairgen, blocks, joins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestPairsSharingKey:
+    def test_basic_groups(self):
+        from osm_sidewalkreator_ray.functions.pairgen import \
+            pairs_sharing_key
+        keys = np.array([5, 5, 5, 9, 9, 7])
+        ids = np.array([30, 10, 20, 2, 1, 99])
+        a, b = pairs_sharing_key(keys, ids)
+        pairs = sorted(zip(a, b))
+        assert pairs == [(1, 2), (10, 20), (10, 30), (20, 30)]
+
+    def test_max_group_cap(self):
+        from osm_sidewalkreator_ray.functions.pairgen import \
+            pairs_sharing_key
+        keys = np.array([1, 1, 1, 2, 2])
+        ids = np.array([1, 2, 3, 4, 5])
+        a, b = pairs_sharing_key(keys, ids, max_group=2)
+        assert sorted(zip(a, b)) == [(4, 5)]  # size-3 group dropped
+
+    def test_empty(self):
+        from osm_sidewalkreator_ray.functions.pairgen import \
+            pairs_sharing_key
+        a, b = pairs_sharing_key(np.empty(0, dtype=np.int64),
+                                 np.empty(0, dtype=np.int64))
+        assert len(a) == 0 and len(b) == 0
+
+    def test_matches_naive_groupby(self):
+        from osm_sidewalkreator_ray.functions.pairgen import \
+            pairs_sharing_key
+        rng = np.random.RandomState(3)
+        keys = rng.randint(0, 50, 500)
+        ids = rng.permutation(500)
+        a, b = pairs_sharing_key(keys, ids)
+        df = pd.DataFrame({"k": keys, "i": ids})
+        want = set()
+        for _, sub in df.groupby("k"):
+            s = np.sort(sub["i"].to_numpy())
+            ii, jj = np.triu_indices(len(s), k=1)
+            want |= set(zip(s[ii], s[jj]))
+        assert set(zip(a, b)) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCoalesceSlim:
+    def test_coalesces_many_tiny_blocks(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.blocks import coalesce_slim
+        ds = rd.range(10_000, override_num_blocks=200).materialize()
+        out = coalesce_slim(ds)
+        assert out.num_blocks() < 200
+        assert out.count() == 10_000
+
+    def test_noop_when_already_coarse(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.blocks import coalesce_slim
+        ds = rd.range(1000, override_num_blocks=2).materialize()
+        out = coalesce_slim(ds)
+        assert out.num_blocks() == 2  # untouched
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinGroupFn:
+    def test_group_fn_aggregate_pushdown_is_exact(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import \
+            hash_partition_join
+        left = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 1, 2, 3], "l": [10, 11, 20, 30]}))
+        right = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 2, 2, 4], "r": [1.0, 2.0, 2.5, 4.0]}))
+
+        def agg(df):
+            return df.groupby("k", as_index=False)["r"].sum()
+
+        out = hash_partition_join(left, right, on="k", num_buckets=4,
+                                  group_fn=agg).to_pandas()
+        got = dict(zip(out["k"], out["r"]))
+        # k=1: two left rows x r=1.0 -> 2.0; k=2: one left x (2+2.5)=4.5
+        assert got == {1: 2.0, 2: 4.5}
