@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operators (SURVEY.md §2.4-2.7 equivalents)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_revenue_orders": R.q3_top_revenue_orders,
+        "q4_priority_exists": R.q4_priority_exists,
         "q5_nation_volume": R.q5_nation_volume,
         "filter_high_value_orders": R.filter_high_value_orders,
         "top_parts_by_price": R.top_parts_by_price,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_revenue_orders": R.Q3_SQL,
+        "q4_priority_exists": R.Q4_SQL,
         "q5_nation_volume": R.Q5_SQL,
         "filter_high_value_orders": R.FILTER_SQL,
         "top_parts_by_price": R.TOPK_SQL,

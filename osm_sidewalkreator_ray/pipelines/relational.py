@@ -495,3 +495,69 @@ WITH fv AS (
 SELECT (SELECT COUNT(*) FROM fv) AS viewers,
        (SELECT COUNT(*) FROM conv) AS converted
 """
+
+
+def q4_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join + grouped count): orders in a
+    date window having at least one late-shipped lineitem, counted per
+    priority. Physical plan: lineitem filtered -> per-batch unique
+    keys -> bucketed global distinct (slim int64 rows only) ->
+    partitioned hash semi-join against the filtered orders with the
+    per-priority count pushed into the join bucket -> driver sums one
+    row per (bucket, priority)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(pd.Timestamp("1997-01-01"))))
+        import numpy as _np
+        u = _np.unique(t["l_orderkey"].to_numpy())
+        return pa.table({"o_orderkey": pa.array(u, pa.int64())})
+
+    keys = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(li_keys, batch_format="pyarrow")
+
+    def key_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["o_orderkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(pd.Timestamp("1995-07-01"))),
+            pc.less(t["o_orderdate"],
+                    pa.scalar(pd.Timestamp("1996-01-01"))))
+        t = t.filter(m)
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow")
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds each order at most once per matching key
+        # row; keys were globally deduped inside this same bucket
+        d = key_distinct(df)
+        vc = d.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame({"o_orderpriority": vc.index.astype(str),
+                             "order_count": vc.to_numpy(dtype=np.int64)})
+
+    out = hash_partition_join(orders, keys, on="o_orderkey",
+                              num_buckets=16, group_fn=bucket_count) \
+        .to_pandas()
+    df = out.groupby("o_orderpriority", as_index=False)["order_count"].sum()
+    df["order_count"] = df["order_count"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1997-01-01')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

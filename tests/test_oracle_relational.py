@@ -177,3 +177,7 @@ class TestRound2Oracles:
     def test_events_funnel(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.events_funnel(SF), R.EVENTS_FUNNEL_SQL, con)
+
+    def test_q4_priority_exists(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q4_priority_exists(SF), R.Q4_SQL, con)
