@@ -505,8 +505,6 @@ def q4_priority_exists(sf_dir: str):
     partitioned hash semi-join against the filtered orders with the
     per-priority count pushed into the join bucket -> driver sums one
     row per (bucket, priority)."""
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
-
     def li_keys(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"],
                                 pa.scalar(pd.Timestamp("1997-01-01"))))
@@ -518,8 +516,16 @@ def q4_priority_exists(sf_dir: str):
                  columns=["l_orderkey", "l_shipdate"]) \
         .map_batches(li_keys, batch_format="pyarrow")
 
-    def key_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["o_orderkey"])
+    # GLOBAL distinct before the join: a hot orderkey appearing in B
+    # read-batches would otherwise inflate the per-bucket merge B-fold
+    def kb(t: pa.Table) -> pa.Table:
+        h = (pd.util.hash_array(t["o_orderkey"].to_numpy()) % 64)
+        return t.append_column("__kb", pa.array(h.astype(np.int64)))
+
+    keys = (keys.map_batches(kb, batch_format="pyarrow")
+            .groupby("__kb").map_groups(
+                lambda g: g.drop_duplicates(["o_orderkey"])
+                [["o_orderkey"]], batch_format="pandas"))
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
@@ -536,10 +542,9 @@ def q4_priority_exists(sf_dir: str):
     orders = orders.map_batches(o_prep, batch_format="pyarrow")
 
     def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
-        # the bucket holds each order at most once per matching key
-        # row; keys were globally deduped inside this same bucket
-        d = key_distinct(df)
-        vc = d.groupby("o_orderpriority", sort=False).size()
+        # keys are globally distinct (kb stage) and o_orderkey is the
+        # orders PK, so the merged frame holds each order exactly once
+        vc = df.groupby("o_orderpriority", sort=False).size()
         return pd.DataFrame({"o_orderpriority": vc.index.astype(str),
                              "order_count": vc.to_numpy(dtype=np.int64)})
 

@@ -418,21 +418,27 @@ def simhash_fingerprints(sf_dir: str):
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         toks = [_tokens(t) for t in batch["text"]]
         counts = np.array([len(t) for t in toks], dtype=np.int64)
+        acc = np.zeros((len(toks), 64), dtype=np.int64)
         flat = [w for ws in toks for w in ws]
+        nz = counts > 0
         if flat:
             hv = pd.util.hash_array(np.asarray(flat, dtype=object))
-            signs = np.where(
-                (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1), 1, -1).astype(np.int64)
-            starts = np.zeros(len(toks), dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            # reduceat needs strictly valid offsets; empty docs produce
-            # a bogus row we overwrite with 0 below
-            acc = np.add.reduceat(signs, np.minimum(starts, len(flat) - 1),
-                                  axis=0)
-            acc[counts == 0] = 0
-        else:
-            acc = np.zeros((len(toks), 64), dtype=np.int64)
+            # unpackbits on the little-endian words gives bit k =
+            # (hv >> k) & 1 as a compact (tokens, 64) uint8 matrix —
+            # no 512 B/token uint64 broadcast temp
+            bits = np.unpackbits(
+                hv.astype("<u8").view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little")
+            signs = (bits.astype(np.int8) << 1) - 1
+            # reduceat boundaries over NON-EMPTY docs only (strictly
+            # increasing, always in range — empty docs stay all-zero;
+            # clamping trailing-empty boundaries would truncate the
+            # last non-empty doc's token range)
+            cnz = counts[nz]
+            starts = np.zeros(len(cnz), dtype=np.int64)
+            np.cumsum(cnz[:-1], out=starts[1:])
+            acc[nz] = np.add.reduceat(signs, starts, axis=0,
+                                      dtype=np.int64)
         sim = ((acc > 0).astype(np.uint64) @ powers).view(np.int64)
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sim})
 

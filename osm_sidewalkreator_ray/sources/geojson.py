@@ -77,17 +77,25 @@ def read_streets_geojson(path_or_str: str):
     columns promoted; other geometry types are skipped. Driver-side
     (GeoJSON is the small-scale interchange format — S4/S5); wrap with
     ``ray.data.from_arrow`` to enter a pipeline."""
-    import os
-
     import numpy as np
     import pyarrow as pa
 
     from .synthetic import STREET_SCHEMA
 
-    if os.path.exists(path_or_str):
-        gj = json.load(open(path_or_str))
-    else:
+    # dispatch on content shape, not os.path.exists: a mistyped PATH
+    # must raise FileNotFoundError, not a JSONDecodeError on the path
+    # string itself
+    if path_or_str.lstrip().startswith(("{", "[")):
         gj = json.loads(path_or_str)
+    else:
+        with open(path_or_str) as f:
+            gj = json.load(f)
+
+    def _s(v):
+        # OGR exports emit every column (null-filled) and type-infers
+        # numerics; the engine's tag columns are strings
+        return None if v is None else str(v)
+
     rows = {k: [] for k in STREET_SCHEMA.names}
     for i, feat in enumerate(gj.get("features", [])):
         geom = feat.get("geometry") or {}
@@ -97,10 +105,11 @@ def read_streets_geojson(path_or_str: str):
         coords = np.asarray(geom["coordinates"], dtype=np.float64)
         if len(coords) < 2:
             continue
-        rows["way_id"].append(int(props.get("way_id", i + 1)))
-        rows["highway"].append(props.get("highway"))
-        rows["width"].append(props.get("width"))
-        rows["sidewalk"].append(props.get("sidewalk"))
-        rows["footway"].append(props.get("footway"))
+        wid = props.get("way_id")
+        rows["way_id"].append(int(wid) if wid is not None else i + 1)
+        rows["highway"].append(_s(props.get("highway")))
+        rows["width"].append(_s(props.get("width")))
+        rows["sidewalk"].append(_s(props.get("sidewalk")))
+        rows["footway"].append(_s(props.get("footway")))
         rows["geometry_wkb"].append(wkb.encode_line(coords))
     return pa.table(rows, schema=STREET_SCHEMA)

@@ -28,9 +28,8 @@ GEOJSON = "/root/reference/assets/test_data/osm_roads_sample_bbox.geojson"
 OSM = "/root/reference/test/data/curitiba_sample.osm"
 
 
-def _streets_from_geojson(path: str) -> pa.Table:
-    from osm_sidewalkreator_ray.sources.geojson import read_streets_geojson
-    return read_streets_geojson(path)
+from osm_sidewalkreator_ray.sources.geojson import \
+    read_streets_geojson as _streets_from_geojson  # noqa: E402
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -92,3 +92,51 @@ class TestConnectedComponents:
         cmap = dict(zip(comp["doc_id"], comp["component"]))
         for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
             assert cmap[a] == cmap[b]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashEdgeCases:
+    def test_trailing_empty_doc_regression(self, tmp_path):
+        """An empty doc at batch END must not truncate the previous
+        doc's token range (reduceat boundary clamp regression)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["hello world foo", ""], pa.string())}),
+            str(d / "documents.parquet"))
+        got = T.simhash_fingerprints(str(d))
+        d2 = tmp_path / "sf2"
+        d2.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["hello world foo"], pa.string())}),
+            str(d2 / "documents.parquet"))
+        alone = T.simhash_fingerprints(str(d2))
+        assert got.loc[got["doc_id"] == 0, "simhash"].iloc[0] == \
+            alone["simhash"].iloc[0]
+        assert got.loc[got["doc_id"] == 1, "simhash"].iloc[0] == 0
+
+
+def test_geojson_reader_robustness(tmp_path):
+    import json as _json
+    from osm_sidewalkreator_ray.sources.geojson import read_streets_geojson
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0.0, 0.0], [0.001, 0.0]]},
+         "properties": {"way_id": None, "highway": "residential",
+                        "width": 2.5}},  # null id + numeric width
+        {"type": "Feature", "geometry": {"type": "Point",
+                                         "coordinates": [0, 0]},
+         "properties": {}},
+    ]}
+    t = read_streets_geojson(_json.dumps(gj))
+    assert t.num_rows == 1
+    assert t["width"][0].as_py() == "2.5"
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        read_streets_geojson(str(tmp_path / "nope.geojson"))
