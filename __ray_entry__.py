@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.events_asof_join,
         "events_distinct_users": R.events_distinct_users,
         "events_funnel": R.events_funnel,
+        "events_user_count_approx": R.events_user_count_approx,
         # text analysis + dedup (training-data operator family)
         "doc_token_counts": T.doc_token_counts,
         "doc_quality": T.doc_quality,

@@ -65,3 +65,55 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
                               batch_size=batch_size)
     return partials.groupby(_BUCKET).map_groups(combine,
                                                 batch_format="pandas")
+
+
+# ----------------------------------------------------------- sketches
+
+def _hll_registers(values: np.ndarray, b: int) -> np.ndarray:
+    """HyperLogLog register array (2^b uint8) for a batch of int64/
+    object values — fully vectorized: one hash pass, leading-zero rank
+    via log2, per-register max via np.maximum.at."""
+    m = 1 << b
+    h = pd.util.hash_array(values).astype(np.uint64)
+    idx = (h >> np.uint64(64 - b)).astype(np.int64)
+    rest = (h << np.uint64(b)) | (np.uint64(1) << np.uint64(b - 1))
+    # rank = leading zeros of `rest` + 1  (bounded by 64-b+1)
+    hi = np.maximum(rest, np.uint64(1))
+    lz = np.uint64(63) - np.floor(np.log2(hi.astype(np.float64))
+                                  ).astype(np.uint64)
+    rank = (lz + np.uint64(1)).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction (Flajolet et al. '07)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, column: str, b: int = 12) -> float:
+    """Distributed approximate COUNT(DISTINCT column) via HyperLogLog:
+    each batch reduces to ONE 2^b-byte register row; registers merge
+    by elementwise max on the driver (mergeability is exact, the only
+    approximation is the sketch itself — std err ~ 1.04/sqrt(2^b),
+    ~1.6% at b=12). Scale shape: per-batch partial -> tiny fixed-size
+    rows -> driver max-merge; nothing proportional to cardinality or
+    row count ever moves."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "regs": [_hll_registers(batch[column].to_numpy(), b).tobytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = 1 << b
+    regs = np.zeros(m, dtype=np.uint8)
+    for blob in rows["regs"]:
+        regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+    return _hll_estimate(regs)

@@ -566,3 +566,17 @@ WHERE o_orderdate >= TIMESTAMP '1995-07-01'
                 AND l_shipdate > TIMESTAMP '1997-01-01')
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def events_user_count_approx(sf_dir: str, b: int = 12):
+    """Approximate global COUNT(DISTINCT user_id) via the HyperLogLog
+    sketch (functions.aggregates.hll_distinct): one 4 KiB register row
+    per batch, max-merged — the constant-memory path for cardinalities
+    where exact distinct (events_distinct_users) would shuffle billions
+    of keys. Deterministic (fixed hash); rows-only check — a SQL
+    oracle cannot reproduce the sketch, so the recall/error contract
+    lives in tests (std err ~1.6% at b=12)."""
+    from ..functions.aggregates import hll_distinct
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = hll_distinct(ds, "user_id", b=b)
+    return pd.DataFrame({"approx_users": [round(est, 1)]})

@@ -83,3 +83,36 @@ class TestJoinGroupFn:
         got = dict(zip(out["k"], out["r"]))
         # k=1: two left rows x r=1.0 -> 2.0; k=2: one left x (2+2.5)=4.5
         assert got == {1: 2.0, 2: 4.5}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHyperLogLog:
+    def test_error_within_bound(self):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            events_user_count_approx
+        est = events_user_count_approx(
+            "/root/testdata/sf0.01")["approx_users"].iloc[0]
+        exact = duckdb.sql(
+            "SELECT COUNT(DISTINCT user_id) FROM "
+            "'/root/testdata/sf0.01/events.parquet'").fetchone()[0]
+        assert abs(est - exact) / exact < 0.05  # ~3 sigma at b=12
+
+    def test_merge_equals_single_pass(self):
+        # mergeability: sketch of the union == max-merge of partials
+        from osm_sidewalkreator_ray.functions.aggregates import (
+            _hll_estimate, _hll_registers)
+        a = np.arange(0, 60_000, dtype=np.int64)
+        b_ = np.arange(40_000, 100_000, dtype=np.int64)
+        merged = np.maximum(_hll_registers(a, 12), _hll_registers(b_, 12))
+        single = _hll_registers(np.arange(100_000, dtype=np.int64), 12)
+        assert np.array_equal(merged, single)
+        est = _hll_estimate(single)
+        assert abs(est - 100_000) / 100_000 < 0.05
+
+    def test_deterministic(self):
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            events_user_count_approx
+        e1 = events_user_count_approx("/root/testdata/sf0.001")
+        e2 = events_user_count_approx("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(e1, e2)
