@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": R.events_distinct_users,
         "events_funnel": R.events_funnel,
         "events_user_count_approx": R.events_user_count_approx,
+        "events_user_count_approx_by_type": R.events_user_count_approx_by_type,
         # text analysis + dedup (training-data operator family)
         "doc_token_counts": T.doc_token_counts,
         "doc_quality": T.doc_quality,

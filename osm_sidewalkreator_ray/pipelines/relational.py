@@ -580,3 +580,13 @@ def events_user_count_approx(sf_dir: str, b: int = 12):
     ds = _read(sf_dir, "events", columns=["user_id"])
     est = hll_distinct(ds, "user_id", b=b)
     return pd.DataFrame({"approx_users": [round(est, 1)]})
+
+
+def events_user_count_approx_by_type(sf_dir: str, b: int = 12):
+    """Per-event-type approximate distinct users (grouped HLL): the
+    sketch counterpart of events_distinct_users — constant memory per
+    (type, batch) regardless of user cardinality. Rows-only check;
+    the error contract vs the exact query lives in tests."""
+    from ..functions.aggregates import hll_distinct_by
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct_by(ds, "event_type", "user_id", b=b)

@@ -116,3 +116,17 @@ class TestHyperLogLog:
         e1 = events_user_count_approx("/root/testdata/sf0.001")
         e2 = events_user_count_approx("/root/testdata/sf0.001")
         pd.testing.assert_frame_equal(e1, e2)
+
+    def test_grouped_sketch_error_bound(self):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            events_user_count_approx_by_type
+        got = events_user_count_approx_by_type("/root/testdata/sf0.01")
+        exact = duckdb.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
+            "'/root/testdata/sf0.01/events.parquet' "
+            "GROUP BY event_type ORDER BY event_type").df()
+        assert list(got["event_type"]) == list(exact["event_type"])
+        rel = np.abs(got["approx_distinct"].to_numpy()
+                     - exact["n"].to_numpy()) / exact["n"].to_numpy()
+        assert (rel < 0.05).all()
