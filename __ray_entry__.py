@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": T.token_topk,
         "doc_length_quantiles": T.doc_length_quantiles,
         "corpus_clean": T.corpus_clean,
+        "sample_documents": T.sample_documents,
         # vector similarity
         "embedding_norms": V.embedding_norms,
         "ann_topk": V.ann_topk,

@@ -759,3 +759,25 @@ WHERE s.n_tokens >= 5
             WHEN pt >= es THEN 'pt' ELSE 'es' END) = s.lang
 ORDER BY s.doc_id
 """
+
+
+def sample_documents(sf_dir: str, n: int = 100, seed: int = 42):
+    """Deterministic uniform sample WITHOUT a shuffle: every doc gets
+    a pseudo-random rank ``hash(doc_id, seed)``; the global n smallest
+    ranks are the sample (exactly uniform over distinct ids). Runs as
+    per-batch partial top-n -> driver merge of n rows per batch — the
+    scale path where ``random_shuffle``/``random_sample`` would move
+    or scan-and-drop the whole corpus. Rows-only check (hash order is
+    not SQL-reproducible); determinism + size tested."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        rank = pd.util.hash_array(ids + np.int64(seed) * np.int64(2654435761))
+        k = min(n, len(ids))
+        top = np.argpartition(rank, k - 1)[:k] if k else np.empty(0, int)
+        return pd.DataFrame({"doc_id": ids[top], "rank": rank[top]})
+
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    df = df.nsmallest(n, "rank")
+    return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)

@@ -140,3 +140,15 @@ def test_geojson_reader_robustness(tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         read_streets_geojson(str(tmp_path / "nope.geojson"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_documents():
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    s1 = T.sample_documents(SF, n=50)
+    s2 = T.sample_documents(SF, n=50)
+    pd.testing.assert_frame_equal(s1, s2)  # deterministic
+    assert len(s1) == 50 and s1["doc_id"].is_unique
+    s3 = T.sample_documents(SF, n=50, seed=7)
+    # a different seed draws a (almost surely) different sample
+    assert set(s3["doc_id"]) != set(s1["doc_id"])
