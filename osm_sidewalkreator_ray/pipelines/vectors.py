@@ -44,30 +44,42 @@ FROM embeddings ORDER BY vec_id
 """
 
 
-class _CosineTopK:
-    """Actor-pool stage: the query matrix is fetched once per actor."""
+# per-worker-process cache of resolved query matrices: stateless tasks
+# get actor-style fetch-once behavior without paying actor-pool
+# spin-up per query call (and without Ray's fragile
+# constructor-args-in-object-store actor-restart path)
+_Q_CACHE: dict[str, np.ndarray] = {}
 
-    def __init__(self, q_ref, k: int):
-        q = ray.get(q_ref)  # (nq, d) float64, rows unit-normalized
-        self.q = q
-        self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _batch_matrix(batch)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
-        sims = mn @ self.q.T  # (batch, nq)
-        out = {"query_id": [], "vec_id": [], "cosine_sim": []}
-        ids = batch["vec_id"].to_numpy()
-        k = min(self.k, len(ids))
-        for qi in range(self.q.shape[0]):
-            s = sims[:, qi]
-            top = np.argpartition(-s, k - 1)[:k]
-            out["query_id"].extend([qi] * k)
-            out["vec_id"].extend(ids[top])
-            out["cosine_sim"].extend(s[top])
-        return pd.DataFrame(out)
+def _resolve_q(q_ref) -> np.ndarray:
+    key = q_ref.hex()
+    q = _Q_CACHE.get(key)
+    if q is None:
+        q = _Q_CACHE[key] = ray.get(q_ref)
+        if len(_Q_CACHE) > 16:
+            _Q_CACHE.pop(next(iter(_Q_CACHE)))
+    return q
+
+
+def _cosine_topk_batch(batch: pd.DataFrame, q_ref, k: int) -> pd.DataFrame:
+    """(nq, d) unit-normalized query matrix vs a batch: partial top-k
+    per query — only k rows per (batch, query) leave the task."""
+    q = _resolve_q(q_ref)
+    m = _batch_matrix(batch)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    sims = mn @ q.T  # (batch, nq)
+    out = {"query_id": [], "vec_id": [], "cosine_sim": []}
+    ids = batch["vec_id"].to_numpy()
+    kk = min(k, len(ids))
+    for qi in range(q.shape[0]):
+        s = sims[:, qi]
+        top = np.argpartition(-s, kk - 1)[:kk]
+        out["query_id"].extend([qi] * kk)
+        out["vec_id"].extend(ids[top])
+        out["cosine_sim"].extend(s[top])
+    return pd.DataFrame(out)
 
 
 def ann_topk(sf_dir: str, k: int = 10):
@@ -81,9 +93,10 @@ def ann_topk(sf_dir: str, k: int = 10):
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put(q)
     ds = _read_emb(sf_dir, ["vec_id", "embedding"])
-    partial = ds.map_batches(_CosineTopK, fn_constructor_args=(q_ref, k),
-                             batch_format="pandas", batch_size=4096,
-                             concurrency=(1, 2))
+    import functools
+    partial = ds.map_batches(
+        functools.partial(_cosine_topk_batch, q_ref=q_ref, k=k),
+        batch_format="pandas", batch_size=4096)
     df = partial.to_pandas()
     df["cosine_sim"] = df["cosine_sim"].astype(float)
     df = df.sort_values(["cosine_sim", "vec_id"],
@@ -115,9 +128,10 @@ def knn_join_sample(sf_dir: str, n_queries: int = 5, k: int = 3):
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_ref = ray.put(q)
     ds = _read_emb(sf_dir, ["vec_id", "embedding"])
-    partial = ds.map_batches(_CosineTopK, fn_constructor_args=(q_ref, k + 1),
-                             batch_format="pandas", batch_size=4096,
-                             concurrency=(1, 2))
+    import functools
+    partial = ds.map_batches(
+        functools.partial(_cosine_topk_batch, q_ref=q_ref, k=k + 1),
+        batch_format="pandas", batch_size=4096)
     df = partial.to_pandas()
     df = df[df["query_id"] != df["vec_id"]]
     df = (df.sort_values(["query_id", "cosine_sim", "vec_id"],
