@@ -69,20 +69,36 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
 
 # ----------------------------------------------------------- sketches
 
-def _hll_registers(values: np.ndarray, b: int) -> np.ndarray:
-    """HyperLogLog register array (2^b uint8) for a batch of int64/
-    object values — fully vectorized: one hash pass, leading-zero rank
-    via log2, per-register max via np.maximum.at."""
-    m = 1 << b
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros for nonzero uint64 (6
+    shift passes; no float round-trip — float64 log2 rounds values
+    within half-ULP of a power of two across the boundary)."""
+    n = np.zeros(x.shape, dtype=np.int64)
+    cur = x.copy()
+    for sft in (32, 16, 8, 4, 2, 1):
+        hi_zero = (cur >> np.uint64(64 - sft)) == 0
+        n[hi_zero] += sft
+        cur[hi_zero] <<= np.uint64(sft)
+    return n
+
+
+def _hll_rank_idx(values: np.ndarray, b: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) arrays for a batch of values."""
     h = pd.util.hash_array(values).astype(np.uint64)
     idx = (h >> np.uint64(64 - b)).astype(np.int64)
+    # the OR'd sentinel bit guarantees rest != 0 and caps the rank
     rest = (h << np.uint64(b)) | (np.uint64(1) << np.uint64(b - 1))
-    # rank = leading zeros of `rest` + 1  (bounded by 64-b+1)
-    hi = np.maximum(rest, np.uint64(1))
-    lz = np.uint64(63) - np.floor(np.log2(hi.astype(np.float64))
-                                  ).astype(np.uint64)
-    rank = (lz + np.uint64(1)).astype(np.uint8)
-    regs = np.zeros(m, dtype=np.uint8)
+    rank = (_clz64(rest) + 1).astype(np.uint8)
+    return idx, rank
+
+
+def _hll_registers(values: np.ndarray, b: int) -> np.ndarray:
+    """HyperLogLog register array (2^b uint8) for a batch of values —
+    fully vectorized: one hash pass, exact integer leading-zero rank,
+    per-register max via np.maximum.at."""
+    idx, rank = _hll_rank_idx(values, b)
+    regs = np.zeros(1 << b, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
 
@@ -90,13 +106,20 @@ def _hll_registers(values: np.ndarray, b: int) -> np.ndarray:
 def _hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with the small-range (linear counting)
     correction (Flajolet et al. '07)."""
-    m = len(regs)
+    return float(_hll_estimate_rows(regs[None, :])[0])
+
+
+def _hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized estimator over a (groups, m) register matrix."""
+    m = regs.shape[1]
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return float(est)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)),
+                                 axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lc, est)
 
 
 def hll_distinct(ds, column: str, b: int = 12) -> float:
@@ -127,26 +150,33 @@ def hll_distinct_by(ds, key: str, column: str, b: int = 12,
     max-merge (vectorized ``np.maximum.reduce`` over the stacked
     rows). Shuffle volume: (#keys x #batches) fixed-size rows —
     independent of both row count and per-key cardinality."""
+    m = 1 << b
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {key: [], "regs": []}
-        for k, sub in batch.groupby(key, sort=False):
-            rows[key].append(k)
-            rows["regs"].append(
-                _hll_registers(sub[column].to_numpy(), b).tobytes())
-        out = pd.DataFrame(rows)
+        # one hash pass for the whole batch; per-key registers filled
+        # by ONE 2-D np.maximum.at scatter — no per-key Python loop.
+        # factorize keeps null keys as their own group (use_na_sentinel
+        # =False), matching grouped_agg's dropna=False semantics.
+        codes, uniques = pd.factorize(batch[key], use_na_sentinel=False)
+        idx, rank = _hll_rank_idx(batch[column].to_numpy(), b)
+        regs2d = np.zeros((len(uniques), m), dtype=np.uint8)
+        np.maximum.at(regs2d, (codes, idx), rank)
+        out = pd.DataFrame({key: uniques,
+                            "regs": [r.tobytes() for r in regs2d]})
         out[_BUCKET] = (pd.util.hash_array(
             out[key].to_numpy(dtype=object)) % num_buckets).astype(np.int64)
         return out
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        keys, ests = [], []
-        for k, sub in g.groupby(key, sort=False):
-            stacked = np.stack([np.frombuffer(x, dtype=np.uint8)
-                                for x in sub["regs"]])
-            keys.append(k)
-            ests.append(round(_hll_estimate(
-                np.maximum.reduce(stacked, axis=0)), 1))
-        return pd.DataFrame({key: keys, "approx_distinct": ests})
+        codes, uniques = pd.factorize(g[key], use_na_sentinel=False)
+        stacked = np.frombuffer(b"".join(g["regs"]),
+                                dtype=np.uint8).reshape(len(g), m)
+        merged = np.zeros((len(uniques), m), dtype=np.uint8)
+        # elementwise per-group max: rows with the same code reduce
+        # into one register row
+        np.maximum.at(merged, codes, stacked)
+        ests = np.round(_hll_estimate_rows(merged), 1)
+        return pd.DataFrame({key: uniques, "approx_distinct": ests})
 
     out = (ds.map_batches(partial, batch_format="pandas")
            .groupby(_BUCKET).map_groups(combine, batch_format="pandas")

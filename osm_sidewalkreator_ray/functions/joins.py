@@ -36,12 +36,12 @@ _SMALL_CACHE_MAX = 16
 
 def _resolve_small(ref) -> pd.DataFrame:
     key = ref.hex()
-    v = _SMALL_CACHE.get(key)
+    v = _SMALL_CACHE.pop(key, None)  # pop+reinsert = LRU move-to-end
     if v is None:
         v = ray.get(ref)
         if len(_SMALL_CACHE) >= _SMALL_CACHE_MAX:
             _SMALL_CACHE.pop(next(iter(_SMALL_CACHE)))
-        _SMALL_CACHE[key] = v
+    _SMALL_CACHE[key] = v
     return v
 
 

@@ -321,12 +321,12 @@ _OBJ_CACHE_MAX = 64
 
 def _get_cached(ref):
     key = ref.hex()
-    v = _OBJ_CACHE.get(key)
+    v = _OBJ_CACHE.pop(key, None)  # pop+reinsert = LRU move-to-end
     if v is None:
         v = ray.get(ref)
         if len(_OBJ_CACHE) >= _OBJ_CACHE_MAX:
             _OBJ_CACHE.pop(next(iter(_OBJ_CACHE)))
-        _OBJ_CACHE[key] = v
+    _OBJ_CACHE[key] = v
     return v
 
 

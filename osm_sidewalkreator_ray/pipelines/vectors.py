@@ -53,11 +53,12 @@ _Q_CACHE: dict[str, np.ndarray] = {}
 
 def _resolve_q(q_ref) -> np.ndarray:
     key = q_ref.hex()
-    q = _Q_CACHE.get(key)
+    q = _Q_CACHE.pop(key, None)  # pop+reinsert = LRU move-to-end
     if q is None:
-        q = _Q_CACHE[key] = ray.get(q_ref)
-        if len(_Q_CACHE) > 16:
+        q = ray.get(q_ref)
+        if len(_Q_CACHE) >= 16:
             _Q_CACHE.pop(next(iter(_Q_CACHE)))
+    _Q_CACHE[key] = q
     return q
 
 

@@ -4,6 +4,9 @@ import numpy as np
 import pandas as pd
 import pytest
 
+SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 class TestPairsSharingKey:
     def test_basic_groups(self):
@@ -92,10 +95,10 @@ class TestHyperLogLog:
         from osm_sidewalkreator_ray.pipelines.relational import \
             events_user_count_approx
         est = events_user_count_approx(
-            "/root/testdata/sf0.01")["approx_users"].iloc[0]
+            SF)["approx_users"].iloc[0]
         exact = duckdb.sql(
             "SELECT COUNT(DISTINCT user_id) FROM "
-            "'/root/testdata/sf0.01/events.parquet'").fetchone()[0]
+            f"'{SF}/events.parquet'").fetchone()[0]
         assert abs(est - exact) / exact < 0.05  # ~3 sigma at b=12
 
     def test_merge_equals_single_pass(self):
@@ -113,18 +116,18 @@ class TestHyperLogLog:
     def test_deterministic(self):
         from osm_sidewalkreator_ray.pipelines.relational import \
             events_user_count_approx
-        e1 = events_user_count_approx("/root/testdata/sf0.001")
-        e2 = events_user_count_approx("/root/testdata/sf0.001")
+        e1 = events_user_count_approx(SF_SMALL)
+        e2 = events_user_count_approx(SF_SMALL)
         pd.testing.assert_frame_equal(e1, e2)
 
     def test_grouped_sketch_error_bound(self):
         import duckdb
         from osm_sidewalkreator_ray.pipelines.relational import \
             events_user_count_approx_by_type
-        got = events_user_count_approx_by_type("/root/testdata/sf0.01")
+        got = events_user_count_approx_by_type(SF)
         exact = duckdb.sql(
             "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
-            "'/root/testdata/sf0.01/events.parquet' "
+            f"'{SF}/events.parquet' "
             "GROUP BY event_type ORDER BY event_type").df()
         assert list(got["event_type"]) == list(exact["event_type"])
         rel = np.abs(got["approx_distinct"].to_numpy()
