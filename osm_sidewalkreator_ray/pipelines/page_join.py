@@ -154,9 +154,22 @@ class _IndexHolder:
         return len(old)
 
 
+# the holder handle MUST outlive every join that reads its objects: a
+# named non-detached actor is ref-counted by handles, so a
+# function-local handle would let Ray kill the actor (and reclaim
+# every shard object it owns) as soon as _prepare_index returns —
+# observed as OwnerDiedError/RpcError in back-to-back runs. A
+# module-level handle pins the actor for the driver session, which is
+# exactly the intended lifetime.
+_HOLDER_HANDLE = None
+
+
 def _index_holder():
-    return _IndexHolder.options(
-        name="sidewalkreator_index_holder", get_if_exists=True).remote()
+    global _HOLDER_HANDLE
+    if _HOLDER_HANDLE is None:
+        _HOLDER_HANDLE = _IndexHolder.options(
+            name="sidewalkreator_index_holder", get_if_exists=True).remote()
+    return _HOLDER_HANDLE
 
 
 def _empty_explode_table() -> pa.Table:
