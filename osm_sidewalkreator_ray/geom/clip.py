@@ -14,6 +14,71 @@ import numpy as np
 from . import core
 
 
+def _polygon_edges(coords: np.ndarray, ring_offsets: np.ndarray,
+                   poly_lo: int, poly_hi: int):
+    e0s, e1s = [], []
+    for r in range(poly_lo, poly_hi):
+        ring = coords[ring_offsets[r]:ring_offsets[r + 1]]
+        e0s.append(ring[:-1])
+        e1s.append(ring[1:])
+    return np.concatenate(e0s), np.concatenate(e1s)
+
+
+def classify_parts(lcoords: np.ndarray, offsets: np.ndarray,
+                   coords: np.ndarray, ring_offsets: np.ndarray,
+                   poly_lo: int, poly_hi: int, pair_budget: int = 1 << 20):
+    """Vectorized in/out/boundary triage of many polylines vs one polygon.
+
+    Returns bool arrays ``(all_in, any_in, crosses)``, one entry per
+    part. ``all_in & ~crosses`` ⇒ the part lies entirely inside (keep
+    whole, no clipping); ``~any_in & ~crosses`` ⇒ entirely outside
+    (drop) — exact, because entering a simple polygon requires crossing
+    an edge, and any edge hit (including endpoint touches, which the
+    exact clip resolves by midpoint tests) sets ``crosses``. Everything
+    else must go through :func:`clip_polyline`. One point-in-polygon
+    pass + one chunked segment×edge sweep; no per-row Python work.
+    """
+    n_parts = len(offsets) - 1
+    if n_parts == 0:
+        z = np.zeros(0, dtype=bool)
+        return z, z, z
+    vin = core.points_in_polygon(lcoords[:, 0], lcoords[:, 1],
+                                 coords, ring_offsets, poly_lo, poly_hi)
+    starts = offsets[:-1]
+    all_in = np.logical_and.reduceat(vin, starts)
+    any_in = np.logical_or.reduceat(vin, starts)
+    counts = np.diff(offsets)
+    segmask = np.ones(max(len(lcoords) - 1, 0), dtype=bool)
+    segmask[offsets[1:-1] - 1] = False  # joints between parts
+    idx = np.nonzero(segmask)[0]
+    e0, e1 = _polygon_edges(coords, ring_offsets, poly_lo, poly_hi)
+    d2 = e1 - e0
+    seg_cross = np.zeros(len(idx), dtype=bool)
+    eps = 1e-9
+    step = max(1, pair_budget // max(1, len(e0)))
+    for c0 in range(0, len(idx), step):
+        sl = idx[c0:c0 + step]
+        a0 = lcoords[sl][:, None, :]
+        d1 = (lcoords[sl + 1] - lcoords[sl])[:, None, :]
+        denom = d1[..., 0] * d2[None, :, 1] - d1[..., 1] * d2[None, :, 0]
+        ok = np.abs(denom) > 1e-12
+        denom = np.where(ok, denom, 1.0)
+        diff = e0[None, :, :] - a0
+        ta = (diff[..., 0] * d2[None, :, 1]
+              - diff[..., 1] * d2[None, :, 0]) / denom
+        tb = (diff[..., 0] * d1[..., 1]
+              - diff[..., 1] * d1[..., 0]) / denom
+        hit = (ok & (ta >= -eps) & (ta <= 1 + eps)
+               & (tb >= -eps) & (tb <= 1 + eps))
+        seg_cross[c0:c0 + step] = hit.any(axis=1)
+    if len(seg_cross):
+        seg_offs = np.concatenate(([0], np.cumsum(counts - 1)))[:-1]
+        crosses = np.logical_or.reduceat(seg_cross, seg_offs)
+    else:
+        crosses = np.zeros(n_parts, dtype=bool)
+    return all_in, any_in, crosses
+
+
 def clip_polyline(line: np.ndarray, coords: np.ndarray,
                   ring_offsets: np.ndarray, poly_lo: int, poly_hi: int
                   ) -> list[np.ndarray]:

@@ -34,23 +34,45 @@ from . import sidewalks as SW
 def clip_streets(streets, aoi_wkb: bytes,
                  cfg: PipelineConfig = DEFAULT_CONFIG):
     """M1: exact clip of street polylines to the AOI polygon; the AOI
-    ships once via ray.put and is decoded once per task."""
+    ships once via ray.put and is decoded once per task.
+
+    Scan-stage shape: the whole batch is decoded once and triaged with
+    one vectorized point-in-polygon + segment×edge sweep
+    (``geom.clip.classify_parts``); fully-inside parts pass through,
+    fully-outside parts drop, and only the boundary-crossing minority
+    runs the exact per-part clip loop.
+    """
     ref = ray.put(aoi_wkb)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
         coords, ro, po, _ = wkb.decode_polygons([ray.get(ref)])
-        rows = []
-        for _, r in batch.iterrows():
-            lcoords, offs, _p = wkb.decode_lines([r["geometry_wkb"]])
-            for piece in gclip.clip_polyline(lcoords, coords, ro,
-                                             int(po[0]), int(po[1])):
-                row = r.to_dict()
-                row["geometry_wkb"] = wkb.encode_line(piece)
-                rows.append(row)
-        if not rows:
-            out = batch.iloc[0:0].copy()
-            return out
-        return pd.DataFrame(rows)[list(batch.columns)]
+        lo, hi = int(po[0]), int(po[1])
+        lcoords, offs, part_of = wkb.decode_lines(
+            batch["geometry_wkb"].tolist())
+        all_in, any_in, crosses = gclip.classify_parts(
+            lcoords, offs, coords, ro, lo, hi)
+        keep_whole = all_in & ~crosses
+        drop = ~any_in & ~crosses
+        rows_idx: list[int] = []
+        wkbs: list[bytes] = []
+        for p in range(len(offs) - 1):
+            if drop[p]:
+                continue
+            part = lcoords[offs[p]:offs[p + 1]]
+            if keep_whole[p]:
+                rows_idx.append(int(part_of[p]))
+                wkbs.append(wkb.encode_line(part))
+                continue
+            for piece in gclip.clip_polyline(part, coords, ro, lo, hi):
+                rows_idx.append(int(part_of[p]))
+                wkbs.append(wkb.encode_line(piece))
+        if not rows_idx:
+            return batch.iloc[0:0].copy()
+        out = batch.iloc[np.asarray(rows_idx)].copy()
+        out["geometry_wkb"] = wkbs
+        return out.reset_index(drop=True)
 
     return streets.map_batches(f, batch_format="pandas")
 

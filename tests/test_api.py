@@ -41,6 +41,34 @@ def test_clip_polyline_with_hole():
     assert total == pytest.approx(8.0)
 
 
+def test_classify_parts_matches_exact_clip():
+    """The vectorized triage must agree with the exact per-part clip on
+    a randomized mix of inside / outside / crossing polylines (and a
+    polygon with a hole)."""
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                     dtype=float)
+    hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], dtype=float)
+    b = wkb.encode_polygon([shell, hole])
+    coords, ro, po, _ = wkb.decode_polygons([b])
+    lo, hi = int(po[0]), int(po[1])
+    rng = np.random.default_rng(7)
+    parts = [rng.uniform(-5, 15, size=(rng.integers(2, 6), 2))
+             for _ in range(200)]
+    counts = [len(p) for p in parts]
+    lcoords = np.concatenate(parts)
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    all_in, any_in, crosses = gclip.classify_parts(
+        lcoords, offs, coords, ro, lo, hi)
+    for p, part in enumerate(parts):
+        pieces = gclip.clip_polyline(part, coords, ro, lo, hi)
+        if all_in[p] and not crosses[p]:
+            # kept whole: exact clip returns one piece covering the part
+            assert len(pieces) == 1
+            assert np.allclose(pieces[0], part)
+        if not any_in[p] and not crosses[p]:
+            assert pieces == []
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestApi:
     @pytest.fixture(scope="class")
