@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.events_asof_join,
         "events_distinct_users": R.events_distinct_users,
         "events_funnel": R.events_funnel,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "customers_no_urgent_orders": R.customers_no_urgent_orders,
+        "top3_parts_per_brand": R.top3_parts_per_brand,
+        "events_daily_rollup": R.events_daily_rollup,
         "events_user_count_approx": R.events_user_count_approx,
         "events_user_count_approx_by_type": R.events_user_count_approx_by_type,
         # text analysis + dedup (training-data operator family)
@@ -112,6 +116,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": R.EVENTS_ASOF_SQL,
         "events_distinct_users": R.EVENTS_DISTINCT_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
+        "q14_promo_revenue": R.Q14_SQL,
+        "customers_no_urgent_orders": R.ANTI_JOIN_SQL,
+        "top3_parts_per_brand": R.TOP3_BRAND_SQL,
+        "events_daily_rollup": R.EVENTS_ROLLUP_SQL,
         "doc_token_counts": T.TOKEN_COUNT_SQL,
         "doc_quality": T.QUALITY_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

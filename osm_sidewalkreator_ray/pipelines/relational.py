@@ -568,6 +568,175 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: fact |><| dimension (broadcast) + conditional
+    global aggregate (the promo-revenue ratio). Only two partial sums
+    per batch reach the driver — no shuffle at all."""
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_type"])
+    part["is_promo"] = part["p_type"].str.startswith("PROMO")
+    part = part[["p_partkey", "is_promo"]]
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1997-01-01"))))),
+        batch_format="pyarrow")
+    joined = broadcast_join(li, part, left_on="l_partkey",
+                            right_on="p_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy()
+        promo = rev[b["is_promo"].to_numpy(dtype=bool)].sum()
+        return pd.DataFrame({"promo": [promo], "total": [rev.sum()]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    pct = 100.0 * parts["promo"].sum() / parts["total"].sum()
+    return pd.DataFrame({"promo_pct": [round(float(pct), 4)]})
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+
+def customers_no_urgent_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no '1-URGENT' order,
+    counted per market segment. Physical plan: urgent orders -> slim
+    distinct custkeys (per-batch unique, then bucketed global dedup)
+    -> partitioned hash LEFT join against the customer table with a
+    match marker; the per-segment no-match count is pushed into the
+    join bucket, so only one slim row per (bucket, segment) reaches
+    the driver."""
+    def o_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+        u = np.unique(t["o_custkey"].to_numpy())
+        return pa.table({"c_custkey": pa.array(u, pa.int64()),
+                         "__hit": pa.array(np.ones(len(u), dtype=np.int8))})
+
+    keys = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(o_keys, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        # left join: customers without an urgent order have a null hit
+        # marker; keys were batch-deduped, so a customer may match
+        # several marker rows — drop duplicate custkeys before counting
+        miss = df.loc[df["__hit"].isna()].drop_duplicates(["c_custkey"])
+        vc = miss.groupby("c_mktsegment", sort=False).size()
+        return pd.DataFrame({"c_mktsegment": vc.index.astype(str),
+                             "n_customers": vc.to_numpy(dtype=np.int64)})
+
+    out = hash_partition_join(cust, keys, on="c_custkey", how="left",
+                              num_buckets=16, group_fn=bucket_count) \
+        .to_pandas()
+    df = out.groupby("c_mktsegment", as_index=False)["n_customers"].sum()
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def top3_parts_per_brand(sf_dir: str):
+    """Per-group top-k (window-rank shape, ROW_NUMBER <= 3): per-batch
+    partial top-3 per brand (slim rows), then per-brand-bucket exact
+    top-3 — at most 3 x n_brands rows ever cross the shuffle."""
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        top = (df.sort_values(["p_retailprice", "p_partkey"],
+                              ascending=[False, True])
+               .groupby("p_brand", sort=False).head(3))
+        top = top.copy()
+        top["__b"] = _stable_b(top["p_brand"], 16)
+        return top
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["p_retailprice", "p_partkey"],
+                              ascending=[False, True])
+                .groupby("p_brand", sort=False).head(3)
+                [["p_brand", "p_partkey", "p_retailprice"]])
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("__b").map_groups(final, batch_format="pandas"))
+    return (out.to_pandas()
+            .sort_values(["p_brand", "p_retailprice", "p_partkey"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+def _stable_b(values: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_array(values.to_numpy(dtype=object))
+    return (h % num_buckets).astype(np.int64)
+
+
+TOP3_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) t
+WHERE rn <= 3
+ORDER BY p_brand, p_retailprice DESC, p_partkey
+"""
+
+
+def events_daily_rollup(sf_dir: str):
+    """ROLLUP (grouping sets): (type, day), (type), () — computed with
+    ONE shuffle at the finest level; the coarser levels are rolled up
+    on the driver from that small aggregate (sentinels 'ALL' /
+    1970-01-01 stand in for the rolled-up keys)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"],
+                                                        unit="day"))
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    fine = grouped_agg(ds, ["event_type", "day"], {
+        "n": (None, "count"), "sum_value": ("value", "sum")}).to_pandas()
+    sent_day = pd.Timestamp("1970-01-01")
+    by_type = (fine.groupby("event_type", as_index=False)
+               [["n", "sum_value"]].sum().assign(day=sent_day))
+    total = pd.DataFrame({"event_type": ["ALL"], "day": [sent_day],
+                          "n": [fine["n"].sum()],
+                          "sum_value": [fine["sum_value"].sum()]})
+    df = pd.concat([fine, by_type, total], ignore_index=True)
+    df["n"] = df["n"].astype("int64")
+    df["sum_value"] = df["sum_value"].astype(float).round(2)
+    return (df[["event_type", "day", "n", "sum_value"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+ORDER BY event_type, day
+"""
+
+
 def events_user_count_approx(sf_dir: str, b: int = 12):
     """Approximate global COUNT(DISTINCT user_id) via the HyperLogLog
     sketch (functions.aggregates.hll_distinct): one 4 KiB register row

@@ -181,3 +181,19 @@ class TestRound2Oracles:
     def test_q4_priority_exists(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q4_priority_exists(SF), R.Q4_SQL, con)
+
+    def test_q14_promo_revenue(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q14_promo_revenue(SF), R.Q14_SQL, con)
+
+    def test_customers_no_urgent_orders(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.customers_no_urgent_orders(SF), R.ANTI_JOIN_SQL, con)
+
+    def test_top3_parts_per_brand(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.top3_parts_per_brand(SF), R.TOP3_BRAND_SQL, con)
+
+    def test_events_daily_rollup(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_daily_rollup(SF), R.EVENTS_ROLLUP_SQL, con)
