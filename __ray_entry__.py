@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "near_dup_components": T.near_dup_components,
         "simhash_fingerprints": T.simhash_fingerprints,
+        "simhash_near_dups": T.simhash_near_dups,
         "token_topk": T.token_topk,
         "doc_length_quantiles": T.doc_length_quantiles,
         "corpus_clean": T.corpus_clean,

@@ -406,44 +406,142 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) batch -> (doc_id, simhash int64). Fully
+    vectorized: every token of every doc is hashed in ONE
+    ``pd.util.hash_array`` call, bits unpacked to a (tokens, 64) sign
+    matrix, per-doc bit sums via ``np.add.reduceat``."""
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    toks = [_tokens(t) for t in batch["text"]]
+    counts = np.array([len(t) for t in toks], dtype=np.int64)
+    acc = np.zeros((len(toks), 64), dtype=np.int64)
+    flat = [w for ws in toks for w in ws]
+    nz = counts > 0
+    if flat:
+        hv = pd.util.hash_array(np.asarray(flat, dtype=object))
+        # unpackbits on the little-endian words gives bit k =
+        # (hv >> k) & 1 as a compact (tokens, 64) uint8 matrix —
+        # no 512 B/token uint64 broadcast temp
+        bits = np.unpackbits(
+            hv.astype("<u8").view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little")
+        signs = (bits.astype(np.int8) << 1) - 1
+        # reduceat boundaries over NON-EMPTY docs only (strictly
+        # increasing, always in range — empty docs stay all-zero;
+        # clamping trailing-empty boundaries would truncate the
+        # last non-empty doc's token range)
+        cnz = counts[nz]
+        starts = np.zeros(len(cnz), dtype=np.int64)
+        np.cumsum(cnz[:-1], out=starts[1:])
+        acc[nz] = np.add.reduceat(signs, starts, axis=0,
+                                  dtype=np.int64)
+    sim = ((acc > 0).astype(np.uint64) @ powers).view(np.int64)
+    return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sim})
+
+
 def simhash_fingerprints(sf_dir: str):
     """64-bit SimHash per document (Charikar '02; deterministic,
-    rows-only check). Fully vectorized per batch: every token of every
-    doc is hashed in ONE ``pd.util.hash_array`` call, bits unpacked to
-    a (tokens, 64) sign matrix, and per-doc bit sums computed with
-    ``np.add.reduceat`` — no per-word Python loop."""
+    rows-only check). See ``_simhash_batch`` for the vectorized
+    kernel — no per-word Python loop."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = [_tokens(t) for t in batch["text"]]
-        counts = np.array([len(t) for t in toks], dtype=np.int64)
-        acc = np.zeros((len(toks), 64), dtype=np.int64)
-        flat = [w for ws in toks for w in ws]
-        nz = counts > 0
-        if flat:
-            hv = pd.util.hash_array(np.asarray(flat, dtype=object))
-            # unpackbits on the little-endian words gives bit k =
-            # (hv >> k) & 1 as a compact (tokens, 64) uint8 matrix —
-            # no 512 B/token uint64 broadcast temp
-            bits = np.unpackbits(
-                hv.astype("<u8").view(np.uint8).reshape(-1, 8),
-                axis=1, bitorder="little")
-            signs = (bits.astype(np.int8) << 1) - 1
-            # reduceat boundaries over NON-EMPTY docs only (strictly
-            # increasing, always in range — empty docs stay all-zero;
-            # clamping trailing-empty boundaries would truncate the
-            # last non-empty doc's token range)
-            cnz = counts[nz]
-            starts = np.zeros(len(cnz), dtype=np.int64)
-            np.cumsum(cnz[:-1], out=starts[1:])
-            acc[nz] = np.add.reduceat(signs, starts, axis=0,
-                                      dtype=np.int64)
-        sim = ((acc > 0).astype(np.uint64) @ powers).view(np.int64)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sim})
-
-    out = ds.map_batches(f, batch_format="pandas")
+    out = ds.map_batches(_simhash_batch, batch_format="pandas")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(u: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    bitwise_count): byte-table lookup summed over the 8 bytes."""
+    return _POP8[u.view(np.uint8).reshape(u.shape + (8,))] \
+        .sum(axis=-1).astype(np.int64)
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
+                      coarse_buckets: int = 64):
+    """SimHash near-dup pairs (Charikar '02; banded exact-match tables
+    per Manku/Jain/Sarma, WWW'07): pairs of documents whose 64-bit
+    SimHashes differ in at most ``max_hamming`` bits.
+
+    Recall is EXACT (not probabilistic): the hash is split into
+    ``bands`` 16-bit chunks and, by pigeonhole, any pair within
+    hamming distance ``bands - 1`` >= ``max_hamming`` shares at least
+    one identical chunk — so per-band exact-match buckets surface
+    every qualifying pair. Physical plan: slim (doc_id, simhash) rows
+    -> 4 band rows each -> coarse-bucketed groupby (O(coarse_buckets)
+    Python calls) where candidate pairs are generated AND verified
+    in-bucket (the two hashes ride the band rows, so verification is
+    one vectorized XOR-popcount — no join, unlike the MinHash path's
+    shingle-store joins) -> global pair dedup by pair-hash bucket
+    (a pair sharing several bands surfaces in several buckets).
+    """
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    from ..functions.blocks import coalesce_slim
+    sigs = coalesce_slim(
+        ds.map_batches(_simhash_batch, batch_format="pandas")
+        .materialize())
+    width = 64 // bands
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        sim = batch["simhash"].to_numpy().view(np.uint64)
+        chunks = np.empty((n, bands), dtype=np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        for b in range(bands):
+            chunks[:, b] = (sim >> np.uint64(b * width)) & mask
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        bval = chunks.reshape(-1)
+        # fold (band, value) to one key; bucket on its hash
+        key = (bval * np.uint64(0x9E3779B97F4A7C15)
+               + (band.view(np.uint64) + np.uint64(1)))
+        return pd.DataFrame({
+            "bkey": (key >> np.uint64(1)).view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            "simhash": np.repeat(sim, bands).view(np.int64),
+            "__cb": (key % np.uint64(coarse_buckets)).astype(np.int64)})
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.pairgen import pairs_sharing_key
+        ids = g["doc_id"].to_numpy()
+        a, b = pairs_sharing_key(g["bkey"].to_numpy(), ids)
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+            "__pb": pd.Series([], dtype="int64")})
+        if len(a) == 0:
+            return empty
+        pairs = pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
+        u, first = np.unique(ids, return_index=True)
+        sims = g["simhash"].to_numpy().view(np.uint64)
+        sa = sims[first[np.searchsorted(u, pairs["doc_a"].to_numpy())]]
+        sb = sims[first[np.searchsorted(u, pairs["doc_b"].to_numpy())]]
+        ham = _popcount64(sa ^ sb)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        out = pairs.loc[keep].copy()
+        out["hamming"] = ham[keep]
+        ph = (pd.util.hash_array(out["doc_a"].to_numpy())
+              ^ pd.util.hash_array(out["doc_b"].to_numpy()))
+        out["__pb"] = (ph % 32).astype(np.int64)
+        return out
+
+    cand = exploded.groupby("__cb").map_groups(verified_pairs,
+                                               batch_format="pandas")
+    dedup = cand.groupby("__pb").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"])
+        [["doc_a", "doc_b", "hamming"]], batch_format="pandas")
+    df = dedup.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------- exact n-gram Jaccard

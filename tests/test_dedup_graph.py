@@ -95,6 +95,47 @@ class TestConnectedComponents:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSimhashNearDups:
+    def test_exact_recall_vs_bruteforce(self):
+        """The banded plan must return EXACTLY the brute-force
+        hamming<=3 pair set (pigeonhole recall guarantee, 4x16-bit
+        bands)."""
+        import numpy as np
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        got = T.simhash_near_dups(SF, max_hamming=3)
+        fp = T.simhash_fingerprints(SF)
+        sims = fp["simhash"].to_numpy().view(np.uint64)
+        ids = fp["doc_id"].to_numpy()
+        x = sims[:, None] ^ sims[None, :]
+        ham = T._popcount64(x)
+        iu = np.triu_indices(len(ids), 1)
+        want = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])),
+                 int(ham[i, j]))
+                for i, j in zip(*iu) if ham[i, j] <= 3}
+        have = {(int(a), int(b), int(h)) for a, b, h in
+                zip(got["doc_a"], got["doc_b"], got["hamming"])}
+        assert have == want
+        assert len(want) > 0  # non-trivial on the synthetic corpus
+
+    def test_planted_near_dup(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        d = tmp_path / "sf"
+        d.mkdir()
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        near = base.replace("lazy", "sleepy", 1)
+        far = "completely different text about databases and rays"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, near, far], pa.string())}),
+            str(d / "documents.parquet"))
+        got = T.simhash_near_dups(str(d), max_hamming=8, bands=16)
+        assert (1, 2) in set(zip(got["doc_a"], got["doc_b"]))
+        assert 3 not in set(got["doc_a"]) | set(got["doc_b"])
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSimhashEdgeCases:
     def test_trailing_empty_doc_regression(self, tmp_path):
         """An empty doc at batch END must not truncate the previous
