@@ -93,6 +93,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("exact_dedup", lambda: T.exact_dedup(sf_dir))
     timed("minhash_dedup_pairs", lambda: T.minhash_dedup_pairs(sf_dir))
     timed("ngram_jaccard_pairs", lambda: T.ngram_jaccard_pairs(sf_dir))
+    timed("simhash_near_dups", lambda: T.simhash_near_dups(sf_dir))
     timed("corpus_clean", lambda: T.corpus_clean(sf_dir))
     timed("token_topk", lambda: T.token_topk(sf_dir))
     timed("ann_topk", lambda: V.ann_topk(sf_dir))
