@@ -2,16 +2,19 @@
 frame-sample stages with real Ray plumbing and REAL codecs for the
 container-decodable formats.
 
-Per the build brief, image/audio payloads are opaque ``binary``
+Per the build brief, image/audio/video payloads are opaque ``binary``
 columns with typed metadata; decode is a ``map_batches`` stage.
-Two codecs are fully real, implemented on numpy + stdlib only:
+Three codecs are fully real, implemented on numpy + stdlib only:
 
 - **BMP** (24-bit uncompressed, the format the synthetic generator
   emits): header parse + bottom-up BGR row decode in ``_decode_bmp``.
 - **WAV** (16-bit PCM via stdlib ``wave``): ``_decode_wav``.
+- **Y4M** (YUV4MPEG2, the uncompressed video interchange format used
+  by ffmpeg/mplayer; plain-text header + raw planes): ``_decode_y4m``
+  — the video frame-sample stage decodes real container bytes.
 
 Formats that need codec libraries this container doesn't ship
-(JPEG/PNG/MP3/video) hit a clearly-marked ``NotImplementedError``
+(JPEG/PNG/MP3/H.264) hit a clearly-marked ``NotImplementedError``
 plug point; ``fake=True`` remains as a deterministic pseudo-decode
 for pipeline tests that want payload-independence. Everything around
 decode — schema, batch size, setup-once state, output layout — is
@@ -36,10 +39,11 @@ import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
-    ("kind", pa.string()),          # image | audio
-    ("width", pa.int32()),          # image metadata
+    ("kind", pa.string()),          # image | audio | video
+    ("width", pa.int32()),          # image/video metadata
     ("height", pa.int32()),
     ("sample_rate", pa.int32()),    # audio metadata
+    ("fps", pa.int32()),            # video metadata
     ("payload", pa.binary()),
 ])
 
@@ -106,6 +110,55 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raw = wv.readframes(wv.getnframes())
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
     return x, sr
+
+
+def encode_y4m(frames: np.ndarray, fps: int) -> bytes:
+    """uint8 luma frames (n, h, w) -> YUV4MPEG2 C444 bytes (grayscale
+    video: U = V = 128). Spec: plain-text stream header, then per
+    frame a ``FRAME\\n`` marker + raw Y, U, V planes."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    uv = np.full(h * w, 128, dtype=np.uint8).tobytes()
+    body = b"".join(b"FRAME\n" + frames[i].tobytes() + uv + uv
+                    for i in range(n))
+    return head + body
+
+
+def _decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 C444 bytes -> (uint8 luma frames (n, h, w), fps).
+    Parses the real header grammar (space-separated tagged params);
+    U/V planes are skipped — the feature stages only need luma."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = "C420"  # spec default
+    for tag in head[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("F"):
+            num, den = tag[1:].split(":")
+            fps = int(round(int(num) / int(den)))
+        elif tag.startswith("C"):
+            colorspace = tag
+    if colorspace != "C444":
+        raise NotImplementedError("only C444 planes implemented")
+    ysz = w * h
+    frame_sz = 3 * ysz
+    frames = []
+    off = nl + 1
+    while off < len(payload):
+        fnl = payload.index(b"\n", off)
+        if payload[off:off + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        off = fnl + 1
+        frames.append(np.frombuffer(payload, dtype=np.uint8,
+                                    count=ysz, offset=off).reshape(h, w))
+        off += frame_sz
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
 
 
 # ------------------------------------------------------------ stages
@@ -190,20 +243,66 @@ class AudioFrameSampler:
         return pd.DataFrame(rows)
 
 
+class VideoFrameSampler:
+    """map_batches stage: video payload -> evenly-spaced sampled-frame
+    luma means + a motion score (mean abs luma delta between
+    consecutive sampled frames) + duration. ``YUV4MPEG2`` magic ->
+    real Y4M decode; compressed codecs (H.264 etc.) hit the
+    NotImplementedError plug point where pyav/ffmpeg would slot in
+    (or ``fake=True`` yields a deterministic pseudo-clip)."""
+
+    def __init__(self, fake: bool = False, n_sample: int = 8):
+        self.fake = fake
+        self.n_sample = n_sample
+
+    def _decode(self, payload: bytes, width: int, height: int
+                ) -> tuple[np.ndarray, int]:
+        if payload[:9] == b"YUV4MPEG2":
+            return _decode_y4m(payload)
+        if not self.fake:
+            raise NotImplementedError(
+                "compressed video codec not available in this "
+                "container; plug av.open / ffmpeg here")
+        rng = np.random.RandomState(_seed_from_bytes(payload))
+        return rng.randint(0, 256, size=(12, height, width),
+                           dtype=np.uint8), 12
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"media_id": [], "frame_luma": [], "motion_score": [],
+                "duration_s": []}
+        for _, r in batch.iterrows():
+            frames, fps = self._decode(r["payload"], int(r["width"]),
+                                       int(r["height"]))
+            n = len(frames)
+            k = min(self.n_sample, n)
+            idx = ((np.arange(k) * n) // k) if k else np.empty(0, int)
+            sampled = frames[idx].astype(np.int32)
+            rows["media_id"].append(int(r["media_id"]))
+            rows["frame_luma"].append(
+                [float(f.mean()) for f in sampled])
+            motion = (float(np.abs(np.diff(sampled, axis=0)).mean())
+                      if k >= 2 else 0.0)
+            rows["motion_score"].append(round(motion, 4))
+            rows["duration_s"].append(round(n / fps, 6) if fps else 0.0)
+        return pd.DataFrame(rows)
+
+
 # ------------------------------------------------------------ source
 
 def synthetic_media(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table in MEDIA_SCHEMA. Payloads are REAL
     encoded files — 24-bit BMP gradients+noise for images, 16-bit PCM
-    WAV tones for audio — each a pure function of (i, seed), so the
-    decode stages exercise the actual codecs."""
+    WAV tones for audio, YUV4MPEG2 moving-gradient clips for video —
+    each a pure function of (i, seed), so the decode stages exercise
+    the actual codecs."""
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     rng = np.random.RandomState(seed)
     for i in range(n):
-        kind = "image" if i % 2 == 0 else "audio"
+        kind = ("image", "audio", "video")[i % 3]
         w = int(rng.randint(16, 64))
         h = int(rng.randint(16, 64))
         sr = 8000
+        fps = 0
         if kind == "image":
             gx = np.linspace(0, 255, w, dtype=np.float64)
             gy = np.linspace(0, 255, h, dtype=np.float64)
@@ -214,16 +313,27 @@ def synthetic_media(n: int, seed: int = 42) -> pa.Table:
                 np.full((h, w), (i * 37) % 256, dtype=np.float64),
             ], axis=2).astype(np.uint8)
             payload = encode_bmp(img)
-        else:
+        elif kind == "audio":
             dur = 0.25 + float(rng.randint(0, 4)) / 8.0
             t = np.arange(int(sr * dur)) / sr
             freq = 110.0 * (1 + i % 8)
             payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), sr)
+        else:
+            fps = 12
+            nf = 8 + 4 * (i % 3)
+            gx = np.linspace(0, 255, w, dtype=np.float64)
+            gy = np.linspace(0, 255, h, dtype=np.float64)
+            base = (gy[:, None] + gx[None, :]) / 2
+            shift = 7 * np.arange(nf, dtype=np.float64)
+            clip = ((base[None, :, :] + shift[:, None, None]) % 256) \
+                .astype(np.uint8)
+            payload = encode_y4m(clip, fps)
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["width"].append(w)
         rows["height"].append(h)
         rows["sample_rate"].append(sr)
+        rows["fps"].append(fps)
         rows["payload"].append(payload)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
@@ -256,6 +366,17 @@ def media_features(n: int = 200, seed: int = 42):
                 lambda f: round(float(np.mean(f)), 4)),
             "kind": "audio"})
 
-    out = images.map_batches(img_norm, batch_format="pandas").union(
-        audio.map_batches(aud_norm, batch_format="pandas"))
+    video = ds.filter(expr="kind == 'video'").map_batches(
+        VideoFrameSampler, batch_format="pandas", batch_size=64,
+        concurrency=(1, 2))
+
+    def vid_norm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": b["media_id"],
+            "feature": b["motion_score"].round(4),
+            "kind": "video"})
+
+    out = (images.map_batches(img_norm, batch_format="pandas")
+           .union(audio.map_batches(aud_norm, batch_format="pandas"))
+           .union(video.map_batches(vid_norm, batch_format="pandas")))
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)

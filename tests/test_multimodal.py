@@ -3,8 +3,9 @@ import pandas as pd
 import pytest
 
 from osm_sidewalkreator_ray.stages.multimodal import (
-    AudioFrameSampler, ImageDecoder, _decode_bmp, _decode_wav,
-    encode_bmp, encode_wav, media_features, synthetic_media)
+    AudioFrameSampler, ImageDecoder, VideoFrameSampler, _decode_bmp,
+    _decode_wav, _decode_y4m, encode_bmp, encode_wav, encode_y4m,
+    media_features, synthetic_media)
 
 
 def test_bmp_roundtrip():
@@ -23,10 +24,20 @@ def test_wav_roundtrip():
     assert np.abs(y - x).max() < 1e-4  # 16-bit quantization only
 
 
+def test_y4m_roundtrip():
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(5, 9, 17), dtype=np.uint8)
+    out, fps = _decode_y4m(encode_y4m(frames, 24))
+    assert fps == 24
+    np.testing.assert_array_equal(out, frames)
+    # the bytes are a spec-conformant YUV4MPEG2 stream
+    assert encode_y4m(frames, 24).startswith(b"YUV4MPEG2 W17 H9 F24:1")
+
+
 def test_real_decode_of_synthetic_payloads():
-    """The synthetic table carries real BMP/WAV bytes; the default
+    """The synthetic table carries real BMP/WAV/Y4M bytes; the default
     (non-fake) decoders must handle them."""
-    t = synthetic_media(6).to_pandas()
+    t = synthetic_media(9).to_pandas()
     img_out = ImageDecoder()(t[t["kind"] == "image"])
     assert len(img_out) == 3 and len(img_out.iloc[0]["thumb"]) == 64
     # gradient images: mean luma well inside (0, 255)
@@ -37,24 +48,34 @@ def test_real_decode_of_synthetic_payloads():
     e = np.mean(aud_out.iloc[0]["frame_energy"])
     assert 0.2 < e < 0.5
     assert aud_out["duration_s"].between(0.2, 1.0).all()
+    vid_out = VideoFrameSampler()(t[t["kind"] == "video"])
+    assert len(vid_out) == 3
+    # moving gradient: nonzero motion, plausible duration (8-16 @12fps)
+    assert (vid_out["motion_score"] > 0).all()
+    assert vid_out["duration_s"].between(0.5, 1.5).all()
+    assert all(len(f) == 8 for f in vid_out["frame_luma"])
 
 
 def test_undecodable_payload_is_marked():
     """Formats needing absent codec libs raise at the plug point."""
-    t = synthetic_media(2).to_pandas()
-    jpeg_ish = t.copy()
-    jpeg_ish["payload"] = [b"\xff\xd8\xff\xe0 not a real jpeg"] * len(t)
+    t = synthetic_media(3).to_pandas()
+    bogus = t.copy()
+    bogus["payload"] = [b"\xff\xd8\xff\xe0 not a real codec"] * len(t)
     with pytest.raises(NotImplementedError):
-        ImageDecoder()(jpeg_ish[jpeg_ish["kind"] == "image"])
+        ImageDecoder()(bogus[bogus["kind"] == "image"])
     with pytest.raises(NotImplementedError):
-        AudioFrameSampler()(jpeg_ish[jpeg_ish["kind"] == "audio"])
+        AudioFrameSampler()(bogus[bogus["kind"] == "audio"])
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler()(bogus[bogus["kind"] == "video"])
     # fake mode stays available for payload-independent pipeline tests
-    out = ImageDecoder(fake=True)(jpeg_ish[jpeg_ish["kind"] == "image"])
+    out = ImageDecoder(fake=True)(bogus[bogus["kind"] == "image"])
+    assert len(out) == 1
+    out = VideoFrameSampler(fake=True)(bogus[bogus["kind"] == "video"])
     assert len(out) == 1
 
 
 def test_stub_decode_deterministic():
-    t = synthetic_media(4).to_pandas()
+    t = synthetic_media(6).to_pandas()
     dec = ImageDecoder(fake=True)
     out1 = dec(t[t["kind"] == "image"])
     out2 = dec(t[t["kind"] == "image"])
@@ -64,9 +85,9 @@ def test_stub_decode_deterministic():
 
 @pytest.mark.usefixtures("ray_session")
 def test_media_pipeline_end_to_end():
-    df = media_features(n=100)
-    assert len(df) == 100
-    assert set(df["kind"]) == {"image", "audio"}
+    df = media_features(n=99)
+    assert len(df) == 99
+    assert set(df["kind"]) == {"image", "audio", "video"}
     assert "payload" not in df.columns  # wide column dropped in-stage
     # deterministic through the distributed path
-    pd.testing.assert_frame_equal(df, media_features(n=100))
+    pd.testing.assert_frame_equal(df, media_features(n=99))
