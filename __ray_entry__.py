@@ -133,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "corpus_clean": T.CORPUS_CLEAN_SQL,
+        "sample_documents": T.SAMPLE_DOCUMENTS_SQL,
         "embedding_norms": V.NORMS_SQL,
         "ann_topk": V.ANN_TOPK_SQL,
         "knn_join_sample": V.KNN_SQL,

@@ -861,17 +861,20 @@ ORDER BY s.doc_id
 
 def sample_documents(sf_dir: str, n: int = 100, seed: int = 42):
     """Deterministic uniform sample WITHOUT a shuffle: every doc gets
-    a pseudo-random rank ``hash(doc_id, seed)``; the global n smallest
-    ranks are the sample (exactly uniform over distinct ids). Runs as
+    a pseudo-random rank ``knuth_hash(doc_id, seed)`` (multiplicative
+    hash mod 2^32 — an odd multiplier, so a permutation of ids below
+    2^32); the global n smallest ranks are the sample. Runs as
     per-batch partial top-n -> driver merge of n rows per batch — the
     scale path where ``random_shuffle``/``random_sample`` would move
-    or scan-and-drop the whole corpus. Rows-only check (hash order is
-    not SQL-reproducible); determinism + size tested."""
+    or scan-and-drop the whole corpus. The rank is plain modular
+    arithmetic so the DuckDB oracle reproduces it exactly
+    (SAMPLE_DOCUMENTS_SQL)."""
     ds = _read_docs(sf_dir, ["doc_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy()
-        rank = pd.util.hash_array(ids + np.int64(seed) * np.int64(2654435761))
+        rank = ((ids.astype(np.uint64) + np.uint64(seed))
+                * np.uint64(2654435761)) % np.uint64(1 << 32)
         k = min(n, len(ids))
         top = np.argpartition(rank, k - 1)[:k] if k else np.empty(0, int)
         return pd.DataFrame({"doc_id": ids[top], "rank": rank[top]})
@@ -879,3 +882,14 @@ def sample_documents(sf_dir: str, n: int = 100, seed: int = 42):
     df = ds.map_batches(partial, batch_format="pandas").to_pandas()
     df = df.nsmallest(n, "rank")
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# HUGEINT keeps the product exact for any id; taking mod 2^32 of the
+# exact product matches numpy's uint64 wraparound (2^32 divides 2^64).
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ((doc_id::HUGEINT + 42) * 2654435761) % 4294967296 AS rank
+  FROM documents ORDER BY rank, doc_id LIMIT 100)
+ORDER BY doc_id
+"""
