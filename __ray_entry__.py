@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": R.events_distinct_users,
         "events_funnel": R.events_funnel,
         "q14_promo_revenue": R.q14_promo_revenue,
+        "q12_priority_shipping": R.q12_priority_shipping,
         "customers_no_urgent_orders": R.customers_no_urgent_orders,
         "top3_parts_per_brand": R.top3_parts_per_brand,
         "events_daily_rollup": R.events_daily_rollup,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": R.EVENTS_DISTINCT_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "q14_promo_revenue": R.Q14_SQL,
+        "q12_priority_shipping": R.Q12_SQL,
         "customers_no_urgent_orders": R.ANTI_JOIN_SQL,
         "top3_parts_per_brand": R.TOP3_BRAND_SQL,
         "events_daily_rollup": R.EVENTS_ROLLUP_SQL,

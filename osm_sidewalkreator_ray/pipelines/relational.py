@@ -759,3 +759,57 @@ def events_user_count_approx_by_type(sf_dir: str, b: int = 12):
     from ..functions.aggregates import hll_distinct_by
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return hll_distinct_by(ds, "event_type", "user_id", b=b)
+
+
+def q12_priority_shipping(sf_dir: str):
+    """TPC-H Q12 shape: large-large equi-join (orders |><| lineitem on
+    orderkey through the explicit partitioned hash join) + conditional
+    priority counts per return flag. The conditional aggregate is
+    pushed into the join buckets — a bucket holds every lineitem of
+    its orderkeys, so per-flag counts are exact there and only
+    ``num_buckets x 3`` partial rows ever reach the driver."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.less(t["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1996-01-01")))))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_returnflag": t["l_returnflag"]})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]) \
+            .to_numpy(dtype=bool)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "high_line_count": high.astype(np.int64),
+                          "low_line_count": (~high).astype(np.int64)})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    out = hash_partition_join(orders, li, on="o_orderkey",
+                              num_buckets=16, group_fn=bucket_counts)
+    df = (out.to_pandas()
+             .groupby("l_returnflag", as_index=False)[
+                 ["high_line_count", "low_line_count"]].sum())
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -186,6 +186,10 @@ class TestRound2Oracles:
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q14_promo_revenue(SF), R.Q14_SQL, con)
 
+    def test_q12_priority_shipping(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q12_priority_shipping(SF), R.Q12_SQL, con)
+
     def test_customers_no_urgent_orders(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.customers_no_urgent_orders(SF), R.ANTI_JOIN_SQL, con)
