@@ -89,6 +89,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     timed("q1_pricing_summary", lambda: R.q1_pricing_summary(sf_dir))
     timed("q3_top_revenue_orders", lambda: R.q3_top_revenue_orders(sf_dir))
+    timed("q12_priority_shipping", lambda: R.q12_priority_shipping(sf_dir))
     timed("events_user_windows", lambda: R.events_user_windows(sf_dir))
     timed("exact_dedup", lambda: T.exact_dedup(sf_dir))
     timed("minhash_dedup_pairs", lambda: T.minhash_dedup_pairs(sf_dir))
