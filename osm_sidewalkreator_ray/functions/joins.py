@@ -120,6 +120,8 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
     lcols = list(lschema.names)
     rcols = list(rschema.names)
 
+    key_type = combined.field(on).type
+
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
             arrays, names = [], []
@@ -129,7 +131,13 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
                     arrays.append(t[field.name].cast(field.type))
                 else:
                     arrays.append(pa.nulls(len(t), field.type))
-            b = _stable_bucket(t[on].to_pandas(), num_buckets)
+            # bucket on the key CAST to the shared schema type: hashing
+            # the raw column would bucket int64 keys differently from
+            # the same keys arriving as float64 (e.g. null-padded
+            # through an upstream join), silently dropping ~(B-1)/B of
+            # the matches
+            key = t[on].cast(key_type).to_pandas()
+            b = _stable_bucket(key, num_buckets)
             names += [_BUCKET, _SIDE]
             arrays += [pa.array(b), pa.array(np.full(len(t), side, dtype=np.int8))]
             return pa.table(arrays, names=names)
@@ -138,9 +146,22 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
     unioned = (left.map_batches(tag(0), batch_format="pyarrow")
                .union(right.map_batches(tag(1), batch_format="pyarrow")))
 
+    int_types = {f.name: f.type for f in combined
+                 if pa.types.is_integer(f.type)}
+
+    def _restore_ints(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        # null-padding the union turns each side's int columns into
+        # float64 (NaN rows belong to the OTHER side); within one side
+        # they are non-null, so the original dtype is restored here —
+        # keeping join keys int through chained joins
+        for c in cols:
+            if c in int_types and df[c].dtype != np.int64:
+                df[c] = df[c].astype(np.int64)
+        return df
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group[_SIDE] == 0, lcols]
-        r = group.loc[group[_SIDE] == 1, rcols]
+        l = _restore_ints(group.loc[group[_SIDE] == 0, lcols].copy(), lcols)
+        r = _restore_ints(group.loc[group[_SIDE] == 1, rcols].copy(), rcols)
         out = l.merge(r, on=on, how=how)
         return group_fn(out) if group_fn is not None else out
 

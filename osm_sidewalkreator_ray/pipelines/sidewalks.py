@@ -143,35 +143,61 @@ def _unpack_arrays(blob: bytes) -> list[np.ndarray]:
     return out
 
 
-def _tag_zones(n0, n1, seg_width, seg_sidewalk, cfg):
+def _norm_tag(v) -> str:
+    if v is None:
+        return ""
+    s = str(v).strip().lower()
+    return "" if s in ("none", "nan") else s
+
+
+def _tag_zones(n0, n1, seg_width, seg_sidewalk, seg_left, seg_right,
+               seg_both, cfg):
     """M12 exclusion + sure zones as arrays: rows
     (ax, ay, bx, by, radius, side); side 0=both, -1=left of direction,
-    +1=right. Reference tag dispatch (osm_sidewalkreator.py:1999-2090,
-    sidewalk_generation_logic.py:436-619, Qgis.BufferSide Left=0/
-    Right=1):
+    +1=right. Reference tag dispatch over BOTH the ``sidewalk=`` value
+    form and the separate ``sidewalk:left/right/both`` key form
+    (headless elif chain sidewalk_generation_logic.py:493-574; GUI
+    osm_sidewalkreator.py:1999-2090 — the GUI swaps sides for the
+    ``sidewalk:left=yes``/``sidewalk:right=yes`` sure zones, a quirk we
+    do NOT replicate; headless side semantics are used):
 
-    - sidewalk=no    -> exclusion both sides
-    - sidewalk=left  -> SURE zone left,  exclusion right
-    - sidewalk=right -> SURE zone right, exclusion left
-    - sidewalk=yes/both -> sure zone both sides
+    - sidewalk=no or sidewalk:both=no          -> exclusion both sides
+    - sidewalk=left or sidewalk:left=yes       -> sure left,  excl right
+    - sidewalk=right or sidewalk:right=yes     -> sure right, excl left
+    - sidewalk:left=no                         -> exclusion left
+    - sidewalk:right=no                        -> exclusion right
+    - sidewalk=yes/both or sidewalk:both=yes   -> sure zone both sides
 
+    Untagged streets emit nothing (GUI semantics; the headless default
+    full-buffer sure zone per untagged street would be O(corpus) noise).
     Returns (exclusion_rows, sure_rows)."""
     excl, sure = [], []
     for i in range(len(n0)):
-        tag = seg_sidewalk[i]
-        if tag is None or tag == "":
+        tag = _norm_tag(seg_sidewalk[i])
+        lt = _norm_tag(seg_left[i])
+        rt = _norm_tag(seg_right[i])
+        bt = _norm_tag(seg_both[i])
+        if not (tag or lt or rt or bt):
             continue
         radius = (seg_width[i] + cfg.d_to_add_to_each_side + 1.0) / 2.0 + 0.5
         row = (n0[i, 0], n0[i, 1], n1[i, 0], n1[i, 1], radius)
-        if tag == "no":
+        if tag == "no" or bt == "no":
             excl.append(row + (0.0,))
-        elif tag == "left":
+        elif tag == "left" or lt == "yes":
             sure.append(row + (-1.0,))
             excl.append(row + (1.0,))
-        elif tag == "right":
+        elif tag == "right" or rt == "yes":
             sure.append(row + (1.0,))
             excl.append(row + (-1.0,))
-        elif tag in ("yes", "both"):
+        elif lt == "no":
+            excl.append(row + (-1.0,))
+            if rt == "yes":  # parity branch (covered by the elif above)
+                sure.append(row + (1.0,))
+        elif rt == "no":
+            excl.append(row + (1.0,))
+            if lt == "yes":  # parity branch (covered by the elif above)
+                sure.append(row + (-1.0,))
+        elif tag in ("yes", "both") or bt == "yes":
             sure.append(row + (0.0,))
     return (np.asarray(excl, dtype=np.float64).reshape(-1, 6),
             np.asarray(sure, dtype=np.float64).reshape(-1, 6))
@@ -217,9 +243,15 @@ def cell_graph(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     coords, offsets, part = wkb.decode_lines(group["geometry_wkb"].tolist())
     local = project.coords_to_local(coords, frame)
     widths = group["width_m"].to_numpy()[part]
-    sidewalk_tags = (group["sidewalk"].to_numpy()[part]
-                     if "sidewalk" in group
-                     else np.array([None] * len(part), dtype=object))
+
+    def _tag_col(name: str) -> np.ndarray:
+        return (group[name].to_numpy()[part] if name in group
+                else np.array([None] * len(part), dtype=object))
+
+    sidewalk_tags = _tag_col("sidewalk")
+    left_tags = _tag_col("sidewalk_left")
+    right_tags = _tag_col("sidewalk_right")
+    both_tags = _tag_col("sidewalk_both")
 
     s0, s1, li = pg.explode_segments(local, offsets)
     metrics = {"n_streets": len(group), "n_segments": 0, "n_protoblocks": 0}
@@ -242,7 +274,9 @@ def cell_graph(group: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
 
     halfw = widths[parent] / 2.0 + cfg.d_to_add_to_each_side / 2.0
     zones, sure_zones = _tag_zones(n0, n1, widths[parent],
-                                   sidewalk_tags[parent], cfg)
+                                   sidewalk_tags[parent],
+                                   left_tags[parent], right_tags[parent],
+                                   both_tags[parent], cfg)
 
     def owns(x: float, y: float) -> bool:
         lon, lat = project.to_lonlat(x, y, frame)

@@ -110,6 +110,9 @@ def read_streets_geojson(path_or_str: str):
         rows["highway"].append(_s(props.get("highway")))
         rows["width"].append(_s(props.get("width")))
         rows["sidewalk"].append(_s(props.get("sidewalk")))
+        rows["sidewalk_left"].append(_s(props.get("sidewalk:left")))
+        rows["sidewalk_right"].append(_s(props.get("sidewalk:right")))
+        rows["sidewalk_both"].append(_s(props.get("sidewalk:both")))
         rows["footway"].append(_s(props.get("footway")))
         rows["geometry_wkb"].append(wkb.encode_line(coords))
     return pa.table(rows, schema=STREET_SCHEMA)

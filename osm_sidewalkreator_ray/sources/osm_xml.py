@@ -106,7 +106,9 @@ def parse_osm_xml(xml_bytes: bytes, layer: str = "lines") -> pa.Table:
 
     if layer == "lines":
         rows = {"way_id": [], "highway": [], "width": [], "sidewalk": [],
-                "footway": [], "tags": [], "geometry_wkb": []}
+                "sidewalk_left": [], "sidewalk_right": [],
+                "sidewalk_both": [], "footway": [], "tags": [],
+                "geometry_wkb": []}
         for wid, tags in way_tags.items():
             if "highway" not in tags:
                 continue
@@ -117,6 +119,9 @@ def parse_osm_xml(xml_bytes: bytes, layer: str = "lines") -> pa.Table:
             rows["highway"].append(tags.get("highway"))
             rows["width"].append(tags.get("width"))
             rows["sidewalk"].append(tags.get("sidewalk"))
+            rows["sidewalk_left"].append(tags.get("sidewalk:left"))
+            rows["sidewalk_right"].append(tags.get("sidewalk:right"))
+            rows["sidewalk_both"].append(tags.get("sidewalk:both"))
             rows["footway"].append(tags.get("footway"))
             rows["tags"].append(json.dumps(
                 {k: v for k, v in sorted(tags.items())
@@ -177,8 +182,9 @@ def parse_osm_xml(xml_bytes: bytes, layer: str = "lines") -> pa.Table:
             # single-polygon (ring 0 = shell, rest = holes), so emit
             # one row per outer ring — mirroring the GDAL driver's
             # per-part geometry — assigning each inner ring to the
-            # outer that contains its first vertex. Part ids extend
-            # the relation id so they stay stable and unique.
+            # outer that contains its first vertex. Relation parts get
+            # a NEGATIVE id space (-(rid<<12 | part)-1) so they can
+            # never collide with a plain closed-way building id.
             from ..geom import core as _core
             rid = int(rel.get("id"))
             for pi, outer in enumerate(outers):
@@ -187,7 +193,8 @@ def parse_osm_xml(xml_bytes: bytes, layer: str = "lines") -> pa.Table:
                         if _core.points_in_ring(
                             np.asarray([inn[0][0]]),
                             np.asarray([inn[0][1]]), ring_np)[0]]
-                emit(rid * 1000 + pi, tags, [outer] + mine)
+                emit(-((rid << 12) | (pi & 0xFFF)) - 1, tags,
+                     [outer] + mine)
 
     return pa.table({
         "building_id": pa.array(rows["building_id"], pa.int64()),

@@ -35,6 +35,9 @@ STREET_SCHEMA = pa.schema([
     ("highway", pa.string()),
     ("width", pa.string()),
     ("sidewalk", pa.string()),
+    ("sidewalk_left", pa.string()),
+    ("sidewalk_right", pa.string()),
+    ("sidewalk_both", pa.string()),
     ("footway", pa.string()),
     ("geometry_wkb", pa.binary()),
 ])
@@ -58,6 +61,9 @@ def streets_unit_square(side_m: float = 100.0) -> pa.Table:
         rows["highway"].append("residential")
         rows["width"].append(None)
         rows["sidewalk"].append(None)
+        rows["sidewalk_left"].append(None)
+        rows["sidewalk_right"].append(None)
+        rows["sidewalk_both"].append(None)
         rows["footway"].append(None)
         rows["geometry_wkb"].append(
             wkb.encode_line(np.column_stack((lon, lat))))
@@ -66,10 +72,16 @@ def streets_unit_square(side_m: float = 100.0) -> pa.Table:
 
 def streets_grid(n: int = 4, m: int = 4, spacing_m: float = 100.0,
                  seed: int = 42, spur_frac: float = 0.05,
-                 tagged_frac: float = 0.10) -> pa.Table:
+                 tagged_frac: float = 0.10,
+                 key_tagged_frac: float = 0.0) -> pa.Table:
     """Manhattan grid: (n+1) N-S x (m+1) E-W streets split into
     segments; seeded highway classes/widths; dangling spurs; a couple
-    of ignored-width classes (class filter coverage)."""
+    of ignored-width classes (class filter coverage).
+
+    ``key_tagged_frac`` > 0 additionally assigns the separate OSM key
+    form (``sidewalk:left/right/both`` columns) to that fraction of the
+    value-untagged segments, from an independent RNG stream so the base
+    table stays byte-identical to ``key_tagged_frac=0`` runs."""
     rng = np.random.RandomState(seed)
     classes = ["residential", "tertiary", "secondary"]
     rows = {k: [] for k in STREET_SCHEMA.names}
@@ -83,6 +95,9 @@ def streets_grid(n: int = 4, m: int = 4, spacing_m: float = 100.0,
         rows["highway"].append(highway)
         rows["width"].append(width)
         rows["sidewalk"].append(sidewalk)
+        rows["sidewalk_left"].append(None)
+        rows["sidewalk_right"].append(None)
+        rows["sidewalk_both"].append(None)
         rows["footway"].append(footway)
         rows["geometry_wkb"].append(wkb.encode_line(np.column_stack((lon, lat))))
         wid += 1
@@ -118,6 +133,22 @@ def streets_grid(n: int = 4, m: int = 4, spacing_m: float = 100.0,
     # ignored classes (width 0 -> class filter must drop them)
     add_segment((10.0, 10.0), (40.0, 10.0), "footway")
     add_segment((15.0, 15.0), (15.0, 55.0), "service")
+    if key_tagged_frac > 0:
+        # separate key-form tags (sidewalk:left=yes etc.), the most
+        # common real-OSM one-sided tagging — independent RNG stream
+        rng2 = np.random.RandomState(seed + 13)
+        combos = [("yes", None, None), (None, "yes", None),
+                  ("no", None, None), (None, "no", None),
+                  (None, None, "no"), (None, None, "yes"),
+                  ("yes", "no", None)]
+        for i in range(len(rows["way_id"])):
+            draw = rng2.rand()
+            if rows["sidewalk"][i] is not None or draw >= key_tagged_frac:
+                continue
+            lt, rt, bt = combos[rng2.randint(0, len(combos))]
+            rows["sidewalk_left"][i] = lt
+            rows["sidewalk_right"][i] = rt
+            rows["sidewalk_both"][i] = bt
     return pa.table(rows, schema=STREET_SCHEMA)
 
 
@@ -302,7 +333,9 @@ def pages_dataset_for_sf(sf_dir: str):
 
 def grid_for_sf(sf_dir: str) -> pa.Table:
     """Street grid scaled to the testdata sf (4x4 blocks at sf0.001,
-    growing with sqrt(sf) so cells stay neighborhood-sized)."""
+    growing with sqrt(sf) so cells stay neighborhood-sized). Includes
+    the separate ``sidewalk:left/right/both`` key form on 5% of the
+    value-untagged segments (M12 key dispatch coverage)."""
     sf = sf_from_dir(sf_dir)
     n = max(4, int(round(4 * np.sqrt(sf / 0.001))))
-    return streets_grid(n=n, m=n)
+    return streets_grid(n=n, m=n, key_tagged_frac=0.05)

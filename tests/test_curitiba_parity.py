@@ -245,8 +245,12 @@ class TestMultiOuterRelations:
                           layer="multipolygons").to_pandas()
         # 1 closed way + 2 parts of the 2-outer relation
         assert len(t) == 3
-        rel_parts = t[t["building_id"] >= 200000]
+        # relation parts live in a disjoint NEGATIVE id space
+        # (-(rid<<12 | part)-1) so they can never collide with way ids
+        rel_parts = t[t["building_id"] < 0]
         assert len(rel_parts) == 2
+        assert set(rel_parts["building_id"]) == {-(200 << 12) - 1,
+                                                 -((200 << 12) | 1) - 1}
         # each part decodes as a simple polygon (shell only, no
         # phantom hole made from the sibling outer)
         from osm_sidewalkreator_ray.geom import wkb

@@ -188,6 +188,8 @@ def test_width_shrink_multilinestring_street():
         "way_id": [1, 2],
         "highway": ["residential", "residential"],
         "width": [None, None], "sidewalk": [None, None],
+        "sidewalk_left": [None, None], "sidewalk_right": [None, None],
+        "sidewalk_both": [None, None],
         "footway": [None, None],
         "geometry_wkb": [
             ml_wkb([line_m((500.0, 0.0), (560.0, 0.0)),

@@ -133,7 +133,9 @@ def test_tag_zone_sides_match_reference():
     n1 = np.tile([100.0, 0.0], (4, 1))  # all pointing +x: left is +y
     w = np.full(4, 6.0)
     tags = np.array(["left", "right", "no", "yes"], dtype=object)
-    excl, sure = _tag_zones(n0, n1, w, tags, PipelineConfig())
+    none4 = np.array([None] * 4, dtype=object)
+    excl, sure = _tag_zones(n0, n1, w, tags, none4, none4, none4,
+                            PipelineConfig())
     # rows are (ax, ay, bx, by, radius, side); side -1=left, +1=right
     assert len(excl) == 2 + 1  # left->1, right->1, no->1
     assert len(sure) == 2 + 1  # left->1, right->1, yes->1
@@ -145,6 +147,84 @@ def test_tag_zone_sides_match_reference():
     assert excl[2][5] == 0.0
     # sidewalk=yes: sure both (0)
     assert sure[2][5] == 0.0
+
+
+def test_tag_zone_key_dispatch():
+    """M12 key form (sidewalk_generation_logic.py:493-574): the
+    separate sidewalk:left/right/both KEYS dispatch like the value
+    form — a street tagged ONLY sidewalk:left=yes gets a left sure
+    zone + right exclusion; sidewalk:both=no excludes both sides;
+    sidewalk:left=no excludes only the left."""
+    import numpy as np
+    from osm_sidewalkreator_ray.pipelines.sidewalks import _tag_zones
+    from osm_sidewalkreator_ray.config import PipelineConfig
+    n = 5
+    n0 = np.zeros((n, 2))
+    n1 = np.tile([100.0, 0.0], (n, 1))
+    w = np.full(n, 6.0)
+    none = np.array([None] * n, dtype=object)
+    lt = np.array(["yes", None, "no", None, None], dtype=object)
+    rt = np.array([None, "yes", None, "no", None], dtype=object)
+    bt = np.array([None, None, None, None, "no"], dtype=object)
+    excl, sure = _tag_zones(n0, n1, w, none, lt, rt, bt, PipelineConfig())
+    # row 0: left=yes -> sure LEFT (-1) + exclusion RIGHT (+1)
+    # row 1: right=yes -> sure RIGHT (+1) + exclusion LEFT (-1)
+    # row 2: left=no -> exclusion LEFT only
+    # row 3: right=no -> exclusion RIGHT only
+    # row 4: both=no -> exclusion both sides (0)
+    assert len(sure) == 2 and len(excl) == 5
+    assert sure[0][5] == -1.0 and excl[0][5] == 1.0
+    assert sure[1][5] == 1.0 and excl[1][5] == -1.0
+    assert excl[2][5] == -1.0
+    assert excl[3][5] == 1.0
+    assert excl[4][5] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sidewalk_left_key_survives_end_to_end():
+    """A street tagged ONLY sidewalk:left=yes (no sidewalk= value)
+    produces a one-sided sure zone through the whole build — the
+    round-2 parser/dispatch gap (VERDICT r2 finding #1)."""
+    import ray.data as rd
+    import pyarrow as pa
+    from osm_sidewalkreator_ray.sources import synthetic as SYN
+    from osm_sidewalkreator_ray.pipelines import sidewalks as SW
+    from osm_sidewalkreator_ray.config import PipelineConfig
+    tbl = SYN.streets_grid(n=3, m=3, spacing_m=150.0, tagged_frac=0.0)
+    lt = tbl["sidewalk_left"].to_pylist()
+    lt[0] = "yes"
+    tbl = tbl.set_column(tbl.schema.get_field_index("sidewalk_left"),
+                         "sidewalk_left", pa.array(lt, pa.string()))
+    feats = SW.build_features(rd.from_arrow(tbl),
+                              PipelineConfig()).to_pandas()
+    sz = feats[feats["kind"] == "sure_zone"]
+    assert len(sz) >= 1
+    assert (sz["area_m2"] > 0).all()
+
+
+def test_parser_emits_sidewalk_key_columns():
+    """S3: sidewalk:left/right/both survive parse_osm_xml as columns
+    (round 2 dropped them entirely)."""
+    from osm_sidewalkreator_ray.sources.osm_xml import parse_osm_xml
+    xml = (b'<osm>'
+           b'<node id="1" lat="0.0" lon="0.0"/>'
+           b'<node id="2" lat="0.0" lon="0.001"/>'
+           b'<way id="10"><nd ref="1"/><nd ref="2"/>'
+           b'<tag k="highway" v="residential"/>'
+           b'<tag k="sidewalk:left" v="yes"/>'
+           b'<tag k="sidewalk:right" v="no"/></way>'
+           b'<way id="11"><nd ref="1"/><nd ref="2"/>'
+           b'<tag k="highway" v="tertiary"/>'
+           b'<tag k="sidewalk:both" v="no"/>'
+           b'<tag k="surface" v="asphalt"/></way>'
+           b'</osm>')
+    t = parse_osm_xml(xml, "lines").to_pandas().set_index("way_id")
+    assert t.loc[10, "sidewalk_left"] == "yes"
+    assert t.loc[10, "sidewalk_right"] == "no"
+    assert t.loc[11, "sidewalk_both"] == "no"
+    # key tags are columns, NOT duplicated into the tags json
+    assert "sidewalk" not in t.loc[11, "tags"]
+    assert "surface" in t.loc[11, "tags"]
 
 
 @pytest.mark.usefixtures("ray_session")
