@@ -54,10 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": R.customers_no_urgent_orders,
         "top3_parts_per_brand": R.top3_parts_per_brand,
         "events_daily_rollup": R.events_daily_rollup,
-        "events_user_count_approx": R.events_user_count_approx,
+        # global HLL rides as the event_type='*' row of the grouped form
         "events_user_count_approx_by_type": R.events_user_count_approx_by_type,
         # text analysis + dedup (training-data operator family)
-        "doc_token_counts": T.doc_token_counts,
+        # (doc_token_counts folded: doc_quality's n_tokens column IS the
+        # token count, same SQL semantics)
         "doc_quality": T.doc_quality,
         "doc_fingerprint": T.doc_fingerprint,
         "lang_id": T.lang_id,
@@ -66,7 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "near_dup_components": T.near_dup_components,
-        "simhash_fingerprints": T.simhash_fingerprints,
+        # simhash_fingerprints folded: near_dups computes and consumes
+        # the fingerprints; the per-doc export is pytest-covered
         "simhash_near_dups": T.simhash_near_dups,
         "token_topk": T.token_topk,
         "doc_length_quantiles": T.doc_length_quantiles,
@@ -78,12 +80,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_sample": V.knn_join_sample,
         "embedding_near_dups": V.embedding_near_dups,
         "ivf_topk": G.ivf_topk_query,
-        # geospatial flagship (rows-only: not SQL-expressible)
-        "sidewalk_tiles": G.sidewalk_tiles_query,
-        "protoblocks": G.protoblocks_query,
+        # geospatial flagship (rows-only: not SQL-expressible).
+        # Folded per the driver's 50-query cap: protoblocks + tiles +
+        # sure zones ride one build (kind column); both crossing modes
+        # ride one export (mode column); buildings/POIs ride the parser
+        # export (layer column).
+        "sidewalk_features": G.sidewalk_features_query,
         "crossings_kerbs": G.crossings_kerbs_query,
-        "crossings_kerbs_gui": G.crossings_kerbs_gui_query,
-        "sure_zones": G.sure_zones_query,
         "page_text_extract": G.page_text_extract_query,
         "page_geotags": G.page_geotags_query,
         "page_tile_join": G.page_tile_join_query,
@@ -92,7 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossing_spacing": G.crossing_spacing_query,
         "sidewalk_split": G.sidewalk_split_query,
         "osm_xml_parse": G.osm_xml_parse_query,
-        "osm_buildings_pois": G.osm_buildings_pois_query,
         "media_features": G.media_features_query,
         "intersections_voronoi": G.intersections_voronoi_query,
     }
@@ -123,7 +125,6 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_urgent_orders": R.ANTI_JOIN_SQL,
         "top3_parts_per_brand": R.TOP3_BRAND_SQL,
         "events_daily_rollup": R.EVENTS_ROLLUP_SQL,
-        "doc_token_counts": T.TOKEN_COUNT_SQL,
         "doc_quality": T.QUALITY_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
         "lang_id": T.LANG_ID_SQL,
@@ -132,6 +133,8 @@ def oracle_sql() -> dict[str, str]:
         # string-shingle Jaccard == the engine's hash-shingle Jaccard
         # (64-bit hashes; set semantics identical absent collisions)
         "ngram_jaccard_pairs": T.NGRAM_JACCARD_SQL,
+        # components over the exact pairs: recursive closure, min-label
+        "near_dup_components": T.NEAR_DUP_COMPONENTS_SQL,
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "corpus_clean": T.CORPUS_CLEAN_SQL,

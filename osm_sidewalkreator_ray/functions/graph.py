@@ -94,6 +94,7 @@ def connected_components(edges, num_buckets: int = 32,
         return pd.concat([lab, cand], ignore_index=True)
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         tagged = labels.map_batches(tag_labels, batch_format="pandas")
         merged = (edge_rows.union(tagged).groupby("bucket")
@@ -107,7 +108,20 @@ def connected_components(edges, num_buckets: int = 32,
             lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
             batch_format="pandas").to_pandas()["s"].sum()
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # min-label propagation needs O(diameter) rounds; silently
+        # returning here would SPLIT any component whose diameter
+        # exceeds max_iters (e.g. a >max_iters-long chain of templated
+        # near-dup pages) into several keep-representatives. Fail loud;
+        # callers with pathological chains should raise max_iters (or
+        # switch to a hash-to-min / pointer-doubling variant, Rastogi
+        # et al. ICDE'13, whose rounds scale with log diameter).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (component diameter exceeds max_iters); "
+            "raise max_iters")
     df = labels.to_pandas().rename(columns={"label": "component"})
     return df.sort_values("vertex").reset_index(drop=True)

@@ -34,42 +34,39 @@ def _kind_summary(df: pd.DataFrame, kind: str) -> pd.DataFrame:
     return out.sort_values(["h3_cell", "feature_id"]).reset_index(drop=True)
 
 
-def sidewalk_tiles_query(sf_dir: str) -> pd.DataFrame:
-    return _kind_summary(_features_df(sf_dir), "tile")
-
-
-def protoblocks_query(sf_dir: str) -> pd.DataFrame:
-    return _kind_summary(_features_df(sf_dir), "protoblock")
+def sidewalk_features_query(sf_dir: str) -> pd.DataFrame:
+    """Protoblocks (G1) + sidewalk tiles (M6-M10) + sure zones (M12
+    positive half, incl. the sidewalk:left/right/both key form) in ONE
+    export — one ``build_features`` run, tagged by ``kind`` (the
+    driver caps the checked-query count, so the three per-kind views
+    of the same build are folded together)."""
+    df = _features_df(sf_dir)
+    frames = []
+    for kind in ("protoblock", "tile", "sure_zone"):
+        s = _kind_summary(df, kind)
+        s.insert(0, "kind", kind)
+        frames.append(s)
+    return pd.concat(frames, ignore_index=True)
 
 
 def crossings_kerbs_query(sf_dir: str) -> pd.DataFrame:
-    df = _features_df(sf_dir)
-    cr = _kind_summary(df, "crossing")
-    kb = _kind_summary(df, "kerb")
-    cr["kind"] = "crossing"
-    kb["kind"] = "kerb"
-    return pd.concat([cr, kb], ignore_index=True)
-
-
-def crossings_kerbs_gui_query(sf_dir: str) -> pd.DataFrame:
-    """G5 GUI fidelity (draw_crossings, osm_sidewalkreator.py:1186):
-    min-angle direction pick, doubling ray-cast, 20-iter re-centering,
-    kerbs at 30% — next to the headless clone above."""
+    """G5 both modes in one export: the headless clone
+    (full_sidewalkreator_bbox_algorithm.py:515-936) AND GUI fidelity
+    (draw_crossings osm_sidewalkreator.py:1186: min-angle direction
+    pick, doubling ray-cast, 20-iter re-centering, kerbs at 30%),
+    tagged by ``mode``."""
     import dataclasses
-    cfg = dataclasses.replace(DEFAULT_CONFIG, crossing_mode="gui")
-    streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
-    df = SW.build_features(streets, cfg).to_pandas()
-    cr = _kind_summary(df, "crossing")
-    kb = _kind_summary(df, "kerb")
-    cr["kind"] = "crossing"
-    kb["kind"] = "kerb"
-    return pd.concat([cr, kb], ignore_index=True)
-
-
-def sure_zones_query(sf_dir: str) -> pd.DataFrame:
-    """M12 positive half: sure-zone polygons from sidewalk=yes/left/
-    right/both tags (reference sure_zones layer)."""
-    return _kind_summary(_features_df(sf_dir), "sure_zone")
+    frames = []
+    for mode in ("headless", "gui"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, crossing_mode=mode)
+        streets = rd.from_arrow(SYN.grid_for_sf(sf_dir))
+        df = SW.build_features(streets, cfg).to_pandas()
+        for kind in ("crossing", "kerb"):
+            s = _kind_summary(df, kind)
+            s.insert(0, "mode", mode)
+            s.insert(1, "kind", kind)
+            frames.append(s)
+    return pd.concat(frames, ignore_index=True)
 
 
 def page_text_extract_query(sf_dir: str) -> pd.DataFrame:
@@ -189,7 +186,20 @@ def osm_xml_parse_query(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(OsmXmlParser, batch_format="pandas",
                          concurrency=(1, 2)).to_pandas()
     out = out[["way_id", "highway", "width"]].fillna({"width": ""})
-    return out.sort_values("way_id").reset_index(drop=True)
+    lines = out.sort_values("way_id").reset_index(drop=True)
+    # fold in the multipolygons/points layers + POI builder (S3/G6b) —
+    # one export per parser, tagged by layer (driver query-count cap)
+    pois = osm_buildings_pois_query(sf_dir)
+    combined = pd.concat([
+        pd.DataFrame({"layer": "lines", "id": lines["way_id"],
+                      "attr": lines["highway"],
+                      "attr2": lines["width"].astype(str),
+                      "lon": np.nan, "lat": np.nan}),
+        pd.DataFrame({"layer": "pois", "id": pois["poi_id"],
+                      "attr": pois["housenumber"], "attr2": "",
+                      "lon": pois["lon"], "lat": pois["lat"]}),
+    ], ignore_index=True)
+    return combined
 
 
 _CURITIBA_OSM = "/root/reference/test/data/curitiba_sample.osm"

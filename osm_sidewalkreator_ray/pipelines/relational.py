@@ -794,11 +794,19 @@ def events_user_count_approx(sf_dir: str, b: int = 12):
 def events_user_count_approx_by_type(sf_dir: str, b: int = 12):
     """Per-event-type approximate distinct users (grouped HLL): the
     sketch counterpart of events_distinct_users — constant memory per
-    (type, batch) regardless of user cardinality. Rows-only check;
-    the error contract vs the exact query lives in tests."""
+    (type, batch) regardless of user cardinality. Includes the GLOBAL
+    sketch as an ``event_type='*'`` row (folds the scalar
+    events_user_count_approx export under the driver's query-count
+    cap). Rows-only check; the error contract vs the exact query lives
+    in tests."""
     from ..functions.aggregates import hll_distinct_by
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
-    return hll_distinct_by(ds, "event_type", "user_id", b=b)
+    by = hll_distinct_by(ds, "event_type", "user_id", b=b)
+    total = events_user_count_approx(sf_dir, b=b)
+    total_row = pd.DataFrame({"event_type": ["*"],
+                              by.columns[-1]: total.iloc[0, 0]})
+    total_row.columns = list(by.columns)
+    return pd.concat([total_row, by], ignore_index=True)
 
 
 def q12_priority_shipping(sf_dir: str):

@@ -702,22 +702,68 @@ ORDER BY doc_a, doc_b
 # ------------------------------------------- near-dup -> keep/drop
 
 def near_dup_components(sf_dir: str, threshold: float = 0.5):
-    """Dedup DECISIONS from near-dup pairs: MinHash+LSH pairs ->
-    distributed connected components (functions.graph, iterative
-    min-label propagation) -> one row per clustered doc:
-    (doc_id, component, keep) with keep = the cluster's min doc_id.
-    Docs in no near-dup pair are implicitly kept and not listed."""
+    """Dedup DECISIONS from near-dup pairs: exact n-gram Jaccard pairs
+    (the DuckDB-oracled pair source) -> distributed connected
+    components (functions.graph, iterative min-label propagation) ->
+    one row per clustered doc: (doc_id, component, keep) with
+    keep = the cluster's min doc_id. Docs in no near-dup pair are
+    implicitly kept and not listed.
+
+    The component stage is pair-source agnostic: at corpus scale the
+    MinHash+LSH candidates (``minhash_dedup_pairs``, which verifies
+    candidates with the same exact Jaccard) plug into the identical
+    edges->components chain; driving THIS export from the exact pairs
+    makes the whole decision chain SQL-checkable
+    (NEAR_DUP_COMPONENTS_SQL: recursive closure over the pair CTE)."""
     from ..functions.graph import connected_components
-    pairs = minhash_dedup_pairs(sf_dir, threshold=threshold,
-                                _as_dataset=True)
-    edges = pairs.map_batches(
-        lambda b: pd.DataFrame({"src": b["doc_a"].astype("int64"),
-                                "dst": b["doc_b"].astype("int64")}),
-        batch_format="pandas")
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64"),
+                             "keep": pd.Series([], dtype="bool")})
+    edges = pd.DataFrame({"src": pairs["doc_a"].astype("int64"),
+                          "dst": pairs["doc_b"].astype("int64")})
     comp = connected_components(edges)
     comp = comp.rename(columns={"vertex": "doc_id"})
     comp["keep"] = comp["doc_id"] == comp["component"]
     return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+# the pair CTE is NGRAM_JACCARD_SQL's body; the recursive walk
+# enumerates, for every vertex, all labels reachable over the
+# undirected pair edges — MIN(label) per vertex == the min-label
+# component id the engine's propagation converges to
+NEAR_DUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, chr(1))]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || chr(1) || w[i+1] || chr(1) || w[i+2]))
+         END AS s
+  FROM tok
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS component,
+       node = MIN(label) AS keep
+FROM walk GROUP BY node ORDER BY doc_id
+"""
 
 
 # --------------------------------------------- corpus-level analysis

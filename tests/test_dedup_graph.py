@@ -80,7 +80,7 @@ class TestConnectedComponents:
     def test_near_dup_components(self):
         from osm_sidewalkreator_ray.pipelines import textops as T
         comp = T.near_dup_components(SF)
-        pairs = T.minhash_dedup_pairs(SF)
+        pairs = T.ngram_jaccard_pairs(SF)  # the oracled pair source
         # every doc in a pair gets a component row
         docs = set(pairs["doc_a"]) | set(pairs["doc_b"])
         assert set(comp["doc_id"]) == docs
@@ -92,6 +92,38 @@ class TestConnectedComponents:
         cmap = dict(zip(comp["doc_id"], comp["component"]))
         for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
             assert cmap[a] == cmap[b]
+        # minhash pairs (same threshold, exact-Jaccard verified) are a
+        # subset of the exact pairs, so they never cross components
+        mh = T.minhash_dedup_pairs(SF)
+        for a, b in zip(mh["doc_a"], mh["doc_b"]):
+            assert cmap[a] == cmap[b]
+
+    def test_near_dup_components_matches_sql_oracle(self):
+        """The full decision chain (pairs -> components -> keep) vs the
+        DuckDB recursive-closure oracle."""
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        got = T.near_dup_components(SF).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = con.execute(T.NEAR_DUP_COMPONENTS_SQL).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["component"].tolist() == want["component"].tolist()
+        assert got["keep"].tolist() == want["keep"].tolist()
+
+    def test_nonconvergence_raises(self):
+        """ADVICE r2: a component whose diameter exceeds max_iters must
+        fail loud, not silently split into several components."""
+        from osm_sidewalkreator_ray.functions.graph import \
+            connected_components
+        chain = pd.DataFrame({"src": list(range(0, 12)),
+                              "dst": list(range(1, 13))})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=3)
+        # and with enough rounds the same chain is one component
+        df = connected_components(chain, max_iters=20)
+        assert set(df["component"]) == {0}
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -125,6 +125,10 @@ class TestHyperLogLog:
         from osm_sidewalkreator_ray.pipelines.relational import \
             events_user_count_approx_by_type
         got = events_user_count_approx_by_type(SF)
+        # the grouped export leads with the global sketch as '*'
+        total_row = got[got["event_type"] == "*"]
+        assert len(total_row) == 1
+        got = got[got["event_type"] != "*"].reset_index(drop=True)
         exact = duckdb.sql(
             "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
             f"'{SF}/events.parquet' "
@@ -133,3 +137,8 @@ class TestHyperLogLog:
         rel = np.abs(got["approx_distinct"].to_numpy()
                      - exact["n"].to_numpy()) / exact["n"].to_numpy()
         assert (rel < 0.05).all()
+        exact_total = duckdb.sql(
+            "SELECT COUNT(DISTINCT user_id) AS n FROM "
+            f"'{SF}/events.parquet'").df()["n"].iloc[0]
+        assert abs(float(total_row["approx_distinct"].iloc[0])
+                   - exact_total) / exact_total < 0.05
