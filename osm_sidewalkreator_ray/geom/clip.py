@@ -71,11 +71,16 @@ def classify_parts(lcoords: np.ndarray, offsets: np.ndarray,
         hit = (ok & (ta >= -eps) & (ta <= 1 + eps)
                & (tb >= -eps) & (tb <= 1 + eps))
         seg_cross[c0:c0 + step] = hit.any(axis=1)
+    crosses = np.zeros(n_parts, dtype=bool)
     if len(seg_cross):
-        seg_offs = np.concatenate(([0], np.cumsum(counts - 1)))[:-1]
-        crosses = np.logical_or.reduceat(seg_cross, seg_offs)
-    else:
-        crosses = np.zeros(n_parts, dtype=bool)
+        # degenerate single-point parts contribute 0 segments: their
+        # reduceat offset would duplicate the NEXT part's (inheriting
+        # its crossing flag) and a trailing one would index out of
+        # bounds — reduce only at parts that own >=1 segment
+        seg_counts = counts - 1
+        valid = seg_counts > 0
+        offs_all = np.concatenate(([0], np.cumsum(seg_counts)))[:-1]
+        crosses[valid] = np.logical_or.reduceat(seg_cross, offs_all[valid])
     return all_in, any_in, crosses
 
 

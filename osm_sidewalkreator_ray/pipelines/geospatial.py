@@ -97,7 +97,9 @@ def page_geotags_query(sf_dir: str) -> pd.DataFrame:
 
 
 def page_tile_join_query(sf_dir: str) -> pd.DataFrame:
-    return PJ.flagship_entry(sf_dir)
+    # the driver compares row values, so this query opts into the
+    # collecting variant; the flagship DEFAULT is the streaming Dataset
+    return PJ.flagship_entry(sf_dir, collect="sorted_df")
 
 
 def width_shrink_query(sf_dir: str) -> pd.DataFrame:

@@ -167,8 +167,15 @@ _HOLDER_HANDLE = None
 def _index_holder():
     global _HOLDER_HANDLE
     if _HOLDER_HANDLE is None:
+        import ray
+        # the name is scoped to THIS driver's job: on a shared cluster
+        # a fixed global name would make a second driver attach to the
+        # first driver's holder, whose shard objects die with their
+        # owner mid-join (OwnerDiedError)
+        job = ray.get_runtime_context().get_job_id()
         _HOLDER_HANDLE = _IndexHolder.options(
-            name="sidewalkreator_index_holder", get_if_exists=True).remote()
+            name=f"sidewalkreator_index_holder_{job}",
+            get_if_exists=True).remote()
     return _HOLDER_HANDLE
 
 
@@ -559,12 +566,20 @@ def checkpointed_join(geotags, features, out_dir: str,
 def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                    n_pages: int | None = None,
                    pages_path: str | None = None,
-                   collect: str = "sorted_df"):
+                   collect: str = "dataset"):
     """The driver's entry(): synthetic corpus + street grid scaled from
-    sf_dir -> sidewalk tiles -> page join -> assignments DataFrame.
+    sf_dir -> sidewalk tiles -> page join -> assignments.
     ``pages_path`` reads a pre-materialized parquet corpus (the bench
     path — pages arrive as parquet per the input_hint); otherwise the
-    corpus is generated distributed on the fly."""
+    corpus is generated distributed on the fly.
+
+    ``collect`` picks the consume:
+    - 'dataset' (DEFAULT, the streaming path): the assignments
+      Dataset, metrics rows filtered — nothing is collected on the
+      driver; consume with write_parquet / iter_batches / aggregates
+    - 'count': stream-aggregate to (n_assignments, n_inside) (bench)
+    - 'sorted_df': driver-side DataFrame, globally sorted — ORACLE
+      ONLY (small sf comparisons); never the default at scale"""
     if pages_path:
         pages = rd.read_parquet(pages_path,
                                 columns=["url", "html"])  # prune at read
@@ -597,6 +612,12 @@ def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                 "inside": [int(b["inside_tile"].sum())]}),
             batch_format="pandas").to_pandas()
         return int(agg["n"].sum()), int(agg["inside"].sum())
-    df = assignments.to_pandas()
+    if collect == "dataset":
+        # streaming default: hand back the lazy Dataset (metrics rows
+        # filtered per batch) — no to_pandas of the assignments
+        return assignments.map_batches(
+            lambda b: b[~b["url"].str.startswith("__metrics__/")],
+            batch_format="pandas")
+    df = assignments.to_pandas()  # collect='sorted_df': oracle only
     out, _metrics = split_metrics(df)
     return out.sort_values(["url", "lat", "lon"]).reset_index(drop=True)

@@ -94,7 +94,27 @@ def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
     """
     sw = features.filter(expr="kind == 'sidewalk'")
 
-    def split_batch(batch: pd.DataFrame, poi_by_tile=None) -> pd.DataFrame:
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+            SW.FEATURE_COLUMNS,
+            ["str", "int64", "int64", "int64", object, "float64",
+             "float64"])})
+
+    def _emit_pieces(rows: list, cell: int, frame, fid: int,
+                     pieces: list) -> None:
+        for pi, p in enumerate(pieces):
+            plen = core.line_lengths(p, np.array([0, len(p)]))[0]
+            if plen < cfg.tiny_segments_tol:
+                continue  # M13
+            rows.append({
+                "kind": "sidewalk_piece", "h3_cell": cell,
+                "feature_id": SW._stable_id(cell, "swp", fid, pi),
+                "parent_id": np.int64(fid),
+                "geometry_wkb": wkb.encode_line(
+                    project.coords_to_lonlat(p, frame)),
+                "length_m": float(plen), "area_m2": 0.0})
+
+    def split_batch(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in batch.iterrows():
             cell = int(r["h3_cell"])
@@ -105,71 +125,109 @@ def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
                 pieces = split_arc_by_max_len(arc, max_len)
             elif method == "corner":
                 pieces = split_arc_at_corners(arc)
-            elif method == "poi":
-                pts = (poi_by_tile or {}).get(int(r["parent_id"]),
-                                              np.empty((0, 2)))
-                pieces = (split_arc_by_pois(arc, pts)
-                          if len(pts) > minimum_pois else [arc])
             else:
                 raise ValueError(method)
-            for pi, p in enumerate(pieces):
-                plen = core.line_lengths(p, np.array([0, len(p)]))[0]
-                if plen < cfg.tiny_segments_tol:
-                    continue  # M13
-                rows.append({
-                    "kind": "sidewalk_piece", "h3_cell": cell,
-                    "feature_id": SW._stable_id(cell, "swp",
-                                                int(r["feature_id"]), pi),
-                    "parent_id": np.int64(r["feature_id"]),
-                    "geometry_wkb": wkb.encode_line(
-                        project.coords_to_lonlat(p, frame)),
-                    "length_m": float(plen), "area_m2": 0.0})
-        if not rows:
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
-                SW.FEATURE_COLUMNS,
-                ["str", "int64", "int64", "int64", object, "float64",
-                 "float64"])})
-        return pd.DataFrame(rows)[SW.FEATURE_COLUMNS]
+            _emit_pieces(rows, cell, frame, int(r["feature_id"]), pieces)
+        return pd.DataFrame(rows)[SW.FEATURE_COLUMNS] if rows else _empty()
 
     if method != "poi":
         return sw.map_batches(split_batch, batch_format="pandas")
 
-    # POI variant: POIs are assigned to the PROTOBLOCK containing them
-    # (reference voronoi_splitting intersects POIs per protoblock,
-    # :3507-3516), then keyed by tile so each arc looks up its own
-    # block's POIs. The pb/tile/POI tables are feature-side small
-    # (buildings + addresses of the AOI) — the map is slim local
-    # coordinates, built driver-side and ray.put once.
-    import ray
+    # POI variant (G6b): POIs are assigned to the PROTOBLOCK containing
+    # them (reference voronoi_splitting intersects POIs per protoblock,
+    # :3507-3516). Round 2 built that map DRIVER-side from a to_pandas
+    # of the whole feature table; now POIs ride the SAME
+    # groupby(h3_cell) shuffle as everything else (the tagged-union
+    # pattern of enrich.protoblock_coverage): POI points are
+    # cell-encoded with a cover margin (a protoblock reaching over its
+    # owner cell's edge still sees its POIs), tagged kind='poi', and
+    # resolved per cell inside map_groups — nothing feature-sized ever
+    # reaches the driver.
+    import pyarrow as pa
+    import ray.data as rd
+    from .. import cells
+    from .sidewalks import COVER_MARGIN_DEG
 
-    poi_df = pois.to_pandas() if hasattr(pois, "to_pandas") else pois
-    by_tile: dict[int, np.ndarray] = {}
-    if poi_df is not None and len(poi_df):
-        pts = wkb.decode_points(poi_df["geometry_wkb"].tolist())
-        pbs = (features.filter(expr="kind == 'protoblock'")
-               .to_pandas())
-        tiles = (features.filter(expr="kind == 'tile'")
-                 .to_pandas())[["feature_id", "parent_id"]]
+    if pois is None:
+        poi_ds = rd.from_items([])
+    elif hasattr(pois, "map_batches"):
+        poi_ds = pois
+    elif isinstance(pois, pa.Table):
+        poi_ds = rd.from_arrow(pois)
+    else:
+        poi_ds = rd.from_pandas(pois)
+
+    _FEATURE_ARROW = pa.schema([
+        ("kind", pa.string()), ("h3_cell", pa.int64()),
+        ("feature_id", pa.int64()), ("parent_id", pa.int64()),
+        ("geometry_wkb", pa.binary()), ("length_m", pa.float64()),
+        ("area_m2", pa.float64())])
+
+    def poi_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _FEATURE_ARROW.empty_table()
+        pts = wkb.decode_points(t["geometry_wkb"].to_pylist())
+        pids = t["poi_id"].to_numpy() if "poi_id" in t.column_names \
+            else np.arange(t.num_rows, dtype=np.int64)
+        row_idx, cell = cells.cover_bboxes(
+            pts[:, 0] - COVER_MARGIN_DEG, pts[:, 1] - COVER_MARGIN_DEG,
+            pts[:, 0] + COVER_MARGIN_DEG, pts[:, 1] + COVER_MARGIN_DEG,
+            cfg.cell_res)
+        n = len(row_idx)
+        return pa.table({
+            "kind": pa.array(["poi"] * n),
+            "h3_cell": pa.array(cell.astype(np.int64)),
+            "feature_id": pa.array(pids[row_idx].astype(np.int64)),
+            "parent_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "geometry_wkb": pa.array(
+                [wkb.encode_point(*pts[i]) for i in row_idx], pa.binary()),
+            "length_m": pa.array(np.zeros(n)),
+            "area_m2": pa.array(np.zeros(n))}).cast(_FEATURE_ARROW)
+
+    # normalize BOTH union sides to arrow blocks: the feature side is
+    # pandas-block (map_groups output) and a mixed-block union breaks
+    # the groupby sort's block builder
+    tagged = (features.filter(
+        expr="kind == 'sidewalk' or kind == 'protoblock' or kind == 'tile'")
+        .map_batches(lambda t: t.cast(_FEATURE_ARROW),
+                     batch_format="pyarrow")
+        .union(poi_ds.map_batches(poi_rows, batch_format="pyarrow")))
+
+    def poi_group(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["h3_cell"].iloc[0])
+        frame = project.frame_for_cell(cell)
+        sws = g[g["kind"] == "sidewalk"]
+        if sws.empty:
+            return _empty()
+        pg = g[g["kind"] == "poi"]
+        loc = (project.coords_to_local(
+            wkb.decode_points(pg["geometry_wkb"].tolist()), frame)
+            if len(pg) else np.empty((0, 2)))
+        # POIs per protoblock (PIP against this cell's owned rings)
         pb_pts: dict[int, np.ndarray] = {}
-        for _, pb in pbs.iterrows():
-            cell = int(pb["h3_cell"])
-            frame = project.frame_for_cell(cell)
-            coords, ro, po, _ = wkb.decode_polygons([pb["geometry_wkb"]])
-            ring = project.coords_to_local(coords[ro[0]:ro[1]], frame)
-            loc = project.coords_to_local(pts, frame)
-            inside = core.points_in_ring(loc[:, 0], loc[:, 1], ring)
-            if inside.any():
-                pb_pts[int(pb["feature_id"])] = loc[inside]
-        for _, t in tiles.iterrows():
-            p = pb_pts.get(int(t["parent_id"]))
-            if p is not None:
-                by_tile[int(t["feature_id"])] = p
-    ref = ray.put(by_tile)
+        if len(loc):
+            for _, pb in g[g["kind"] == "protoblock"].iterrows():
+                coords, ro, po, _ = wkb.decode_polygons([pb["geometry_wkb"]])
+                ring = project.coords_to_local(coords[ro[0]:ro[1]], frame)
+                inside = core.points_in_ring(loc[:, 0], loc[:, 1], ring)
+                if inside.any():
+                    pb_pts[int(pb["feature_id"])] = loc[inside]
+        tiles = g[g["kind"] == "tile"]
+        tile_pb = dict(zip(tiles["feature_id"].astype(np.int64),
+                           tiles["parent_id"].astype(np.int64)))
+        rows: list = []
+        for _, r in sws.iterrows():
+            coords, offs, _ = wkb.decode_lines([r["geometry_wkb"]])
+            arc = project.coords_to_local(coords, frame)
+            pts = pb_pts.get(int(tile_pb.get(int(r["parent_id"]), -1)),
+                             np.empty((0, 2)))
+            pieces = (split_arc_by_pois(arc, pts)
+                      if len(pts) > minimum_pois else [arc])
+            _emit_pieces(rows, cell, frame, int(r["feature_id"]), pieces)
+        return pd.DataFrame(rows)[SW.FEATURE_COLUMNS] if rows else _empty()
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return split_batch(batch, poi_by_tile=ray.get(ref))
-
-    return sw.map_batches(f, batch_format="pandas")
+    return tagged.groupby("h3_cell").map_groups(poi_group,
+                                                batch_format="pandas")
 
 
 def merge_small_stretches(features, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -224,23 +282,63 @@ def merge_small_stretches(features, cfg: PipelineConfig = DEFAULT_CONFIG,
         fids = g["feature_id"].to_numpy()
         for ci, members in sorted(comp.items()):
             total = float(lens[members].sum())
-            # concatenated multilinestring of the component
-            coords = np.concatenate([arcs[m] for m in members])
-            offs = np.concatenate(
-                ([0], np.cumsum([len(arcs[m]) for m in members])))
-            geom = wkb.encode_lines(project.coords_to_lonlat(coords, frame),
-                                    offs)
-            from ..geom.wkb import encode_line
+            if len(members) == 1:
+                geom = wkb.encode_line(
+                    project.coords_to_lonlat(arcs[members[0]], frame))
+            else:
+                # mergeLines fidelity (osm_sidewalkreator.py:3940-4068):
+                # when the component's arcs chain end-to-end the merge
+                # emits ONE LineString; only genuinely branching
+                # components fall back to a MultiLineString
+                chained = _chain_arcs([arcs[m] for m in members], tol)
+                if chained is not None:
+                    geom = wkb.encode_line(
+                        project.coords_to_lonlat(chained, frame))
+                else:
+                    coords = np.concatenate([arcs[m] for m in members])
+                    offs = np.concatenate(
+                        ([0], np.cumsum([len(arcs[m]) for m in members])))
+                    geom = _multiline(coords, offs, frame)
             rows.append({
                 "kind": "sidewalk_merged", "h3_cell": cell,
                 "feature_id": SW._stable_id(cell, "swm", int(fids[ci])),
                 "parent_id": np.int64(fids[ci]),
-                "geometry_wkb": geom[0] if len(geom) == 1 else
-                    _multiline(coords, offs, frame),
+                "geometry_wkb": geom,
                 "length_m": round(total, 3), "area_m2": 0.0})
         return pd.DataFrame(rows)[SW.FEATURE_COLUMNS]
 
     return sw.groupby("h3_cell").map_groups(grp, batch_format="pandas")
+
+
+def _chain_arcs(arcs: list, tol: float):
+    """Order arcs into one open path by matching endpoints within
+    ``tol`` (flipping as needed). Returns the concatenated coords
+    (shared endpoints deduplicated) or None when the component
+    branches / is disconnected — i.e. cannot form a single chain."""
+    pending = list(range(1, len(arcs)))
+    chain = [np.asarray(arcs[0])]
+    progressed = True
+    while pending and progressed:
+        progressed = False
+        head, tail = chain[0][0], chain[-1][-1]
+        for k, j in enumerate(pending):
+            a = np.asarray(arcs[j])
+            if np.linalg.norm(a[0] - tail) <= tol:
+                chain.append(a)
+            elif np.linalg.norm(a[-1] - tail) <= tol:
+                chain.append(a[::-1])
+            elif np.linalg.norm(a[-1] - head) <= tol:
+                chain.insert(0, a)
+            elif np.linalg.norm(a[0] - head) <= tol:
+                chain.insert(0, a[::-1])
+            else:
+                continue
+            pending.pop(k)
+            progressed = True
+            break
+    if pending:
+        return None
+    return np.concatenate([chain[0]] + [c[1:] for c in chain[1:]])
 
 
 def _multiline(coords_local, offs, frame) -> bytes:

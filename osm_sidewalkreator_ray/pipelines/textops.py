@@ -922,11 +922,15 @@ def sample_documents(sf_dir: str, n: int = 100, seed: int = 42):
         rank = ((ids.astype(np.uint64) + np.uint64(seed))
                 * np.uint64(2654435761)) % np.uint64(1 << 32)
         k = min(n, len(ids))
-        top = np.argpartition(rank, k - 1)[:k] if k else np.empty(0, int)
+        # ties broken on doc_id (the SQL ORDER BY rank, doc_id): the
+        # rank is only a permutation for ids < 2^32, so 64-bit ids can
+        # collide mod 2^32 and an unordered pick would diverge from
+        # the oracle / be batch-arrival-order nondeterministic
+        top = np.lexsort((ids, rank))[:k]
         return pd.DataFrame({"doc_id": ids[top], "rank": rank[top]})
 
     df = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    df = df.nsmallest(n, "rank")
+    df = df.sort_values(["rank", "doc_id"]).head(n)
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 

@@ -192,17 +192,21 @@ class ImageDecoder:
         return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"media_id": [], "mean_luma": [], "edge_score": [],
+        # array-indexed bookkeeping (no iterrows): only the per-payload
+        # decode itself stays a Python loop
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        ws = batch["width"].to_numpy(dtype=np.int64)
+        hs = batch["height"].to_numpy(dtype=np.int64)
+        payloads = batch["payload"].tolist()
+        rows = {"media_id": ids, "mean_luma": [], "edge_score": [],
                 "thumb": []}
-        for _, r in batch.iterrows():
-            img = self._decode(r["payload"], int(r["width"]),
-                               int(r["height"]))
-            rows["media_id"].append(int(r["media_id"]))
+        th = self.thumb
+        for payload, w0, h0 in zip(payloads, ws, hs):
+            img = self._decode(payload, int(w0), int(h0))
             rows["mean_luma"].append(float(img.mean()))
             gx = np.abs(np.diff(img.astype(np.int32), axis=1)).mean()
             rows["edge_score"].append(float(gx))
             h, w = img.shape
-            th = self.thumb
             ys = (np.arange(th) * h) // th
             xs = (np.arange(th) * w) // th
             rows["thumb"].append(img[np.ix_(ys, xs)].astype(
@@ -231,15 +235,15 @@ class AudioFrameSampler:
         return rng.standard_normal(sample_rate)  # 1 s of fake samples
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"media_id": [], "frame_energy": [], "duration_s": []}
-        for _, r in batch.iterrows():
-            sr = int(r["sample_rate"])
-            x = self._decode(r["payload"], sr)
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        srs = batch["sample_rate"].to_numpy(dtype=np.int64)
+        rows = {"media_id": ids, "frame_energy": [], "duration_s": []}
+        for payload, sr in zip(batch["payload"].tolist(), srs):
+            x = self._decode(payload, int(sr))
             frames = np.array_split(x, self.n_frames)
-            rows["media_id"].append(int(r["media_id"]))
             rows["frame_energy"].append(
                 [float(np.sqrt((f ** 2).mean())) for f in frames])
-            rows["duration_s"].append(round(len(x) / sr, 6))
+            rows["duration_s"].append(round(len(x) / int(sr), 6))
         return pd.DataFrame(rows)
 
 
@@ -268,16 +272,17 @@ class VideoFrameSampler:
                            dtype=np.uint8), 12
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"media_id": [], "frame_luma": [], "motion_score": [],
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        ws = batch["width"].to_numpy(dtype=np.int64)
+        hs = batch["height"].to_numpy(dtype=np.int64)
+        rows = {"media_id": ids, "frame_luma": [], "motion_score": [],
                 "duration_s": []}
-        for _, r in batch.iterrows():
-            frames, fps = self._decode(r["payload"], int(r["width"]),
-                                       int(r["height"]))
+        for payload, w0, h0 in zip(batch["payload"].tolist(), ws, hs):
+            frames, fps = self._decode(payload, int(w0), int(h0))
             n = len(frames)
             k = min(self.n_sample, n)
             idx = ((np.arange(k) * n) // k) if k else np.empty(0, int)
             sampled = frames[idx].astype(np.int32)
-            rows["media_id"].append(int(r["media_id"]))
             rows["frame_luma"].append(
                 [float(f.mean()) for f in sampled])
             motion = (float(np.abs(np.diff(sampled, axis=0)).mean())

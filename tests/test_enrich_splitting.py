@@ -154,6 +154,46 @@ class TestEnrichPipelines:
         assert merged["length_m"].sum() == pytest.approx(total_before,
                                                          rel=1e-3)
 
+    def test_merge_chainable_component_is_single_linestring(self, cfg):
+        """G7 mergeLines fidelity (osm_sidewalkreator.py:3940-4068): a
+        component whose arcs chain end-to-end merges into ONE
+        LineString, not a MultiLineString."""
+        import pyarrow as pa
+        import struct
+        from osm_sidewalkreator_ray import cells
+        from osm_sidewalkreator_ray.geom import project
+        cell = int(cells.latlng_to_cell(SYN.ORIGIN_LAT, SYN.ORIGIN_LON,
+                                        cfg.cell_res))
+        frame = project.frame_for_cell(cell)
+        # three collinear 5 m segments sharing endpoints (< 7 m each)
+        rows = []
+        for i in range(3):
+            seg = np.array([[i * 5.0, 0.0], [(i + 1) * 5.0, 0.0]])
+            rows.append({
+                "kind": "sidewalk_piece", "h3_cell": cell,
+                "feature_id": i + 1, "parent_id": 0,
+                "geometry_wkb": wkb.encode_line(
+                    project.coords_to_lonlat(seg, frame)),
+                "length_m": 5.0, "area_m2": 0.0})
+        pieces = rd.from_pandas(pd.DataFrame(rows))
+        merged = SP.merge_small_stretches(pieces, cfg).to_pandas()
+        assert len(merged) == 1
+        geom = merged.iloc[0]["geometry_wkb"]
+        wkb_type = struct.unpack_from("<I", geom, 1)[0]
+        assert wkb_type == 2  # LineString, not MultiLineString (5)
+        assert merged.iloc[0]["length_m"] == pytest.approx(15.0, rel=1e-3)
+
+    def test_chain_arcs_branching_returns_none(self):
+        """A T-junction component cannot chain -> stays multi-part."""
+        a = np.array([[0.0, 0.0], [5.0, 0.0]])
+        b = np.array([[5.0, 0.0], [10.0, 0.0]])
+        c = np.array([[5.0, 0.0], [5.0, 5.0]])
+        assert SP._chain_arcs([a, b, c], tol=0.1) is None
+        chained = SP._chain_arcs([b[::-1], a], tol=0.1)
+        assert chained is not None and len(chained) == 3
+        assert np.allclose(chained[0], [0, 0]) or \
+            np.allclose(chained[-1], [0, 0])
+
     def test_split_by_poi_pipeline(self, features, cfg):
         pois = SYN.building_pois(SYN.buildings_grid(n=3, m=3,
                                                     spacing_m=120.0))

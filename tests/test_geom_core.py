@@ -191,3 +191,25 @@ def test_simplify_ring():
     sq = np.array([[0, 0], [1, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
     out = raster.simplify_ring(sq, tol=0.01)
     assert len(out) <= len(sq)
+
+
+def test_classify_parts_single_point_part():
+    """ADVICE r2: degenerate single-point parts (0 segments) must not
+    inherit the next part's crossing flag or raise IndexError when
+    trailing."""
+    import numpy as np
+    from osm_sidewalkreator_ray.geom.clip import classify_parts
+    # unit-square polygon
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    ring_offsets = np.array([0, 5])
+    # part 0: single point inside; part 1: crossing line; part 2:
+    # trailing single point outside
+    lcoords = np.array([[5.0, 5.0],
+                        [5.0, 5.0], [15.0, 5.0],
+                        [20.0, 20.0]])
+    offsets = np.array([0, 1, 3, 4])
+    all_in, any_in, crosses = classify_parts(
+        lcoords, offsets, sq, ring_offsets, 0, 1)
+    assert list(crosses) == [False, True, False]
+    assert list(all_in) == [True, False, False]
+    assert list(any_in) == [True, True, False]
