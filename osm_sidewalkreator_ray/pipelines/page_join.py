@@ -561,6 +561,68 @@ def checkpointed_join(geotags, features, out_dir: str,
                            skip_keys=skip_keys)
 
 
+def checkpointed_geotags(pages, out_dir: str,
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         n_shards: int = 64,
+                         skip_shards: set[tuple] | None = None):
+    """Checkpoint the extraction stage UPSTREAM of the join: pages are
+    deterministically sharded on ``hash(url) % n_shards``; each shard's
+    (url, lat, lon, h3_cell) geotag rows are committed atomically under
+    ``out_dir/part/gshard=<k>/`` with a manifest row (same machinery as
+    the join partitions). Resume filters committed shards out of the
+    input pre-shuffle; once EVERY shard is committed the pages input is
+    not consumed at all — a resumed join does ZERO HTML parsing
+    (round 2 left ~4 s of re-extraction on resume, BASELINE.md).
+
+    Returns the geotag Dataset backed by the checkpoint directory."""
+    import hashlib
+    import os
+
+    from ..state.checkpoint import completed_keys, run_partitioned
+
+    cfg_hash = hashlib.sha1(
+        (cfg.to_json() + f"|geotag_shards={n_shards}").encode()).hexdigest()
+    done = completed_keys(out_dir) if os.path.isdir(out_dir) else set()
+    if len(done) < n_shards or skip_shards:
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(b["url"].to_numpy(dtype=object))
+            out = b.copy()
+            out["gshard"] = (h % n_shards).astype(np.int64)
+            return out
+
+        def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+            t = page_geotag_batch(g)
+            cell = cells.latlng_to_cell(t["lat"].to_numpy(),
+                                        t["lon"].to_numpy(), cfg.cell_res)
+            t["h3_cell"] = np.asarray(cell, dtype=np.int64)
+            return t
+
+        run_partitioned(pages.map_batches(tag, batch_format="pandas"),
+                        ["gshard"], shard_fn, out_dir,
+                        config_hash=cfg_hash, skip_keys=skip_shards)
+    import glob
+    files = sorted(glob.glob(os.path.join(out_dir, "part", "**",
+                                          "part.parquet"), recursive=True))
+    return rd.read_parquet(files)
+
+
+def checkpointed_pipeline(pages, features, out_dir: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG,
+                          skip_keys: set[tuple] | None = None,
+                          skip_shards: set[tuple] | None = None
+                          ) -> pd.DataFrame:
+    """Fully-resumable flagship: geotag extraction checkpointed under
+    ``out_dir/geotags`` (per url-shard), the join under
+    ``out_dir/join`` (per (cell, salt)). A re-submit recomputes only
+    the partitions missing from either manifest."""
+    import os
+    geotags = checkpointed_geotags(pages, os.path.join(out_dir, "geotags"),
+                                   cfg, skip_shards=skip_shards)
+    return checkpointed_join(geotags, features,
+                             os.path.join(out_dir, "join"), cfg,
+                             skip_keys=skip_keys)
+
+
 # ------------------------------------------------------------ flagship
 
 def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
