@@ -346,15 +346,32 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
             .map_groups(candidates, batch_format="pandas"))
 
     # exact-Jaccard verify via two hash-partition joins against the
-    # slim (doc_id, shingles) table — no broadcast store.
-    # A pair found by several bands lands in several coarse buckets;
-    # every copy of pair (a, b) shares doc_a, so it co-locates in the
-    # SAME j1 bucket — the cross-bucket pair dedup runs as j1's
-    # group_fn instead of costing its own shuffle.
+    # slim (doc_id, shingles) table — no broadcast store (shared with
+    # the prefix-filtered exact variant).
+    pairs = _exact_verify_pairs(cand, sigs, threshold)
+    if _as_dataset:
+        return pairs
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _exact_verify_pairs(cand, docs_with_shingles, threshold: float):
+    """Candidate pairs -> exact-Jaccard-verified pairs Dataset.
+
+    Two hash-partition joins attach each side's full shingle set to the
+    pair rows; the per-pair ``np.intersect1d`` then computes the exact
+    Jaccard. A pair found by several bands/prefix-tokens lands in
+    several coarse buckets; every copy of pair (a, b) shares doc_a, so
+    it co-locates in the SAME j1 bucket — the cross-bucket pair dedup
+    runs as j1's group_fn instead of costing its own shuffle."""
     from ..functions.joins import hash_partition_join
     # explicit Arrow schemas (binary shingles) so the join's tagged
     # union pads with the right types
-    shingle_tbl = sigs.map_batches(
+    shingle_tbl = docs_with_shingles.map_batches(
         lambda b: pa.table({
             "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
             "shingles": pa.array(list(b["shingles"]), pa.binary())}),
@@ -395,15 +412,7 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                              "jaccard": pd.Series(out["jaccard"],
                                                   dtype="float64")})
 
-    pairs = j2.map_batches(verify, batch_format="pandas")
-    if _as_dataset:
-        return pairs
-    df = pairs.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -668,6 +677,70 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
             "jaccard": np.round(jac[keep], 6)})
 
     df = j2.map_batches(finalize, batch_format="pandas").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
+                               k: int = 3, coarse_buckets: int = 64):
+    """EXACT all-pairs Jaccard via PREFIX FILTERING — the published
+    scale path past ``ngram_jaccard_pairs``'s full inverted index
+    (Bayardo/Ma/Srikant "Scaling Up All Pairs Similarity Search"
+    WWW'07; Xiao et al. ppjoin WWW'08). Identical output, cheaper
+    candidate generation:
+
+    Each doc's shingle hashes are already stored in the global
+    ascending-hash order; only the first ``|d| - ceil(t*|d|) + 1``
+    (the PREFIX) are exploded into the inverted index. Lossless by
+    the prefix-filter theorem: two sets whose prefixes (under any
+    shared total order) are disjoint have Jaccard < t. Every candidate
+    is then verified exactly against the full shingle sets via the
+    shared ``_exact_verify_pairs`` joins (the minhash verify shape).
+
+    At threshold t the index shrinks ~(1-t): postings, pair
+    generation, and the candidate-pair shuffle all scale down, and no
+    suffix-only shingle ever contributes a candidate."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    import functools
+    from ..functions.blocks import coalesce_slim
+    sh = coalesce_slim(ds.map_batches(
+        functools.partial(_shingle_batch, k=k),
+        batch_format="pandas", batch_size=1024).materialize())
+
+    def explode_prefix(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for d, blob in zip(b["doc_id"], b["shingles"]):
+            v = np.frombuffer(blob, dtype=np.uint64)  # sorted ascending
+            p = len(v) - int(np.ceil(threshold * len(v))) + 1
+            v = v[:max(p, 0)]
+            hashes.append(v)
+            ids.append(np.full(len(v), d, dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({"cb": pd.Series([], dtype="int64"),
+                                 "sh": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        h = np.concatenate(hashes)
+        return pd.DataFrame({
+            "cb": (h % np.uint64(coarse_buckets)).astype(np.int64),
+            "sh": h.view(np.int64),
+            "doc_id": np.concatenate(ids)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.pairgen import pairs_sharing_key
+        a, b = pairs_sharing_key(g["sh"].to_numpy(),
+                                 g["doc_id"].to_numpy())
+        if len(a) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
+
+    cand = (sh.map_batches(explode_prefix, batch_format="pandas")
+            .groupby("cb").map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = _exact_verify_pairs(cand, sh, threshold)
+    df = pairs.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),

@@ -103,14 +103,17 @@ def run_partitioned(ds, key_cols: list[str], group_fn, out_dir: str,
     skip_keys = skip_keys or set()
 
     if done:
-        done_arr = np.array([hash(k) for k in done], dtype=np.int64)
+        # vectorized membership: resume filters the FULL input (at
+        # scale, every page row), so a per-row Python hash loop here
+        # would dominate the resumed run. MultiIndex.isin is exact
+        # (tuple equality, no hash collisions) and runs in C.
+        done_index = pd.MultiIndex.from_tuples(sorted(done),
+                                               names=key_cols)
 
         def flt(batch: pd.DataFrame) -> pd.DataFrame:
-            h = np.fromiter(
-                (hash(tuple(t)) for t in
-                 zip(*(batch[k] for k in key_cols))),
-                dtype=np.int64, count=len(batch))
-            return batch[~np.isin(h, done_arr)]
+            keys = pd.MultiIndex.from_arrays(
+                [batch[k].to_numpy() for k in key_cols])
+            return batch[~keys.isin(done_index)]
 
         ds = ds.map_batches(flt, batch_format="pandas")
 

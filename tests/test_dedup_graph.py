@@ -98,6 +98,14 @@ class TestConnectedComponents:
         for a, b in zip(mh["doc_a"], mh["doc_b"]):
             assert cmap[a] == cmap[b]
 
+    def test_prefix_filter_equals_full_index(self):
+        """ppjoin-style prefix filtering is LOSSLESS: identical pair
+        set + jaccards as the full inverted-index exact variant."""
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        full = T.ngram_jaccard_pairs(SF).reset_index(drop=True)
+        pref = T.ngram_jaccard_pairs_prefix(SF).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pref, full)
+
     def test_near_dup_components_matches_sql_oracle(self):
         """The full decision chain (pairs -> components -> keep) vs the
         DuckDB recursive-closure oracle."""
