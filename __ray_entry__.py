@@ -78,7 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": V.embedding_norms,
         "ann_topk": V.ann_topk,
         "knn_join_sample": V.knn_join_sample,
-        "embedding_near_dups": V.embedding_near_dups,
+        # exact brute-force baseline (block-pair fan-out) — the LSH
+        # scale path (V.embedding_near_dups) is pytest-covered with a
+        # planted-pair recall bound; threshold 0.4 so the check
+        # exercises real pairs (the synthetic corpus has no cos>=0.95)
+        "embedding_near_dups": V.embedding_near_dups_exact,
         "ivf_topk": G.ivf_topk_query,
         # geospatial flagship (rows-only: not SQL-expressible).
         # Folded per the driver's 50-query cap: protoblocks + tiles +
@@ -142,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": V.NORMS_SQL,
         "ann_topk": V.ANN_TOPK_SQL,
         "knn_join_sample": V.KNN_SQL,
+        "embedding_near_dups": V.EMBEDDING_NEAR_DUPS_EXACT_SQL,
         # minhash_dedup_pairs / simhash_fingerprints /
-        # embedding_near_dups / geospatial: rows-only (non-SQL ops)
+        # geospatial: rows-only (non-SQL ops)
     }

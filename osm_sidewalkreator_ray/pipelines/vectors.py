@@ -216,6 +216,89 @@ def _empty_pairs() -> pd.DataFrame:
                          "cosine_sim": pd.Series([], dtype="float64")})
 
 
+@ray.remote
+def _block_pair_sims(blk_a, blk_b, same_block: bool,
+                     sim_threshold: float) -> pd.DataFrame:
+    """Cosine all-pairs between two embedding blocks; only pairs at or
+    above the threshold leave the task. ``same_block`` restricts to the
+    upper triangle so each unordered pair is emitted exactly once."""
+    def mat(blk):
+        df = blk.to_pandas() if not isinstance(blk, pd.DataFrame) else blk
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return df["vec_id"].to_numpy().astype(np.int64), m / n[:, None]
+
+    ids_a, m_a = mat(blk_a)
+    if same_block:
+        ids_b, m_b = ids_a, m_a
+    else:
+        ids_b, m_b = mat(blk_b)
+    sims = m_a @ m_b.T
+    ia, ib = np.nonzero(sims >= sim_threshold)
+    va, vb = ids_a[ia], ids_b[ib]
+    if same_block:
+        # both orientations (and the diagonal) are present; keep each
+        # unordered pair exactly once
+        m = va < vb
+    else:
+        m = np.ones(len(va), dtype=bool)  # blocks partition vec_ids
+    out_a = np.minimum(va, vb)[m]
+    out_b = np.maximum(va, vb)[m]
+    s = sims[ia, ib][m]
+    if len(out_a) == 0:
+        return _empty_pairs()
+    return pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
+                         "cosine_sim": np.round(s, 6)})
+
+
+def embedding_near_dups_exact(sf_dir: str, sim_threshold: float = 0.4,
+                              target_block_rows: int = 4096):
+    """EXACT embedding-cosine near-dup pairs — the brute-force baseline
+    to the LSH scale path (`embedding_near_dups`).
+
+    Physical plan: the embeddings table is repartitioned into B blocks;
+    B(B+1)/2 raw Ray tasks each score one block pair (same-block tasks
+    take the upper triangle), emitting only pairs >= threshold. Block
+    object refs are taken from the Dataset's ref bundles — the table is
+    never materialized on the driver; only the (small) surviving pairs
+    are. Raw tasks are used because the Dataset API has no cartesian
+    self-join; the O(N^2/B) flops per task is inherent to the exact
+    semantics — at corpus scale use `embedding_near_dups` (LSH) and
+    reserve this as the verify/recall oracle on samples.
+    """
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    n = ds.count()
+    nblocks = max(1, -(-n // target_block_rows))
+    refs = [r for bundle in ds.repartition(nblocks).iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    futs = []
+    for i in range(len(refs)):
+        futs.append(_block_pair_sims.remote(refs[i], None, True,
+                                            sim_threshold))
+        for j in range(i + 1, len(refs)):
+            futs.append(_block_pair_sims.remote(refs[i], refs[j], False,
+                                                sim_threshold))
+    parts = [p for p in ray.get(futs) if len(p)]
+    if not parts:
+        return _empty_pairs()
+    df = pd.concat(parts, ignore_index=True)
+    return (df.drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
+EMBEDDING_NEAR_DUPS_EXACT_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6)
+         AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
 def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
                         n_bands: int = 8, planes_per_band: int = 8,
                         seed: int = 42):

@@ -60,3 +60,36 @@ def test_embedding_near_dup_recall(tmp_path):
     assert got <= truth  # exact verify: no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups_exact_matches_numpy(tmp_path):
+    """Block-pair exact variant == in-process numpy all-pairs, with the
+    multi-block path forced (target_block_rows < n)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    rng = np.random.RandomState(7)
+    emb = rng.standard_normal((150, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(150) * 3 + 1, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float64()))})
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+
+    t = 0.3
+    got = V.embedding_near_dups_exact(str(tmp_path), sim_threshold=t,
+                                      target_block_rows=40)
+    n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = n @ n.T
+    ii, jj = np.triu_indices(len(emb), k=1)
+    keep = sims[ii, jj] >= t
+    ids = np.arange(150) * 3 + 1
+    truth = {(int(ids[a]), int(ids[b])): round(float(sims[a, b]), 6)
+             for a, b in zip(ii[keep], jj[keep])}
+    got_pairs = {(int(a), int(b)): float(s) for a, b, s in
+                 zip(got["vec_a"], got["vec_b"], got["cosine_sim"])}
+    assert got_pairs == truth
+    assert len(truth) > 0
