@@ -161,7 +161,122 @@ def _decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
     return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
 
 
+# ------------------------------------------------------------ kernels
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (half-pixel-center convention, the OpenCV /
+    TF-v2 default), pure numpy, fully vectorized. Accepts uint8
+    (h, w) or (h, w, c); identity sizes reproduce the input exactly
+    (the fractional offsets are all zero)."""
+    h, w = img.shape[:2]
+    fy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0f = np.floor(fy)
+    x0f = np.floor(fx)
+    wy = (fy - y0f)[:, None]
+    wx = (fx - x0f)[None, :]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    flat = img.ndim == 2
+    im = img.astype(np.float64)
+    if flat:
+        im = im[:, :, None]
+    wy3, wx3 = wy[:, :, None], wx[:, :, None]
+    r0, r1 = im[y0], im[y1]
+    top = r0[:, x0] * (1 - wx3) + r0[:, x1] * wx3
+    bot = r1[:, x0] * (1 - wx3) + r1[:, x1] * wx3
+    out = np.clip(np.rint(top * (1 - wy3) + bot * wy3), 0,
+                  255).astype(np.uint8)
+    return out[:, :, 0] if flat else out
+
+
+def spectrogram_bands(x: np.ndarray, n_fft: int = 256, hop: int = 128,
+                      n_bands: int = 16) -> np.ndarray:
+    """Log-power spectrogram collapsed to ``n_bands`` equal frequency
+    bands (time-averaged) — the audio feature-extract kernel. Hann
+    window, rfft over a strided frame matrix; one vectorized FFT call
+    per payload, no per-frame Python loop."""
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    offs = (np.arange(n_bands) * len(power)) // n_bands
+    counts = np.diff(np.append(offs, len(power)))
+    return np.log1p(np.add.reduceat(power, offs) / counts)
+
+
 # ------------------------------------------------------------ stages
+
+class ImageResizer:
+    """map_batches stage: image payload -> RESIZED image payload
+    (binary in, binary out — the transform keeps the media row opaque
+    for downstream stages). Real path: BMP decode -> vectorized
+    bilinear resample -> BMP re-encode; non-BMP payloads hit the same
+    codec plug point as ``ImageDecoder``."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32,
+                 fake: bool = False):
+        self.out_h, self.out_w, self.fake = out_h, out_w, fake
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        out = []
+        for payload in batch["payload"].tolist():
+            if payload[:2] == b"BM":
+                img = _decode_bmp(payload)
+            elif self.fake:
+                rng = np.random.RandomState(_seed_from_bytes(payload))
+                img = rng.randint(0, 256, (self.out_h, self.out_w, 3),
+                                  dtype=np.uint8)
+            else:
+                raise NotImplementedError(
+                    "non-BMP image codec not available in this "
+                    "container; plug PIL.Image.open here")
+            out.append(encode_bmp(
+                resize_bilinear(img, self.out_h, self.out_w)))
+        return pd.DataFrame({
+            "media_id": ids, "kind": "image",
+            "width": np.full(len(ids), self.out_w, dtype=np.int32),
+            "height": np.full(len(ids), self.out_h, dtype=np.int32),
+            "payload": out})
+
+
+class AudioSpectrogram:
+    """map_batches stage: audio payload -> log-power band spectrum
+    (``list<float>`` of ``n_bands``) + peak band index. RIFF magic ->
+    real WAV decode; the FFT/band kernel is ``spectrogram_bands``."""
+
+    def __init__(self, n_fft: int = 256, hop: int = 128,
+                 n_bands: int = 16, fake: bool = False):
+        self.n_fft, self.hop, self.n_bands = n_fft, hop, n_bands
+        self.fake = fake
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        srs = batch["sample_rate"].to_numpy(dtype=np.int64)
+        specs, peaks = [], []
+        for payload, sr in zip(batch["payload"].tolist(), srs):
+            if payload[:4] == b"RIFF":
+                x, _sr = _decode_wav(payload)
+            elif self.fake:
+                rng = np.random.RandomState(_seed_from_bytes(payload))
+                x = rng.standard_normal(int(sr))
+            else:
+                raise NotImplementedError(
+                    "non-WAV audio codec not available; plug "
+                    "soundfile/librosa here")
+            bands = spectrogram_bands(x, self.n_fft, self.hop,
+                                      self.n_bands)
+            specs.append(np.round(bands, 6).tolist())
+            peaks.append(int(np.argmax(bands)))
+        return pd.DataFrame({"media_id": ids, "spectrum": specs,
+                             "peak_band": pd.Series(peaks,
+                                                    dtype="int64")})
+
 
 class ImageDecoder:
     """map_batches stage: image payload -> (mean_luma, edge_score,
@@ -350,9 +465,14 @@ def media_features(n: int = 200, seed: int = 42):
     import ray.data as rd
 
     ds = rd.from_arrow(synthetic_media(n, seed))
+    # binary -> binary -> features: the resize stage re-encodes BMP
+    # payloads, which the decoder stage then consumes unchanged
     images = ds.filter(expr="kind == 'image'").map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_h": 32, "out_w": 32},
+        batch_format="pandas", batch_size=64,
+        concurrency=(1, 2), num_cpus=0.5).map_batches(
         ImageDecoder, batch_format="pandas", batch_size=64,
-        concurrency=(1, 2))
+        concurrency=(1, 2), num_cpus=0.5)
 
     def img_norm(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -362,7 +482,7 @@ def media_features(n: int = 200, seed: int = 42):
 
     audio = ds.filter(expr="kind == 'audio'").map_batches(
         AudioFrameSampler, batch_format="pandas", batch_size=64,
-        concurrency=(1, 2))
+        concurrency=(1, 2), num_cpus=0.5)
 
     def aud_norm(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -371,9 +491,19 @@ def media_features(n: int = 200, seed: int = 42):
                 lambda f: round(float(np.mean(f)), 4)),
             "kind": "audio"})
 
+    spectra = ds.filter(expr="kind == 'audio'").map_batches(
+        AudioSpectrogram, batch_format="pandas", batch_size=64,
+        concurrency=(1, 2), num_cpus=0.5)
+
+    def spec_norm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": b["media_id"],
+            "feature": b["peak_band"].astype("float64"),
+            "kind": "audio_spectrum"})
+
     video = ds.filter(expr="kind == 'video'").map_batches(
         VideoFrameSampler, batch_format="pandas", batch_size=64,
-        concurrency=(1, 2))
+        concurrency=(1, 2), num_cpus=0.5)
 
     def vid_norm(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -383,5 +513,7 @@ def media_features(n: int = 200, seed: int = 42):
 
     out = (images.map_batches(img_norm, batch_format="pandas")
            .union(audio.map_batches(aud_norm, batch_format="pandas"))
+           .union(spectra.map_batches(spec_norm, batch_format="pandas"))
            .union(video.map_batches(vid_norm, batch_format="pandas")))
-    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    return (out.to_pandas().sort_values(["media_id", "kind"])
+            .reset_index(drop=True))
