@@ -1016,3 +1016,43 @@ SELECT doc_id FROM (
   FROM documents ORDER BY rank, doc_id LIMIT 100)
 ORDER BY doc_id
 """
+
+
+def stratified_sample(sf_dir: str, per_group: int = 20, by: str = "lang",
+                      seed: int = 42):
+    """Deterministic PER-GROUP sample (n docs per ``by`` value) without
+    a shuffle — the stratified variant of ``sample_documents`` for
+    balancing a training corpus across languages/sources. Same Knuth
+    multiplicative rank; per-batch partial top-n PER GROUP, driver
+    merge of O(batches * groups * n) slim rows. At corpus scale the
+    merge stays small while no full-corpus sort/shuffle ever runs;
+    with a huge group cardinality swap the driver merge for a
+    groupby(by).map_groups top-n over the partials."""
+    ds = _read_docs(sf_dir, ["doc_id", by])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        rank = ((ids.astype(np.uint64) + np.uint64(seed))
+                * np.uint64(2654435761)) % np.uint64(1 << 32)
+        d = pd.DataFrame({by: b[by], "doc_id": ids, "rank": rank})
+        d = d.sort_values(["rank", "doc_id"])  # oracle tie order
+        return d.groupby(by, sort=False).head(per_group)
+
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    df = (df.sort_values(["rank", "doc_id"]).groupby(by, sort=False)
+          .head(per_group))
+    return (df[[by, "doc_id"]].sort_values([by, "doc_id"])
+            .reset_index(drop=True))
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id::HUGEINT + 42) * 2654435761) % 4294967296,
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+ORDER BY lang, doc_id
+"""

@@ -210,6 +210,128 @@ def ivf_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
     return df.reset_index(drop=True)
 
 
+def _train_pq_codebooks(sf_dir: str, m: int, k_centroids: int,
+                        seed: int, sample_n: int = 2048) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace Lloyd k-means (8
+    iterations, deterministic seed) over a Ray-side ``limit(sample_n)``
+    sample — only the sample ever reaches the driver. Returns
+    (m, k_centroids, d/m)."""
+    sample_df = (_read_emb(sf_dir, ["embedding"]).limit(sample_n)
+                 ).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in sample_df["embedding"]])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_centroids, sub))
+    for j in range(m):
+        s = x[:, j * sub:(j + 1) * sub]
+        cent = s[rng.choice(len(s), k_centroids, replace=False)].copy()
+        for _ in range(8):
+            d2 = (-2 * s @ cent.T + (cent ** 2).sum(1))
+            lab = d2.argmin(1)
+            for c in range(k_centroids):
+                sel = s[lab == c]
+                if len(sel):
+                    cent[c] = sel.mean(0)
+        books[j] = cent
+    return books
+
+
+def _pq_encode_matrix(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) unit rows -> (n, m) uint8 centroid codes (vectorized:
+    one matmul per subspace)."""
+    m, _kc, sub = books.shape
+    codes = np.empty((len(mn), m), dtype=np.uint8)
+    for j in range(m):
+        s = mn[:, j * sub:(j + 1) * sub]
+        d2 = -2 * s @ books[j].T + (books[j] ** 2).sum(1)
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def pq_encode(sf_dir: str, m: int = 16, k_centroids: int = 16,
+              seed: int = 42):
+    """Compress the embeddings table to PQ codes (Jégou/Douze/Schmid,
+    TPAMI'11): (vec_id, codes: m uint8 bytes) — at d=64 float64 that is
+    a 32x smaller scan for every downstream ANN query. Returns the
+    codes Dataset (write_parquet it next to the embeddings at scale)
+    and the codebooks."""
+    books = _train_pq_codebooks(sf_dir, m, k_centroids, seed)
+    books_ref = ray.put(books)
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(books_ref)
+        mn = _batch_matrix(batch)
+        mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True),
+                             1e-12)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"],
+            "codes": [c.tobytes() for c in _pq_encode_matrix(mn, b)]})
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    return ds.map_batches(enc, batch_format="pandas",
+                          batch_size=4096), books
+
+
+def pq_topk(sf_dir: str, k: int = 10, m: int = 16, k_centroids: int = 16,
+            shortlist: int = 50, seed: int = 42):
+    """PQ-ADC ANN with exact rerank — the memory-scale path next to
+    brute force and IVF: asymmetric-distance shortlist over the
+    compressed codes, exact cosine only for shortlist rows.
+
+    Physical plan: codebooks trained on a limit() sample (driver,
+    deterministic) and broadcast; ONE map_batches pass encodes the
+    batch, scores it via the (m, k_centroids) query lookup table
+    (one take+sum per row — no d-dim math on the scan), keeps the
+    batch-local approx top-``shortlist`` and computes EXACT cosine for
+    those rows only (the rerank); the driver merges partials, cuts the
+    global shortlist by approx score, and returns the exact top-k. At
+    corpus scale the scan side reads the (vec_id, codes) parquet from
+    ``pq_encode`` — m bytes/vector instead of 8d — and the rerank
+    fetches only shortlist rows. Approximate by construction
+    (rows-only); recall vs the exact oracle is asserted in tests."""
+    import pyarrow.parquet as pq
+    books = _train_pq_codebooks(sf_dir, m, k_centroids, seed)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    sub = q.shape[0] // m
+    # ADC LUT: lut[j, c] = q_j . centroid_{j,c}; approx sim = sum_j
+    lut = np.einsum("jkc,jc->jk", books,
+                    q.reshape(m, sub))  # (m, k_centroids)
+    state_ref = ray.put((books, lut, q))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        b, l, qv = ray.get(state_ref)
+        mn = _batch_matrix(batch)
+        mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True),
+                             1e-12)
+        codes = _pq_encode_matrix(mn, b)
+        approx = l[np.arange(m)[None, :], codes].sum(1)
+        kk = min(shortlist, len(approx))
+        sel = np.argpartition(-approx, kk - 1)[:kk]
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy()[sel],
+            "approx_sim": approx[sel],
+            "cosine_sim": mn[sel] @ qv})  # exact, shortlist rows only
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    df = ds.map_batches(scan, batch_format="pandas",
+                        batch_size=4096).to_pandas()
+    df = df.sort_values(["approx_sim", "vec_id"],
+                        ascending=[False, True]).head(shortlist)
+    df = df.sort_values(["cosine_sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df[["vec_id", "cosine_sim"]].reset_index(drop=True)
+
+
 def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                          "vec_b": pd.Series([], dtype="int64"),

@@ -233,3 +233,18 @@ def test_sample_documents():
     s3 = T.sample_documents(SF, n=50, seed=7)
     # a different seed draws a (almost surely) different sample
     assert set(s3["doc_id"]) != set(s1["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_matches_duckdb():
+    import duckdb
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    got = T.stratified_sample(SF)  # 20 per lang
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(T.STRATIFIED_SAMPLE_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("lang").size() == 20).all()
+    # deterministic through the distributed partial-top-n path
+    pd.testing.assert_frame_equal(got, T.stratified_sample(SF))

@@ -93,3 +93,30 @@ def test_embedding_near_dups_exact_matches_numpy(tmp_path):
                  zip(got["vec_a"], got["vec_b"], got["cosine_sim"])}
     assert got_pairs == truth
     assert len(truth) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_topk_recall_and_determinism():
+    """PQ-ADC shortlist + exact rerank: high recall of the exact top-k,
+    deterministic codebooks, and exact cosine values for returned rows."""
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    sf = "/root/testdata/sf0.01"
+    exact = V.ann_topk(sf, k=10)
+    got = V.pq_topk(sf, k=10)
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8, recall
+    # returned sims are EXACT cosines (rerank), so overlapping rows match
+    merged = got.merge(exact, on="vec_id", suffixes=("_pq", "_ex"))
+    assert (merged["cosine_sim_pq"] == merged["cosine_sim_ex"]).all()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, V.pq_topk(sf, k=10))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_encode_shapes():
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    ds, books = V.pq_encode("/root/testdata/sf0.001", m=8, k_centroids=8)
+    assert books.shape == (8, 8, 8)  # d=64 -> 8-dim subspaces
+    df = ds.to_pandas()
+    assert df["vec_id"].is_unique
+    assert all(len(c) == 8 for c in df["codes"])  # m bytes per vector
