@@ -917,6 +917,46 @@ FROM documents
 """
 
 
+def grouped_length_quantiles(sf_dir: str, by: str = "lang"):
+    """Exact PER-GROUP quantile_cont of n_chars — the grouped variant
+    of ``doc_length_quantiles`` on the same distributed-histogram
+    plan: (by, n_chars, count) partials leave the shuffle (cardinality
+    = groups x distinct lengths, never docs), the driver interpolates
+    each group's cumulative counts. A per-group sort of the raw docs
+    would be the anti-pattern at corpus scale."""
+    ds = _read_docs(sf_dir, [by, "n_chars"])
+    from ..functions.aggregates import grouped_agg
+    hist = grouped_agg(ds, [by, "n_chars"], {"cnt": (None, "count")})         .to_pandas().sort_values([by, "n_chars"])
+    rows = []
+    for g, h in hist.groupby(by, sort=True):
+        v = h["n_chars"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(h["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+
+        def q_cont(q: float) -> float:
+            hh = (n - 1) * q
+            lo = int(np.floor(hh))
+            hi = min(lo + 1, n - 1)
+            x_lo = v[np.searchsorted(cum, lo + 1)]
+            x_hi = v[np.searchsorted(cum, hi + 1)]
+            return float(x_lo + (hh - lo) * (x_hi - x_lo))
+
+        rows.append({by: g, "n_docs": n,
+                     "p25": round(q_cont(0.25), 6),
+                     "p50": round(q_cont(0.5), 6),
+                     "p95": round(q_cont(0.95), 6)})
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
+GROUPED_LENGTH_QUANTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def corpus_clean(sf_dir: str, min_tokens: int = 5):
     """Composed training-data cleaning pass, one slim shuffle:
     keep a doc iff (a) it is the exact-dup canonical representative

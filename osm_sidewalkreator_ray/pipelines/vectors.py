@@ -332,6 +332,47 @@ def pq_topk(sf_dir: str, k: int = 10, m: int = 16, k_centroids: int = 16,
     return df[["vec_id", "cosine_sim"]].reset_index(drop=True)
 
 
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (class means — nearest-class-mean
+    classification / IVF init). Per-batch partial: one scatter-add
+    over (label, dim) -> long-form (label, dim, s, c) slim rows (cardinality
+    = labels x dims, never vectors), combined by a small groupby; the
+    mean is taken after the final combine, so the result is exact."""
+    ds = _read_emb(sf_dir, ["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _batch_matrix(batch)
+        labs = batch["label"].to_numpy()
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv)
+        nl, d = sums.shape
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), nl),
+            "s": sums.ravel(),
+            "c": np.repeat(counts.astype(np.int64), d)})
+
+    from ..functions.aggregates import grouped_agg
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["label", "dim"],
+                      {"s": ("s", "sum"), "c": ("c", "sum")})
+    df = agg.to_pandas()
+    df["mean_val"] = (df["s"] / df["c"]).round(6)
+    return (df[["label", "dim", "mean_val"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, dim, ROUND(AVG(x), 6) AS mean_val FROM (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                          "vec_b": pd.Series([], dtype="int64"),

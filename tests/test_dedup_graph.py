@@ -248,3 +248,16 @@ def test_stratified_sample_matches_duckdb():
     assert (got.groupby("lang").size() == 20).all()
     # deterministic through the distributed partial-top-n path
     pd.testing.assert_frame_equal(got, T.stratified_sample(SF))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_length_quantiles_matches_duckdb():
+    import duckdb
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    got = T.grouped_length_quantiles(SF)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(T.GROUPED_LENGTH_QUANTILES_SQL).df()
+    got["n_docs"] = got["n_docs"].astype(want["n_docs"].dtype)
+    pd.testing.assert_frame_equal(got, want)

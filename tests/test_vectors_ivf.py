@@ -120,3 +120,18 @@ def test_pq_encode_shapes():
     df = ds.to_pandas()
     assert df["vec_id"].is_unique
     assert all(len(c) == 8 for c in df["codes"])  # m bytes per vector
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_centroids_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    sf = "/root/testdata/sf0.01"
+    got = V.label_centroids(sf)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = con.execute(V.LABEL_CENTROIDS_SQL).df()
+    got["label"] = got["label"].astype(want["label"].dtype)
+    pd.testing.assert_frame_equal(got, want)
