@@ -1,0 +1,187 @@
+"""Mergeable sketches for corpus-scale statistics, next to the
+HyperLogLog in ``aggregates.py``:
+
+- **Misra-Gries heavy hitters** (Misra/Gries 1982; merge rule from
+  Agarwal et al., "Mergeable Summaries", PODS'12): bounded-memory
+  frequent-item counts. The exact ``token_topk`` groupby is the right
+  call when the vocabulary fits a shuffle; at 10^12 documents the
+  vocabulary itself is shuffle-sized, and an MG summary of k counters
+  guarantees every item with count > n/(k+1) survives with count
+  under-estimated by at most the tracked ``err``.
+- **merging t-digest** (Dunning & Ertl, "Computing extremely accurate
+  quantiles using t-digests"): mergeable quantile sketch for FLOAT
+  columns, where the exact distinct-value histogram plan
+  (``doc_length_quantiles``) would degenerate to one row per distinct
+  value. Accuracy concentrates at the tails by the k1 scale function.
+
+Scale shape for both: one small partial row per batch (k counters /
+~delta centroids), driver merge of O(#batches) partials — nothing
+proportional to row count or cardinality ever moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------- Misra-Gries
+
+def _mg_compress(values: np.ndarray, counts: np.ndarray, k: int
+                 ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep the k largest counters, subtracting the (k+1)-th count
+    from the survivors (the MG decrement step, batched). Returns
+    (values, counts, err_added) — err_added bounds the additional
+    under-count of any item introduced by this compression."""
+    if len(values) <= k:
+        return values, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    cut = int(counts[order[k]])
+    keep = order[:k]
+    new_counts = counts[keep] - cut
+    pos = new_counts > 0
+    return values[keep][pos], new_counts[pos], cut
+
+
+def mg_heavy_hitters(ds, column: str, k_counters: int = 64,
+                     topk: int = 10, split_tokens: bool = False
+                     ) -> pd.DataFrame:
+    """Distributed Misra-Gries top frequent values of ``column``
+    (or of its whitespace tokens with ``split_tokens``). Per batch:
+    exact in-batch counts -> MG-compressed to ``k_counters`` slim
+    (value, count) rows + one err row; driver: sum counters, compress
+    once more, report ``topk`` with [count_low, count_high] bounds
+    (high = low + accumulated err). Guarantee: any value with true
+    count > total/(k_counters+1) appears."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        col = b[column]
+        if split_tokens:
+            col = col.str.split().explode()
+        vc = col.value_counts()
+        v, c, err = _mg_compress(vc.index.to_numpy(dtype=object),
+                                 vc.to_numpy(dtype=np.int64), k_counters)
+        return pd.DataFrame({"value": np.append(v, [None]),
+                             "count": np.append(c, [0]).astype(np.int64),
+                             "err": np.int64(err),
+                             "n": np.int64(int(vc.sum()))})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # one (err, n) pair per batch rode every row; each batch contributes
+    # exactly one value=None marker row carrying its totals
+    markers = parts[parts["value"].isna()]
+    total_err = int(markers["err"].sum())
+    total_n = int(markers["n"].sum())
+    merged = (parts.dropna(subset=["value"])
+              .groupby("value", sort=False)["count"].sum())
+    v, c, err2 = _mg_compress(merged.index.to_numpy(dtype=object),
+                              merged.to_numpy(dtype=np.int64), k_counters)
+    total_err += err2
+    order = np.lexsort((np.asarray(v, dtype=object), -c))[:topk]
+    return pd.DataFrame({
+        "value": np.asarray(v, dtype=object)[order],
+        "count_low": c[order],
+        "count_high": c[order] + total_err,
+        "n_total": np.int64(total_n),
+    }).reset_index(drop=True)
+
+
+# ---------------------------------------------------- t-digest
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    """Dunning's k1 scale function: centroid size limits shrink toward
+    the tails, concentrating accuracy at extreme quantiles."""
+    return delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy left-to-right merge of (sorted-by-mean) centroids under
+    the k1 size bound — deterministic, O(n)."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = w_before / total
+        q1 = (w_before + cur_w + w) / total
+        if _k1(np.array([q1]), delta)[0] - _k1(np.array([q0]), delta)[0] <= 1.0:
+            # merged centroid stays within one k-unit: absorb
+            cur_m += (m - cur_m) * w / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+class TDigest:
+    """Minimal merging t-digest over float values."""
+
+    def __init__(self, delta: float = 200.0,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0)
+        self.weights = weights if weights is not None else np.empty(0)
+
+    @classmethod
+    def of(cls, values: np.ndarray, delta: float = 200.0) -> "TDigest":
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        if not len(v):
+            return cls(delta)
+        m, w = _tdigest_compress(v, np.ones(len(v)), delta)
+        return cls(delta, m, w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if not len(other.means):
+            return self
+        if not len(self.means):
+            return other
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        m, w = _tdigest_compress(m, w, self.delta)
+        return TDigest(self.delta, m, w)
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile: centroid i sits at the midpoint of
+        its weight span (the standard t-digest estimator)."""
+        if not len(self.means):
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, delta: float = 200.0) -> "TDigest":
+        arr = np.frombuffer(blob, dtype=np.float64)
+        half = len(arr) // 2
+        return cls(delta, arr[:half].copy(), arr[half:].copy())
+
+
+def tdigest_quantiles(ds, column: str, qs: tuple[float, ...] = (
+        0.25, 0.5, 0.75, 0.95), delta: float = 200.0) -> pd.DataFrame:
+    """Distributed approximate quantiles of a float column: one
+    ~delta-centroid digest row per batch, driver merge, interpolated
+    quantiles. The float-safe complement to the exact
+    distinct-value-histogram plan."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.of(b[column].to_numpy(dtype=np.float64), delta)
+        return pd.DataFrame({"digest": [d.to_bytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = TDigest(delta)
+    for blob in rows["digest"]:
+        acc = acc.merge(TDigest.from_bytes(blob, delta))
+    return pd.DataFrame({f"p{int(q * 100)}": [round(acc.quantile(q), 6)]
+                         for q in qs})
