@@ -95,6 +95,68 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _bloom_hash_idx(values, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len, n_hashes) bit indices via double hashing of the stable
+    64-bit key hash (Kirsch/Mitzenmacher: h1 + i*h2 preserves the
+    standard Bloom FPR)."""
+    h = pd.util.hash_array(np.asarray(values))
+    h1 = h % np.uint64(n_bits)
+    h2 = ((h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * (h2[:, None] % np.uint64(n_bits)))
+            % np.uint64(n_bits)).astype(np.int64)
+
+
+def build_key_bloom(ds, on: str, n_bits: int = 1 << 20,
+                    n_hashes: int = 4) -> bytes:
+    """Distributed Bloom filter of a key column: each batch sets its
+    bits in a fixed-size packed bitmap (n_bits/8 bytes — 128 KiB at
+    2^20, independent of row count), the driver ORs the partials.
+    FPR ~ (1 - e^(-kn/m))^k; size n_bits to ~10 bits/distinct key for
+    ~1-2%. No false negatives ever."""
+    nbytes = n_bits // 8
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        idx = _bloom_hash_idx(b[on], n_bits, n_hashes).ravel()
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        masks = (np.uint16(1) << np.arange(8, dtype=np.uint16)
+                 ).astype(np.uint8)
+        np.bitwise_or.at(bits, idx >> 3, masks[idx & 7])
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for blob in rows["bits"]:
+        acc |= np.frombuffer(blob, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def _bloom_contains(values, bloom: bytes, n_hashes: int = 4) -> np.ndarray:
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    idx = _bloom_hash_idx(values, len(bits) * 8, n_hashes)
+    hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1)
+
+
+def bloom_prefilter(big, keys_side, on: str, n_bits: int = 1 << 20,
+                    n_hashes: int = 4):
+    """Drop ``big`` rows whose key cannot match any ``keys_side`` key,
+    BEFORE a shuffle — the classic runtime-filter pushdown for an
+    inner hash join with a selective side. ``keys_side`` is scanned
+    once to build the bitmap (materialize it first if it is also a
+    join input); survivors are a superset of the true matches (Bloom
+    FPR only adds rows, never removes), so join output is unchanged."""
+    bloom = build_key_bloom(keys_side, on, n_bits, n_hashes)
+    bloom_ref = ray.put(bloom)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        return t.filter(pa.array(_bloom_contains(
+            t[on].to_pandas(), b, n_hashes)))
+
+    return big.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_partition_join(left, right, on: str, num_buckets: int = 32,
                         how: str = "inner", group_fn=None):
     """Large-large equi-join via an explicit partitioned hash join.

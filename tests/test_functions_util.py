@@ -142,3 +142,41 @@ class TestHyperLogLog:
             f"'{SF}/events.parquet'").df()["n"].iloc[0]
         assert abs(float(total_row["approx_distinct"].iloc[0])
                    - exact_total) / exact_total < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_prefilter_no_false_negatives():
+    """Runtime-filter pushdown: survivors superset of true matches;
+    join output unchanged; big non-matching majority dropped."""
+    import ray.data as rd
+    import numpy as np
+    import pandas as pd
+    from osm_sidewalkreator_ray.functions.joins import (
+        bloom_prefilter, build_key_bloom, _bloom_contains,
+        hash_partition_join)
+
+    rng = np.random.RandomState(5)
+    keys = rng.choice(100_000, 500, replace=False).astype(np.int64)
+    small = rd.from_pandas(pd.DataFrame(
+        {"k": keys, "attr": np.arange(500)})).materialize()
+    big_df = pd.DataFrame({"k": np.arange(100_000, dtype=np.int64),
+                           "v": np.arange(100_000)})
+    big = rd.from_pandas(big_df).repartition(8)
+
+    filtered = bloom_prefilter(big, small, on="k")
+    n_kept = filtered.count()
+    # all 500 true matches survive; FPR keeps the reduction large
+    kept = set(filtered.to_pandas()["k"])
+    assert set(keys) <= kept
+    assert n_kept < 5_000, n_kept  # >95% of non-matches dropped
+
+    out = hash_partition_join(filtered, small, on="k",
+                              num_buckets=8).to_pandas()
+    expect = big_df.merge(pd.DataFrame({"k": keys,
+                                        "attr": np.arange(500)}), on="k")
+    assert len(out) == len(expect) == 500
+    assert set(out["k"]) == set(keys)
+
+    # membership kernel: no false negatives by construction
+    bloom = build_key_bloom(small, "k")
+    assert _bloom_contains(pd.Series(keys), bloom).all()
