@@ -210,6 +210,70 @@ FROM documents GROUP BY text ORDER BY doc_id
 """
 
 
+def incremental_exact_dedup(existing, new):
+    """Dedup a NEW crawl batch against an EXISTING corpus — the
+    continuous-ingestion form of ``exact_dedup``. Both args are
+    Datasets with (doc_id, text) [existing may carry a precomputed
+    ``content_hash`` column instead of text].
+
+    Physical plan (never rescans existing text against new text
+    pairwise): a Bloom bitmap of the existing hashes is built in one
+    fixed-size-partial pass and broadcast; new docs whose hash MISSES
+    the bloom are definitely-new (no false negatives) and short-circuit
+    straight to the output without touching any shuffle. Only the
+    bloom HITS (true dups + ~1% false positives) enter a
+    hash-partitioned anti-join against the slim existing hash table
+    for exact confirmation. At corpus scale the shuffle moves
+    |new_dups| + FPR * |new| rows, not |existing|."""
+    from ..functions.joins import (bloom_prefilter, build_key_bloom,
+                                   _bloom_contains, hash_partition_join)
+
+    def h(batch: pd.DataFrame) -> pd.DataFrame:
+        if "content_hash" in batch.columns:
+            hh = batch["content_hash"]
+        else:
+            hh = batch["text"].map(
+                lambda s: hashlib.sha1(s.encode()).hexdigest())
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "content_hash": hh})
+
+    ex_h = existing.map_batches(h, batch_format="pandas").materialize()
+    new_h = new.map_batches(h, batch_format="pandas").materialize()
+    bloom = build_key_bloom(ex_h, "content_hash")
+    import ray as _ray
+    bloom_ref = _ray.put(bloom)
+
+    def split(flag: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            blm = _ray.get(bloom_ref)
+            hit = _bloom_contains(b["content_hash"], blm)
+            return b[hit] if flag else b[~hit]
+        return f
+
+    fresh = new_h.map_batches(split(False), batch_format="pandas")
+    maybe = new_h.map_batches(split(True), batch_format="pandas")
+
+    # exact confirmation of the (small) maybe set: left join against
+    # the slim existing hash column; unmatched = bloom false positives
+    # -> they are new
+    ex_slim = ex_h.map_batches(
+        lambda b: pd.DataFrame({"content_hash": b["content_hash"],
+                                "__seen": np.int8(1)}).drop_duplicates(),
+        batch_format="pandas")
+    joined = hash_partition_join(maybe, ex_slim, on="content_hash",
+                                 how="left", num_buckets=16)
+    confirmed_new = joined.map_batches(
+        lambda b: b.loc[b["__seen"].isna(), ["doc_id", "content_hash"]],
+        batch_format="pandas")
+
+    out = fresh.union(confirmed_new).to_pandas()
+    # in-batch dups among the new docs themselves: keep min doc_id
+    out = (out.sort_values("doc_id").groupby("content_hash", sort=False)
+           .head(1))
+    return (out[["doc_id", "content_hash"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 _MERSENNE = (1 << 61) - 1
 
 

@@ -261,3 +261,36 @@ def test_grouped_length_quantiles_matches_duckdb():
     want = con.execute(T.GROUPED_LENGTH_QUANTILES_SQL).df()
     got["n_docs"] = got["n_docs"].astype(want["n_docs"].dtype)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_exact_dedup():
+    """New-batch dedup vs an existing corpus: dups dropped, fresh docs
+    kept, bloom false positives exactly confirmed, result equals the
+    naive recompute."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.pipelines.textops import (
+        incremental_exact_dedup)
+
+    existing = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "text": [f"existing document number {i}" for i in range(1000)]})
+    new = pd.DataFrame({
+        "doc_id": np.arange(5000, 5300, dtype=np.int64),
+        "text": (
+            # 100 exact dups of existing docs
+            [f"existing document number {i}" for i in range(100)]
+            # 180 genuinely new
+            + [f"fresh document {i}" for i in range(180)]
+            # 20 new docs duplicated within the batch (10 distinct)
+            + [f"fresh dup {i % 10}" for i in range(20)])})
+
+    got = incremental_exact_dedup(
+        rd.from_pandas(existing).repartition(4),
+        rd.from_pandas(new).repartition(4))
+    # naive recompute: new texts not in existing, first doc_id per text
+    seen = set(existing["text"])
+    expect = (new[~new["text"].isin(seen)]
+              .sort_values("doc_id").groupby("text", sort=False).head(1))
+    assert set(got["doc_id"]) == set(expect["doc_id"])
+    assert len(got) == 190  # 180 fresh + 10 distinct in-batch
