@@ -332,6 +332,69 @@ def pq_topk(sf_dir: str, k: int = 10, m: int = 16, k_centroids: int = 16,
     return df[["vec_id", "cosine_sim"]].reset_index(drop=True)
 
 
+def pq_topk_stored(sf_dir: str, k: int = 10, m: int = 16,
+                   k_centroids: int = 16, shortlist: int = 50,
+                   seed: int = 42):
+    """PQ ANN over STORED codes — the full production shape: the query
+    scan touches only the (vec_id, codes) table (m bytes/vector; at
+    d=64 float64 a 32x smaller scan than the embeddings), and the raw
+    vectors are fetched ONLY for the global shortlist via a pushed-down
+    ``vec_id in (...)`` parquet row filter (row-group pruning at the
+    read — never a full-table rescan). Same result as ``pq_topk``; the
+    two paths differ only in where the rerank reads from."""
+    import functools
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    codes_ds, books = pq_encode(sf_dir, m, k_centroids, seed)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    sub = q.shape[0] // m
+    lut = np.einsum("jkc,jc->jk", books, q.reshape(m, sub))
+    lut_ref = ray.put(lut)
+
+    def scan_codes(batch: pd.DataFrame, k_local: int) -> pd.DataFrame:
+        l = ray.get(lut_ref)
+        codes = np.frombuffer(b"".join(batch["codes"]),
+                              dtype=np.uint8).reshape(len(batch), -1)
+        approx = l[np.arange(codes.shape[1])[None, :], codes].sum(1)
+        kk = min(k_local, len(approx))
+        sel = np.argpartition(-approx, kk - 1)[:kk]
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[sel],
+                             "approx_sim": approx[sel]})
+
+    part = codes_ds.map_batches(
+        functools.partial(scan_codes, k_local=shortlist),
+        batch_format="pandas").to_pandas()
+    short = (part.sort_values(["approx_sim", "vec_id"],
+                              ascending=[False, True]).head(shortlist))
+    ids = short["vec_id"].to_numpy(dtype=np.int64)
+    # rerank fetch: parquet row filter on the shortlist ids only
+    rer = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(pa_array_int64(ids)))
+    mm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in rer["embedding"].to_pylist()])
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ q
+    df = pd.DataFrame({"vec_id": rer["vec_id"].to_numpy(),
+                       "cosine_sim": sims})
+    df = df.sort_values(["cosine_sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df.reset_index(drop=True)
+
+
+def pa_array_int64(ids: np.ndarray):
+    import pyarrow as pa
+    return pa.array(ids, pa.int64())
+
+
 def label_centroids(sf_dir: str):
     """Per-label embedding centroid (class means — nearest-class-mean
     classification / IVF init). Per-batch partial: one scatter-add

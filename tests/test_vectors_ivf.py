@@ -135,3 +135,13 @@ def test_label_centroids_matches_duckdb():
     want = con.execute(V.LABEL_CENTROIDS_SQL).df()
     got["label"] = got["label"].astype(want["label"].dtype)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_topk_stored_equals_inline():
+    """The stored-codes scan + shortlist-only rerank fetch returns the
+    same rows as the inline path."""
+    import pandas as pd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    sf = "/root/testdata/sf0.01"
+    pd.testing.assert_frame_equal(V.pq_topk_stored(sf), V.pq_topk(sf))
