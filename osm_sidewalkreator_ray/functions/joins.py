@@ -157,8 +157,24 @@ def bloom_prefilter(big, keys_side, on: str, n_bits: int = 1 << 20,
     return big.map_batches(keep, batch_format="pyarrow")
 
 
+def detect_hot_keys(ds, on: str, frac: float = 0.05,
+                    k_counters: int = 256) -> set:
+    """Keys carrying more than ``frac`` of the rows, found with one
+    Misra-Gries pass (bounded memory — never a full count groupby).
+    MG guarantees every key above total/(k_counters+1) is a candidate;
+    count_low is an under-estimate, so the frac test is conservative
+    (missing a borderline-hot key costs balance, never correctness)."""
+    from .sketches import mg_heavy_hitters
+    hh = mg_heavy_hitters(ds, on, k_counters=k_counters,
+                          topk=k_counters)
+    total = int(hh["n_total"].iloc[0]) if len(hh) else 0
+    return {v for v, c in zip(hh["value"], hh["count_low"])
+            if total and c > frac * total}
+
+
 def hash_partition_join(left, right, on: str, num_buckets: int = 32,
-                        how: str = "inner", group_fn=None):
+                        how: str = "inner", group_fn=None,
+                        hot_keys: set | None = None, n_salts: int = 8):
     """Large-large equi-join via an explicit partitioned hash join.
 
     Both inputs are Datasets sharing the key column ``on``; other
@@ -167,10 +183,25 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
 
     ``group_fn``: optional aggregate pushdown — applied to each
     bucket's merged frame INSIDE the join stage. Because the bucket
-    holds every row of each key that hashes into it, any per-``on``-key
-    group aggregate is exact here, and running it in-bucket removes
-    the follow-up groupby shuffle a caller would otherwise need.
+    holds every key's full row set, any per-``on``-key group aggregate
+    is exact here, and running it in-bucket removes the follow-up
+    groupby shuffle a caller would otherwise need. (With ``hot_keys``
+    a hot key's rows span its salts, so a pushed-down aggregate must
+    be re-combinable by the caller — partial sums/counts are, top-k
+    per key is not.)
+
+    ``hot_keys`` (skew handling, the brief's "salt hot keys"): each
+    listed key gets ``n_salts`` DEDICATED buckets; its left rows
+    round-robin across the salts and its right rows are REPLICATED
+    into every salt, so one zipf-head key no longer serializes behind
+    a single reducer. Inner/left joins only (an unmatched right hot
+    row would surface once per salt under right/outer semantics).
+    Use ``detect_hot_keys`` for the one-pass sketch that finds them.
     """
+    if hot_keys and how not in ("inner", "left"):
+        raise ValueError("salted join supports how='inner'/'left' only")
+    hot_idx = {k: i for i, k in enumerate(sorted(hot_keys))} \
+        if hot_keys else {}
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
     fields = list(lschema)
@@ -200,6 +231,33 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
             # the matches
             key = t[on].cast(key_type).to_pandas()
             b = _stable_bucket(key, num_buckets)
+            if hot_idx:
+                hot_pos = key.map(hot_idx).to_numpy(dtype=np.float64)
+                is_hot = ~np.isnan(hot_pos)
+                base = num_buckets + hot_pos[is_hot].astype(np.int64) \
+                    * n_salts
+                if side == 0:
+                    # left rows of a hot key round-robin its salts
+                    b[is_hot] = base + (np.arange(int(is_hot.sum()))
+                                        % n_salts)
+                else:
+                    # right rows of a hot key replicate into EVERY salt
+                    cold = pa.table(
+                        [a.filter(pa.array(~is_hot)) for a in arrays]
+                        + [pa.array(b[~is_hot]),
+                           pa.array(np.full(int((~is_hot).sum()), side,
+                                            dtype=np.int8))],
+                        names=names + [_BUCKET, _SIDE])
+                    reps = []
+                    hot_tbl = pa.table(
+                        [a.filter(pa.array(is_hot)) for a in arrays],
+                        names=names)
+                    for s in range(n_salts):
+                        reps.append(hot_tbl.append_column(
+                            _BUCKET, pa.array(base + s)).append_column(
+                            _SIDE, pa.array(np.full(len(hot_tbl), side,
+                                                    dtype=np.int8))))
+                    return pa.concat_tables([cold] + reps)
             names += [_BUCKET, _SIDE]
             arrays += [pa.array(b), pa.array(np.full(len(t), side, dtype=np.int8))]
             return pa.table(arrays, names=names)

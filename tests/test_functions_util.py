@@ -180,3 +180,44 @@ def test_bloom_prefilter_no_false_negatives():
     # membership kernel: no false negatives by construction
     bloom = build_key_bloom(small, "k")
     assert _bloom_contains(pd.Series(keys), bloom).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_hash_join_equals_unsalted():
+    """Hot-key salting: identical join output, hot key spread over
+    dedicated salt buckets instead of one reducer."""
+    import ray.data as rd
+    import numpy as np
+    import pandas as pd
+    from osm_sidewalkreator_ray.functions.joins import (
+        detect_hot_keys, hash_partition_join)
+
+    rng = np.random.RandomState(11)
+    # zipf head: key 7 carries half the rows
+    k = np.where(rng.rand(20_000) < 0.5, 7,
+                 rng.randint(0, 1000, 20_000)).astype(np.int64)
+    left = pd.DataFrame({"k": k, "v": np.arange(20_000)})
+    right = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                          "w": np.arange(1000) * 10})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+
+    hot = detect_hot_keys(lds, "k", frac=0.2)
+    assert hot == {7}
+
+    expect = left.merge(right, on="k").sort_values(
+        ["k", "v"]).reset_index(drop=True)
+    for hk in (None, hot):
+        got = hash_partition_join(
+            rd.from_pandas(left).repartition(8), rds, on="k",
+            num_buckets=8, hot_keys=hk).to_pandas()
+        got = got.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "v", "w"]], expect)
+
+    # left-join form keeps unmatched hot rows exactly once
+    left2 = left.copy()
+    left2.loc[left2.index[:5], "k"] = 5000  # no right match
+    got = hash_partition_join(
+        rd.from_pandas(left2).repartition(8), rds, on="k",
+        num_buckets=8, how="left", hot_keys={7}).to_pandas()
+    assert len(got) == len(left2)
