@@ -138,12 +138,25 @@ def run_scaling(sf_dir: str, lo: int | None = None,
     # it HERE (parent, full CPUs) so the low-CPU subprocess never pays
     # corpus synthesis.
     pages = os.environ.get("GRAFT_BENCH_PAGES", "4000000")
-    _ensure_corpus(int(pages))
+    corpus = _ensure_corpus(int(pages))
     import ray
     if ray.is_initialized():
         ray.shutdown()
 
+    def warm(path: str) -> None:
+        # this VM drops the corpus page-cache after ~30 idle minutes;
+        # a cold parquet read binds the high-CPU leg (I/O-bound) while
+        # hiding under compute at 2 CPUs, skewing the ratio. Touch the
+        # files before EACH leg so both see the same cache state —
+        # corpus I/O warmth is harness state, not engine work
+        # (BASELINE.md measurement-protocol note).
+        for name in os.listdir(path):
+            with open(os.path.join(path, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
     def run(ncpu: int) -> dict:
+        warm(corpus)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_PAGES=pages)
         out = subprocess.run(
