@@ -52,6 +52,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) \
         or n_pages_for_sf(sf_dir)
     corpus = _ensure_corpus(n_pages)
+    # same cache protocol as the scaling legs: corpus I/O warmth is
+    # harness state, not engine work (see run_scaling.warm)
+    for _name in os.listdir(corpus):
+        with open(os.path.join(corpus, _name), "rb") as _f:
+            while _f.read(1 << 24):
+                pass
 
     # warm the worker pool before the timed region: a fresh Ray session
     # spawns worker processes (python + numpy/pandas imports) lazily on
