@@ -169,6 +169,44 @@ class TDigest:
         return cls(delta, arr[:half].copy(), arr[half:].copy())
 
 
+def tdigest_quantiles_by(ds, key: str, column: str,
+                         qs: tuple[float, ...] = (0.5, 0.95),
+                         delta: float = 200.0,
+                         num_buckets: int = 32) -> pd.DataFrame:
+    """Per-``key`` approximate quantiles — the grouped form of
+    ``tdigest_quantiles`` on the ``hll_distinct_by`` shape: one digest
+    row per (key, batch) partial, hash-bucketed groupby where each
+    key's digests merge, quantiles interpolated in the combine.
+    Shuffle volume: (#keys x #batches) ~delta-centroid rows —
+    independent of row count."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_d = [], []
+        for k, g in b.groupby(key, dropna=False, sort=False):
+            out_k.append(k)
+            out_d.append(TDigest.of(g[column].to_numpy(np.float64),
+                                    delta).to_bytes())
+        o = pd.DataFrame({key: out_k, "digest": out_d})
+        o["__b"] = (pd.util.hash_array(o[key].to_numpy(dtype=object))
+                    % num_buckets).astype(np.int64)
+        return o
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, dropna=False, sort=False):
+            acc = TDigest(delta)
+            for blob in gg["digest"]:
+                acc = acc.merge(TDigest.from_bytes(blob, delta))
+            rows.append({key: k, **{f"p{int(q * 100)}":
+                                    round(acc.quantile(q), 6)
+                                    for q in qs}})
+        return pd.DataFrame(rows)
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("__b").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key).reset_index(drop=True)
+
+
 def tdigest_quantiles(ds, column: str, qs: tuple[float, ...] = (
         0.25, 0.5, 0.75, 0.95), delta: float = 200.0) -> pd.DataFrame:
     """Distributed approximate quantiles of a float column: one

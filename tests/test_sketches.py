@@ -84,3 +84,26 @@ def test_tdigest_dataset_path():
         est = got[name].iloc[0]
         rank = (x <= est).mean()
         assert abs(rank - q) < 0.015, (name, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tdigest_grouped():
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.sketches import (
+        tdigest_quantiles_by)
+    rng = np.random.RandomState(3)
+    # three groups with different scales
+    parts = []
+    for g, scale in (("a", 1.0), ("b", 10.0), ("c", 100.0)):
+        parts.append(pd.DataFrame({"g": g,
+                                   "v": rng.standard_normal(30_000) * scale}))
+    df = pd.concat(parts, ignore_index=True).sample(
+        frac=1.0, random_state=0).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(12)
+    got = tdigest_quantiles_by(ds, "g", "v").set_index("g")
+    for g, scale in (("a", 1.0), ("b", 10.0), ("c", 100.0)):
+        sub = df.loc[df["g"] == g, "v"].to_numpy()
+        for name, q in (("p50", 0.5), ("p95", 0.95)):
+            est = got.loc[g, name]
+            rank = (sub <= est).mean()
+            assert abs(rank - q) < 0.015, (g, name, rank)
