@@ -85,6 +85,57 @@ def mg_heavy_hitters(ds, column: str, k_counters: int = 64,
     }).reset_index(drop=True)
 
 
+def mg_heavy_hitters_by(ds, key: str, column: str, k_counters: int = 64,
+                        topk: int = 5, split_tokens: bool = False,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Per-``key`` Misra-Gries heavy hitters (e.g. top tokens per
+    language) — the grouped form on the bucketed-combine shape: MG
+    partials per (key, batch) -> hash-bucketed groupby -> per-key
+    counter sum + one more compression. Shuffle volume:
+    (#keys x #batches x k_counters) slim rows."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, g in b.groupby(key, dropna=False, sort=False):
+            col = g[column]
+            if split_tokens:
+                col = col.str.split().explode()
+            vc = col.value_counts()
+            v, c, err = _mg_compress(vc.index.to_numpy(dtype=object),
+                                     vc.to_numpy(dtype=np.int64),
+                                     k_counters)
+            out.append(pd.DataFrame({
+                key: k, "value": np.append(v, [None]),
+                "count": np.append(c, [0]).astype(np.int64),
+                "err": np.int64(err)}))
+        o = pd.concat(out, ignore_index=True)
+        o["__b"] = (pd.util.hash_array(o[key].to_numpy(dtype=object))
+                    % num_buckets).astype(np.int64)
+        return o
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, dropna=False, sort=False):
+            err = int(gg.loc[gg["value"].isna(), "err"].sum())
+            merged = (gg.dropna(subset=["value"])
+                      .groupby("value", sort=False)["count"].sum())
+            v, c, e2 = _mg_compress(merged.index.to_numpy(dtype=object),
+                                    merged.to_numpy(dtype=np.int64),
+                                    k_counters)
+            err += e2
+            order = np.lexsort((np.asarray(v, dtype=object), -c))[:topk]
+            rows.append(pd.DataFrame({
+                key: k, "value": np.asarray(v, dtype=object)[order],
+                "count_low": c[order], "count_high": c[order] + err}))
+        return pd.concat(rows, ignore_index=True)
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("__b").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values([key, "count_low"],
+                            ascending=[True, False])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------- t-digest
 
 def _k1(q: np.ndarray, delta: float) -> np.ndarray:

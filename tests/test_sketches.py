@@ -107,3 +107,27 @@ def test_tdigest_grouped():
             est = got.loc[g, name]
             rank = (sub <= est).mean()
             assert abs(rank - q) < 0.015, (g, name, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mg_heavy_hitters_grouped():
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.sketches import (
+        mg_heavy_hitters_by)
+    rng = np.random.RandomState(9)
+    rows = []
+    for g in ("en", "de"):
+        # per-group head token carries 40% of that group's rows
+        toks = np.where(rng.rand(8000) < 0.4, f"{g}_head",
+                        np.array([f"{g}_t{i}" for i in
+                                  rng.randint(0, 300, 8000)]))
+        rows.append(pd.DataFrame({"lang": g, "tok": toks}))
+    df = pd.concat(rows, ignore_index=True).sample(
+        frac=1.0, random_state=1).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(8)
+    got = mg_heavy_hitters_by(ds, "lang", "tok", k_counters=64, topk=3)
+    for g in ("en", "de"):
+        sub = got[got["lang"] == g]
+        assert sub["value"].iloc[0] == f"{g}_head"
+        true = int((df.loc[df["lang"] == g, "tok"] == f"{g}_head").sum())
+        assert sub["count_low"].iloc[0] <= true <= sub["count_high"].iloc[0]
