@@ -24,7 +24,11 @@ def entry() -> Any:
     and the per-cell point-in-polygon + kNN join.
     """
     from osm_sidewalkreator_ray.pipelines.page_join import flagship_entry
-    return flagship_entry("/root/testdata/sf0.001")
+    # materialize() so the smoke check actually EXECUTES the pipeline
+    # end to end even if the caller never consumes the returned
+    # Dataset (sf0.001 output is tiny; at scale callers use the lazy
+    # flagship_entry(collect='dataset') directly)
+    return flagship_entry("/root/testdata/sf0.001").materialize()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -23,6 +23,10 @@ import ray
 
 _BUCKET = "__jbucket"
 _SIDE = "__jside"
+# rows bundled per tag task ahead of the join shuffle: coarse enough
+# that the sort's per-block scheduler overhead is negligible, small
+# enough that a slim tagged batch always fits a worker heap
+_TAG_BATCH_ROWS = 262144
 
 
 # per-worker-process cache of resolved broadcast tables: the small
@@ -108,23 +112,30 @@ def _bloom_hash_idx(values, n_bits: int, n_hashes: int) -> np.ndarray:
 
 
 def build_key_bloom(ds, on: str, n_bits: int = 1 << 20,
-                    n_hashes: int = 4) -> bytes:
+                    n_hashes: int = 4,
+                    key_type: pa.DataType | None = None) -> bytes:
     """Distributed Bloom filter of a key column: each batch sets its
     bits in a fixed-size packed bitmap (n_bits/8 bytes — 128 KiB at
     2^20, independent of row count), the driver ORs the partials.
     FPR ~ (1 - e^(-kn/m))^k; size n_bits to ~10 bits/distinct key for
-    ~1-2%. No false negatives ever."""
+    ~1-2%. No false negatives ever — PROVIDED the probe side hashes
+    the same representation: ``pd.util.hash_array`` is dtype-sensitive
+    (int64 vs float64 of the same value hash differently), so the key
+    column is cast to ``key_type`` (default: this dataset's own key
+    type) before hashing, and probes must cast to the same type."""
     nbytes = n_bits // 8
+    ktype = key_type or _arrow_schema(ds).field(on).type
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        idx = _bloom_hash_idx(b[on], n_bits, n_hashes).ravel()
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vals = t[on].cast(ktype).to_pandas()
+        idx = _bloom_hash_idx(vals, n_bits, n_hashes).ravel()
         bits = np.zeros(nbytes, dtype=np.uint8)
         masks = (np.uint16(1) << np.arange(8, dtype=np.uint16)
                  ).astype(np.uint8)
         np.bitwise_or.at(bits, idx >> 3, masks[idx & 7])
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
-    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     acc = np.zeros(nbytes, dtype=np.uint8)
     for blob in rows["bits"]:
         acc |= np.frombuffer(blob, dtype=np.uint8)
@@ -145,14 +156,22 @@ def bloom_prefilter(big, keys_side, on: str, n_bits: int = 1 << 20,
     inner hash join with a selective side. ``keys_side`` is scanned
     once to build the bitmap (materialize it first if it is also a
     join input); survivors are a superset of the true matches (Bloom
-    FPR only adds rows, never removes), so join output is unchanged."""
-    bloom = build_key_bloom(keys_side, on, n_bits, n_hashes)
+    FPR only adds rows, never removes), so join output is unchanged.
+
+    Both sides hash the key CAST to the build side's Arrow type
+    (mirroring ``hash_partition_join``'s shared-schema key cast): a
+    probe side arriving as float64 after an upstream null-padded join
+    would otherwise hash differently from the int64 build keys and
+    silently drop true matches."""
+    ktype = _arrow_schema(keys_side).field(on).type
+    bloom = build_key_bloom(keys_side, on, n_bits, n_hashes,
+                            key_type=ktype)
     bloom_ref = ray.put(bloom)
 
     def keep(t: pa.Table) -> pa.Table:
         b = ray.get(bloom_ref)
         return t.filter(pa.array(_bloom_contains(
-            t[on].to_pandas(), b, n_hashes)))
+            t[on].cast(ktype).to_pandas(), b, n_hashes)))
 
     return big.map_batches(keep, batch_format="pyarrow")
 
@@ -263,34 +282,31 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
             return pa.table(arrays, names=names)
         return f
 
-    unioned = (left.map_batches(tag(0), batch_format="pyarrow")
-               .union(right.map_batches(tag(1), batch_format="pyarrow")))
-    # the sort shuffle below pays ~3 scheduler round-trips per input
-    # block; fine-grained reads feed it hundreds of tiny blocks and the
-    # driver overhead dominates the join (measured 3.2 s wall vs 0.7 s
-    # remote work at sf0.1). Coalesce the slim tagged rows to ~2
-    # blocks/CPU (128 MB-bounded, so this stays safe at corpus scale)
-    # before the all-to-all — the sort is a barrier anyway
-    from .blocks import coalesce_slim
-    unioned = coalesce_slim(unioned.materialize())
+    # the groupby shuffle below pays ~3 scheduler round-trips per input
+    # block; fine-grained upstream stages would feed it hundreds of tiny
+    # blocks and the driver overhead would dominate the join (measured
+    # 3.2 s wall vs 0.7 s remote work at sf0.1). Instead of pinning the
+    # whole tagged union with materialize()+repartition (an extra copy
+    # epoch of BOTH join sides — a scale-killer at 100 TB), a large
+    # ``batch_size`` on the tag stage makes the streaming executor
+    # BUNDLE tiny input blocks into coarse ~256k-row output blocks
+    # before the all-to-all: same coarse-block effect, zero barrier,
+    # the join input streams straight into the shuffle.
+    unioned = (left.map_batches(tag(0), batch_format="pyarrow",
+                                batch_size=_TAG_BATCH_ROWS)
+               .union(right.map_batches(tag(1), batch_format="pyarrow",
+                                        batch_size=_TAG_BATCH_ROWS)))
 
-    int_types = {f.name: f.type for f in combined
-                 if pa.types.is_integer(f.type)}
-
-    def _restore_ints(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
-        # null-padding the union turns each side's int columns into
-        # float64 (NaN rows belong to the OTHER side); within one side
-        # they are non-null, so the original dtype is restored here —
-        # keeping join keys int through chained joins
-        for c in cols:
-            if c in int_types and df[c].dtype != np.int64:
-                df[c] = df[c].astype(np.int64)
-        return df
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = _restore_ints(group.loc[group[_SIDE] == 0, lcols].copy(), lcols)
-        r = _restore_ints(group.loc[group[_SIDE] == 1, rcols].copy(), rcols)
-        out = l.merge(r, on=on, how=how)
+    def merge(group: pa.Table) -> pd.DataFrame:
+        # side split in Arrow, NOT pandas: the null-padded union keeps
+        # each side's int columns as true Arrow ints (nulls belong to
+        # the OTHER side), so converting each filtered side separately
+        # never round-trips ints through float64 — int32/uint64 widths
+        # and int64 values above 2^53 survive chained joins exactly
+        import pyarrow.compute as pc
+        l = group.filter(pc.equal(group[_SIDE], 0)).select(lcols)
+        r = group.filter(pc.equal(group[_SIDE], 1)).select(rcols)
+        out = l.to_pandas().merge(r.to_pandas(), on=on, how=how)
         return group_fn(out) if group_fn is not None else out
 
-    return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pandas")
+    return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

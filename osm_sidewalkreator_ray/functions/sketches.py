@@ -93,7 +93,17 @@ def mg_heavy_hitters_by(ds, key: str, column: str, k_counters: int = 64,
     partials per (key, batch) -> hash-bucketed groupby -> per-key
     counter sum + one more compression. Shuffle volume:
     (#keys x #batches x k_counters) slim rows."""
+    empty = pd.DataFrame({key: pd.Series([], dtype=object),
+                          "value": pd.Series([], dtype=object),
+                          "count": pd.Series([], dtype=np.int64),
+                          "err": pd.Series([], dtype=np.int64),
+                          "__b": pd.Series([], dtype=np.int64)})
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            # Ray Data can deliver zero-row blocks (e.g. downstream of
+            # a filter); pd.concat([]) would raise
+            return empty
         out = []
         for k, g in b.groupby(key, dropna=False, sort=False):
             col = g[column]

@@ -609,15 +609,29 @@ def checkpointed_geotags(pages, out_dir: str,
 def checkpointed_pipeline(pages, features, out_dir: str,
                           cfg: PipelineConfig = DEFAULT_CONFIG,
                           skip_keys: set[tuple] | None = None,
-                          skip_shards: set[tuple] | None = None
-                          ) -> pd.DataFrame:
+                          skip_shards: set[tuple] | None = None,
+                          n_shards: int = 64) -> pd.DataFrame:
     """Fully-resumable flagship: geotag extraction checkpointed under
     ``out_dir/geotags`` (per url-shard), the join under
     ``out_dir/join`` (per (cell, salt)). A re-submit recomputes only
     the partitions missing from either manifest."""
     import os
+    # the join stage must see COMPLETE geotag input: a join partition
+    # computed from a partial shard set would be committed to the join
+    # manifest and a later resume would skip it permanently, silently
+    # dropping the late shards' rows for that (cell, salt). A real
+    # crash aborts before the join; the only way to reach it with
+    # partial geotags is the skip_shards fault-injection knob — which
+    # is therefore confined to checkpointed_geotags and refused here.
+    if skip_shards:
+        raise ValueError(
+            "skip_shards is a geotag-stage fault-injection knob; "
+            "combining it with the join stage would commit join "
+            "partitions built from partial geotag input (use "
+            "checkpointed_geotags directly to inject geotag faults, "
+            "then resume the full pipeline)")
     geotags = checkpointed_geotags(pages, os.path.join(out_dir, "geotags"),
-                                   cfg, skip_shards=skip_shards)
+                                   cfg, n_shards=n_shards)
     return checkpointed_join(geotags, features,
                              os.path.join(out_dir, "join"), cfg,
                              skip_keys=skip_keys)

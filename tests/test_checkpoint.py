@@ -155,3 +155,14 @@ def test_checkpointed_pipeline_end_to_end(tmp_path):
     pd.testing.assert_frame_equal(
         got.sort_values(key).reset_index(drop=True),
         want.sort_values(key).reset_index(drop=True))
+
+
+def test_checkpointed_pipeline_refuses_skip_shards(tmp_path):
+    """ADVICE r3: join partitions built from partial geotag input would
+    be committed and a later resume would drop the late shards' rows —
+    the fault-injection knob must not reach the join stage."""
+    import pytest as _pytest
+    from osm_sidewalkreator_ray.pipelines import page_join as PJ
+    with _pytest.raises(ValueError, match="skip_shards"):
+        PJ.checkpointed_pipeline(None, None, str(tmp_path / "o"),
+                                 skip_shards={(1,)})

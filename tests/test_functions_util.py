@@ -221,3 +221,82 @@ def test_salted_hash_join_equals_unsalted():
         rd.from_pandas(left2).repartition(8), rds, on="k",
         num_buckets=8, how="left", hot_keys={7}).to_pandas()
     assert len(got) == len(left2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinStreamsIntoShuffle:
+    """Round-4 verdict item 1: the partitioned hash join must stream
+    into its shuffle — no full-input materialize/repartition epoch
+    ahead of the sort."""
+
+    def test_no_repartition_or_materialize_in_plan(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import hash_partition_join
+        l = rd.range(5000).map_batches(
+            lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
+        r = rd.range(5000).map_batches(
+            lambda t: t.rename_columns(["k"]).append_column(
+                "w", t["id"]), batch_format="pyarrow")
+        out = hash_partition_join(l, r, on="k", num_buckets=8).materialize()
+        assert out.count() == 5000
+        st = out.stats()
+        assert "Repartition" not in st
+        # exactly one all-to-all (the groupby sort), nothing pinned ahead
+        assert "Sort" in st
+
+    def test_lazy_pass_through_coalesce(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.blocks import coalesce_slim
+        ds = rd.range(10_000, override_num_blocks=100)  # LAZY
+        out = coalesce_slim(ds)
+        assert out is ds  # never forces execution on a lazy stream
+
+    def test_int_dtypes_survive_join_exactly(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import hash_partition_join
+        big = 2**53 + 111  # corrupted by any float64 round-trip
+        lt = pa.table({
+            "k": pa.array([1, 2, 3, big], type=pa.int64()),
+            "a32": pa.array([10, 20, 30, 40], type=pa.int32()),
+            "u64": pa.array([2**63 + 5, 7, 8, 9], type=pa.uint64())})
+        rt = pa.table({"k": pa.array([2, 3, big], type=pa.int64()),
+                       "b": pa.array([200, 300, 999], type=pa.int64())})
+        out = hash_partition_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                                  on="k", num_buckets=4).to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == [2, 3, big]
+        assert out["a32"].dtype == np.int32
+        assert out["u64"].dtype == np.uint64
+        assert out.loc[2, "u64"] == 9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_dtype_mismatch_no_false_negatives():
+    """ADVICE r3: a float64 probe side against an int64 build side
+    must not silently drop true matches (hash_array is
+    dtype-sensitive; both sides now cast to the build key type)."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.joins import bloom_prefilter
+    keys = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64)}))
+    probe = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(200).astype(np.float64)}))
+    surv = set(bloom_prefilter(probe, keys, on="k").to_pandas()["k"])
+    assert set(np.arange(100).astype(float)).issubset(surv)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mg_heavy_hitters_by_tolerates_empty_blocks():
+    """ADVICE r3: zero-row blocks (e.g. downstream of a filter) must
+    not crash the grouped Misra-Gries partial."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.sketches import mg_heavy_hitters_by
+    df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50,
+                       "v": ["x"] * 60 + ["y"] * 40})
+    ds = rd.from_pandas(df).repartition(8).filter(
+        lambda r: r["g"] != "zzz")  # keeps all rows, may yield empties
+    # force some genuinely empty blocks
+    ds2 = rd.from_pandas(df.head(0))
+    out = mg_heavy_hitters_by(ds.union(ds2), "g", "v", topk=2)
+    assert set(out["g"]) == {"a", "b"}
