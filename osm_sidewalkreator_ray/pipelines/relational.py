@@ -95,20 +95,35 @@ ORDER BY l_returnflag, l_linestatus
 
 # ------------------------------------------------------------------ Q3
 
-def q3_top_revenue_orders(sf_dir: str):
-    """customer (broadcast) |><| orders, then orders |><| lineitem via the
-    partitioned hash join (both sides large at scale), top-10 revenue."""
-    # broadcast side produced DISTRIBUTED: segment filter + key
-    # projection run in Ray tasks; only the filtered key set (~1/5 of
-    # customers, one int64 column) is collected for the broadcast
-    cust = _collect_small(
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(lambda t: t.filter(
-            pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
-            .select(["c_custkey"]), batch_format="pyarrow"))
+def q3_top_revenue_orders(sf_dir: str, broadcast_max_keys: int = 2_000_000):
+    """customer (semi-join gate) |><| orders, then orders |><| lineitem
+    via the partitioned hash join (both sides large at scale), top-10
+    revenue."""
+    # the BUILDING customer key set is sf-proportional (~1/5 of
+    # customers): the segment filter + key projection run in Ray tasks
+    # and the slim (one int64 column) result is pinned once. SIZE GATE
+    # (round-3 verdict #2): under ``broadcast_max_keys`` it is
+    # collected and broadcast into every merge batch (zero shuffle);
+    # above it, a driver-side collect would put a multi-GB merge table
+    # in every worker, so the semi-join instead runs distributed —
+    # Bloom runtime filter to drop ~80% of orders pre-shuffle, then
+    # the partitioned hash join against the key set itself.
+    cust_keys = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+                 .map_batches(lambda t: pa.table(
+                     {"o_custkey": t.filter(pc.equal(
+                         t["c_mktsegment"],
+                         pa.scalar("BUILDING")))["c_custkey"]}),
+                     batch_format="pyarrow")
+                 .materialize())  # slim keys; read twice below
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = broadcast_join(orders, cust, left_on="o_custkey",
-                            right_on="c_custkey")
+    if cust_keys.count() <= broadcast_max_keys:
+        orders = broadcast_join(orders, _collect_small(cust_keys),
+                                left_on="o_custkey")
+    else:
+        from ..functions.joins import bloom_prefilter
+        orders = bloom_prefilter(orders, cust_keys, on="o_custkey")
+        orders = hash_partition_join(orders, cust_keys, on="o_custkey",
+                                     num_buckets=16)
     orders = orders.map_batches(
         lambda t: t.filter(pc.less(t["o_orderdate"],
                                    pa.scalar(pd.Timestamp("1995-03-15"))))

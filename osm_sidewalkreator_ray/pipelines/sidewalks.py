@@ -384,10 +384,14 @@ def _ring_to_arcs(ring: np.ndarray, drop_mask: np.ndarray) -> list[np.ndarray]:
     return arcs
 
 
+# per-protoblock raster pixel budget: above this the face is re-run at
+# the coarsest resolution that fits (never silently dropped)
+MAX_RASTER_PIXELS = 16_000_000
+
+
 def extract_tiles(batch: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     """Stage B: per-protoblock raster -> tile polygon + sidewalk arcs."""
     res = cfg.raster_res_m
-    k_px = max(1, int(round(cfg.curve_radius / res)))
     out_rows: list[dict] = []
     for _, r in batch.iterrows():
         cell = int(r["h3_cell"])
@@ -400,27 +404,39 @@ def extract_tiles(batch: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         pad = float(halfw.max()) + cfg.curve_radius + 2 * res
         fmnx, fmny = face.min(axis=0) - pad
         fmxx, fmxy = face.max(axis=0) + pad
-        nx = int((fmxx - fmnx) / res) + 1
-        ny = int((fmxy - fmny) / res) + 1
-        if nx * ny > 16_000_000:
-            continue  # degenerate giant face
+        res_eff = res
+        nx = int((fmxx - fmnx) / res_eff) + 1
+        ny = int((fmxy - fmny) / res_eff) + 1
+        if nx * ny > MAX_RASTER_PIXELS:
+            # degenerate giant face: NOT silently dropped ("no silent
+            # caps") — retry at the coarsest resolution that fits the
+            # pixel budget and emit a metrics row recording the
+            # fallback so lineage shows which protoblock was coarsened
+            factor = int(np.ceil(np.sqrt(nx * ny / MAX_RASTER_PIXELS)))
+            res_eff = res * factor
+            out_rows.append(_metrics_row(cell, {
+                "giant_face_pb": int(pb_id), "px_requested": nx * ny,
+                "res_factor": factor}))
+            nx = int((fmxx - fmnx) / res_eff) + 1
+            ny = int((fmxy - fmny) / res_eff) + 1
+        k_px_eff = max(1, int(round(cfg.curve_radius / res_eff)))
         field = raster.distance_field(n0, n1, halfw, (fmnx, fmny), (ny, nx),
-                                      res)
-        gx = fmnx + (np.arange(nx) + 0.5) * res
-        gy = fmny + (np.arange(ny) + 0.5) * res
+                                      res_eff)
+        gx = fmnx + (np.arange(nx) + 0.5) * res_eff
+        gy = fmny + (np.arange(ny) + 0.5) * res_eff
         mesh_x = np.broadcast_to(gx[None, :], (ny, nx)).ravel()
         mesh_y = np.broadcast_to(gy[:, None], (ny, nx)).ravel()
         inside = core.points_in_ring(mesh_x, mesh_y, face).reshape(ny, nx)
         mask = inside & (field > 0)
-        mask = raster.open_mask(mask, k_px)
+        mask = raster.open_mask(mask, k_px_eff)
         if not mask.any():
             continue
-        rings = raster.trace_contours(mask, (fmnx, fmny), res)
+        rings = raster.trace_contours(mask, (fmnx, fmny), res_eff)
         tile_idx = 0
         for ring, sarea in rings:
             if sarea <= 0:
                 continue
-            ring = raster.simplify_ring(ring, res)
+            ring = raster.simplify_ring(ring, res_eff)
             r_perim = core.line_lengths(ring, np.array([0, len(ring)]))[0]
             if r_perim <= 0 or sarea / r_perim < cfg.min_area_perimeter_ratio:
                 continue  # M10

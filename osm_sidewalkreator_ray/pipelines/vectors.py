@@ -50,6 +50,21 @@ FROM embeddings ORDER BY vec_id
 # constructor-args-in-object-store actor-restart path)
 _Q_CACHE: dict[str, np.ndarray] = {}
 
+# process-level cache of LSH hyperplane matrices keyed by
+# (seed, n_planes, d): deterministic, so generating once per worker
+# process gives identical signatures to generating per batch — without
+# paying an RNG + (planes x d) standard_normal in every batch call
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _lsh_planes(seed: int, n_planes: int, d: int) -> np.ndarray:
+    key = (seed, n_planes, d)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = np.random.RandomState(seed).standard_normal((n_planes, d))
+        _PLANES_CACHE[key] = p
+    return p
+
 
 def _resolve_q(q_ref) -> np.ndarray:
     key = q_ref.hex()
@@ -543,9 +558,10 @@ def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         m = _batch_matrix(batch)
-        d = m.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((n_bands * planes_per_band, d))
+        # hyperplanes come from a process-level cache: generated once
+        # per worker, not once per batch (round-3 verdict #4 — state
+        # setup does not belong in the per-batch hot path)
+        planes = _lsh_planes(seed, n_bands * planes_per_band, m.shape[1])
         bits = (m @ planes.T) > 0  # (n, bands*planes)
         n = len(m)
         bands_bits = bits.reshape(n, n_bands, planes_per_band)
@@ -610,21 +626,29 @@ def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
     j2 = hash_partition_join(left_b, emb_tbl, on="vec_id", num_buckets=32)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"vec_a": [], "vec_b": [], "cosine_sim": []}
-        for a, b, ea, eb in zip(batch["vec_a"], batch["vec_id"],
-                                batch["emb_a"], batch["emb"]):
-            va = np.frombuffer(ea, dtype=np.float64)
-            vb = np.frombuffer(eb, dtype=np.float64)
-            sim = float(va @ vb
-                        / (np.linalg.norm(va) * np.linalg.norm(vb)))
-            if sim >= sim_threshold:
-                out["vec_a"].append(int(a))
-                out["vec_b"].append(int(b))
-                out["cosine_sim"].append(round(sim, 6))
+        empty = pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cosine_sim": pd.Series([], dtype="float64")})
+        if batch.empty:
+            return empty
+        # stacked frombuffer + one einsum per batch, not a Python loop
+        # over candidate pairs (round-3 verdict #4)
+        n = len(batch)
+        va = np.frombuffer(b"".join(batch["emb_a"]),
+                           dtype=np.float64).reshape(n, -1)
+        vb = np.frombuffer(b"".join(batch["emb"]),
+                           dtype=np.float64).reshape(n, -1)
+        sims = (np.einsum("ij,ij->i", va, vb)
+                / (np.linalg.norm(va, axis=1)
+                   * np.linalg.norm(vb, axis=1)))
+        keep = sims >= sim_threshold
+        if not keep.any():
+            return empty
         return pd.DataFrame({
-            "vec_a": pd.Series(out["vec_a"], dtype="int64"),
-            "vec_b": pd.Series(out["vec_b"], dtype="int64"),
-            "cosine_sim": pd.Series(out["cosine_sim"], dtype="float64")})
+            "vec_a": batch["vec_a"].to_numpy()[keep].astype(np.int64),
+            "vec_b": batch["vec_id"].to_numpy()[keep].astype(np.int64),
+            "cosine_sim": np.round(sims[keep], 6)})
 
     df = j2.map_batches(verify, batch_format="pandas").to_pandas()
     if df.empty:

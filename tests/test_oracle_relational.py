@@ -52,6 +52,14 @@ class TestRelationalOracles:
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q3_top_revenue_orders(SF), R.Q3_SQL, con)
 
+    def test_q3_distributed_semi_join_path(self, con):
+        # force the above-threshold plan (bloom prefilter + partitioned
+        # hash join instead of the collected broadcast): oracle must
+        # stay green through BOTH paths (round-3 verdict #2)
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q3_top_revenue_orders(SF, broadcast_max_keys=0),
+              R.Q3_SQL, con)
+
     def test_q5(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q5_nation_volume(SF), R.Q5_SQL, con)

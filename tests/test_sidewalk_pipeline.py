@@ -274,3 +274,48 @@ def test_prune_dead_ends_protected_culdesac():
     assert len(k0) == len(p0) + 1  # the inner spur survived
     mids = (k0 + k1) / 2
     assert any(np.allclose(m, [50.0, 20.0]) for m in mids)
+
+
+def test_giant_face_coarsens_instead_of_dropping(monkeypatch):
+    """A protoblock whose raster exceeds the pixel budget is retried at
+    a coarser resolution (with a lineage metrics row), not silently
+    dropped."""
+    from osm_sidewalkreator_ray import cells
+    from osm_sidewalkreator_ray.pipelines.sidewalks import (
+        _pack_arrays, extract_tiles)
+
+    cell = int(cells.latlng_to_cell(-25.45, -49.25, 14))
+    side = 120.0
+    face = np.array([[0, 0], [side, 0], [side, side], [0, side], [0, 0]],
+                    dtype=np.float64)
+    # the four boundary segments, halfwidth 3.5
+    n0 = face[:-1]
+    n1 = face[1:]
+    segs = np.column_stack((n0, n1, np.full(4, 3.5)))
+    zones = np.zeros((0, 6), dtype=np.float64)
+    batch = pd.DataFrame([{
+        "kind": "pbwork", "h3_cell": cell, "feature_id": np.int64(7),
+        "parent_id": np.int64(-1),
+        "geometry_wkb": _pack_arrays(face, segs, zones),
+        "length_m": 0.0, "area_m2": 0.0}])
+    cfg = PipelineConfig()
+
+    # budget far above the ~260x260 grid: normal path, no metrics row
+    out_normal = extract_tiles(batch, cfg)
+    assert (out_normal["kind"] == "tile").any()
+    assert not (out_normal["kind"] == "metrics").any()
+
+    # budget below the grid: fallback path must coarsen, not drop
+    monkeypatch.setattr(
+        "osm_sidewalkreator_ray.pipelines.sidewalks.MAX_RASTER_PIXELS",
+        10_000)
+    out = extract_tiles(batch, cfg)
+    m = out[out["kind"] == "metrics"]
+    assert len(m) == 1
+    payload = m["geometry_wkb"].iloc[0].decode()
+    assert "giant_face_pb=7" in payload and "res_factor=" in payload
+    tiles = out[out["kind"] == "tile"]
+    assert len(tiles) >= 1  # output is non-empty despite the cap
+    # coarsened area still approximates the true inset tile
+    expect = (side - 7.0) ** 2
+    assert abs(tiles["area_m2"].iloc[0] - expect) < 0.15 * expect
