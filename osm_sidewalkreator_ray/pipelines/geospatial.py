@@ -27,10 +27,14 @@ def _features_df(sf_dir: str) -> pd.DataFrame:
 
 def _kind_summary(df: pd.DataFrame, kind: str) -> pd.DataFrame:
     sel = df[df["kind"] == kind].copy()
-    out = sel[["h3_cell", "feature_id", "parent_id", "length_m", "area_m2"]]
-    out = out.copy()
+    cols = ["h3_cell", "feature_id", "parent_id", "length_m", "area_m2"]
+    # M11 ratio attributes (present on build_features output)
+    ratio_cols = [c for c in ("norm_ratio", "simple_ratio") if c in sel]
+    out = sel[cols + ratio_cols].copy()
     out["length_m"] = out["length_m"].round(2)
     out["area_m2"] = out["area_m2"].round(2)
+    for c in ratio_cols:
+        out[c] = out[c].round(4)
     return out.sort_values(["h3_cell", "feature_id"]).reset_index(drop=True)
 
 

@@ -903,9 +903,12 @@ def build_join_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
     critical path is dead work. Identical rows to filtering
     ``build_features`` output down to kinds (tile, sidewalk)."""
     if cfg.snap_rounds or cfg.alt_schema:
-        # snap/ALT move sidewalk lines in finalize — need full build
-        return build_features(streets, cfg).filter(
-            expr="kind == 'tile' or kind == 'sidewalk'")
+        # snap/ALT move sidewalk lines in finalize — need full build;
+        # drop the M11 attribute columns so both paths ship the same
+        # slim schema into the join
+        return (build_features(streets, cfg)
+                .filter(expr="kind == 'tile' or kind == 'sidewalk'")
+                .select_columns(FEATURE_COLUMNS))
     _graphs, tiles = _stages_ab(streets, cfg)
     return tiles
 
@@ -932,8 +935,31 @@ def build_features(streets, cfg: PipelineConfig = DEFAULT_CONFIG):
         moved = moving.groupby("h3_cell").map_groups(
             lambda g: _finalize_cell(g, cfg), batch_format="pandas")
         full = rest.union(moved)
-    return full
+    # M11 output attributes ride every exported feature row; the join
+    # side (build_join_features) skips them to keep its shuffle slim
+    return add_ratio_columns(full)
 
 
 def features_of_kind(features, kind: str):
     return features.filter(expr=f"kind == '{kind}'")
+
+
+def _add_ratio_columns(batch: pd.DataFrame) -> pd.DataFrame:
+    """M11 output attributes (reference osm_sidewalkreator.py:2144-2190):
+    norm_ratio = perimeter / sqrt(area), simple_ratio = perimeter / area
+    for polygonal rows (tile, protoblock); 0.0 for zero-area rows
+    (lines, points, metrics). Vectorized, zero extra state."""
+    area = batch["area_m2"].to_numpy(dtype=np.float64, copy=False)
+    perim = batch["length_m"].to_numpy(dtype=np.float64, copy=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = np.where(area > 0, perim / np.sqrt(np.abs(area)), 0.0)
+        simple = np.where(area > 0, perim / area, 0.0)
+    out = batch.copy()
+    out["norm_ratio"] = norm
+    out["simple_ratio"] = simple
+    return out
+
+
+def add_ratio_columns(features):
+    """Dataset form of the M11 ratio attributes (streaming map_batches)."""
+    return features.map_batches(_add_ratio_columns, batch_format="pandas")

@@ -189,7 +189,8 @@ def split_sidewalks(features, cfg: PipelineConfig = DEFAULT_CONFIG,
     # the groupby sort's block builder
     tagged = (features.filter(
         expr="kind == 'sidewalk' or kind == 'protoblock' or kind == 'tile'")
-        .map_batches(lambda t: t.cast(_FEATURE_ARROW),
+        .map_batches(lambda t: t.select(SW.FEATURE_COLUMNS)
+                     .cast(_FEATURE_ARROW),
                      batch_format="pyarrow")
         .union(poi_ds.map_batches(poi_rows, batch_format="pyarrow")))
 

@@ -36,8 +36,10 @@ def _features_frame() -> pd.DataFrame:
     df["geom_hash"] = df["geometry_wkb"].map(_geom_hash)
     df["length_m"] = df["length_m"].round(6)
     df["area_m2"] = df["area_m2"].round(6)
+    df["norm_ratio"] = df["norm_ratio"].round(6)
+    df["simple_ratio"] = df["simple_ratio"].round(6)
     return (df[["kind", "h3_cell", "feature_id", "parent_id", "geom_hash",
-                "length_m", "area_m2"]]
+                "length_m", "area_m2", "norm_ratio", "simple_ratio"]]
             .sort_values(["kind", "feature_id"]).reset_index(drop=True))
 
 

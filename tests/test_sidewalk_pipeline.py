@@ -319,3 +319,22 @@ def test_giant_face_coarsens_instead_of_dropping(monkeypatch):
     # coarsened area still approximates the true inset tile
     expect = (side - 7.0) ** 2
     assert abs(tiles["area_m2"].iloc[0] - expect) < 0.15 * expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_m11_ratio_columns():
+    """M11 (reference osm_sidewalkreator.py:2144-2190): every polygonal
+    feature row carries norm_ratio = P/sqrt(A) and simple_ratio = P/A."""
+    streets = rd.from_arrow(SYN.streets_unit_square(side_m=120.0))
+    df = SW.build_features(streets, PipelineConfig()).to_pandas()
+    assert {"norm_ratio", "simple_ratio"} <= set(df.columns)
+    pb = df[df["kind"] == "protoblock"].iloc[0]
+    # known square: P/sqrt(A) == 4, P/A == 4/side
+    assert abs(pb["norm_ratio"] - pb["length_m"] / np.sqrt(pb["area_m2"])) < 1e-12
+    assert abs(pb["norm_ratio"] - 4.0) < 0.05
+    assert abs(pb["simple_ratio"] - 4.0 / 120.0) < 0.002
+    # zero-area rows (lines/metrics) get 0.0, never inf/nan
+    zero = df[df["area_m2"] <= 0]
+    assert (zero["norm_ratio"] == 0.0).all()
+    assert (zero["simple_ratio"] == 0.0).all()
+    assert np.isfinite(df["norm_ratio"]).all()
