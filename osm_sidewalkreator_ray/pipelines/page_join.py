@@ -394,13 +394,16 @@ def _join_group(g: pd.DataFrame, shard_map_ref, cfg: PipelineConfig
         "lon": g["lon"].to_numpy(),
         "h3_cell": np.full(n, cell, dtype=np.int64),
         "tile_id": tile_id, "inside_tile": inside,
-        "nearest_sidewalk_id": near_id, "dist_m": dist})
+        "nearest_sidewalk_id": near_id, "dist_m": dist,
+        "is_metrics": np.zeros(n, dtype=bool)})
     return pd.concat([out, _join_metrics_frame(cell, salt, met)],
                      ignore_index=True)
 
 
 def _join_metrics_frame(cell: int, salt: int, met: dict) -> pd.DataFrame:
-    """Lineage/metrics side row per (cell, salt) partition (A8)."""
+    """Lineage/metrics side row per (cell, salt) partition (A8).
+    Typed channel: ``is_metrics=True`` tags the row; the url string is a
+    human-readable label only (nothing scans it)."""
     return pd.DataFrame({
         "url": [f"__metrics__/{cell}/{salt}"],
         "lat": [float(met["pages_joined"])],
@@ -409,7 +412,8 @@ def _join_metrics_frame(cell: int, salt: int, met: dict) -> pd.DataFrame:
         "tile_id": [np.int64(met["spill_rows"])],
         "inside_tile": [False],
         "nearest_sidewalk_id": [np.int64(-1)],
-        "dist_m": [-1.0]})
+        "dist_m": [-1.0],
+        "is_metrics": [True]})
 
 
 def _salt_pages(geotags, salts_ref, cfg: PipelineConfig):
@@ -451,7 +455,8 @@ def _split_scope(geotags, scope_ref):
             "tile_id": np.full(n, -1, dtype=np.int64),
             "inside_tile": np.zeros(n, dtype=bool),
             "nearest_sidewalk_id": np.full(n, -1, dtype=np.int64),
-            "dist_m": np.full(n, -1.0)})
+            "dist_m": np.full(n, -1.0),
+            "is_metrics": np.zeros(n, dtype=bool)})
         if n == 0:
             return out
         met = _join_metrics_frame(-1, 0, {"pages_joined": n,
@@ -518,7 +523,7 @@ class _SideThread:
 
 def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG):
     """The explicit groupby-on-cell join. Returns the assignments
-    Dataset (metric rows carry url prefix ``__metrics__/``)."""
+    Dataset (lineage/metric rows tagged by the ``is_metrics`` column)."""
     # index build (feature side) and geotag extraction (page side) are
     # independent — run them as two concurrent Ray Data executions so
     # neither serializes behind the other
@@ -530,9 +535,12 @@ def join_pages_to_tiles(geotags, features, cfg: PipelineConfig = DEFAULT_CONFIG)
 
 
 def split_metrics(assign_df: pd.DataFrame):
-    m = assign_df["url"].str.startswith("__metrics__/")
-    return (assign_df[~m].reset_index(drop=True),
-            assign_df[m].reset_index(drop=True))
+    """(assignments, metrics) split on the typed ``is_metrics`` column
+    (boolean mask, no per-row string scan). The flag column is dropped
+    from the assignment half — it is all-False by construction."""
+    m = assign_df["is_metrics"].to_numpy(dtype=bool)
+    real = assign_df[~m].drop(columns=["is_metrics"]).reset_index(drop=True)
+    return real, assign_df[m].reset_index(drop=True)
 
 
 def checkpointed_join(geotags, features, out_dir: str,
@@ -684,15 +692,16 @@ def flagship_entry(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         # driver; returns (n_assignments, n_inside) only
         agg = assignments.map_batches(
             lambda b: pd.DataFrame({
-                "n": [int((~b["url"].str.startswith("__metrics__/")).sum())],
+                "n": [int((~b["is_metrics"]).sum())],
                 "inside": [int(b["inside_tile"].sum())]}),
             batch_format="pandas").to_pandas()
         return int(agg["n"].sum()), int(agg["inside"].sum())
     if collect == "dataset":
-        # streaming default: hand back the lazy Dataset (metrics rows
-        # filtered per batch) — no to_pandas of the assignments
+        # streaming default: hand back the lazy Dataset — metric rows
+        # dropped by a boolean column mask (no per-batch string scan),
+        # flag column dropped (all-False downstream)
         return assignments.map_batches(
-            lambda b: b[~b["url"].str.startswith("__metrics__/")],
+            lambda b: b[~b["is_metrics"]].drop(columns=["is_metrics"]),
             batch_format="pandas")
     df = assignments.to_pandas()  # collect='sorted_df': oracle only
     out, _metrics = split_metrics(df)
