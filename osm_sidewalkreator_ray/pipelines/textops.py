@@ -38,17 +38,27 @@ def _tokens(text: str) -> list[str]:
 
 
 # ------------------------------------------------------------ counting
+#
+# Each per-doc scorer has TWO forms: the `*_ds` library form maps a
+# documents Dataset -> Dataset (streaming, what a 100 TB pipeline
+# composes), and the plain form is the driver-oracle wrapper that reads
+# sf_dir, collects and sorts (small results only).
+
+
+def _token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    n = batch["text"].map(lambda s: len(_tokens(s)))
+    return pd.DataFrame({"doc_id": batch["doc_id"],
+                         "n_tokens": n.astype("int64")})
+
+
+def doc_token_counts_ds(docs):
+    """Streaming form: documents Dataset (doc_id, text) -> Dataset."""
+    return docs.map_batches(_token_count_batch, batch_format="pandas")
+
 
 def doc_token_counts(sf_dir: str):
     """doc_id -> whitespace token count (SQL-mirrored semantics)."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["text"].map(lambda s: len(_tokens(s)))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "n_tokens": n.astype("int64")})
-
-    out = ds.map_batches(f, batch_format="pandas")
+    out = doc_token_counts_ds(_read_docs(sf_dir, ["doc_id", "text"]))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -60,25 +70,30 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    stop = STOPWORDS["en"]
+    toks = batch["text"].map(_tokens)
+    n = toks.map(len).astype("int64")
+    mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
+                        if ws else 0.0)
+    stop_ratio = toks.map(lambda ws: sum(w in stop for w in ws) / len(ws)
+                          if ws else 0.0)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"], "n_tokens": n,
+        "mean_token_len": mean_len.round(6),
+        "stop_ratio": stop_ratio.round(6)})
+
+
+def doc_quality_ds(docs):
+    """Streaming form: documents Dataset (doc_id, text) -> Dataset of
+    quality-score columns."""
+    return docs.map_batches(_quality_batch, batch_format="pandas")
+
+
 def doc_quality(sf_dir: str):
     """Quality-scoring columns: token count, mean token length,
     stopword ratio (en list) — M-series normalizer analogue."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-    stop = STOPWORDS["en"]
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].map(_tokens)
-        n = toks.map(len).astype("int64")
-        mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                            if ws else 0.0)
-        stop_ratio = toks.map(lambda ws: sum(w in stop for w in ws) / len(ws)
-                              if ws else 0.0)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"], "n_tokens": n,
-            "mean_token_len": mean_len.round(6),
-            "stop_ratio": stop_ratio.round(6)})
-
-    out = ds.map_batches(f, batch_format="pandas")
+    out = doc_quality_ds(_read_docs(sf_dir, ["doc_id", "text"]))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -99,17 +114,21 @@ FROM t ORDER BY doc_id
 """
 
 
+def _fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    norm = batch["text"].map(lambda s: _WS.sub(" ", s.strip()))
+    fp = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
+
+
+def doc_fingerprint_ds(docs):
+    """Streaming form: documents Dataset (doc_id, text) -> Dataset."""
+    return docs.map_batches(_fingerprint_batch, batch_format="pandas")
+
+
 def doc_fingerprint(sf_dir: str):
     """Deterministic document fingerprint: md5 of whitespace-normalized
     text (the rolling-hash fingerprint's SQL-checkable cousin)."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = batch["text"].map(lambda s: _WS.sub(" ", s.strip()))
-        fp = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
-
-    out = ds.map_batches(f, batch_format="pandas")
+    out = doc_fingerprint_ds(_read_docs(sf_dir, ["doc_id", "text"]))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -119,21 +138,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    toks = batch["text"].map(_tokens)
+    scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
+              for lang, sw in STOPWORDS.items()}
+    en, pt, es = scores["en"], scores["pt"], scores["es"]
+    pred = np.where((en >= pt) & (en >= es), "en",
+                    np.where(pt >= es, "pt", "es"))
+    return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
+
+
+def lang_id_ds(docs):
+    """Streaming form: documents Dataset (doc_id, text) -> Dataset."""
+    return docs.map_batches(_lang_id_batch, batch_format="pandas")
+
+
 def lang_id(sf_dir: str):
     """Stopword-voting language ID with deterministic tie-break
     (en > pt > es) — mirrored exactly in SQL."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].map(_tokens)
-        scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
-                  for lang, sw in STOPWORDS.items()}
-        en, pt, es = scores["en"], scores["pt"], scores["es"]
-        pred = np.where((en >= pt) & (en >= es), "en",
-                        np.where(pt >= es, "pt", "es"))
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
-
-    out = ds.map_batches(f, batch_format="pandas")
+    out = lang_id_ds(_read_docs(sf_dir, ["doc_id", "text"]))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -177,30 +200,36 @@ FROM documents GROUP BY lang ORDER BY lang
 
 # --------------------------------------------------------------- dedup
 
+def _content_hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    hh = batch["text"].map(lambda s: hashlib.sha1(s.encode()).hexdigest())
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"], "__h": hh,
+        # coarse bucket so the shuffle groups O(buckets) times, not
+        # O(distinct hashes): one vectorized pandas groupby per
+        # bucket resolves the real hash groups
+        "__b": (pd.util.hash_array(hh.to_numpy(dtype=object)) % 256)
+        .astype(np.int64)})
+
+
+def _dedup_first(g: pd.DataFrame) -> pd.DataFrame:
+    out = g.groupby("__h").agg(doc_id=("doc_id", "min"),
+                               n_dups=("doc_id", "size"))
+    return out.reset_index(drop=True).astype({"n_dups": "int64"})
+
+
+def exact_dedup_ds(docs):
+    """Streaming form of exact dedup (A5): documents Dataset
+    (doc_id, text) -> Dataset of (doc_id, n_dups) survivors. Only
+    (hash, doc_id) crosses the shuffle, never the text."""
+    hashed = docs.map_batches(_content_hash_batch, batch_format="pandas")
+    return hashed.groupby("__b").map_groups(_dedup_first,
+                                            batch_format="pandas")
+
+
 def exact_dedup(sf_dir: str):
     """Exact dedup (A5): content-hash per batch -> hash-partitioned
-    groupby -> keep min doc_id. Only (hash, doc_id) crosses the
-    shuffle, never the text."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def h(batch: pd.DataFrame) -> pd.DataFrame:
-        hh = batch["text"].map(lambda s: hashlib.sha1(s.encode()).hexdigest())
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"], "__h": hh,
-            # coarse bucket so the shuffle groups O(buckets) times, not
-            # O(distinct hashes): one vectorized pandas groupby per
-            # bucket resolves the real hash groups
-            "__b": (pd.util.hash_array(hh.to_numpy(dtype=object)) % 256)
-            .astype(np.int64)})
-
-    hashed = ds.map_batches(h, batch_format="pandas")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("__h").agg(doc_id=("doc_id", "min"),
-                                   n_dups=("doc_id", "size"))
-        return out.reset_index(drop=True).astype({"n_dups": "int64"})
-
-    out = hashed.groupby("__b").map_groups(first, batch_format="pandas")
+    groupby -> keep min doc_id."""
+    out = exact_dedup_ds(_read_docs(sf_dir, ["doc_id", "text"]))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1021,43 +1050,50 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-def corpus_clean(sf_dir: str, min_tokens: int = 5):
-    """Composed training-data cleaning pass, one slim shuffle:
-    keep a doc iff (a) it is the exact-dup canonical representative
+def _clean_prep_batch(batch: pd.DataFrame,
+                      min_tokens: int) -> pd.DataFrame:
+    hh = batch["text"].map(
+        lambda s: hashlib.sha1(s.encode()).hexdigest())
+    toks = batch["text"].map(_tokens)
+    n = toks.map(len).astype("int64")
+    scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
+              for lang, sw in STOPWORDS.items()}
+    en, pt, es = scores["en"], scores["pt"], scores["es"]
+    pred = np.where((en >= pt) & (en >= es), "en",
+                    np.where(pt >= es, "pt", "es"))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"], "__h": hh,
+        "ok": (n >= min_tokens) & (pred == batch["lang"].to_numpy()),
+        "__b": (pd.util.hash_array(hh.to_numpy(dtype=object)) % 256)
+        .astype(np.int64)})
+
+
+def _clean_keepers(g: pd.DataFrame) -> pd.DataFrame:
+    canon = g.loc[g.groupby("__h")["doc_id"].idxmin()]
+    kept = canon.loc[canon["ok"], ["doc_id"]]
+    return kept.astype({"doc_id": "int64"})
+
+
+def corpus_clean_ds(docs, min_tokens: int = 5):
+    """Streaming form of the composed cleaning pass: documents Dataset
+    (doc_id, text, lang) -> Dataset of kept doc_ids, one slim shuffle.
+    Keep a doc iff (a) it is the exact-dup canonical representative
     (min doc_id per text), (b) it has >= min_tokens tokens, (c) its
     predicted language agrees with the labeled ``lang`` column.
 
     Per batch: content hash + token count + stopword lang vote (all
     vectorized) -> slim (doc_id, hash, flags) rows -> coarse-bucketed
     groupby resolves canonical-per-hash and applies the gates."""
-    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
-    stop = STOPWORDS
+    rows = docs.map_batches(
+        lambda b: _clean_prep_batch(b, min_tokens), batch_format="pandas")
+    return rows.groupby("__b").map_groups(_clean_keepers,
+                                          batch_format="pandas")
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        hh = batch["text"].map(
-            lambda s: hashlib.sha1(s.encode()).hexdigest())
-        toks = batch["text"].map(_tokens)
-        n = toks.map(len).astype("int64")
-        scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
-                  for lang, sw in stop.items()}
-        en, pt, es = scores["en"], scores["pt"], scores["es"]
-        pred = np.where((en >= pt) & (en >= es), "en",
-                        np.where(pt >= es, "pt", "es"))
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"], "__h": hh,
-            "ok": (n >= min_tokens) & (pred == batch["lang"].to_numpy()),
-            "__b": (pd.util.hash_array(hh.to_numpy(dtype=object)) % 256)
-            .astype(np.int64)})
 
-    rows = ds.map_batches(prep, batch_format="pandas")
-
-    def keepers(g: pd.DataFrame) -> pd.DataFrame:
-        canon = g.loc[g.groupby("__h")["doc_id"].idxmin()]
-        kept = canon.loc[canon["ok"], ["doc_id"]]
-        return kept.astype({"doc_id": "int64"})
-
-    df = rows.groupby("__b").map_groups(keepers, batch_format="pandas") \
-        .to_pandas()
+def corpus_clean(sf_dir: str, min_tokens: int = 5):
+    """Collecting driver-oracle wrapper of ``corpus_clean_ds``."""
+    df = corpus_clean_ds(_read_docs(sf_dir, ["doc_id", "text", "lang"]),
+                         min_tokens).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -294,3 +294,30 @@ def test_incremental_exact_dedup():
               .sort_values("doc_id").groupby("text", sort=False).head(1))
     assert set(got["doc_id"]) == set(expect["doc_id"])
     assert len(got) == 190  # 180 fresh + 10 distinct in-batch
+
+
+class TestStreamingScorerForms:
+    """The per-doc scorers' library forms return lazy Datasets a 100 TB
+    pipeline can compose; the collecting query wrappers match them."""
+
+    def test_ds_forms_are_datasets_and_match(self):
+        import ray.data as rd
+        from ray.data import Dataset
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        SF = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+        pairs = [
+            (T.doc_quality_ds(docs), T.doc_quality(SF)),
+            (T.doc_fingerprint_ds(docs), T.doc_fingerprint(SF)),
+            (T.lang_id_ds(docs), T.lang_id(SF)),
+            (T.doc_token_counts_ds(docs), T.doc_token_counts(SF)),
+            (T.exact_dedup_ds(docs), T.exact_dedup(SF)),
+            (T.corpus_clean_ds(docs), T.corpus_clean(SF)),
+        ]
+        for ds, want in pairs:
+            assert isinstance(ds, Dataset)  # lazy, composable
+            got = (ds.to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got[sorted(got.columns)], want[sorted(want.columns)])
