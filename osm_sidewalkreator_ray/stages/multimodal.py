@@ -4,17 +4,20 @@ container-decodable formats.
 
 Per the build brief, image/audio/video payloads are opaque ``binary``
 columns with typed metadata; decode is a ``map_batches`` stage.
-Three codecs are fully real, implemented on numpy + stdlib only:
+Four codecs are fully real, implemented on numpy + stdlib only:
 
 - **BMP** (24-bit uncompressed, the format the synthetic generator
   emits): header parse + bottom-up BGR row decode in ``_decode_bmp``.
+- **PNG** (stdlib ``zlib`` + ``struct``): full filter set
+  (None/Sub/Up/Average/Paeth) decode for 8-bit gray/RGB/RGBA,
+  filter-0 truecolor encode — ``encode_png`` / ``_decode_png``.
 - **WAV** (16-bit PCM via stdlib ``wave``): ``_decode_wav``.
 - **Y4M** (YUV4MPEG2, the uncompressed video interchange format used
   by ffmpeg/mplayer; plain-text header + raw planes): ``_decode_y4m``
   — the video frame-sample stage decodes real container bytes.
 
 Formats that need codec libraries this container doesn't ship
-(JPEG/PNG/MP3/H.264) hit a clearly-marked ``NotImplementedError``
+(JPEG/MP3/H.264) hit a clearly-marked ``NotImplementedError``
 plug point; ``fake=True`` remains as a deterministic pseudo-decode
 for pipeline tests that want payload-independence. Everything around
 decode — schema, batch size, setup-once state, output layout — is
@@ -87,6 +90,106 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
                         count=stride * h, offset=off)
     img = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]
     return img[::-1] if flip else img
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB -> PNG bytes (stdlib zlib + struct only;
+    8-bit truecolor, filter type 0 per scanline, no interlace)."""
+    import zlib
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # scanlines: filter byte 0 + raw RGB row
+    body = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    body[:, 0] = 0
+    body[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(body.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a pixel's channels."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa_ = np.abs(p - a)
+    pb_ = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                    np.where(pb_ <= pc_, b, c)).astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w, 3) RGB. Full spec filter set
+    (None/Sub/Up/Average/Paeth); 8-bit grayscale / RGB / RGBA color
+    types, no interlace. Stdlib zlib + numpy only."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    idat: list[bytes] = []
+    w = h = ctype = None
+    while off + 12 <= len(payload):
+        ln = int.from_bytes(payload[off:off + 4], "big")
+        typ = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + ln]
+        off += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit gray/RGB/RGBA non-interlaced PNG")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * ch)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].reshape(h, w, ch)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    zero = np.zeros(ch, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y]
+        prev = out[y - 1] if y else np.zeros((w, ch), dtype=np.uint8)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-1]
+            out[y] = np.cumsum(row.astype(np.uint32), axis=0) \
+                .astype(np.uint8)
+        elif f == 2:  # Up
+            out[y] = row + prev
+        elif f == 3:  # Average (left is sequential)
+            left = zero
+            for x in range(w):
+                left = (row[x] + ((left.astype(np.uint16)
+                                   + prev[x]) >> 1)).astype(np.uint8)
+                out[y, x] = left
+        elif f == 4:  # Paeth (left/upleft are sequential)
+            left = zero
+            upleft = zero
+            for x in range(w):
+                left = (row[x] + _paeth(left, prev[x], upleft)) \
+                    .astype(np.uint8)
+                out[y, x] = left
+                upleft = prev[x]
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    if ch == 1:
+        return np.repeat(out, 3, axis=2)
+    return out[:, :, :3]  # RGBA -> drop alpha
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -228,13 +331,15 @@ class ImageResizer:
         for payload in batch["payload"].tolist():
             if payload[:2] == b"BM":
                 img = _decode_bmp(payload)
+            elif payload[:8] == _PNG_SIG:
+                img = _decode_png(payload)
             elif self.fake:
                 rng = np.random.RandomState(_seed_from_bytes(payload))
                 img = rng.randint(0, 256, (self.out_h, self.out_w, 3),
                                   dtype=np.uint8)
             else:
                 raise NotImplementedError(
-                    "non-BMP image codec not available in this "
+                    "non-BMP/PNG image codec not available in this "
                     "container; plug PIL.Image.open here")
             out.append(encode_bmp(
                 resize_bilinear(img, self.out_h, self.out_w)))
@@ -293,16 +398,17 @@ class ImageDecoder:
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         """-> uint8 grayscale (h, w)."""
-        if payload[:2] == b"BM":
-            img = _decode_bmp(payload)
+        if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+            img = (_decode_bmp(payload) if payload[:2] == b"BM"
+                   else _decode_png(payload))
             # ITU-R 601 luma, kept integer for determinism
             return ((299 * img[:, :, 0].astype(np.uint32)
                      + 587 * img[:, :, 1]
                      + 114 * img[:, :, 2]) // 1000).astype(np.uint8)
         if not self.fake:
             raise NotImplementedError(
-                "non-BMP image codec not available in this container; "
-                "plug PIL.Image.open here")
+                "non-BMP/PNG image codec not available in this "
+                "container; plug PIL.Image.open here")
         rng = np.random.RandomState(_seed_from_bytes(payload))
         return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
@@ -432,7 +538,10 @@ def synthetic_media(n: int, seed: int = 42) -> pa.Table:
                 np.clip(255 - base + rng.randint(-20, 20, (h, w)), 0, 255),
                 np.full((h, w), (i * 37) % 256, dtype=np.float64),
             ], axis=2).astype(np.uint8)
-            payload = encode_bmp(img)
+            # alternate container formats: both lossless, so the
+            # feature output is format-independent while the pipeline
+            # exercises BOTH real codecs
+            payload = encode_png(img) if (i // 3) % 2 else encode_bmp(img)
         elif kind == "audio":
             dur = 0.25 + float(rng.randint(0, 4)) / 8.0
             t = np.arange(int(sr * dur)) / sr

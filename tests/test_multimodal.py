@@ -164,3 +164,108 @@ def test_spectrogram_short_payload_padded():
     # shorter than one FFT frame: padded, still n_bands finite values
     b = spectrogram_bands(np.ones(50), n_fft=256, n_bands=16)
     assert b.shape == (16,) and np.isfinite(b).all()
+
+
+class TestPngCodec:
+    """Stdlib PNG codec: round-trip + the full spec filter set."""
+
+    def _img(self, h=23, w=31, seed=7):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_round_trip_exact(self):
+        from osm_sidewalkreator_ray.stages.multimodal import (
+            encode_png, _decode_png)
+        img = self._img()
+        assert np.array_equal(_decode_png(encode_png(img)), img)
+
+    def _encode_with_filter(self, img: np.ndarray, f: int) -> bytes:
+        """Reference encoder applying one filter type to every row
+        (per the PNG spec), to prove the decoder inverts all five."""
+        import struct as st
+        import zlib
+        from osm_sidewalkreator_ray.stages import multimodal as MM
+        h, w, _ = img.shape
+        prev = np.zeros((w, 3), dtype=np.uint8)
+        lines = []
+        for y in range(h):
+            row = img[y].astype(np.int32)
+            left = np.vstack([np.zeros((1, 3), np.int32),
+                              row[:-1]])
+            upleft = np.vstack([np.zeros((1, 3), np.int32),
+                                prev[:-1].astype(np.int32)])
+            up = prev.astype(np.int32)
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = row - left
+            elif f == 2:
+                filt = row - up
+            elif f == 3:
+                filt = row - ((left + up) >> 1)
+            else:
+                pred = np.stack([MM._paeth(left[x].astype(np.uint8),
+                                           up[x].astype(np.uint8),
+                                           upleft[x].astype(np.uint8))
+                                 for x in range(w)]).astype(np.int32)
+                filt = row - pred
+            lines.append(bytes([f]) + (filt % 256).astype(np.uint8)
+                         .tobytes())
+            prev = img[y]
+        ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        idat = zlib.compress(b"".join(lines))
+        return (MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+                + MM._png_chunk(b"IDAT", idat)
+                + MM._png_chunk(b"IEND", b""))
+
+    @pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+    def test_all_filter_types_decode(self, f):
+        from osm_sidewalkreator_ray.stages.multimodal import _decode_png
+        img = self._img(h=9, w=13, seed=f + 1)
+        assert np.array_equal(
+            _decode_png(self._encode_with_filter(img, f)), img)
+
+    def test_gray_and_rgba(self):
+        import struct as st
+        import zlib
+        from osm_sidewalkreator_ray.stages import multimodal as MM
+        rng = np.random.RandomState(3)
+        # grayscale (color type 0) expands to 3 equal channels
+        g = rng.randint(0, 256, (5, 7), dtype=np.uint8)
+        body = np.concatenate(
+            [np.concatenate([[0], g[y]]).astype(np.uint8)
+             for y in range(5)]).tobytes()
+        png = (MM._PNG_SIG
+               + MM._png_chunk(b"IHDR", st.pack(">IIBBBBB", 7, 5, 8,
+                                                0, 0, 0, 0))
+               + MM._png_chunk(b"IDAT", zlib.compress(body))
+               + MM._png_chunk(b"IEND", b""))
+        out = MM._decode_png(png)
+        assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+        # RGBA (color type 6) drops alpha
+        rgba = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+        body = np.concatenate(
+            [np.concatenate([[0], rgba[y].ravel()]).astype(np.uint8)
+             for y in range(4)]).tobytes()
+        png = (MM._PNG_SIG
+               + MM._png_chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 8,
+                                                6, 0, 0, 0))
+               + MM._png_chunk(b"IDAT", zlib.compress(body))
+               + MM._png_chunk(b"IEND", b""))
+        assert np.array_equal(MM._decode_png(png), rgba[:, :, :3])
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_media_features_handles_png(self):
+        """The standing pipeline now feeds alternating BMP/PNG image
+        payloads through the real stages; the features are format-
+        independent because both codecs are lossless."""
+        from osm_sidewalkreator_ray.stages.multimodal import (
+            media_features, synthetic_media, _PNG_SIG)
+        tbl = synthetic_media(24)
+        payloads = [p for p, k in zip(tbl["payload"].to_pylist(),
+                                      tbl["kind"].to_pylist())
+                    if k == "image"]
+        assert any(p[:8] == _PNG_SIG for p in payloads)
+        assert any(p[:2] == b"BM" for p in payloads)
+        df = media_features(n=24)
+        assert (df[df["kind"] == "image"]["feature"] > 0).all()
