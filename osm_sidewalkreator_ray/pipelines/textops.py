@@ -1196,3 +1196,219 @@ SELECT lang, doc_id FROM (
 WHERE rn <= 20
 ORDER BY lang, doc_id
 """
+
+
+# --------------------------------------------- round-4 operator family
+#
+# Three more training-data operators, each with a DuckDB-mirrored
+# definition (pytest oracles; the driver's 50-query export is full):
+# Gopher-style repetition/quality gates, PII scrubbing, and GPT-style
+# sequence packing (concat-then-chunk) via a distributed prefix sum.
+
+_BULLET = ("-", "*", "•")
+
+
+def _gopher_batch(batch: pd.DataFrame, max_dup_line_frac: float,
+                  max_symbol_ratio: float,
+                  max_bullet_frac: float) -> pd.DataFrame:
+    """Repetition/format signals from the Gopher data-quality rules
+    (Rae et al. 2021, arXiv:2112.11446 A1.1), the subset expressible
+    over plain text lines: duplicate-line fraction, symbol-to-word
+    ratio (# and ... marks), bullet-line fraction."""
+    out = {"doc_id": batch["doc_id"], "dup_line_frac": [],
+           "symbol_ratio": [], "bullet_frac": [], "gopher_pass": []}
+    for text in batch["text"]:
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n_lines = len(lines)
+        dup = (1.0 - len(set(lines)) / n_lines) if n_lines else 0.0
+        words = _tokens(text)
+        n_words = len(words)
+        sym = ((text.count("#") + text.count("..."))
+               / n_words if n_words else 0.0)
+        bullet = (sum(ln.lstrip().startswith(_BULLET) for ln in lines)
+                  / n_lines if n_lines else 0.0)
+        out["dup_line_frac"].append(round(dup, 6))
+        out["symbol_ratio"].append(round(sym, 6))
+        out["bullet_frac"].append(round(bullet, 6))
+        out["gopher_pass"].append(dup <= max_dup_line_frac
+                                  and sym <= max_symbol_ratio
+                                  and bullet <= max_bullet_frac)
+    return pd.DataFrame(out)
+
+
+def gopher_quality_ds(docs, max_dup_line_frac: float = 0.3,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_frac: float = 0.9):
+    """Streaming form: documents Dataset (doc_id, text) -> Dataset of
+    Gopher repetition/format signals + pass flag."""
+    return docs.map_batches(
+        lambda b: _gopher_batch(b, max_dup_line_frac, max_symbol_ratio,
+                                max_bullet_frac),
+        batch_format="pandas")
+
+
+def gopher_quality(sf_dir: str, **kw):
+    out = gopher_quality_ds(_read_docs(sf_dir, ["doc_id", "text"]), **kw)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+GOPHER_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     x -> trim(x) <> '') AS lines,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+         END AS dup_line_frac,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE ((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) / 3)
+                   * 1.0 / len(w) END AS symbol_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines,
+                       x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
+                            OR ltrim(x) LIKE chr(8226) || '%'))
+                   * 1.0 / len(lines) END AS bullet_frac
+  FROM t)
+SELECT doc_id, ROUND(dup_line_frac, 6) AS dup_line_frac,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(bullet_frac, 6) AS bullet_frac,
+       (dup_line_frac <= 0.3 AND symbol_ratio <= 0.1
+        AND bullet_frac <= 0.9) AS gopher_pass
+FROM s ORDER BY doc_id
+"""
+
+
+# RE2-compatible patterns (DuckDB regexp_* uses RE2), mirrored in SQL
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PHONE_RE = re.compile(r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b")
+
+
+def _pii_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = {"doc_id": batch["doc_id"], "n_emails": [], "n_phones": [],
+           "scrubbed_md5": []}
+    for text in batch["text"]:
+        s, ne = _EMAIL_RE.subn("<EMAIL>", text)
+        s, np_ = _PHONE_RE.subn("<PHONE>", s)
+        out["n_emails"].append(ne)
+        out["n_phones"].append(np_)
+        out["scrubbed_md5"].append(hashlib.md5(s.encode()).hexdigest())
+    return pd.DataFrame(out).astype({"n_emails": "int64",
+                                     "n_phones": "int64"})
+
+
+def pii_scrub_ds(docs):
+    """Streaming form: redact email/phone PII; emits per-doc redaction
+    counts + an md5 of the scrubbed text (the scrubbed payload itself
+    stays in the pipeline in a real run — the digest makes the op
+    SQL-checkable without shipping text to the driver)."""
+    return docs.map_batches(_pii_batch, batch_format="pandas")
+
+
+def pii_scrub(sf_dir: str):
+    out = pii_scrub_ds(_read_docs(sf_dir, ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'))
+         AS scrubbed_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def pack_sequences(sf_dir: str, budget: int = 512,
+                   bucket_width: int = 4096):
+    """GPT-style sequence packing (concat-then-chunk): documents are
+    concatenated in doc_id order and chunked into fixed ``budget``-token
+    training sequences; each doc gets the global token offset where it
+    starts and the sequence id containing that offset.
+
+    Distributed prefix sum, no global sort of the corpus: docs bucket
+    by ``doc_id // bucket_width`` (already-ordered key ranges); each
+    bucket group computes its intra-bucket cumulative sum and emits one
+    (bucket, total) side row; the driver folds the O(#buckets) totals
+    into exclusive bucket offsets and broadcasts them; a final map adds
+    offset + intra-sum. Driver state is O(#buckets) — at 100 TB pick
+    bucket_width so #buckets stays ~10^5."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        n = b["text"].map(lambda s: len(_tokens(s))).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "n_tokens": n,
+            "bucket": ids // np.int64(bucket_width)})
+
+    counted = ds.map_batches(count, batch_format="pandas")
+
+    def bucket_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        cs = g["n_tokens"].cumsum()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "bucket": g["bucket"].to_numpy(),
+            # token offset of the doc within its bucket
+            "intra_start": (cs - g["n_tokens"]).to_numpy(np.int64)})
+
+    per_bucket = counted.groupby("bucket").map_groups(
+        bucket_cumsum, batch_format="pandas").materialize()
+
+    # O(#buckets) driver fold: bucket totals -> exclusive offsets
+    totals = (per_bucket.map_batches(
+        lambda b: b.groupby("bucket", as_index=False)
+        .agg(total=("n_tokens", "sum")), batch_format="pandas")
+        .to_pandas().groupby("bucket", as_index=False)["total"].sum()
+        .sort_values("bucket"))
+    offsets = dict(zip(
+        totals["bucket"].to_numpy(),
+        np.concatenate([[0], totals["total"].cumsum().to_numpy()[:-1]])))
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        base = b["bucket"].map(offs).to_numpy(np.int64)
+        start = base + b["intra_start"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_tokens": b["n_tokens"].to_numpy(np.int64),
+            "token_start": start,
+            "seq_id": start // np.int64(budget)})
+
+    df = per_bucket.map_batches(finalize, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS token_start,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS seq_id
+FROM t ORDER BY doc_id
+"""

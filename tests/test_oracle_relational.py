@@ -209,3 +209,44 @@ class TestRound2Oracles:
     def test_events_daily_rollup(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.events_daily_rollup(SF), R.EVENTS_ROLLUP_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound4TextOps:
+    """Round-4 training-data operators vs DuckDB oracles (the driver's
+    50-query export is full, so these are pytest-gated)."""
+
+    def test_gopher_quality(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.gopher_quality(SF), T.GOPHER_QUALITY_SQL, con)
+
+    def test_pii_scrub(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.pii_scrub(SF), T.PII_SCRUB_SQL, con)
+
+    def test_pii_scrub_redacts(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = rd.from_items([
+            {"doc_id": 1, "text": "mail bob.smith+x@example.co.uk or "
+                                  "call 555-123-4567 now"},
+            {"doc_id": 2, "text": "no pii here"}])
+        df = (T.pii_scrub_ds(docs).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        assert df["n_emails"].tolist() == [1, 0]
+        assert df["n_phones"].tolist() == [1, 0]
+
+    def test_pack_sequences(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.pack_sequences(SF), T.PACK_SEQUENCES_SQL, con)
+
+    def test_pack_sequences_chunk_semantics(self, con):
+        """Docs are packed contiguously: offsets are dense (next start
+        = prev start + prev tokens) and seq ids are the chunk index."""
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        df = T.pack_sequences(SF, budget=512, bucket_width=64)
+        starts = df["token_start"].to_numpy()
+        toks = df["n_tokens"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+        assert (df["seq_id"].to_numpy() == starts // 512).all()
