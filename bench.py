@@ -207,6 +207,11 @@ def run_scaling(sf_dir: str, lo: int | None = None,
         "unit": "ratio",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        # raw per-run arrays from each leg: monotonic growth within a
+        # leg would indicate in-process accumulation; random spread is
+        # host noise (the usual cause on this VM, BASELINE.md)
+        f"runs_{lo}": r_lo.get("join_runs"),
+        f"runs_{hi}": r_hi.get("join_runs"),
         f"rows_per_sec_{lo}": r_lo.get("join_rows_per_sec"),
         f"rows_per_sec_{hi}": r_hi.get("join_rows_per_sec"),
         "sf": r_hi.get("sf"),
