@@ -1412,3 +1412,254 @@ SELECT doc_id, n_tokens,
           ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS seq_id
 FROM t ORDER BY doc_id
 """
+
+
+# --------------------------------------------- test-set decontamination
+#
+# GPT-3 / The-Pile style benchmark decontamination: flag training docs
+# that share token n-grams with an evaluation set. The benchmark side
+# is tiny by definition (eval suites are ~10^6-10^7 n-grams even at
+# 100 TB of training data), so it is the canonical broadcast side: one
+# sorted uint64 hash array `ray.put` once, zero-copy views in every
+# task, one vectorized `np.searchsorted` membership probe per batch.
+# Nothing shuffles; the corpus streams through a single map_batches.
+
+
+def _ngram_hashes(words: list[str], n: int) -> np.ndarray:
+    """Distinct stable 64-bit hashes of the token n-grams of a doc."""
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    h = pd.util.hash_array(np.asarray(grams, dtype=object))
+    return np.unique(h)
+
+
+def benchmark_ngram_hashes(texts, n: int = 3,
+                           max_tokens: int | None = None) -> np.ndarray:
+    """Sorted uint64 hash array of every token n-gram in ``texts``
+    (the evaluation set). Truncates each text to ``max_tokens`` first
+    when given. Driver-side helper: the result is what you ``ray.put``
+    and hand to :func:`decontaminate_ds`."""
+    out = []
+    for t in texts:
+        w = _tokens(t)
+        if max_tokens is not None:
+            w = w[:max_tokens]
+        out.append(_ngram_hashes(w, n))
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(out))
+
+
+def decontaminate_ds(docs, bench_hashes, n: int = 3):
+    """Streaming form: documents Dataset (doc_id, text) -> Dataset of
+    (doc_id, n_hits, contaminated). ``bench_hashes`` is a sorted uint64
+    array (or an ObjectRef to one from ``ray.put``): numpy arrays come
+    back zero-copy from the object store, so each task reads the one
+    node-local copy instead of re-deserializing per batch.
+
+    n_hits counts the DISTINCT doc n-grams present in the benchmark —
+    membership is one ``np.searchsorted`` over the concatenated batch
+    n-grams, segment-summed back per doc."""
+    import ray as _ray
+    ref = (bench_hashes if isinstance(bench_hashes, _ray.ObjectRef)
+           else _ray.put(np.asarray(bench_hashes, dtype=np.uint64)))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = _ray.get(ref)
+        per_doc = [_ngram_hashes(_tokens(t), n) for t in batch["text"]]
+        lens = np.fromiter((len(a) for a in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        if lens.sum():
+            allh = np.concatenate([a for a in per_doc if len(a)])
+            idx = np.searchsorted(bench, allh)
+            idx[idx == len(bench)] = 0
+            hit = (bench[idx] == allh) if len(bench) else \
+                np.zeros(len(allh), dtype=bool)
+            seg = np.repeat(np.arange(len(per_doc)), lens)
+            hits = np.bincount(seg, weights=hit,
+                               minlength=len(per_doc)).astype(np.int64)
+        else:
+            hits = np.zeros(len(per_doc), dtype=np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "n_hits": hits,
+                             "contaminated": hits > 0})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 97,
+                  bench_tokens: int = 50):
+    """Oracle form: the "benchmark" is derived from the corpus itself
+    so the op is SQL-checkable — docs with doc_id % bench_mod == 0
+    donate their first ``bench_tokens`` tokens as the eval set. The
+    benchmark hashes are PRODUCED distributed (filter + per-batch
+    n-gram hashing; only uint64 hashes reach the driver), then
+    broadcast once."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
+        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
+        return pd.DataFrame({"h": benchmark_ngram_hashes(
+            donors, n=n, max_tokens=bench_tokens)})
+
+    bench_rows = docs.map_batches(
+        bench_part, batch_format="pandas").to_pandas()
+    bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
+    import ray as _ray
+    out = decontaminate_ds(docs, _ray.put(bench), n=n)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+bench_src AS (
+  SELECT doc_id, w[1:50] AS w FROM tok WHERE doc_id % 97 = 0),
+bench AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM bench_src WHERE len(w) >= 3),
+doc_ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM tok WHERE len(w) >= 3),
+hits AS (
+  SELECT d.doc_id, COUNT(DISTINCT d.ng) AS n_hits
+  FROM doc_ng d JOIN bench b USING (ng) GROUP BY d.doc_id)
+SELECT t.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM tok t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# ------------------------------------------ domain mixture resampling
+#
+# Temperature-based domain rebalancing (multilingual-BERT / XLM-R
+# style alpha-sampling, Conneau & Lample 2019): sample domain s with
+# probability q_s proportional to p_s^alpha, which up-weights rare
+# domains. Expressed as per-doc integer repeat counts so the output
+# feeds a plain flat-map expansion: expected repeats for a doc of
+# domain s are q_s * N / n_s; the fractional part rounds
+# deterministically per doc via a Knuth-multiplicative hash of doc_id
+# (SQL-reproducible, no RNG state).
+
+_KNUTH = 2654435761
+
+
+def domain_mixture_ds(docs, reps: dict, by: str = "lang"):
+    """Streaming form: documents Dataset -> (doc_id, by, target_epochs,
+    n_repeats). ``reps`` maps domain value -> target epochs (float);
+    it is O(#domains) driver state broadcast into each batch."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        rep = batch[by].map(reps).to_numpy(dtype=np.float64)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        frac = ((ids * _KNUTH) % (1 << 32)) / float(1 << 32)
+        n = np.floor(rep).astype(np.int64) + (frac < rep - np.floor(rep))
+        return pd.DataFrame({"doc_id": ids, by: batch[by].to_numpy(),
+                             "target_epochs": np.round(rep, 6),
+                             "n_repeats": n.astype(np.int64)})
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def domain_mixture_expand_ds(mix):
+    """Expand the (doc_id, n_repeats) plan into one slim row per
+    training epoch of each doc (np.repeat per batch — the expansion
+    streams; join the ids back to payloads downstream)."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_repeats"].to_numpy(dtype=np.int64)
+        ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), n)
+        epoch = np.concatenate([np.arange(k, dtype=np.int64)
+                                for k in n]) if len(n) else \
+            np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "epoch": epoch})
+    return mix.map_batches(f, batch_format="pandas")
+
+
+def domain_mixture(sf_dir: str, by: str = "lang", alpha: float = 0.5):
+    """Oracle form: per-domain counts come from a distributed partial
+    count fold (one (domain, n) row per batch reaches the driver —
+    O(#domains) driver state), epochs derive from alpha-sampling, the
+    per-doc plan is a single streaming map."""
+    docs = _read_docs(sf_dir, ["doc_id", by])
+    parts = docs.map_batches(
+        lambda b: b[by].value_counts().rename_axis(by)
+        .reset_index(name="n"), batch_format="pandas").to_pandas()
+    counts = parts.groupby(by)["n"].sum().sort_index()
+    total = int(counts.sum())
+    q = np.power(counts.to_numpy(np.float64), alpha)
+    q = q / q.sum()
+    reps = dict(zip(counts.index, q * total / counts.to_numpy(np.float64)))
+    out = domain_mixture_ds(docs, reps, by=by)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DOMAIN_MIXTURE_SQL = r"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, POW(n, 0.5) / SUM(POW(n, 0.5)) OVER () AS q FROM c),
+r AS (SELECT lang, n,
+             q * (SELECT COUNT(*) FROM documents) / n AS rep FROM w)
+SELECT d.doc_id, d.lang, ROUND(r.rep, 6) AS target_epochs,
+       CAST(FLOOR(r.rep) + CASE WHEN
+              ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0
+              < r.rep - FLOOR(r.rep) THEN 1 ELSE 0 END AS BIGINT)
+         AS n_repeats
+FROM documents d JOIN r USING (lang) ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------- hashed n-gram quality classifier
+#
+# FastText-shaped linear scorer (Joulin et al. 2016): unigram + bigram
+# features hashed into a fixed-size table, score = sigmoid of the mean
+# feature weight. The weight table is the classic "model the stage
+# loads once": built in __init__ (once per actor), NOT per batch — the
+# brief's canonical actor-pool shape. Weights here are a deterministic
+# seeded surrogate (no trained artifacts in this sandbox); swap
+# `_build_weights` for a real model load in production.
+
+
+class HashedNgramClassifier:
+    def __init__(self, dim: int = 1 << 18, seed: int = 7):
+        self.dim = dim
+        self.w = self._build_weights(dim, seed)
+
+    @staticmethod
+    def _build_weights(dim: int, seed: int) -> np.ndarray:
+        return (np.random.RandomState(seed)
+                .standard_normal(dim).astype(np.float32))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scores = np.empty(len(batch), dtype=np.float32)
+        for j, text in enumerate(batch["text"]):
+            toks = _tokens(text)
+            feats = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+            if not feats:
+                scores[j] = 0.5
+                continue
+            idx = (pd.util.hash_array(np.asarray(feats, dtype=object))
+                   % np.uint64(self.dim)).astype(np.int64)
+            m = float(self.w[idx].mean())
+            scores[j] = 1.0 / (1.0 + np.exp(-m))
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "quality_score": scores})
+
+
+def quality_classifier_ds(docs, dim: int = 1 << 18, seed: int = 7,
+                          concurrency: int = 4, batch_size: int = 256):
+    """Streaming form: actor-pool map_batches — each actor builds the
+    weight table once in __init__ and scores batches in __call__."""
+    return docs.map_batches(
+        HashedNgramClassifier,
+        fn_constructor_kwargs={"dim": dim, "seed": seed},
+        concurrency=concurrency, batch_size=batch_size, num_cpus=0.5,
+        batch_format="pandas")
+
+
+def quality_classifier(sf_dir: str, **kw):
+    out = quality_classifier_ds(_read_docs(sf_dir, ["doc_id", "text"]),
+                                **kw)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

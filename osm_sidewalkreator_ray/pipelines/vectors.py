@@ -654,3 +654,112 @@ def embedding_near_dups(sf_dir: str, sim_threshold: float = 0.95,
     if df.empty:
         return _empty_pairs()
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- distributed k-means
+#
+# Lloyd's algorithm as the canonical distributed iterative operator
+# (semantic clustering for data curation / IVF-PQ training at corpus
+# scale). Per iteration: centroids broadcast once (`ray.put`, zero-copy
+# numpy views in every task); each batch does ONE matmul assignment +
+# ONE scatter-add and emits a single packed partial row (k x d sums,
+# k counts, batch inertia); partials fold through a <=32-bucket groupby
+# so the driver sees O(buckets) rows of O(k*d) floats, never vectors.
+# The corpus itself STREAMS through each epoch — no materialization of
+# the input, which is the 100 TB shape (one read pass per iteration).
+
+
+def _assign(m: np.ndarray, cents: np.ndarray):
+    """Nearest-centroid assignment: ||x-c||^2 via the expanded form,
+    one (B,k) matmul per batch. Returns (labels, squared distances)."""
+    x2 = np.einsum("ij,ij->i", m, m)
+    c2 = np.einsum("ij,ij->i", cents, cents)
+    d2 = x2[:, None] - 2.0 * (m @ cents.T) + c2[None, :]
+    lab = np.argmin(d2, axis=1)
+    return lab, np.maximum(d2[np.arange(len(lab)), lab], 0.0)
+
+
+def _kmeans_init(ds, k: int) -> np.ndarray:
+    """Deterministic init: the embeddings of the k smallest vec_ids
+    (per-batch partial min-k, tiny driver merge — k rows per block)."""
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(k, "vec_id")[["vec_id", "embedding"]]
+    top = ds.map_batches(part, batch_format="pandas").to_pandas()
+    top = top.nsmallest(k, "vec_id")
+    return np.stack(top.sort_values("vec_id")["embedding"]
+                    .map(np.asarray).to_list()).astype(np.float64)
+
+
+def kmeans_fit_ds(ds, k: int = 8, iters: int = 10,
+                  n_fold_buckets: int = 32) -> dict:
+    """Fit k-means over an embeddings Dataset (vec_id, embedding).
+    Returns {"centroids": (k,d) float64, "counts": (k,), "inertia":
+    [per-iteration SSE]}. Empty clusters keep their previous centroid.
+    Driver state is O(k*d) + O(n_fold_buckets) partial rows."""
+    cents = _kmeans_init(ds, k)
+    inertia_hist: list[float] = []
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _batch_matrix(batch).astype(np.float64)
+            lab, d2 = _assign(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, lab, m)
+            cnt = np.bincount(lab, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame({
+                "sums": [sums.ravel()], "counts": [cnt],
+                "inertia": [float(d2.sum())],
+                "__b": [int(pd.util.hash_array(
+                    np.asarray([batch["vec_id"].iloc[0]]))[0]
+                    % n_fold_buckets)]})
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "sums": [np.sum(np.stack(g["sums"].to_list()), axis=0)],
+                "counts": [np.sum(np.stack(g["counts"].to_list()),
+                                  axis=0)],
+                "inertia": [float(g["inertia"].sum())],
+                "__b": [int(g["__b"].iloc[0])]})
+
+        folded = (ds.map_batches(partial, batch_format="pandas")
+                  .groupby("__b").map_groups(combine,
+                                             batch_format="pandas")
+                  .to_pandas())
+        sums = np.sum(np.stack(folded["sums"].map(np.asarray).to_list()),
+                      axis=0).reshape(k, -1)
+        counts = np.sum(np.stack(folded["counts"].map(np.asarray)
+                                 .to_list()), axis=0).astype(np.int64)
+        inertia_hist.append(float(folded["inertia"].sum()))
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = new
+    return {"centroids": cents, "counts": counts,
+            "inertia": inertia_hist}
+
+
+def kmeans_assign_ds(ds, centroids: np.ndarray):
+    """Streaming form: add (cluster, dist2) columns — one matmul per
+    batch against the broadcast centroid matrix."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        lab, d2 = _assign(_batch_matrix(batch).astype(np.float64), c)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+            "cluster": lab.astype(np.int64),
+            "dist2": np.round(d2, 6)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 10):
+    """Collecting form: fit + assign over the embeddings table."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    fit = kmeans_fit_ds(ds, k=k, iters=iters)
+    df = kmeans_assign_ds(ds, fit["centroids"]).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)

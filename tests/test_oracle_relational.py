@@ -240,6 +240,76 @@ class TestRound4TextOps:
         from osm_sidewalkreator_ray.pipelines import textops as T
         check(T.pack_sequences(SF), T.PACK_SEQUENCES_SQL, con)
 
+    def test_decontaminate(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.decontaminate(SF), T.DECONTAMINATE_SQL, con)
+
+    def test_decontaminate_planted(self):
+        """Explicit benchmark: only docs sharing a 3-gram with the
+        eval text get flagged; hit counts are distinct-n-gram exact."""
+        import numpy as np
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        bench = T.benchmark_ngram_hashes(["the quick brown fox jumps"])
+        docs = rd.from_items([
+            {"doc_id": 1, "text": "we saw the quick brown fox today"},
+            {"doc_id": 2, "text": "a completely unrelated sentence"},
+            {"doc_id": 3, "text": "quick brown fox jumps quick brown "
+                                  "fox jumps"},  # dup grams count once
+            {"doc_id": 4, "text": "two words"}])  # shorter than n
+        df = (T.decontaminate_ds(docs, ray.put(bench))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert df["n_hits"].tolist() == [2, 0, 2, 0]
+        assert df["contaminated"].tolist() == [True, False, True, False]
+
+    def test_domain_mixture(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.domain_mixture(SF), T.DOMAIN_MIXTURE_SQL, con)
+
+    def test_domain_mixture_expand(self):
+        """Expansion emits exactly n_repeats rows per doc, epochs
+        0..n-1; alpha-rebalance up-weights rare domains."""
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        mix = T.domain_mixture(SF, by="lang", alpha=0.5)
+        per = mix.groupby("lang")["target_epochs"].first()
+        assert per["en"] < 1.0 < per["de"]  # 193 docs vs 71 docs
+        import ray.data as rd
+        exp = (T.domain_mixture_expand_ds(rd.from_pandas(mix))
+               .to_pandas())
+        assert len(exp) == int(mix["n_repeats"].sum())
+        g = exp.groupby("doc_id")["epoch"]
+        assert (g.max() + 1 == g.count()).all() and (g.min() == 0).all()
+
+    def test_quality_classifier_matches_reference(self):
+        """Actor-pool hashed-ngram scorer == a local single-process
+        reference (same hash, same seeded weights), and deterministic
+        across runs."""
+        import numpy as np
+        import pandas as pd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        got = T.quality_classifier(SF, dim=1 << 16, seed=7,
+                                   concurrency=2)
+        docs = pd.read_parquet(f"{SF}/documents.parquet") \
+            .sort_values("doc_id")
+        w = T.HashedNgramClassifier._build_weights(1 << 16, 7)
+
+        def ref_score(text):
+            toks = T._tokens(text)
+            feats = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+            if not feats:
+                return 0.5
+            idx = (pd.util.hash_array(np.asarray(feats, dtype=object))
+                   % np.uint64(1 << 16)).astype(np.int64)
+            return 1.0 / (1.0 + np.exp(-float(w[idx].mean())))
+
+        ref = docs["text"].map(ref_score).to_numpy()
+        assert np.allclose(got["quality_score"].to_numpy(), ref,
+                           atol=1e-6)
+        again = T.quality_classifier(SF, dim=1 << 16, seed=7,
+                                     concurrency=2)
+        assert (got["quality_score"] == again["quality_score"]).all()
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""

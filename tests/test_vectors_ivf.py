@@ -145,3 +145,69 @@ def test_pq_topk_stored_equals_inline():
     from osm_sidewalkreator_ray.pipelines import vectors as V
     sf = "/root/testdata/sf0.01"
     pd.testing.assert_frame_equal(V.pq_topk_stored(sf), V.pq_topk(sf))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_lloyd_reference():
+    """Distributed k-means (streaming scatter-add partials, bucketed
+    fold) == single-process Lloyd's with the same deterministic init,
+    to float64 round-off; inertia is non-increasing."""
+    import numpy as np
+    import pandas as pd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    ds = V._read_emb(SF, ["vec_id", "embedding"])
+    fit = V.kmeans_fit_ds(ds, k=8, iters=6)
+
+    df = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(df["embedding"].map(np.asarray).to_list()) \
+        .astype(np.float64)
+    C = X[:8].copy()
+    for _ in range(6):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        for j in range(8):
+            if (lab == j).any():
+                C[j] = X[lab == j].mean(0)
+    assert np.allclose(fit["centroids"], C, atol=1e-8)
+    hist = fit["inertia"]
+    assert all(a >= b - 1e-6 for a, b in zip(hist, hist[1:]))
+
+    # assignment against the FINAL centroids must equal the reference
+    asg = (V.kmeans_assign_ds(ds, fit["centroids"]).to_pandas()
+           .sort_values("vec_id"))
+    ref_lab = (((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)).argmin(1)
+    assert (asg["cluster"].to_numpy() == ref_lab).all()
+    assert int(fit["counts"].sum()) == len(X)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_empty_cluster_keeps_centroid():
+    """A centroid that captures no points survives the update
+    unchanged instead of collapsing to NaN."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    # duplicate init seeds: vec_ids 0 and 1 are the SAME point, so
+    # every argmin tie resolves to cluster 0 and cluster 1 is empty
+    # from iteration 1 on — it must keep its init centroid, not NaN.
+    pts = np.concatenate([
+        np.array([[0.0, 0.0], [0.0, 0.0]]), np.tile([1.0, 1.0], (8, 1))])
+    tbl = pa.table({"vec_id": pa.array(range(len(pts)), pa.int64()),
+                    "embedding": pa.array([list(map(float, p))
+                                           for p in pts],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    # after 1 iteration cluster 1 is empty: it must keep [0,0], not NaN
+    fit1 = V.kmeans_fit_ds(ds, k=2, iters=1)
+    assert fit1["counts"].tolist() == [len(pts), 0]
+    assert np.isfinite(fit1["centroids"]).all()
+    assert np.allclose(fit1["centroids"][1], [0.0, 0.0])
+    # ...and BECAUSE it kept its centroid it recovers the [0,0] blob
+    # once cluster 0's centroid has drifted toward [1,1]
+    fit3 = V.kmeans_fit_ds(ds, k=2, iters=3)
+    assert fit3["counts"].tolist() == [8, 2]
+    assert np.allclose(fit3["centroids"][1], [0.0, 0.0])
+    assert np.allclose(fit3["centroids"][0], [1.0, 1.0])
