@@ -1663,3 +1663,147 @@ def quality_classifier(sf_dir: str, **kw):
     out = quality_classifier_ds(_read_docs(sf_dir, ["doc_id", "text"]),
                                 **kw)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# -------------------------------------- bigram-LM perplexity scoring
+#
+# CCNet-style (Wenzek et al. 2019) LM-likelihood quality filtering,
+# with the LM itself trained distributed on the corpus: (1) exact
+# bigram counts via partial value_counts + the bucketed grouped_agg
+# (slim (w1, w2, c) rows shuffle, never text); (2) the model keeps the
+# top-V bigrams (deterministic (count DESC, w1, w2) tie-break; partial
+# top-V per block is exact because keys are globally unique after the
+# groupby); context counts c(w1) come from a second small groupby and
+# are fetched only for the V model rows. (3) Scoring broadcasts the
+# model as parallel sorted-uint64-hash / logp arrays (`ray.put` once,
+# zero-copy) and probes each batch with one searchsorted; unknown
+# bigrams back off to log(eps). At 100 TB keep V bounded (the model is
+# the broadcast side); a full-vocabulary variant would hash-partition
+# doc bigrams against the model table with hash_partition_join instead.
+
+_LM_EPS_LOGP = float(np.log(1e-6))
+
+
+def _bigram_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial bigram counts (pre-aggregation before the
+    grouped_agg shuffle)."""
+    from collections import Counter
+    cnt: Counter = Counter()
+    for text in batch["text"]:
+        w = _tokens(text)
+        cnt.update(zip(w, w[1:]))
+    if not cnt:
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype="int64")})
+    ks = list(cnt.keys())
+    return pd.DataFrame({"w1": [k[0] for k in ks],
+                         "w2": [k[1] for k in ks],
+                         "c": pd.Series(list(cnt.values()),
+                                        dtype="int64")})
+
+
+def bigram_lm_train(docs, top_v: int = 500) -> pd.DataFrame:
+    """Train the bigram LM distributed; returns the model as a small
+    DataFrame (w1, w2, c12, c1, logp) of the top-V bigrams."""
+    from ..functions.aggregates import grouped_agg
+    pairs = docs.map_batches(_bigram_frame, batch_format="pandas")
+    counts = grouped_agg(pairs, ["w1", "w2"], {"c12": ("c", "sum")})
+    counts = counts.materialize()  # reused twice: top-V and contexts
+
+    def topv_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["c12", "w1", "w2"],
+                             ascending=[False, True, True]).head(top_v)
+
+    top = (counts.map_batches(topv_part, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["c12", "w1", "w2"],
+                        ascending=[False, True, True]).head(top_v))
+    ctx = grouped_agg(counts, ["w1"], {"c1": ("c12", "sum")})
+    w1s = set(top["w1"])
+    ctx_df = (ctx.map_batches(
+        lambda b: b[b["w1"].isin(w1s)], batch_format="pandas")
+        .to_pandas())
+    model = top.merge(ctx_df, on="w1")
+    model["logp"] = np.log(model["c12"].to_numpy(np.float64)
+                           / model["c1"].to_numpy(np.float64))
+    return model.reset_index(drop=True)
+
+
+def bigram_lm_score_ds(docs, model: pd.DataFrame,
+                       eps_logp: float = _LM_EPS_LOGP):
+    """Streaming form: score each doc by mean log P(w_i | w_{i-1})
+    under the broadcast model. The model ships as two parallel numpy
+    arrays (sorted uint64 bigram hashes, logp) — zero-copy per task."""
+    import ray as _ray
+    keys = (model["w1"] + " " + model["w2"]).to_numpy(dtype=object)
+    h = pd.util.hash_array(keys)
+    order = np.argsort(h)
+    ref = _ray.put((h[order], model["logp"].to_numpy(np.float64)[order]))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, lp = _ray.get(ref)
+        grams, lens = [], []
+        for text in batch["text"]:
+            w = _tokens(text)
+            g = [a + " " + b for a, b in zip(w, w[1:])]
+            grams.extend(g)
+            lens.append(len(g))
+        lens_a = np.asarray(lens, dtype=np.int64)
+        if grams:
+            gh = pd.util.hash_array(np.asarray(grams, dtype=object))
+            idx = np.searchsorted(hs, gh)
+            idx_c = np.minimum(idx, max(len(hs) - 1, 0))
+            known = (hs[idx_c] == gh) if len(hs) else \
+                np.zeros(len(gh), dtype=bool)
+            logps = np.where(known, lp[idx_c] if len(hs) else eps_logp,
+                             eps_logp)
+            seg = np.repeat(np.arange(len(lens_a)), lens_a)
+            sums = np.bincount(seg, weights=logps, minlength=len(lens_a))
+        else:
+            sums = np.zeros(len(lens_a), dtype=np.float64)
+        avg = np.divide(sums, lens_a, out=np.zeros_like(sums),
+                        where=lens_a > 0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_bigrams": lens_a,
+            "avg_logp": np.round(avg, 6)})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def bigram_lm_score(sf_dir: str, top_v: int = 500):
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    model = bigram_lm_train(docs, top_v=top_v)
+    out = bigram_lm_score_ds(docs, model)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+BIGRAM_LM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM tok WHERE len(w) >= 2)),
+cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM cnt GROUP BY w1),
+topv AS (
+  SELECT w1, w2, c12 FROM (
+    SELECT w1, w2, c12,
+           ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) AS rn FROM cnt)
+  WHERE rn <= 500),
+model AS (SELECT t.w1, t.w2, LN(t.c12 * 1.0 / x.c1) AS logp
+          FROM topv t JOIN ctx x USING (w1)),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         AVG(COALESCE(m.logp, LN(1e-6))) AS avg_logp
+  FROM bg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id)
+SELECT t.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(s.avg_logp, 0.0), 6) AS avg_logp
+FROM tok t LEFT JOIN scored s USING (doc_id) ORDER BY t.doc_id
+"""

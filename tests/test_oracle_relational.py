@@ -310,6 +310,33 @@ class TestRound4TextOps:
                                      concurrency=2)
         assert (got["quality_score"] == again["quality_score"]).all()
 
+    def test_bigram_lm_score(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.bigram_lm_score(SF), T.BIGRAM_LM_SQL, con)
+
+    def test_bigram_lm_hand_checked(self):
+        """Tiny corpus with hand-computable probabilities: the trained
+        model's logp are exact conditionals and unknown bigrams back
+        off to log(eps)."""
+        import numpy as np
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = rd.from_items([{"doc_id": 1, "text": "a b a b"},
+                              {"doc_id": 2, "text": "a c"}])
+        model = T.bigram_lm_train(docs, top_v=10)
+        m = {(r.w1, r.w2): r.logp for r in model.itertuples()}
+        # c(a,b)=2 c(b,a)=1 c(a,c)=1; c1(a)=3, c1(b)=1
+        assert np.isclose(m[("a", "b")], np.log(2 / 3))
+        assert np.isclose(m[("b", "a")], np.log(1 / 1))
+        assert np.isclose(m[("a", "c")], np.log(1 / 3))
+        scored = (T.bigram_lm_score_ds(
+            rd.from_items([{"doc_id": 9, "text": "a b zz qq"}]), model)
+            .to_pandas())
+        # bigrams: (a,b) known, (b,zz) and (zz,qq) unknown -> eps
+        want = (np.log(2 / 3) + 2 * np.log(1e-6)) / 3
+        assert np.isclose(scored["avg_logp"][0], want, atol=1e-6)
+        assert scored["n_bigrams"][0] == 3
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""
