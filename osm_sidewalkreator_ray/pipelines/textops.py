@@ -1807,3 +1807,120 @@ SELECT t.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        ROUND(COALESCE(s.avg_logp, 0.0), 6) AS avg_logp
 FROM tok t LEFT JOIN scored s USING (doc_id) ORDER BY t.doc_id
 """
+
+
+# ------------------------------------ frequent-line boilerplate scrub
+#
+# RefinedWeb/CCNet-style boilerplate removal: a line that recurs across
+# more than ``max_docs`` DISTINCT documents (nav bars, footers, cookie
+# banners) is scrubbed from every document. Two passes: (1) distinct
+# per-doc line hashes -> exact distinct-doc counts via the bucketed
+# grouped_agg (slim (hash, count) rows shuffle, never lines); the
+# frequent set is the Zipf head so it stays small and broadcasts as
+# one sorted uint64 array; (2) each doc filters its lines against the
+# broadcast with one searchsorted. Empty lines never scrub (they carry
+# paragraph structure). For a pathological frequent set too big to
+# broadcast, hash-partition the exploded lines against it with
+# hash_partition_join instead.
+
+
+def frequent_line_hashes(docs, max_docs: int = 2) -> np.ndarray:
+    """Distributed train pass: sorted uint64 hashes of every non-empty
+    line that occurs in more than ``max_docs`` distinct documents."""
+    from ..functions.aggregates import grouped_agg
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = []
+        for text in batch["text"]:
+            uniq = {ln for ln in text.split("\n") if ln != ""}
+            if uniq:
+                hs.append(pd.util.hash_array(
+                    np.asarray(sorted(uniq), dtype=object)))
+        if not hs:
+            return pd.DataFrame({"lh": pd.Series([], dtype=np.uint64),
+                                 "c": pd.Series([], dtype="int64")})
+        allh = np.concatenate(hs)
+        u, c = np.unique(allh, return_counts=True)
+        return pd.DataFrame({"lh": u, "c": c.astype(np.int64)})
+
+    counts = grouped_agg(docs.map_batches(part, batch_format="pandas"),
+                         ["lh"], {"d": ("c", "sum")})
+
+    def keep_freq(b: pd.DataFrame) -> pd.DataFrame:
+        # Ray Data can deliver empty schema-less blocks downstream of
+        # the bucketed combine when nothing crosses the threshold
+        if b.empty or "lh" not in b.columns:
+            return pd.DataFrame({"lh": pd.Series([], dtype=np.uint64)})
+        return b.loc[b["d"] > max_docs, ["lh"]]
+
+    freq = counts.map_batches(keep_freq, batch_format="pandas") \
+        .to_pandas()
+    if "lh" not in freq.columns:  # nothing crossed the threshold
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(freq["lh"].to_numpy(dtype=np.uint64))
+
+
+def frequent_line_scrub_ds(docs, freq_hashes):
+    """Streaming form: (doc_id, text) -> (doc_id, n_lines, n_removed,
+    clean_md5). ``freq_hashes`` is a sorted uint64 array or an
+    ObjectRef to one (zero-copy per task). The scrubbed text itself
+    stays in the pipeline in a real run; the digest keeps the op
+    SQL-checkable without shipping text to the driver."""
+    import ray as _ray
+    ref = (freq_hashes if isinstance(freq_hashes, _ray.ObjectRef)
+           else _ray.put(np.asarray(freq_hashes, dtype=np.uint64)))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        freq = _ray.get(ref)
+        out = {"doc_id": batch["doc_id"].to_numpy(), "n_lines": [],
+               "n_removed": [], "clean_md5": []}
+        for text in batch["text"]:
+            lines = text.split("\n")
+            ne = [ln for ln in lines if ln != ""]
+            if ne and len(freq):
+                h = pd.util.hash_array(np.asarray(ne, dtype=object))
+                idx = np.minimum(np.searchsorted(freq, h), len(freq) - 1)
+                bad = set(np.asarray(ne, dtype=object)[freq[idx] == h])
+            else:
+                bad = set()
+            kept = [ln for ln in lines if ln == "" or ln not in bad]
+            out["n_lines"].append(len(lines))
+            out["n_removed"].append(len(lines) - len(kept))
+            out["clean_md5"].append(
+                hashlib.md5("\n".join(kept).encode()).hexdigest())
+        return pd.DataFrame(out).astype({"n_lines": "int64",
+                                         "n_removed": "int64"})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def frequent_line_scrub(sf_dir: str, max_docs: int = 2):
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    import ray as _ray
+    freq = _ray.put(frequent_line_hashes(docs, max_docs=max_docs))
+    out = frequent_line_scrub_ds(docs, freq)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+FREQUENT_LINE_SCRUB_SQL = r"""
+WITH l AS (
+  SELECT doc_id, i, arr[i] AS ln
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+              FROM documents))),
+freq AS (
+  SELECT ln FROM (SELECT ln, COUNT(DISTINCT doc_id) AS d
+                  FROM l WHERE ln <> '' GROUP BY ln)
+  WHERE d > 2),
+kept AS (
+  SELECT l.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE f.ln IS NOT NULL) AS BIGINT)
+           AS n_removed,
+         md5(COALESCE(string_agg(l.ln, chr(10) ORDER BY l.i)
+                      FILTER (WHERE f.ln IS NULL), '')) AS clean_md5
+  FROM l LEFT JOIN freq f USING (ln) GROUP BY l.doc_id)
+SELECT * FROM kept ORDER BY doc_id
+"""
+
+

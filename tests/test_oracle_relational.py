@@ -337,6 +337,39 @@ class TestRound4TextOps:
         assert np.isclose(scored["avg_logp"][0], want, atol=1e-6)
         assert scored["n_bigrams"][0] == 3
 
+    def test_frequent_line_scrub(self, con):
+        # corpus docs are single-line here, so this pins the
+        # counting/digest machinery; removal semantics are covered by
+        # the planted test below
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.frequent_line_scrub(SF), T.FREQUENT_LINE_SCRUB_SQL, con)
+
+    def test_frequent_line_scrub_planted(self):
+        """A footer recurring in 4 docs (> max_docs=2) is scrubbed
+        from all of them; a line in only 2 docs survives; empty lines
+        never scrub."""
+        import hashlib
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        footer = "(c) example corp - all rights reserved"
+        rare = "a rare shared line"
+        docs = rd.from_items(
+            [{"doc_id": i,
+              "text": f"body {i}\n\n{footer}" + (f"\n{rare}" if i < 2
+                                                 else "")}
+             for i in range(4)])
+        freq = T.frequent_line_hashes(docs, max_docs=2)
+        assert len(freq) == 1  # only the footer crosses the threshold
+        df = (T.frequent_line_scrub_ds(docs, ray.put(freq))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert df["n_removed"].tolist() == [1, 1, 1, 1]
+        assert df["n_lines"].tolist() == [4, 4, 3, 3]
+        want0 = hashlib.md5(f"body 0\n\n{rare}".encode()).hexdigest()
+        want3 = hashlib.md5("body 3\n".encode()).hexdigest()
+        assert df["clean_md5"][0] == want0
+        assert df["clean_md5"][3] == want3
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""
