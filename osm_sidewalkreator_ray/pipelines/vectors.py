@@ -763,3 +763,72 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 10):
     fit = kmeans_fit_ds(ds, k=k, iters=iters)
     df = kmeans_assign_ds(ds, fit["centroids"]).to_pandas()
     return df.sort_values("vec_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------- SemDeDup
+#
+# Semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embeddings with k-means, then WITHIN each cluster drop
+# every vector whose cosine similarity to an earlier-kept member
+# exceeds the threshold (greedy keep-first in ascending vec_id order
+# — deterministic). All-pairs work is confined to one cluster at a
+# time: the cluster shuffle moves slim (vec_id, cluster) rows plus the
+# vectors once, and the O(m^2) verify is per-group vectorized matmul.
+# Partitioning assumption (documented per the brief): a single
+# cluster's members fit one task — pick k so corpus_size/k does; skewed
+# clusters can be re-split by a second k-means level.
+
+
+def semantic_dedup_ds(emb_ds, centroids: np.ndarray,
+                      sim_threshold: float = 0.95):
+    """(vec_id, embedding) Dataset -> (vec_id, cluster, keep,
+    dup_of) Dataset. dup_of = the kept vec_id that shadowed a dropped
+    one (-1 for kept rows)."""
+    # ride the embedding along the cluster shuffle once (payload moves
+    # exactly once; the groupby key is the small int cluster id);
+    # assignment is recomputed inline rather than joined back
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        lab, _ = _assign(_batch_matrix(batch).astype(np.float64), c)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+            "cluster": lab.astype(np.int64),
+            "embedding": batch["embedding"]})
+
+    tagged = emb_ds.map_batches(tag, batch_format="pandas")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        m = _batch_matrix(g).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+        sims = m @ m.T
+        ids = g["vec_id"].to_numpy(np.int64)
+        keep = np.ones(len(g), dtype=bool)
+        dup_of = np.full(len(g), -1, dtype=np.int64)
+        for i in range(len(g)):
+            if not keep[i]:
+                continue
+            shadowed = (sims[i] >= sim_threshold) & keep
+            shadowed[: i + 1] = False
+            dup_of[shadowed] = ids[i]
+            keep[shadowed] = False
+        return pd.DataFrame({
+            "vec_id": ids, "cluster": g["cluster"].to_numpy(np.int64),
+            "keep": keep, "dup_of": dup_of})
+
+    return tagged.groupby("cluster").map_groups(dedup_cluster,
+                                                batch_format="pandas")
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
+                   sim_threshold: float = 0.95):
+    """Collecting form: fit k-means, then greedy within-cluster
+    cosine dedup."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    fit = kmeans_fit_ds(ds, k=k, iters=iters)
+    df = semantic_dedup_ds(ds, fit["centroids"],
+                           sim_threshold=sim_threshold).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)

@@ -211,3 +211,70 @@ def test_kmeans_empty_cluster_keeps_centroid():
     assert fit3["counts"].tolist() == [8, 2]
     assert np.allclose(fit3["centroids"][1], [0.0, 0.0])
     assert np.allclose(fit3["centroids"][0], [1.0, 1.0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_matches_reference():
+    """Distributed SemDeDup (cluster shuffle + per-cluster greedy
+    cosine dedup) == a local greedy reference with the same centroids
+    and keep-first-by-vec_id order; planted near-dups are dropped and
+    point at their keeper."""
+    import numpy as np
+    import pandas as pd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    ds = V._read_emb(SF, ["vec_id", "embedding"])
+    fit = V.kmeans_fit_ds(ds, k=8, iters=5)
+    got = (V.semantic_dedup_ds(ds, fit["centroids"], sim_threshold=0.9)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    df = pd.read_parquet(f"{SF}/embeddings.parquet") \
+        .sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].map(np.asarray).to_list()) \
+        .astype(np.float64)
+    C = fit["centroids"]
+    lab = (((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)).argmin(1)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    keep = np.ones(len(X), dtype=bool)
+    dup_of = np.full(len(X), -1, dtype=np.int64)
+    for c in range(8):
+        idx = np.flatnonzero(lab == c)  # vec_id order
+        sims = Xn[idx] @ Xn[idx].T
+        for a in range(len(idx)):
+            if not keep[idx[a]]:
+                continue
+            for b in range(a + 1, len(idx)):
+                if keep[idx[b]] and sims[a, b] >= 0.9:
+                    keep[idx[b]] = False
+                    dup_of[idx[b]] = idx[a]
+    assert (got["cluster"].to_numpy() == lab).all()
+    assert (got["keep"].to_numpy() == keep).all()
+    assert (got["dup_of"].to_numpy() == dup_of).all()
+    assert 0 < got["keep"].sum() <= len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_planted_pair():
+    """Two near-identical vectors: the smaller vec_id is kept, the
+    other is dropped and points at it."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((20, 16))
+    base[7] = base[3] + 1e-4  # planted near-dup of vec 3
+    tbl = pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                    "embedding": pa.array([list(map(float, v))
+                                           for v in base],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    fit = V.kmeans_fit_ds(ds, k=2, iters=4)
+    out = (V.semantic_dedup_ds(ds, fit["centroids"],
+                               sim_threshold=0.999)
+           .to_pandas().set_index("vec_id"))
+    assert bool(out.loc[3, "keep"])
+    assert not bool(out.loc[7, "keep"])
+    assert int(out.loc[7, "dup_of"]) == 3
+    assert (out.drop(index=7)["keep"]).all()
