@@ -1924,3 +1924,195 @@ SELECT * FROM kept ORDER BY doc_id
 """
 
 
+# ----------------------------------------------- TF-IDF top-k keywords
+#
+# Per-doc keyword extraction: top-k terms by tf * ln(N/df). Document
+# frequencies come from the same distributed distinct-doc count plan
+# as the line scrub (slim (hash, count) rows through grouped_agg);
+# the idf table broadcasts as parallel sorted-hash/idf arrays (here
+# vocabulary-bounded; for an open 100 TB vocabulary hash-partition the
+# exploded (doc, term, tf) rows against the df table with
+# hash_partition_join instead of broadcasting). Scoring is one
+# searchsorted per batch + a per-doc partial top-k, so only k rows per
+# doc ever leave the map.
+
+
+def term_doc_frequencies(docs):
+    """Distributed df pass -> Dataset of (th uint64 term hash, d
+    distinct-doc count)."""
+    from ..functions.aggregates import grouped_agg
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = []
+        for text in batch["text"]:
+            uniq = set(_tokens(text))
+            if uniq:
+                hs.append(pd.util.hash_array(
+                    np.asarray(list(uniq), dtype=object)))
+        if not hs:
+            return pd.DataFrame({"th": pd.Series([], dtype=np.uint64),
+                                 "c": pd.Series([], dtype="int64")})
+        u, c = np.unique(np.concatenate(hs), return_counts=True)
+        return pd.DataFrame({"th": u, "c": c.astype(np.int64)})
+
+    return grouped_agg(docs.map_batches(part, batch_format="pandas"),
+                       ["th"], {"d": ("c", "sum")})
+
+
+def tfidf_topk_ds(docs, idf_hashes: np.ndarray, idf_vals: np.ndarray,
+                  k: int = 3):
+    """Streaming form: (doc_id, text) -> up to k (doc_id, rank, term,
+    tfidf) rows per doc, ranked by tfidf DESC then term ASC."""
+    import ray as _ray
+    order = np.argsort(idf_hashes)
+    ref = _ray.put((np.asarray(idf_hashes, dtype=np.uint64)[order],
+                    np.asarray(idf_vals, dtype=np.float64)[order]))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, iv = _ray.get(ref)
+        out = {"doc_id": [], "rank": [], "term": [], "tfidf": []}
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            terms, counts = np.unique(np.asarray(toks, dtype=object),
+                                      return_counts=True)
+            th = pd.util.hash_array(terms)
+            idx = np.minimum(np.searchsorted(hs, th),
+                             max(len(hs) - 1, 0))
+            idf = np.where(hs[idx] == th, iv[idx], 0.0) if len(hs) \
+                else np.zeros(len(th))
+            scores = counts.astype(np.float64) * idf
+            # top-k by (score desc, term asc): lexsort is ascending,
+            # so sort on (-score, term)
+            ordk = np.lexsort((terms, -scores))[:k]
+            for r, j in enumerate(ordk, start=1):
+                out["doc_id"].append(did)
+                out["rank"].append(r)
+                out["term"].append(terms[j])
+                out["tfidf"].append(round(float(scores[j]), 6))
+        return pd.DataFrame(out).astype({"doc_id": "int64",
+                                         "rank": "int64"})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def tfidf_topk(sf_dir: str, k: int = 3):
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    df_tbl = term_doc_frequencies(docs).to_pandas()
+    idf = np.log(float(n_docs) / df_tbl["d"].to_numpy(np.float64))
+    out = tfidf_topk_ds(docs, df_tbl["th"].to_numpy(np.uint64), idf,
+                        k=k)
+    return (out.to_pandas().sort_values(["doc_id", "rank"])
+            .reset_index(drop=True))
+
+
+TFIDF_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+t AS (SELECT doc_id, unnest(w) AS term FROM tok),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS d FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS nn FROM documents),
+scored AS (
+  SELECT doc_id, term, tf.c * LN(nn * 1.0 / d) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tf.c * LN(nn * 1.0 / d) DESC, term) AS rn
+  FROM tf JOIN df USING (term), n)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+       ROUND(tfidf, 6) AS tfidf
+FROM scored WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
+# --------------------------------------------- corpus snapshot diff
+#
+# Crawl-snapshot delta: compare two corpus versions by content hash
+# and emit only the differences (added / removed / changed — unchanged
+# docs emit nothing, so output is proportional to the delta, not the
+# corpus). Both sides reduce to slim (doc_id, content hash, side)
+# rows; the only shuffle is the doc_id groupby of those slim rows.
+
+
+def corpus_diff_ds(old_docs, new_docs):
+    """Two (doc_id, text) Datasets -> Dataset of (doc_id, status) for
+    docs that differ (status in added/removed/changed)."""
+    def hash_side(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            h = np.fromiter(
+                (hashlib.md5(t.encode()).digest()[:8]
+                 for t in batch["text"]), dtype="S8",
+                count=len(batch)).view(np.uint64)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "h": h, "side": np.int8(side)})
+        return f
+
+    tagged = (old_docs.map_batches(hash_side(0), batch_format="pandas")
+              .union(new_docs.map_batches(hash_side(1),
+                                          batch_format="pandas")))
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        n = g[g["side"] == 1]
+        if len(o) and len(n):
+            if o["h"].iloc[0] == n["h"].iloc[0]:
+                return pd.DataFrame({"doc_id": pd.Series([],
+                                                         dtype="int64"),
+                                     "status": pd.Series([],
+                                                         dtype=object)})
+            status = "changed"
+        elif len(n):
+            status = "added"
+        else:
+            status = "removed"
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
+                             "status": [status]})
+
+    return tagged.groupby("doc_id").map_groups(decide,
+                                               batch_format="pandas")
+
+
+def corpus_diff(sf_dir: str):
+    """Oracle form: both snapshots derive deterministically from the
+    documents table — old omits doc_id % 7 == 0, new omits
+    doc_id % 11 == 0 and appends ' v2' to doc_id % 5 == 0 texts."""
+    def old_view(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["doc_id"] % 7 != 0, ["doc_id", "text"]]
+
+    def new_view(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["doc_id"] % 11 != 0, ["doc_id", "text"]].copy()
+        mod = b["doc_id"] % 5 == 0
+        b.loc[mod, "text"] = b.loc[mod, "text"] + " v2"
+        return b
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    out = corpus_diff_ds(docs.map_batches(old_view,
+                                          batch_format="pandas"),
+                         docs.map_batches(new_view,
+                                          batch_format="pandas"))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_DIFF_SQL = r"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0),
+j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.text AS ot, n.text AS nt
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN ot IS NULL THEN 'added'
+            WHEN nt IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j WHERE ot IS NULL OR nt IS NULL OR ot <> nt
+ORDER BY doc_id
+"""
+
+

@@ -370,6 +370,30 @@ class TestRound4TextOps:
         assert df["clean_md5"][0] == want0
         assert df["clean_md5"][3] == want3
 
+    def test_tfidf_topk(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.tfidf_topk(SF), T.TFIDF_TOPK_SQL, con)
+
+    def test_corpus_diff(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.corpus_diff(SF), T.CORPUS_DIFF_SQL, con)
+
+    def test_corpus_diff_statuses(self):
+        """Hand-checked delta semantics: unchanged docs emit nothing;
+        added/removed/changed classify correctly."""
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        old = rd.from_items([{"doc_id": 1, "text": "same"},
+                             {"doc_id": 2, "text": "before"},
+                             {"doc_id": 3, "text": "gone"}])
+        new = rd.from_items([{"doc_id": 1, "text": "same"},
+                             {"doc_id": 2, "text": "after"},
+                             {"doc_id": 4, "text": "fresh"}])
+        df = (T.corpus_diff_ds(old, new).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        assert df["doc_id"].tolist() == [2, 3, 4]
+        assert df["status"].tolist() == ["changed", "removed", "added"]
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""
