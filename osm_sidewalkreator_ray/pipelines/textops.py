@@ -2038,43 +2038,44 @@ FROM scored WHERE rn <= 3 ORDER BY doc_id, rn
 # rows; the only shuffle is the doc_id groupby of those slim rows.
 
 
-def corpus_diff_ds(old_docs, new_docs):
+def corpus_diff_ds(old_docs, new_docs, num_buckets: int = 64):
     """Two (doc_id, text) Datasets -> Dataset of (doc_id, status) for
-    docs that differ (status in added/removed/changed)."""
+    docs that differ (status in added/removed/changed). Slim rows
+    co-locate by hash bucket of doc_id (NOT a per-doc groupby — that
+    would pay one Python group call per document); each bucket group
+    resolves every doc at once with one vectorized outer merge."""
     def hash_side(side: int):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             h = np.fromiter(
                 (hashlib.md5(t.encode()).digest()[:8]
                  for t in batch["text"]), dtype="S8",
                 count=len(batch)).view(np.uint64)
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
             return pd.DataFrame({
-                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
-                "h": h, "side": np.int8(side)})
+                "doc_id": ids, "h": h, "side": np.int8(side),
+                "__b": (pd.util.hash_array(ids)
+                        % num_buckets).astype(np.int64)})
         return f
 
     tagged = (old_docs.map_batches(hash_side(0), batch_format="pandas")
               .union(new_docs.map_batches(hash_side(1),
                                           batch_format="pandas")))
 
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["side"] == 0]
-        n = g[g["side"] == 1]
-        if len(o) and len(n):
-            if o["h"].iloc[0] == n["h"].iloc[0]:
-                return pd.DataFrame({"doc_id": pd.Series([],
-                                                         dtype="int64"),
-                                     "status": pd.Series([],
-                                                         dtype=object)})
-            status = "changed"
-        elif len(n):
-            status = "added"
-        else:
-            status = "removed"
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
-                             "status": [status]})
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["doc_id", "h"]]
+        n = g.loc[g["side"] == 1, ["doc_id", "h"]]
+        m = o.merge(n, on="doc_id", how="outer",
+                    suffixes=("_o", "_n"), indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added", "changed"))
+        keep = (m["_merge"] != "both") | (m["h_o"] != m["h_n"])
+        return pd.DataFrame({
+            "doc_id": m.loc[keep, "doc_id"].to_numpy(np.int64),
+            "status": status[keep.to_numpy()]})
 
-    return tagged.groupby("doc_id").map_groups(decide,
-                                               batch_format="pandas")
+    return tagged.groupby("__b").map_groups(diff_bucket,
+                                            batch_format="pandas")
 
 
 def corpus_diff(sf_dir: str):
