@@ -2099,6 +2099,156 @@ def corpus_diff(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# --------------------------------------------- corpus curation pipeline
+#
+# The composed end-to-end curation pass a training-data team actually
+# runs, fused for one text decode and ONE shuffle total:
+#   pass A (map, fused): token count + Gopher repetition/format gates
+#     + benchmark-decontamination probe + content hash -> one slim row
+#     per doc (no text leaves the map);
+#   pass B (bucketed groupby on the content hash): exact dedup among
+#     the docs that survived the gates — keep the min doc_id per hash.
+# Every doc emits exactly one (doc_id, status) row with the FIRST
+# failing stage: gate_fail -> contaminated -> duplicate -> kept.
+# Composes the same primitives as the standalone operators, so the
+# whole chain stays SQL-checkable.
+
+
+def curate_corpus_ds(docs, bench_hashes, min_tokens: int = 5,
+                     max_dup_line_frac: float = 0.3,
+                     max_symbol_ratio: float = 0.1,
+                     max_bullet_frac: float = 0.9, n: int = 3,
+                     num_buckets: int = 64):
+    """Streaming form: documents Dataset -> (doc_id, status) Dataset.
+    ``bench_hashes``: sorted uint64 n-gram hashes of the eval set (or
+    an ObjectRef), as in :func:`decontaminate_ds`."""
+    import ray as _ray
+    ref = (bench_hashes if isinstance(bench_hashes, _ray.ObjectRef)
+           else _ray.put(np.asarray(bench_hashes, dtype=np.uint64)))
+
+    def fused(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = _ray.get(ref)
+        gop_pass = _gopher_batch(
+            batch, max_dup_line_frac, max_symbol_ratio,
+            max_bullet_frac)["gopher_pass"].to_numpy()
+        out = {"doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+               "h": [], "gate_pass": [], "contaminated": []}
+        for j, text in enumerate(batch["text"]):
+            w = _tokens(text)
+            gate = (len(w) >= min_tokens) and bool(gop_pass[j])
+            doc_ng = _ngram_hashes(w, n)
+            if len(doc_ng) and len(bench):
+                idx = np.minimum(np.searchsorted(bench, doc_ng),
+                                 len(bench) - 1)
+                contaminated = bool((bench[idx] == doc_ng).any())
+            else:
+                contaminated = False
+            out["h"].append(np.frombuffer(
+                hashlib.md5(text.encode()).digest()[:8],
+                dtype=np.uint64)[0])
+            out["gate_pass"].append(gate)
+            out["contaminated"].append(contaminated)
+        f = pd.DataFrame(out)
+        f["__b"] = (pd.util.hash_array(f["h"].to_numpy(np.uint64))
+                    % num_buckets).astype(np.int64)
+        return f
+
+    rows = docs.map_batches(fused, batch_format="pandas")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the whole bucket: canonical = min doc_id per
+        # hash among gate+decontam survivors
+        surv = g.loc[g["gate_pass"] & ~g["contaminated"]]
+        canon = surv.groupby("h")["doc_id"].min()
+        cmin = g["h"].map(canon)
+        status = np.where(
+            ~g["gate_pass"], "gate_fail",
+            np.where(g["contaminated"], "contaminated",
+                     np.where(g["doc_id"].to_numpy()
+                              == cmin.to_numpy(), "kept", "duplicate")))
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "status": status})
+
+    return rows.groupby("__b").map_groups(resolve,
+                                          batch_format="pandas")
+
+
+def curate_corpus(sf_dir: str, bench_mod: int = 97,
+                  bench_tokens: int = 50, **kw):
+    """Oracle form: eval set derived as in :func:`decontaminate`
+    (docs with doc_id % bench_mod donate their first bench_tokens
+    tokens)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n = kw.get("n", 3)
+
+    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
+        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
+        return pd.DataFrame({"h": benchmark_ngram_hashes(
+            donors, n=n, max_tokens=bench_tokens)})
+
+    bench_rows = docs.map_batches(
+        bench_part, batch_format="pandas").to_pandas()
+    bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
+    import ray as _ray
+    out = curate_corpus_ds(docs, _ray.put(bench), **kw)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CURATE_CORPUS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     x -> trim(x) <> '') AS lines
+  FROM documents),
+sig AS (
+  SELECT doc_id, text, len(w) AS n_tokens, w,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+         END AS dup_line_frac,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE ((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) / 3)
+                   * 1.0 / len(w) END AS symbol_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines,
+                       x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
+                            OR ltrim(x) LIKE chr(8226) || '%'))
+                   * 1.0 / len(lines) END AS bullet_frac
+  FROM tok),
+bench_src AS (
+  SELECT doc_id, w[1:50] AS w FROM tok WHERE doc_id % 97 = 0),
+bench AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM bench_src WHERE len(w) >= 3),
+doc_ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM tok WHERE len(w) >= 3),
+contam AS (SELECT DISTINCT d.doc_id
+           FROM doc_ng d JOIN bench b USING (ng)),
+flags AS (
+  SELECT s.doc_id, s.text,
+         (s.n_tokens >= 5 AND s.dup_line_frac <= 0.3
+          AND s.symbol_ratio <= 0.1 AND s.bullet_frac <= 0.9)
+           AS gate_pass,
+         c.doc_id IS NOT NULL AS contaminated
+  FROM sig s LEFT JOIN contam c USING (doc_id)),
+dup AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+  FROM flags WHERE gate_pass AND NOT contaminated)
+SELECT f.doc_id,
+       CASE WHEN NOT f.gate_pass THEN 'gate_fail'
+            WHEN f.contaminated THEN 'contaminated'
+            WHEN d.rn > 1 THEN 'duplicate'
+            ELSE 'kept' END AS status
+FROM flags f LEFT JOIN dup d USING (doc_id) ORDER BY f.doc_id
+"""
+
+
 CORPUS_DIFF_SQL = r"""
 WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
 new AS (SELECT doc_id,

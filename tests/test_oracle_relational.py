@@ -394,6 +394,32 @@ class TestRound4TextOps:
         assert df["doc_id"].tolist() == [2, 3, 4]
         assert df["status"].tolist() == ["changed", "removed", "added"]
 
+    def test_curate_corpus(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.curate_corpus(SF), T.CURATE_CORPUS_SQL, con)
+
+    def test_curate_corpus_planted_statuses(self):
+        """Every status fires with the right precedence: gates beat
+        contamination, contamination beats dedup, dedup keeps the
+        min doc_id."""
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        body = "alpha beta gamma delta epsilon zeta"
+        bench = T.benchmark_ngram_hashes(["zeta eta theta iota"])
+        docs = rd.from_items([
+            {"doc_id": 0, "text": body},                 # kept (canon)
+            {"doc_id": 1, "text": body},                 # duplicate
+            {"doc_id": 2, "text": "too short"},          # gate_fail
+            {"doc_id": 3, "text": body + " zeta eta theta iota"},
+            {"doc_id": 4, "text": "zeta eta"},           # gate_fail
+        ])                                               # 3: contaminated
+        df = (T.curate_corpus_ds(docs, ray.put(bench))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert df["status"].tolist() == [
+            "kept", "duplicate", "gate_fail", "contaminated",
+            "gate_fail"]
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""
