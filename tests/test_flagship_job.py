@@ -23,3 +23,34 @@ def test_flagship_job_run_and_resume(tmp_path, capsys):
     assert main(["--sf-dir", sf, "--out", out]) == 0
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m2["partitions"] == 0 and m2["join_rows"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_job_partitions_and_counts(tmp_path, capsys):
+    """The curation job writes status-partitioned parquet whose counts
+    equal the metrics line and the oracle-path statuses."""
+    from jobs.curate_job import main as curate_main
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "curated")
+    sf = "/root/testdata/sf0.001"
+    assert curate_main(["--sf-dir", sf, "--out", out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["metric"] == "curate_job"
+    assert m["total"] == 500
+    assert m["by_status"].get("kept", 0) > 0
+
+    # on-disk partitioning mirrors the metrics
+    ds = pads.dataset(out, partitioning="hive")
+    tbl = ds.to_table(columns=["doc_id", "status"])
+    import collections
+    disk = collections.Counter(tbl["status"].to_pylist())
+    assert dict(disk) == m["by_status"]
+
+    # matches the collecting oracle form
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    want = T.curate_corpus(sf)
+    got = (tbl.to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    assert got["status"].astype(str).tolist() == \
+        want["status"].astype(str).tolist()
