@@ -1,0 +1,128 @@
+"""Inverted-index build + boolean search over the ``documents`` table.
+
+The search-engine-shaped pair of operators a corpus platform needs
+next to its dedup/quality stack:
+
+- :func:`build_inverted_index` — explode docs to slim (term, doc_id,
+  tf) rows, co-locate by term-hash bucket, and write one posting row
+  per term (doc_ids sorted, parallel tf list) as parquet PARTITIONED
+  BY BUCKET. The bucket count is the only partitioning knob: at
+  100 TB pick it so one bucket's postings fit a task.
+- :func:`search_index` — boolean AND/OR over query terms. Reads ONLY
+  the partitions holding the query terms' buckets (hive partition
+  pruning at the parquet read — the "prune at the read" rule), then
+  intersects/unions the postings vectorized.
+
+Postings store doc_ids ascending so intersections are linear merges
+(np.intersect1d on sorted input).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.aggregates import grouped_agg  # noqa: F401 (API kin)
+from .textops import _read_docs, _tokens
+
+
+def _bucket_of(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(terms) % num_buckets).astype(np.int64)
+
+
+def build_inverted_index(docs, out_dir: str, num_buckets: int = 32):
+    """documents Dataset (doc_id, text) -> hive-partitioned parquet
+    index at ``out_dir`` (b=<bucket>/...), one row per term:
+    (term, df, doc_ids list asc, tfs list aligned)."""
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        terms, ids, tfs = [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            cnt = Counter(_tokens(text))
+            terms.extend(cnt.keys())
+            tfs.extend(cnt.values())
+            ids.extend([did] * len(cnt))
+        t = np.asarray(terms, dtype=object)
+        out = pd.DataFrame({
+            "term": t,
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "tf": pd.Series(tfs, dtype="int64")})
+        out["b"] = _bucket_of(t, num_buckets) if len(out) else \
+            pd.Series([], dtype="int64")
+        return out
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        # whole bucket at once: one sort, one groupby-agg (vectorized)
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=True)
+        return pd.DataFrame({
+            "term": list(agg.groups.keys()),
+            "df": agg["doc_id"].count().to_numpy(np.int64),
+            "doc_ids": agg["doc_id"].agg(list).to_numpy(object),
+            "tfs": agg["tf"].agg(list).to_numpy(object),
+            "b": agg["b"].first().to_numpy(np.int64)})
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+    idx = rows.groupby("b").map_groups(postings, batch_format="pandas")
+    idx.write_parquet(out_dir, partition_cols=["b"])
+    return out_dir
+
+
+def _load_postings(index_dir: str, terms: list[str],
+                   num_buckets: int = 32) -> dict[str, np.ndarray]:
+    """Read postings for ``terms`` only — the parquet read is pruned
+    to the terms' hash buckets (hive partition filter) and then to the
+    term rows (row filter pushdown)."""
+    import pyarrow.dataset as pads
+    t = np.asarray(sorted(set(terms)), dtype=object)
+    buckets = sorted(set(_bucket_of(t, num_buckets).tolist()))
+    ds = pads.dataset(index_dir, partitioning="hive")
+    expr = (pads.field("b").isin(buckets)
+            & pads.field("term").isin(list(map(str, t))))
+    tbl = ds.to_table(columns=["term", "doc_ids"], filter=expr)
+    return {term: np.asarray(ids, dtype=np.int64)
+            for term, ids in zip(tbl["term"].to_pylist(),
+                                 tbl["doc_ids"].to_pylist())}
+
+
+def search_index(index_dir: str, terms: list[str], mode: str = "and",
+                 num_buckets: int = 32) -> pd.DataFrame:
+    """Boolean search: doc_ids matching ALL (``and``) or ANY (``or``)
+    of ``terms``. Returns a (doc_id) DataFrame sorted ascending."""
+    post = _load_postings(index_dir, terms, num_buckets=num_buckets)
+    lists = [post.get(t, np.empty(0, dtype=np.int64))
+             for t in dict.fromkeys(terms)]  # unique, order-stable
+    if not lists:
+        hits = np.empty(0, dtype=np.int64)
+    elif mode == "and":
+        hits = lists[0]
+        for p in lists[1:]:
+            hits = np.intersect1d(hits, p, assume_unique=True)
+    elif mode == "or":
+        hits = np.unique(np.concatenate(lists))
+    else:
+        raise ValueError(f"mode must be and/or, got {mode!r}")
+    return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
+
+
+def build_index_for_sf(sf_dir: str, out_dir: str,
+                       num_buckets: int = 32) -> str:
+    return build_inverted_index(_read_docs(sf_dir, ["doc_id", "text"]),
+                                out_dir, num_buckets=num_buckets)
+
+
+INDEX_POSTINGS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END)
+         AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS doc_ids,
+       list(tf ORDER BY doc_id) AS tfs
+FROM tf GROUP BY term ORDER BY term
+"""

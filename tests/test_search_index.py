@@ -1,0 +1,84 @@
+"""Inverted index build + boolean search vs DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM "
+          f"'{SF}/documents.parquet'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory):
+    from osm_sidewalkreator_ray.pipelines import search as S
+    out = str(tmp_path_factory.mktemp("inv") / "idx")
+    S.build_index_for_sf(SF, out)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInvertedIndex:
+    def test_postings_match_duckdb(self, con, index_dir):
+        import pyarrow.dataset as pads
+        from osm_sidewalkreator_ray.pipelines import search as S
+        got = (pads.dataset(index_dir, partitioning="hive")
+               .to_table(columns=["term", "df", "doc_ids", "tfs"])
+               .to_pandas().sort_values("term").reset_index(drop=True))
+        want = con.sql(S.INDEX_POSTINGS_SQL).df()
+        assert got["term"].tolist() == want["term"].tolist()
+        assert got["df"].astype("int64").tolist() == \
+            want["df"].astype("int64").tolist()
+        for a, b in zip(got["doc_ids"], want["doc_ids"]):
+            assert list(a) == list(b)
+        for a, b in zip(got["tfs"], want["tfs"]):
+            assert list(a) == list(b)
+
+    def test_search_and_or(self, con, index_dir):
+        from osm_sidewalkreator_ray.pipelines import search as S
+        # pick two mid-frequency terms from the oracle
+        df = con.sql(S.INDEX_POSTINGS_SQL).df()
+        mid = df[(df["df"] > 20) & (df["df"] < 400)]
+        t1, t2 = mid["term"].iloc[0], mid["term"].iloc[1]
+
+        def oracle(mode):
+            op = "INTERSECT" if mode == "and" else "UNION"
+            return con.sql(f"""
+                SELECT DISTINCT doc_id FROM documents
+                WHERE list_contains(regexp_split_to_array(trim(text),
+                                    '\\s+'), '{t1}')
+                {op}
+                SELECT DISTINCT doc_id FROM documents
+                WHERE list_contains(regexp_split_to_array(trim(text),
+                                    '\\s+'), '{t2}')
+                ORDER BY doc_id""").df()["doc_id"].tolist()
+
+        for mode in ("and", "or"):
+            got = S.search_index(index_dir, [t1, t2], mode=mode)
+            assert got["doc_id"].tolist() == oracle(mode), mode
+        # unknown term: AND annihilates, OR ignores
+        assert S.search_index(index_dir, [t1, "qzxv"],
+                              mode="and").empty
+        got_or = S.search_index(index_dir, [t1, "qzxv"], mode="or")
+        assert got_or["doc_id"].tolist() == \
+            S.search_index(index_dir, [t1], mode="or")["doc_id"].tolist()
+
+    def test_read_is_partition_pruned(self, index_dir):
+        """The search read touches only the query terms' hash-bucket
+        partitions, not the whole index."""
+        import pyarrow.dataset as pads
+        from osm_sidewalkreator_ray.pipelines import search as S
+        ds = pads.dataset(index_dir, partitioning="hive")
+        all_files = set(ds.files)
+        t = np.asarray(["spark"], dtype=object)
+        b = int(S._bucket_of(t, 32)[0])
+        pruned = ds.get_fragments(pads.field("b") == b)
+        touched = {f.path for f in pruned}
+        assert touched and touched < all_files
