@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True,
                     help="output root; parquet partitioned by status")
     ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="resumable mode: write per-bucket partitions "
+                         "+ manifest (state/checkpoint layout); an "
+                         "identical re-submit skips committed buckets")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -76,15 +80,25 @@ def main(argv=None) -> int:
     bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
 
     t0 = time.perf_counter()
-    verdicts = T.curate_corpus_ds(docs, ray.put(bench),
-                                  min_tokens=args.min_tokens)
-    verdicts.write_parquet(args.out, partition_cols=["status"])
-    wall = time.perf_counter() - t0
-
-    counts = (rd.read_parquet(args.out).groupby("status").count()
-              .to_pandas())
-    by_status = dict(zip(counts["status"], counts["count()"].astype(int))
-                     ) if len(counts) else {}
+    if args.checkpoint:
+        from osm_sidewalkreator_ray.state.checkpoint import read_output
+        T.curate_corpus_checkpointed(docs, ray.put(bench), args.out,
+                                     min_tokens=args.min_tokens)
+        wall = time.perf_counter() - t0
+        out_df = read_output(args.out)
+        by_status = out_df["status"].value_counts().to_dict() \
+            if len(out_df) else {}
+        by_status = {k: int(v) for k, v in by_status.items()}
+    else:
+        verdicts = T.curate_corpus_ds(docs, ray.put(bench),
+                                      min_tokens=args.min_tokens)
+        verdicts.write_parquet(args.out, partition_cols=["status"])
+        wall = time.perf_counter() - t0
+        counts = (rd.read_parquet(args.out).groupby("status").count()
+                  .to_pandas())
+        by_status = dict(zip(counts["status"],
+                             counts["count()"].astype(int))
+                         ) if len(counts) else {}
     print(json.dumps({
         "metric": "curate_job", "out": args.out, "unit": "sec",
         "value": round(wall, 3), "bench_ngrams": int(len(bench)),

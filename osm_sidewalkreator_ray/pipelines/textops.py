@@ -2114,17 +2114,12 @@ def corpus_diff(sf_dir: str):
 # whole chain stays SQL-checkable.
 
 
-def curate_corpus_ds(docs, bench_hashes, min_tokens: int = 5,
-                     max_dup_line_frac: float = 0.3,
-                     max_symbol_ratio: float = 0.1,
-                     max_bullet_frac: float = 0.9, n: int = 3,
-                     num_buckets: int = 64):
-    """Streaming form: documents Dataset -> (doc_id, status) Dataset.
-    ``bench_hashes``: sorted uint64 n-gram hashes of the eval set (or
-    an ObjectRef), as in :func:`decontaminate_ds`."""
+def _curate_rows(docs, ref, min_tokens: int, max_dup_line_frac: float,
+                 max_symbol_ratio: float, max_bullet_frac: float,
+                 n: int, num_buckets: int):
+    """Pass A (fused map): one text decode per doc -> slim
+    (doc_id, content hash, gate_pass, contaminated, __b) rows."""
     import ray as _ray
-    ref = (bench_hashes if isinstance(bench_hashes, _ray.ObjectRef)
-           else _ray.put(np.asarray(bench_hashes, dtype=np.uint64)))
 
     def fused(batch: pd.DataFrame) -> pd.DataFrame:
         bench = _ray.get(ref)
@@ -2153,24 +2148,74 @@ def curate_corpus_ds(docs, bench_hashes, min_tokens: int = 5,
                     % num_buckets).astype(np.int64)
         return f
 
-    rows = docs.map_batches(fused, batch_format="pandas")
+    return docs.map_batches(fused, batch_format="pandas")
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized over the whole bucket: canonical = min doc_id per
-        # hash among gate+decontam survivors
-        surv = g.loc[g["gate_pass"] & ~g["contaminated"]]
-        canon = surv.groupby("h")["doc_id"].min()
-        cmin = g["h"].map(canon)
-        status = np.where(
-            ~g["gate_pass"], "gate_fail",
-            np.where(g["contaminated"], "contaminated",
-                     np.where(g["doc_id"].to_numpy()
-                              == cmin.to_numpy(), "kept", "duplicate")))
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
-                             "status": status})
 
-    return rows.groupby("__b").map_groups(resolve,
+def _curate_resolve(g: pd.DataFrame) -> pd.DataFrame:
+    """Pass B, one hash bucket at a time (vectorized): canonical =
+    min doc_id per content hash among gate+decontam survivors."""
+    surv = g.loc[g["gate_pass"] & ~g["contaminated"]]
+    canon = surv.groupby("h")["doc_id"].min()
+    cmin = g["h"].map(canon)
+    status = np.where(
+        ~g["gate_pass"], "gate_fail",
+        np.where(g["contaminated"], "contaminated",
+                 np.where(g["doc_id"].to_numpy()
+                          == cmin.to_numpy(), "kept", "duplicate")))
+    return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                         "status": status})
+
+
+def curate_corpus_ds(docs, bench_hashes, min_tokens: int = 5,
+                     max_dup_line_frac: float = 0.3,
+                     max_symbol_ratio: float = 0.1,
+                     max_bullet_frac: float = 0.9, n: int = 3,
+                     num_buckets: int = 64):
+    """Streaming form: documents Dataset -> (doc_id, status) Dataset.
+    ``bench_hashes``: sorted uint64 n-gram hashes of the eval set (or
+    an ObjectRef), as in :func:`decontaminate_ds`."""
+    import ray as _ray
+    ref = (bench_hashes if isinstance(bench_hashes, _ray.ObjectRef)
+           else _ray.put(np.asarray(bench_hashes, dtype=np.uint64)))
+    rows = _curate_rows(docs, ref, min_tokens, max_dup_line_frac,
+                        max_symbol_ratio, max_bullet_frac, n,
+                        num_buckets)
+    return rows.groupby("__b").map_groups(_curate_resolve,
                                           batch_format="pandas")
+
+
+def curate_corpus_checkpointed(docs, bench_hashes, out_dir: str,
+                               min_tokens: int = 5,
+                               max_dup_line_frac: float = 0.3,
+                               max_symbol_ratio: float = 0.1,
+                               max_bullet_frac: float = 0.9,
+                               n: int = 3, num_buckets: int = 64,
+                               skip_keys=None) -> pd.DataFrame:
+    """Resumable form: per-hash-bucket verdicts are written atomically
+    under ``out_dir`` with per-partition manifest rows
+    (state/checkpoint layout, same machinery as the flagship join);
+    an identical re-submit filters committed buckets out of the
+    shuffle input and recomputes nothing downstream of the scan. The
+    stateless fused scan re-runs on resume (one read pass) — the
+    shuffle and the writes are what resume saves. ``skip_keys`` is
+    fault injection for resume tests. Returns this run's manifest
+    rows (lineage: rows + output fingerprint per bucket)."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from ..state.checkpoint import run_partitioned
+    ref = (bench_hashes if isinstance(bench_hashes, _ray.ObjectRef)
+           else _ray.put(np.asarray(bench_hashes, dtype=np.uint64)))
+    cfg = _hl.sha1(
+        f"curate:v1:{min_tokens}:{max_dup_line_frac}:"
+        f"{max_symbol_ratio}:{max_bullet_frac}:{n}:{num_buckets}"
+        .encode()).hexdigest()
+    rows = _curate_rows(docs, ref, min_tokens, max_dup_line_frac,
+                        max_symbol_ratio, max_bullet_frac, n,
+                        num_buckets)
+    return run_partitioned(rows, ["__b"], _curate_resolve, out_dir,
+                           config_hash=cfg, skip_keys=skip_keys)
 
 
 def curate_corpus(sf_dir: str, bench_mod: int = 97,

@@ -420,6 +420,44 @@ class TestRound4TextOps:
             "kept", "duplicate", "gate_fail", "contaminated",
             "gate_fail"]
 
+    def test_curate_corpus_checkpoint_resume(self, tmp_path):
+        """Kill-and-resume byte-identity: a run that loses two buckets
+        (fault injection) resumes computing ONLY those buckets, and
+        the resumed output equals a clean one-shot run."""
+        import numpy as np
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        from osm_sidewalkreator_ray.state.checkpoint import read_output
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        bench = np.empty(0, dtype=np.uint64)  # gates+dedup only here
+        clean = str(tmp_path / "clean")
+        m_clean = T.curate_corpus_checkpointed(docs, ray.put(bench),
+                                               clean, num_buckets=8)
+        assert len(m_clean) == 8
+
+        crashed = str(tmp_path / "crashed")
+        m1 = T.curate_corpus_checkpointed(docs, ray.put(bench),
+                                          crashed, num_buckets=8,
+                                          skip_keys={(0,), (3,)})
+        assert len(m1) == 6
+        m2 = T.curate_corpus_checkpointed(docs, ray.put(bench),
+                                          crashed, num_buckets=8)
+        assert sorted(tuple(k) for k in
+                      (list(r) if not isinstance(r, tuple) else r
+                       for r in m2["key"].map(
+                           lambda s: tuple(__import__("json")
+                                           .loads(s))))) == [(0,), (3,)]
+
+        a = (read_output(clean).sort_values("doc_id")
+             .reset_index(drop=True))
+        b = (read_output(crashed).sort_values("doc_id")
+             .reset_index(drop=True))
+        assert a.equals(b)
+        assert len(a) == 500
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""
