@@ -1555,7 +1555,10 @@ def domain_mixture_ds(docs, reps: dict, by: str = "lang"):
     n_repeats). ``reps`` maps domain value -> target epochs (float);
     it is O(#domains) driver state broadcast into each batch."""
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        rep = batch[by].map(reps).to_numpy(dtype=np.float64)
+        # a domain absent from the plan gets 0 epochs (dropped),
+        # not NaN -> garbage int cast
+        rep = (batch[by].map(reps).fillna(0.0)
+               .to_numpy(dtype=np.float64))
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         frac = ((ids * _KNUTH) % (1 << 32)) / float(1 << 32)
         n = np.floor(rep).astype(np.int64) + (frac < rep - np.floor(rep))
