@@ -932,6 +932,62 @@ FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
+def near_dup_keep_best(sf_dir: str, threshold: float = 0.5):
+    """Dedup decisions with the keep-LONGEST policy (the common
+    production choice over keep-min-id): within each near-dup
+    component the keeper is the doc with the most tokens, ties to the
+    smaller doc_id. Token counts are fetched distributed ONLY for
+    clustered docs (a broadcast id-set filter — cluster membership is
+    bounded by the dup rate, never the corpus), then the per-component
+    argmax is a vectorized transform over that small frame."""
+    comp = near_dup_components(sf_dir,
+                               threshold=threshold)[["doc_id",
+                                                     "component"]]
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "component": pd.Series([], dtype="int64"),
+                          "n_tokens": pd.Series([], dtype="int64"),
+                          "keeper": pd.Series([], dtype="int64"),
+                          "keep": pd.Series([], dtype="bool")})
+    if comp.empty:
+        return empty
+    ids = frozenset(comp["doc_id"].tolist())
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    tc = (doc_token_counts_ds(docs).map_batches(
+        lambda b: b[b["doc_id"].isin(ids)], batch_format="pandas")
+        .to_pandas())
+    df = comp.merge(tc, on="doc_id")
+    df = df.sort_values(["component", "n_tokens", "doc_id"],
+                        ascending=[True, False, True],
+                        kind="mergesort")
+    df["keeper"] = df.groupby("component")["doc_id"].transform("first")
+    df["keep"] = df["doc_id"] == df["keeper"]
+    df = df.astype({"doc_id": "int64", "component": "int64",
+                    "n_tokens": "int64", "keeper": "int64"})
+    return (df[["doc_id", "component", "n_tokens", "keeper", "keep"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# keep-best extends the recursive component walk with token counts and
+# a per-component FIRST_VALUE over (n_tokens DESC, doc_id)
+NEAR_DUP_KEEP_BEST_SQL = NEAR_DUP_COMPONENTS_SQL[
+    :NEAR_DUP_COMPONENTS_SQL.index("SELECT node AS doc_id")] + r"""
+, comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+), tc AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM documents)
+SELECT c.doc_id, c.component, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+           ORDER BY t.n_tokens DESC, c.doc_id) AS keeper,
+       c.doc_id = FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.component
+           ORDER BY t.n_tokens DESC, c.doc_id) AS keep
+FROM comp c JOIN tc t USING (doc_id) ORDER BY c.doc_id
+"""
+
+
 # --------------------------------------------- corpus-level analysis
 
 def token_topk(sf_dir: str, k: int = 20):

@@ -458,6 +458,21 @@ class TestRound4TextOps:
         assert a.equals(b)
         assert len(a) == 500
 
+    def test_near_dup_keep_best(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.near_dup_keep_best(SF), T.NEAR_DUP_KEEP_BEST_SQL, con)
+
+    def test_near_dup_keep_best_policy(self):
+        """Keepers are the longest doc per component (ties -> min
+        doc_id), exactly one keeper per component."""
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        df = T.near_dup_keep_best(SF)
+        for _, g in df.groupby("component"):
+            best = g.sort_values(["n_tokens", "doc_id"],
+                                 ascending=[False, True]).iloc[0]
+            assert (g["keeper"] == best["doc_id"]).all()
+            assert int(g["keep"].sum()) == 1
+
     def test_pack_sequences_chunk_semantics(self, con):
         """Docs are packed contiguously: offsets are dense (next start
         = prev start + prev tokens) and seq ids are the chunk index."""
