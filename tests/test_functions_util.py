@@ -300,3 +300,22 @@ def test_mg_heavy_hitters_by_tolerates_empty_blocks():
     ds2 = rd.from_pandas(df.head(0))
     out = mg_heavy_hitters_by(ds.union(ds2), "g", "v", topk=2)
     assert set(out["g"]) == {"a", "b"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stats_frame_parses_operators():
+    """stats_frame turns Dataset.stats() text into one row per
+    operator with sane totals."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.stats import (dominant_operator,
+                                                        stats_frame)
+    ds = (rd.range(20000, override_num_blocks=4)
+          .map_batches(lambda b: b, batch_format="pyarrow")
+          .materialize())
+    df = stats_frame(ds)
+    assert len(df) >= 1
+    assert df["tasks"].sum() >= 4
+    assert (df["wall_s"] >= 0).all()
+    assert df["rows_out"].iloc[-1] == 20000
+    assert df["udf_s"].notna().any()
+    assert dominant_operator(ds) in set(df["name"])
