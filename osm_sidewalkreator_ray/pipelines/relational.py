@@ -876,3 +876,275 @@ WHERE o_orderkey = l_orderkey
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ------------------------------------------------------- Q6 (r4)
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filtered-scan aggregate — predicate and
+    product inside the read stream, two float partials per batch reach
+    the driver. No shuffle, no join."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1997-01-01")))),
+            pc.and_(pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.04))),
+                pc.less(t["l_quantity"], pa.scalar(24.0))))
+        f = t.filter(m)
+        rev = pc.sum(pc.multiply(f["l_extendedprice"],
+                                 f["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue":
+                         [round(float(parts["rev"].sum()), 4)]})
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------- Q10 (r4)
+
+def q10_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer for one
+    order quarter, top-k customers with their attributes. Plan: both
+    fact sides filter + project to slim rows, partitioned hash join on
+    orderkey with an in-bucket PARTIAL per-customer sum (custkey is
+    not the bucket key, so the partial finishes in a tiny grouped_agg),
+    per-block partial top-k, and the k winners' customer rows are
+    fetched via a pushed-down ``c_custkey in (...)`` parquet filter —
+    the customer table never moves."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag",
+                        "l_extendedprice", "l_discount"])
+    def li_slim(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({
+            "okey": f["l_orderkey"],
+            "rev": pc.multiply(f["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           f["l_discount"]))})
+
+    li = li.map_batches(li_slim, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: (lambda f: pa.table({"okey": f["o_orderkey"],
+                                       "o_custkey": f["o_custkey"]}))(
+            t.filter(pc.and_(
+                pc.greater_equal(t["o_orderdate"],
+                                 pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["o_orderdate"],
+                        pa.scalar(pd.Timestamp("1996-07-01")))))),
+        batch_format="pyarrow")
+
+    def bucket_sum(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("o_custkey", as_index=False)
+                .agg(rev=("rev", "sum")))
+
+    joined = hash_partition_join(li, orders, on="okey",
+                                 num_buckets=16, group_fn=bucket_sum)
+    per_cust = grouped_agg(joined, ["o_custkey"],
+                           {"revenue": ("rev", "sum")})
+
+    def topk_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue", "o_custkey"],
+                             ascending=[False, True]).head(k)
+
+    top = (per_cust.map_batches(topk_part, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["revenue", "o_custkey"],
+                        ascending=[False, True]).head(k))
+    import pyarrow.dataset as pads
+    keys = top["o_custkey"].astype("int64").tolist()
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(keys)).to_pandas()
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey",
+                  right_on="n_nationkey"))
+    out["revenue"] = out["revenue"].astype(float).round(4)
+    return (out[["c_custkey", "c_name", "revenue", "c_acctbal",
+                 "n_name"]]
+            .sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ------------------------------------------------------- Q13 (r4)
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: orders-per-customer histogram including the
+    zero bucket. Per-batch value_counts -> grouped_agg per custkey ->
+    counts-of-counts (a second tiny fold); the zero bucket is
+    n_customers - n_customers_with_orders, both distributed counts —
+    the LEFT JOIN never materializes."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = grouped_agg(
+        orders.map_batches(
+            lambda b: b["o_custkey"].value_counts()
+            .rename_axis("ck").reset_index(name="n"),
+            batch_format="pandas"),
+        ["ck"], {"n": ("n", "sum")})
+    dist = (per_cust.map_batches(
+        lambda b: b["n"].value_counts().rename_axis("c_count")
+        .reset_index(name="custdist"), batch_format="pandas")
+        .to_pandas().groupby("c_count", as_index=False)["custdist"]
+        .sum())
+    n_customers = _read(sf_dir, "customer",
+                        columns=["c_custkey"]).count()
+    n_zero = int(n_customers - dist["custdist"].sum())
+    if n_zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_zero]})])
+    dist = dist.astype({"c_count": "int64", "custdist": "int64"})
+    return (dist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False])
+            .reset_index(drop=True))
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------------------- Q18 (r4)
+
+def q18_large_volume_customers(sf_dir: str, qty_threshold: float = 150,
+                               k: int = 10):
+    """TPC-H Q18 shape: GROUP BY + HAVING semi-join. Per-order
+    quantity sums fold distributed (pre-agg per batch + grouped_agg);
+    only orders above the threshold — bounded by the HAVING, never the
+    fact table — reach the driver, and their order/customer attribute
+    rows are fetched via pushed-down ``in (...)`` parquet filters."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = grouped_agg(
+        li.map_batches(
+            lambda b: b.groupby("l_orderkey", as_index=False)
+            .agg(q=("l_quantity", "sum")), batch_format="pandas"),
+        ["l_orderkey"], {"sum_qty": ("q", "sum")})
+    heavy = (per_order.map_batches(
+        lambda b: b[b["sum_qty"] > qty_threshold],
+        batch_format="pandas").to_pandas())
+    import pyarrow.dataset as pads
+    okeys = heavy["l_orderkey"].astype("int64").tolist()
+    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"],
+        filter=pads.field("o_orderkey").isin(okeys)).to_pandas()
+    out = heavy.rename(columns={"l_orderkey": "o_orderkey"}) \
+        .merge(orders, on="o_orderkey")
+    ckeys = out["o_custkey"].astype("int64").unique().tolist()
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(ckeys)).to_pandas()
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["sum_qty"].astype(float).round(4)
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(k)
+    return (out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "sum_qty"]].reset_index(drop=True))
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+
+# ------------------------------------------------------- Q19 (r4)
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive multi-class predicate over
+    part |><| lineitem. The part side reduces distributed to
+    (p_partkey, class) — class derived from brand+size in Ray tasks —
+    and broadcasts; the disjunction evaluates vectorized per batch;
+    two float partials per batch reach the driver."""
+    part = _collect_small(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .map_batches(lambda t: pa.table({
+            "p_partkey": t["p_partkey"],
+            "cls": pc.case_when(pc.make_struct(
+                pc.and_(pc.equal(t["p_brand"], "Brand#1"),
+                        pc.less_equal(t["p_size"], 5)),
+                pc.and_(pc.equal(t["p_brand"], "Brand#2"),
+                        pc.less_equal(t["p_size"], 10)),
+                pc.and_(pc.equal(t["p_brand"], "Brand#3"),
+                        pc.less_equal(t["p_size"], 15))),
+                pa.scalar(1, pa.int8()), pa.scalar(2, pa.int8()),
+                pa.scalar(3, pa.int8()), pa.scalar(0, pa.int8()))}),
+            batch_format="pyarrow"))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    joined = broadcast_join(li, part[part["cls"] > 0],
+                            left_on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy()
+        cls = b["cls"].to_numpy()
+        m = (((cls == 1) & (q >= 1) & (q <= 11))
+             | ((cls == 2) & (q >= 10) & (q <= 20))
+             | ((cls == 3) & (q >= 20) & (q <= 30)))
+        rev = (b["l_extendedprice"].to_numpy()
+               * (1.0 - b["l_discount"].to_numpy()))[m].sum()
+        return pd.DataFrame({"rev": [float(rev)]})
+
+    parts = joined.map_batches(partial, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({"revenue":
+                         [round(float(parts["rev"].sum()), 4)]})
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size <= 5
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size <= 10
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size <= 15
+        AND l_quantity BETWEEN 20 AND 30))
+"""

@@ -483,3 +483,29 @@ class TestRound4TextOps:
         assert starts[0] == 0
         assert (starts[1:] == starts[:-1] + toks[:-1]).all()
         assert (df["seq_id"].to_numpy() == starts // 512).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound4Relational:
+    """Round-4 TPC-H-shaped queries vs DuckDB (pytest-gated: the
+    driver's 50-query export is full)."""
+
+    def test_q6(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q6_forecast_revenue(SF), R.Q6_SQL, con)
+
+    def test_q10(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q10_returned_items(SF), R.Q10_SQL, con)
+
+    def test_q13(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q13_customer_distribution(SF), R.Q13_SQL, con)
+
+    def test_q18(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q18_large_volume_customers(SF), R.Q18_SQL, con)
+
+    def test_q19(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q19_discounted_revenue(SF), R.Q19_SQL, con)
