@@ -1148,3 +1148,175 @@ WHERE p_partkey = l_partkey
     OR (p_brand = 'Brand#3' AND p_size <= 15
         AND l_quantity BETWEEN 20 AND 30))
 """
+
+
+# ------------------------------------------------------- Q7 (r4)
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by year. Plan: customer reduces distributed to (c_custkey,
+    cust_nation) for the two nations only and rides the partitioned
+    orders join; lineitem joins orders on orderkey (slim rows, revenue
+    pre-computed); the supplier side is a distributed-produced
+    (s_suppkey, supp_nation) broadcast; the final (supp_nation,
+    cust_nation, year) aggregate folds per batch."""
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # the two nations with the most suppliers (ties -> n_nationkey):
+    # data-derived so the pair is non-empty at every sf; the SQL
+    # derives the same pair so engine and oracle stay in lockstep
+    scount = grouped_agg(
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(lambda b: b.groupby("s_nationkey", as_index=False)
+                     .size().rename(columns={"size": "c"}),
+                     batch_format="pandas"),
+        ["s_nationkey"], {"n": ("c", "sum")}).to_pandas()
+    scount = scount.sort_values(["n", "s_nationkey"],
+                                ascending=[False, True])
+    pair = [nmap[k] for k in scount["s_nationkey"].iloc[:2]]
+
+    cust = _collect_small(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: b.assign(
+            cust_nation=b["c_nationkey"].map(nmap))
+            [lambda d: d["cust_nation"].isin(pair)]
+            [["c_custkey", "cust_nation"]], batch_format="pandas"))
+    supp = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.assign(
+            supp_nation=b["s_nationkey"].map(nmap))
+            [lambda d: d["supp_nation"].isin(pair)]
+            [["s_suppkey", "supp_nation"]], batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey")
+    orders = orders.map_batches(
+        lambda b: b[["o_orderkey", "cust_nation"]]
+        .rename(columns={"o_orderkey": "okey"}), batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1998-01-01"))))
+        f = t.filter(m)
+        return pa.table({
+            "okey": f["l_orderkey"], "l_suppkey": f["l_suppkey"],
+            "l_year": pc.year(f["l_shipdate"]),
+            "volume": pc.multiply(f["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0),
+                                              f["l_discount"]))})
+
+    li = li.map_batches(li_slim, batch_format="pyarrow")
+    joined = hash_partition_join(li, orders, on="okey", num_buckets=16)
+    joined = broadcast_join(joined, supp, left_on="l_suppkey",
+                            right_on="s_suppkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["supp_nation"] != b["cust_nation"]]
+        return (b.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False).agg(revenue=("volume", "sum")))
+
+    parts = joined.map_batches(partial, batch_format="pandas") \
+        .to_pandas()
+    out = (parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False)["revenue"].sum())
+    out["l_year"] = out["l_year"].astype("int64")
+    out["revenue"] = out["revenue"].astype(float).round(4)
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+# the two nations with the most suppliers (ties -> n_nationkey); the
+# SQL derives the same pair so engine and oracle stay in lockstep
+Q7_SQL = """
+WITH pair AS (
+  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, n_nationkey
+  ORDER BY COUNT(*) DESC, n_nationkey LIMIT 2)
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 4) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation sn, nation cn
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = sn.n_nationkey
+    AND c_nationkey = cn.n_nationkey
+    AND sn.n_name IN (SELECT n_name FROM pair)
+    AND cn.n_name IN (SELECT n_name FROM pair)
+    AND sn.n_name <> cn.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ------------------------------------------------------- Q15 (r4)
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: revenue per supplier for one quarter, return
+    the max-revenue supplier(s). Per-supplier sums fold distributed;
+    the max and the ties resolve on O(#suppliers-with-revenue) rows;
+    winner attributes fetch via in-list parquet pushdown."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1996-04-01"))))
+        f = t.filter(m)
+        return pa.table({
+            "l_suppkey": f["l_suppkey"],
+            "rev": pc.multiply(f["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           f["l_discount"]))})
+
+    per_supp = grouped_agg(
+        li.map_batches(slim, batch_format="pyarrow")
+        .map_batches(lambda b: b.groupby("l_suppkey", as_index=False)
+                     .agg(r=("rev", "sum")), batch_format="pandas"),
+        ["l_suppkey"], {"total_revenue": ("r", "sum")}).to_pandas()
+    best = per_supp["total_revenue"].max()
+    # exact equality, not isclose: real ties (identical rows) sum to
+    # bit-equal values on both sides; a tolerance would admit
+    # genuinely-different suppliers the SQL excludes
+    win = per_supp[per_supp["total_revenue"] == best]
+    import pyarrow.dataset as pads
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            win["l_suppkey"].astype("int64").tolist())).to_pandas()
+    out = win.rename(columns={"l_suppkey": "s_suppkey"}) \
+        .merge(supp, on="s_suppkey")
+    out["total_revenue"] = out["total_revenue"].astype(float).round(4)
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""

@@ -509,3 +509,11 @@ class TestRound4Relational:
     def test_q19(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q19_discounted_revenue(SF), R.Q19_SQL, con)
+
+    def test_q7(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q7_volume_shipping(SF), R.Q7_SQL, con)
+
+    def test_q15(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q15_top_supplier(SF), R.Q15_SQL, con)
