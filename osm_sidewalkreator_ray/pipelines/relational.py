@@ -41,8 +41,22 @@ def _collect_small(ds) -> pd.DataFrame:
     The reduction work (column prune at the read, predicate inside
     map_batches) runs in Ray tasks; only the small RESULT reaches the
     driver — never a full sf-proportional table (round-2 verdict
-    'what's wrong #2')."""
-    return ds.to_pandas()
+    'what's wrong #2').
+
+    An all-rows-filtered Dataset collects to a columnLESS frame
+    (``to_pandas`` drops the schema with the rows), which would make a
+    downstream broadcast merge raise KeyError; rebuild the typed empty
+    frame from the Dataset schema instead."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        s = ds.schema()
+        if s is not None:
+            base = s.base_schema
+            if isinstance(base, pa.Schema):
+                return base.empty_table().to_pandas()
+            return pd.DataFrame({n: pd.Series(dtype=t)
+                                 for n, t in zip(s.names, base.types)})
+    return df
 
 
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
@@ -1319,4 +1333,266 @@ FROM supplier, revenue
 WHERE s_suppkey = supplier_no
   AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------------------- Q8 (r4)
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of order volume inside one
+    region, by year. The target nation (most suppliers) and target
+    region (most customers) are data-derived so the query is non-empty
+    at every sf; the SQL derives the same pair. Plan: customers of the
+    region reduce distributed to a key broadcast; orders (date window)
+    semi-join it and carry o_year; lineitem semi-joins the target
+    part-type keys (broadcast) and carries volume; the only shuffle is
+    the li><orders partitioned join; supplier nation rides a tiny
+    broadcast and the share folds per batch."""
+    nation = _small_df(sf_dir, "nation",
+                       ["n_nationkey", "n_regionkey"])
+    scount = grouped_agg(
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(lambda b: b.groupby("s_nationkey", as_index=False)
+                     .size().rename(columns={"size": "c"}),
+                     batch_format="pandas"),
+        ["s_nationkey"], {"n": ("c", "sum")}).to_pandas()
+    target_nkey = int(scount.sort_values(
+        ["n", "s_nationkey"], ascending=[False, True])
+        ["s_nationkey"].iloc[0])
+
+    ccount = grouped_agg(
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(lambda b: b.groupby("c_nationkey", as_index=False)
+                     .size().rename(columns={"size": "c"}),
+                     batch_format="pandas"),
+        ["c_nationkey"], {"n": ("c", "sum")}).to_pandas()
+    rmap = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    ccount["rk"] = ccount["c_nationkey"].map(rmap)
+    rtot = (ccount.groupby("rk", as_index=False)["n"].sum()
+            .sort_values(["n", "rk"], ascending=[False, True]))
+    target_rkey = int(rtot["rk"].iloc[0])
+    region_nkeys = set(
+        nation.loc[nation["n_regionkey"] == target_rkey, "n_nationkey"]
+        .astype("int64"))
+
+    cust = _collect_small(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: b.loc[
+            b["c_nationkey"].isin(region_nkeys), ["c_custkey"]],
+            batch_format="pandas"))
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.less(t["o_orderdate"],
+                    pa.scalar(pd.Timestamp("1997-01-01"))))
+        f = t.filter(m)
+        return pa.table({"okey": f["o_orderkey"],
+                         "o_custkey": f["o_custkey"],
+                         "o_year": pc.year(f["o_orderdate"])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_slim, batch_format="pyarrow")
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey") \
+        .map_batches(lambda b: b[["okey", "o_year"]],
+                     batch_format="pandas")
+
+    part = _collect_small(
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["p_type"], pa.scalar("ECONOMY")))
+            .select(["p_partkey"]), batch_format="pyarrow"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey")
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "volume": pc.multiply(t["l_extendedprice"],
+                                  pc.subtract(pa.scalar(1.0),
+                                              t["l_discount"]))})
+
+    li = li.map_batches(li_slim, batch_format="pyarrow")
+    joined = hash_partition_join(li, orders, on="okey", num_buckets=16)
+
+    supp = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    joined = broadcast_join(joined, supp, left_on="l_suppkey",
+                            right_on="s_suppkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tgt = np.where(b["s_nationkey"].to_numpy() == target_nkey,
+                       b["volume"].to_numpy(), 0.0)
+        g = pd.DataFrame({"o_year": b["o_year"], "t": tgt,
+                          "v": b["volume"]})
+        return g.groupby("o_year", as_index=False).sum()
+
+    parts = joined.map_batches(partial, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("o_year", as_index=False)[["t", "v"]].sum()
+    out["mkt_share"] = (out["t"] / out["v"]).round(4)
+    out["o_year"] = out["o_year"].astype("int64")
+    return (out[["o_year", "mkt_share"]].sort_values("o_year")
+            .reset_index(drop=True))
+
+
+Q8_SQL = """
+WITH tn AS (SELECT s_nationkey AS k FROM supplier
+            GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1),
+     tr AS (SELECT n_regionkey AS rk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1)
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nat THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         s_nationkey = (SELECT k FROM tn) AS nat
+  FROM lineitem, orders, customer, supplier, nation, part
+  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = (SELECT rk FROM tr)
+    AND s_suppkey = l_suppkey AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01')
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ------------------------------------------------------- Q9 (r4)
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name family. The testdata has no partsupp, so the supply-cost
+    term uses the part's retail price as the unit-cost proxy
+    (profit = revenue - 0.1 * p_retailprice * quantity) — same join
+    topology as the reference query (part attr folded into the profit
+    expression). One partitioned li><orders shuffle; part and supplier
+    sides are slim broadcasts; the (nation, year) aggregate folds per
+    batch."""
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    part = _collect_small(
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(lambda t: t.filter(
+            pc.ends_with(t["p_name"], "widget"))
+            .select(["p_partkey", "p_retailprice"]),
+            batch_format="pyarrow"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey")
+
+    def li_slim(b: pd.DataFrame) -> pd.DataFrame:
+        amount = (b["l_extendedprice"] * (1.0 - b["l_discount"])
+                  - 0.1 * b["p_retailprice"] * b["l_quantity"])
+        return pd.DataFrame({"okey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "amount": amount})
+
+    li = li.map_batches(li_slim, batch_format="pandas")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table({
+            "okey": t["o_orderkey"],
+            "o_year": pc.year(t["o_orderdate"])}),
+            batch_format="pyarrow")
+
+    joined = hash_partition_join(li, orders, on="okey", num_buckets=16)
+    supp = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    joined = broadcast_join(joined, supp, left_on="l_suppkey",
+                            right_on="s_suppkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(nation=b["s_nationkey"].map(nmap))
+        return (b.groupby(["nation", "o_year"], as_index=False)
+                .agg(sum_profit=("amount", "sum")))
+
+    parts = joined.map_batches(partial, batch_format="pandas") \
+        .to_pandas()
+    out = (parts.groupby(["nation", "o_year"], as_index=False)
+           ["sum_profit"].sum())
+    out["o_year"] = out["o_year"].astype("int64")
+    out["sum_profit"] = out["sum_profit"].astype(float).round(4)
+    return (out.sort_values(["nation", "o_year"],
+                            ascending=[True, False])
+            .reset_index(drop=True))
+
+
+Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM lineitem, part, supplier, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# ------------------------------------------------------- Q17 (r4)
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity, for one brand+type family. The
+    correlated per-part AVG subquery is pushed into ONE bucketed
+    shuffle: lineitems semi-join the target part keys (broadcast)
+    BEFORE the shuffle, then hash-bucket by partkey so each bucket
+    holds every row of its parts — the per-part average and the
+    conditional revenue sum both resolve in-bucket; only one partial
+    row per bucket reaches the driver."""
+    part = _collect_small(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["p_brand"], pa.scalar("Brand#2")))
+            .select(["p_partkey"]), batch_format="pyarrow"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey")
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["l_partkey"].to_numpy()) % 64
+        return b.assign(__b=h.astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        avg = g.groupby("l_partkey")["l_quantity"].transform("mean")
+        keep = g["l_quantity"] < 0.2 * avg
+        return pd.DataFrame(
+            {"rev": [float(g.loc[keep, "l_extendedprice"].sum())]})
+
+    parts = (li.map_batches(bucket, batch_format="pandas")
+             .groupby("__b").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    total = (float(parts["rev"].sum()) / 7.0
+             if "rev" in parts.columns else 0.0)
+    return pd.DataFrame({"avg_yearly": [round(total, 4)]})
+
+
+Q17_SQL = """
+SELECT ROUND(COALESCE(SUM(l_extendedprice), 0) / 7.0, 4) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#2'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
+                    WHERE l_partkey = p_partkey)
 """

@@ -517,3 +517,15 @@ class TestRound4Relational:
     def test_q15(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q15_top_supplier(SF), R.Q15_SQL, con)
+
+    def test_q8(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q8_market_share(SF), R.Q8_SQL, con)
+
+    def test_q9(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q9_product_profit(SF), R.Q9_SQL, con)
+
+    def test_q17(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q17_small_quantity_revenue(SF), R.Q17_SQL, con)
