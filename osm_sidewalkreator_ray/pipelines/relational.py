@@ -1596,3 +1596,252 @@ WHERE p_partkey = l_partkey
   AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
                     WHERE l_partkey = p_partkey)
 """
+
+
+# ------------------------------------------------------- Q2 (r4)
+
+def q2_min_cost_supplier(sf_dir: str, k: int = 100):
+    """TPC-H Q2 shape: for each small part, the region supplier with
+    the minimum account balance among suppliers that shipped it (the
+    testdata has no partsupp, so lineitem's distinct (part, supplier)
+    pairs stand in for the catalog and s_acctbal for ps_supplycost).
+    The correlated per-part MIN resolves in-bucket: distinct pairs
+    (batch-level unique) pick up region-supplier attributes from a
+    dimension-scale broadcast, then ONE partitioned join against the
+    filtered parts pushes dedup + argmin-with-ties into the join
+    bucket; only winners reach the driver."""
+    nation = _small_df(sf_dir, "nation",
+                       ["n_nationkey", "n_name", "n_regionkey"])
+    scount = grouped_agg(
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(lambda b: b.groupby("s_nationkey", as_index=False)
+                     .size().rename(columns={"size": "c"}),
+                     batch_format="pandas"),
+        ["s_nationkey"], {"n": ("c", "sum")}).to_pandas()
+    rmap = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    scount["rk"] = scount["s_nationkey"].map(rmap)
+    rtot = (scount.groupby("rk", as_index=False)["n"].sum()
+            .sort_values(["n", "rk"], ascending=[False, True]))
+    target_rkey = int(rtot["rk"].iloc[0])
+    region_nkeys = set(
+        nation.loc[nation["n_regionkey"] == target_rkey,
+                   "n_nationkey"].astype("int64"))
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    supp = _collect_small(
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+        .map_batches(lambda b: b.loc[
+            b["s_nationkey"].isin(region_nkeys)]
+            .assign(n_name=lambda d: d["s_nationkey"].map(nmap))
+            [["s_suppkey", "s_name", "s_acctbal", "n_name"]],
+            batch_format="pandas"))
+
+    def pair_batch(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.drop_duplicates(["l_partkey", "l_suppkey"])
+                .rename(columns={"l_partkey": "p_partkey"})
+                [["p_partkey", "l_suppkey"]])
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(pair_batch, batch_format="pandas")
+    pairs = broadcast_join(pairs, supp, left_on="l_suppkey",
+                           right_on="s_suppkey")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]) \
+        .map_batches(lambda t: t.filter(
+            pc.less(t["p_size"], pa.scalar(10)))
+            .select(["p_partkey", "p_name"]), batch_format="pyarrow")
+
+    def argmin_per_part(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-level pair dedup leaves cross-batch dupes; every row
+        # of a partkey lands in this bucket, so dedup here is global
+        df = df.drop_duplicates(["p_partkey", "s_name"])
+        lo = df.groupby("p_partkey")["s_acctbal"].transform("min")
+        return df.loc[df["s_acctbal"] == lo,
+                      ["s_acctbal", "s_name", "n_name",
+                       "p_partkey", "p_name"]]
+
+    out = hash_partition_join(pairs, part, on="p_partkey",
+                              num_buckets=16,
+                              group_fn=argmin_per_part).to_pandas()
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+Q2_SQL = """
+WITH tr AS (SELECT n_regionkey AS rk
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1),
+pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM pairs, supplier, nation, part
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = (SELECT rk FROM tr)
+  AND p_size < 10
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM pairs p2, supplier s2, nation n2
+    WHERE p2.l_partkey = p_partkey AND s2.s_suppkey = p2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = (SELECT rk FROM tr))
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ------------------------------------------------------- Q11 (r4)
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose shipped value for one nation's
+    suppliers exceeds a fraction of that nation's total (lineitem
+    value stands in for the missing partsupp stock value). The
+    fraction scales inversely with supplier count — the reference
+    query's 0.0001/SF rule — so the output stays a short list at
+    every scale. Per-part sums fold distributed; the grand total
+    folds from the SAME partials; the HAVING filter runs in tasks,
+    so only qualifying parts reach the driver."""
+    scount = grouped_agg(
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(lambda b: b.groupby("s_nationkey", as_index=False)
+                     .size().rename(columns={"size": "c"}),
+                     batch_format="pandas"),
+        ["s_nationkey"], {"n": ("c", "sum")}).to_pandas()
+    target_nkey = int(scount.sort_values(
+        ["n", "s_nationkey"], ascending=[False, True])
+        ["s_nationkey"].iloc[0])
+    supp = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.loc[
+            b["s_nationkey"] == target_nkey, ["s_suppkey"]],
+            batch_format="pandas"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    li = broadcast_join(li, supp, left_on="l_suppkey",
+                        right_on="s_suppkey")
+    li = li.map_batches(
+        lambda b: pd.DataFrame({
+            "p_partkey": b["l_partkey"],
+            "v": b["l_extendedprice"] * (1.0 - b["l_discount"])}),
+        batch_format="pandas")
+
+    n_supp = int(scount["n"].sum())
+    frac = 0.04 / n_supp
+
+    per_part = grouped_agg(li, ["p_partkey"], {"value": ("v", "sum")})
+    per_part = per_part.materialize()
+    total = float(per_part.map_batches(
+        lambda b: pd.DataFrame({"t": [b["value"].sum()]}),
+        batch_format="pandas").to_pandas()["t"].sum())
+    cut = frac * total
+    out = per_part.map_batches(
+        lambda b: b.loc[b["value"] > cut], batch_format="pandas") \
+        .to_pandas()
+    if "value" not in out.columns:
+        out = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                            "value": pd.Series(dtype=float)})
+    out["value"] = out["value"].astype(float).round(4)
+    return (out.sort_values(["value", "p_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q11_SQL = """
+WITH tn AS (SELECT s_nationkey AS k FROM supplier
+            GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1)
+SELECT l_partkey AS p_partkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS value
+FROM lineitem, supplier
+WHERE s_suppkey = l_suppkey AND s_nationkey = (SELECT k FROM tn)
+GROUP BY 1
+HAVING SUM(l_extendedprice * (1 - l_discount)) > (
+  SELECT 0.04 / (SELECT COUNT(*) FROM supplier)
+         * SUM(l_extendedprice * (1 - l_discount))
+  FROM lineitem, supplier
+  WHERE s_suppkey = l_suppkey AND s_nationkey = (SELECT k FROM tn))
+ORDER BY value DESC, p_partkey
+"""
+
+
+# ------------------------------------------------------- Q16 (r4)
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    triple, excluding one brand and "complaint" suppliers (negative
+    account balance stands in for the comment-text predicate; lineitem
+    pairs stand in for partsupp). Two slim shuffles: pairs dedup +
+    attribute pickup resolve in the partkey-partitioned join bucket,
+    then distinct (brand, type, size, supplier) rows re-bucket by
+    attribute hash for the exact distinct count."""
+    bad = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .map_batches(lambda b: b.loc[b["s_acctbal"] < 0,
+                                     ["s_suppkey"]],
+                     batch_format="pandas"))
+    bad_set = frozenset(bad["s_suppkey"].astype("int64"))
+
+    def pair_batch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[~b["l_suppkey"].isin(bad_set)]
+        return (b.drop_duplicates(["l_partkey", "l_suppkey"])
+                .rename(columns={"l_partkey": "p_partkey"})
+                [["p_partkey", "l_suppkey"]])
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(pair_batch, batch_format="pandas")
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(lambda t: t.filter(
+            pc.not_equal(t["p_brand"], pa.scalar("Brand#1"))),
+            batch_format="pyarrow")
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a partkey are in-bucket: pair dedup is global
+        df = df.drop_duplicates(["p_partkey", "l_suppkey"])
+        return df.drop_duplicates(
+            ["p_brand", "p_type", "p_size", "l_suppkey"])[
+            ["p_brand", "p_type", "p_size", "l_suppkey"]]
+
+    quads = hash_partition_join(pairs, part, on="p_partkey",
+                                num_buckets=16,
+                                group_fn=bucket_distinct)
+
+    def akey(b: pd.DataFrame) -> pd.DataFrame:
+        h = (pd.util.hash_array(b["p_brand"].to_numpy(dtype=object))
+             ^ pd.util.hash_array(b["p_type"].to_numpy(dtype=object))
+             ^ pd.util.hash_array(b["p_size"].to_numpy()))
+        return b.assign(__a=(h % 32).astype(np.int64))
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p_brand", "p_type", "p_size",
+                               "l_suppkey"])
+        out = (g.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False)
+               .agg(supplier_cnt=("l_suppkey", "nunique")))
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    out = (quads.map_batches(akey, batch_format="pandas")
+           .groupby("__a").map_groups(count_distinct,
+                                      batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""

@@ -529,3 +529,15 @@ class TestRound4Relational:
     def test_q17(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q17_small_quantity_revenue(SF), R.Q17_SQL, con)
+
+    def test_q2(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q2_min_cost_supplier(SF), R.Q2_SQL, con)
+
+    def test_q11(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q11_important_parts(SF), R.Q11_SQL, con)
+
+    def test_q16(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q16_supplier_part_counts(SF), R.Q16_SQL, con)
