@@ -1845,3 +1845,227 @@ WHERE p_partkey = l_partkey
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
+
+
+# ------------------------------------------------------- Q20 (r4)
+
+def q20_excess_shipments(sf_dir: str):
+    """TPC-H Q20 shape: suppliers whose shipped quantity of one
+    part-name family in one year exceeds the per-supplier average
+    (availqty has no partsupp source, so the threshold is the
+    average of the same per-supplier sums). Lineitem semi-joins the
+    part keys (broadcast) and the per-supplier sums fold distributed;
+    the supplier list (dimension-scale) resolves on the driver and
+    winner names fetch via in-list parquet pushdown."""
+    part = _collect_small(
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(lambda t: t.filter(
+            pc.starts_with(t["p_name"], "cold"))
+            .select(["p_partkey"]), batch_format="pyarrow"))
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"],
+                    pa.scalar(pd.Timestamp("1997-01-01"))))
+        f = t.filter(m)
+        return pa.table({"l_partkey": f["l_partkey"],
+                         "l_suppkey": f["l_suppkey"],
+                         "l_quantity": f["l_quantity"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(li_slim, batch_format="pyarrow")
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey")
+
+    per_supp = grouped_agg(
+        li.map_batches(lambda b: b.groupby("l_suppkey", as_index=False)
+                       .agg(q=("l_quantity", "sum")),
+                       batch_format="pandas"),
+        ["l_suppkey"], {"qty": ("q", "sum")}).to_pandas()
+    if "qty" not in per_supp.columns:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype=object),
+                             "qty": pd.Series(dtype=float)})
+    # l_quantity values are small integers: float64 sums are exact, so
+    # the avg threshold is order-independent on both sides
+    win = per_supp[per_supp["qty"] > per_supp["qty"].mean()]
+    import pyarrow.dataset as pads
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            win["l_suppkey"].astype("int64").tolist())).to_pandas()
+    out = win.rename(columns={"l_suppkey": "s_suppkey"}) \
+        .merge(supp, on="s_suppkey")
+    out["qty"] = out["qty"].astype(float)
+    return (out[["s_suppkey", "s_name", "qty"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+Q20_SQL = """
+WITH sq AS (
+  SELECT l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_name LIKE 'cold%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS qty
+FROM supplier, sq
+WHERE s_suppkey = l_suppkey AND qty > (SELECT AVG(qty) FROM sq)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------------------- Q21 (r4)
+
+def q21_waiting_supplier(sf_dir: str, k: int = 20):
+    """TPC-H Q21 shape: suppliers that are the SOLE supplier with a
+    returned item on a finished multi-supplier order (returnflag 'R'
+    stands in for the missing receipt/commit-date lateness pair). The
+    EXISTS / NOT EXISTS pair resolves in-bucket: lineitems and
+    status-'F' orders co-partition on orderkey, and each bucket holds
+    every lineitem of its orders, so the per-order distinct-supplier
+    and distinct-R-supplier counts are exact there; only per-supplier
+    partial counts leave the shuffle."""
+    def li_slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "is_r": pc.cast(pc.equal(t["l_returnflag"],
+                                     pa.scalar("R")), pa.int8())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"]) \
+        .map_batches(li_slim, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda t: pa.table({
+            "okey": t.filter(pc.equal(t["o_orderstatus"],
+                                      pa.scalar("F")))["o_orderkey"]}),
+            batch_format="pyarrow")
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("okey")
+        stats = pd.DataFrame({
+            "n_supp": g["l_suppkey"].nunique(),
+            "n_r_supp": df.loc[df["is_r"] == 1].groupby("okey")
+            ["l_suppkey"].nunique()}).fillna(0)
+        ok = stats.index[(stats["n_supp"] >= 2)
+                         & (stats["n_r_supp"] == 1)]
+        r = df.loc[(df["is_r"] == 1) & df["okey"].isin(ok)]
+        return (r.groupby("l_suppkey", as_index=False)
+                .agg(numwait=("okey", "size")))
+
+    parts = hash_partition_join(li, orders, on="okey",
+                                num_buckets=16,
+                                group_fn=per_order).to_pandas()
+    if "numwait" not in parts.columns:
+        return pd.DataFrame({"s_name": pd.Series(dtype=object),
+                             "numwait": pd.Series(dtype="int64")})
+    per_supp = (parts.groupby("l_suppkey", as_index=False)
+                ["numwait"].sum())
+    supp = _collect_small(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+    out = per_supp.merge(supp, left_on="l_suppkey",
+                         right_on="s_suppkey")
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True]).head(k)
+            [["s_name", "numwait"]].reset_index(drop=True))
+
+
+Q21_SQL = """
+SELECT s_name, numwait FROM (
+  SELECT l1.l_suppkey, COUNT(*) AS numwait
+  FROM lineitem l1, orders
+  WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    AND l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY 1) q JOIN supplier ON s_suppkey = q.l_suppkey
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+# ------------------------------------------------------- Q22 (r4)
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: wealthy customers with no RECENT order, per
+    country code (nationkey mod 5 stands in for the missing phone
+    prefix; "no order since 1999" stands in for never-ordered, which
+    is empty in this data). The positive-balance average folds from
+    distributed partials; the candidate filter runs in tasks; the NOT
+    EXISTS resolves as a partitioned LEFT join against batch-deduped
+    recent-order custkeys with the per-code count/sum pushed into the
+    join bucket."""
+    def avg_part(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["c_acctbal"] > 0) & ((b["c_nationkey"] % 5).isin([0, 2, 4]))
+        return pd.DataFrame({"s": [b.loc[m, "c_acctbal"].sum()],
+                             "n": [int(m.sum())]})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    parts = _read(sf_dir, "customer", cust_cols) \
+        .map_batches(avg_part, batch_format="pandas").to_pandas()
+    avg_bal = float(parts["s"].sum()) / max(int(parts["n"].sum()), 1)
+
+    def cand(b: pd.DataFrame) -> pd.DataFrame:
+        code = (b["c_nationkey"] % 5).astype("int64")
+        m = code.isin([0, 2, 4]) & (b["c_acctbal"] > avg_bal)
+        return pd.DataFrame({"c_custkey": b.loc[m, "c_custkey"],
+                             "cntrycode": code[m],
+                             "c_acctbal": b.loc[m, "c_acctbal"]})
+
+    cust = _read(sf_dir, "customer", cust_cols) \
+        .map_batches(cand, batch_format="pandas")
+
+    def o_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(pd.Timestamp("1999-01-01"))))
+        u = np.unique(t["o_custkey"].to_numpy())
+        return pa.table({"c_custkey": pa.array(u, pa.int64()),
+                         "__hit": pa.array(np.ones(len(u), dtype=np.int8))})
+
+    keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(o_keys, batch_format="pyarrow")
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # left join: no-recent-order candidates carry a null hit marker
+        no_orders = df.loc[df["__hit"].isna()]
+        return (no_orders.groupby("cntrycode", as_index=False)
+                .agg(numcust=("c_custkey", "nunique"),
+                     totacctbal=("c_acctbal", "sum")))
+
+    out = hash_partition_join(cust, keys, on="c_custkey", how="left",
+                              num_buckets=16,
+                              group_fn=bucket_fold).to_pandas()
+    if "numcust" not in out.columns:
+        return pd.DataFrame({"cntrycode": pd.Series(dtype="int64"),
+                             "numcust": pd.Series(dtype="int64"),
+                             "totacctbal": pd.Series(dtype=float)})
+    out = out.groupby("cntrycode", as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum"))
+    out["cntrycode"] = out["cntrycode"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["totacctbal"].astype(float).round(4)
+    return out.sort_values("cntrycode").reset_index(drop=True)
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_nationkey % 5 IN (0, 2, 4)
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 2, 4))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""

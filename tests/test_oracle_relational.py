@@ -541,3 +541,15 @@ class TestRound4Relational:
     def test_q16(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q16_supplier_part_counts(SF), R.Q16_SQL, con)
+
+    def test_q20(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q20_excess_shipments(SF), R.Q20_SQL, con)
+
+    def test_q21(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q21_waiting_supplier(SF), R.Q21_SQL, con)
+
+    def test_q22(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.q22_global_sales_opportunity(SF), R.Q22_SQL, con)
