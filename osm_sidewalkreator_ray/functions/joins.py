@@ -209,16 +209,28 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
     be re-combinable by the caller — partial sums/counts are, top-k
     per key is not.)
 
+    ``how``: 'inner' / 'left' / 'right' / 'outer' (pandas-merge
+    semantics per bucket — exact because every row of a key lands in
+    one bucket), plus 'semi' / 'anti' (left-semi / left-anti with SQL
+    EXISTS / NOT EXISTS null semantics: a NULL left key never matches,
+    so semi drops it and anti keeps it — unlike the equality hows,
+    which inherit pandas' NaN==NaN join behavior).
+
     ``hot_keys`` (skew handling, the brief's "salt hot keys"): each
     listed key gets ``n_salts`` DEDICATED buckets; its left rows
     round-robin across the salts and its right rows are REPLICATED
     into every salt, so one zipf-head key no longer serializes behind
-    a single reducer. Inner/left joins only (an unmatched right hot
-    row would surface once per salt under right/outer semantics).
-    Use ``detect_hot_keys`` for the one-pass sketch that finds them.
+    a single reducer. Inner/left/semi/anti only (an unmatched right
+    hot row would surface once per salt under right/outer semantics;
+    semi/anti are safe because each salt sees the full replicated
+    right key set and emits only left rows). Use ``detect_hot_keys``
+    for the one-pass sketch that finds them.
     """
-    if hot_keys and how not in ("inner", "left"):
-        raise ValueError("salted join supports how='inner'/'left' only")
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    if hot_keys and how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            "salted join supports how='inner'/'left'/'semi'/'anti' only")
     hot_idx = {k: i for i, k in enumerate(sorted(hot_keys))} \
         if hot_keys else {}
     lschema = _arrow_schema(left)
@@ -306,7 +318,16 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
         import pyarrow.compute as pc
         l = group.filter(pc.equal(group[_SIDE], 0)).select(lcols)
         r = group.filter(pc.equal(group[_SIDE], 1)).select(rcols)
-        out = l.to_pandas().merge(r.to_pandas(), on=on, how=how)
+        if how in ("semi", "anti"):
+            # membership against the de-nulled right key set: identical
+            # under salting (the right side is replicated per salt) and
+            # a left NULL key is never a member (SQL EXISTS semantics)
+            rkeys = pc.unique(pc.drop_null(r[on]))
+            hit = pc.fill_null(pc.is_in(l[on], value_set=rkeys), False)
+            out = l.filter(hit if how == "semi"
+                           else pc.invert(hit)).to_pandas()
+        else:
+            out = l.to_pandas().merge(r.to_pandas(), on=on, how=how)
         return group_fn(out) if group_fn is not None else out
 
     return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,95 @@
+"""hash_partition_join `how` completeness vs DuckDB on skewed keyed
+data with NULL keys: inner/left/right/outer plus SQL-semantics
+semi/anti, and salted-path equivalence for the salt-safe hows."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from osm_sidewalkreator_ray.functions.joins import hash_partition_join
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.RandomState(3)
+    # zipf-ish left: key 7 is hot; a few NULL keys on each side
+    lk = rng.choice([1, 2, 3, 5, 7, 7, 7, 7, 9, 11], size=400).astype(float)
+    lk[:5] = np.nan
+    left = pd.DataFrame({"k": lk, "lv": np.arange(400, dtype=np.int64)})
+    rk = rng.choice([2, 3, 4, 7, 9, 10], size=120).astype(float)
+    rk[:3] = np.nan
+    right = pd.DataFrame({"k": rk, "rv": np.arange(120, dtype=np.int64)})
+    return left, right
+
+
+def _duck(left, right, how):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    if how in ("semi", "anti"):
+        kw = "SEMI" if how == "semi" else "ANTI"
+        q = f"SELECT l.* FROM l {kw} JOIN r ON l.k = r.k"
+    else:
+        kw = {"inner": "INNER", "left": "LEFT", "right": "RIGHT",
+              "outer": "FULL OUTER"}[how]
+        q = f"SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l {kw} JOIN r ON l.k = r.k"
+    return con.sql(q).df()
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        df[c] = df[c].astype(float)
+    return df.sort_values(list(df.columns)).reset_index(drop=True) \
+        .fillna(-1e18)
+
+
+def _run(left, right, how, **kw):
+    out = hash_partition_join(rd.from_pandas(left), rd.from_pandas(right),
+                              on="k", num_buckets=8, how=how, **kw)
+    return out.to_pandas()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+def test_equality_hows_match_duckdb_on_nonnull_keys(frames, how):
+    # pandas merge joins NaN==NaN, SQL does not: compare on the
+    # non-null-key subset where the semantics agree (the NaN behavior
+    # is documented on the function)
+    left, right = frames
+    ln = left[left.k.notna()]
+    rn = right[right.k.notna()]
+    got = _norm(_run(ln, rn, how))
+    want = _norm(_duck(ln, rn, how))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_semi_anti_match_sql_null_semantics(frames, how):
+    # full frames INCLUDING null keys: semi/anti use EXISTS semantics,
+    # so DuckDB is the oracle verbatim
+    left, right = frames
+    got = _norm(_run(left, right, how))
+    want = _norm(_duck(left, right, how))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_path_equals_unsalted(frames, how):
+    left, right = frames
+    ln = left[left.k.notna()]
+    rn = right[right.k.notna()]
+    plain = _norm(_run(ln, rn, how))
+    salted = _norm(_run(ln, rn, how, hot_keys={7.0}, n_salts=4))
+    pd.testing.assert_frame_equal(salted, plain, check_dtype=False)
+
+
+def test_salted_outer_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        _run(left, right, "outer", hot_keys={7.0})
+    with pytest.raises(ValueError):
+        _run(left, right, "bogus")
