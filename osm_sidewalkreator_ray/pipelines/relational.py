@@ -2069,3 +2069,104 @@ WHERE c_nationkey % 5 IN (0, 2, 4)
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ----------------------------------------- CUBE / ROLLUP / PIVOT (r4)
+#
+# Grouping-set and reshape surface over the events table; the CUBE
+# plan pays ONE corpus-size shuffle (the finest grouping) and derives
+# every coarser set from its slim result (functions/aggregates.cube_agg).
+# Dims are emitted as strings with an 'ALL' sentinel for rolled-up
+# levels so the oracle's NULLs compare stably; grouping_id carries the
+# SQL GROUPING() bitmask alongside.
+
+
+def _events_typed_dow(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            # isodow: 1=Mon..7=Sun, matching DuckDB's isodow()
+            "dow": (b["ts"].dt.dayofweek + 1).astype("int64"),
+            "value": b["value"],
+        })
+
+    return ev.map_batches(f, batch_format="pandas")
+
+
+def events_cube(sf_dir: str):
+    from ..functions.aggregates import cube_agg
+    out = cube_agg(_events_typed_dow(sf_dir), ["event_type", "dow"],
+                   {"n": (None, "count"), "total_value": ("value", "sum"),
+                    "avg_value": ("value", "mean")})
+    out["event_type"] = out["event_type"].map(
+        lambda v: "ALL" if v is None else str(v))
+    out["dow"] = out["dow"].map(
+        lambda v: "ALL" if v is None or pd.isna(v) else str(int(v)))
+    out = _round(out, {"total_value": 4, "avg_value": 6})
+    return out.sort_values(["grouping_id", "event_type", "dow"]) \
+        .reset_index(drop=True)
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       CAST(GROUPING(event_type) * 2 + GROUPING(isodow(ts)) AS BIGINT)
+         AS grouping_id
+FROM events
+GROUP BY CUBE (event_type, isodow(ts))
+ORDER BY grouping_id, event_type, dow
+"""
+
+
+def events_rollup_cube(sf_dir: str):
+    """ROLLUP variant (prefix sets only) over the same dims."""
+    from ..functions.aggregates import cube_agg
+    out = cube_agg(_events_typed_dow(sf_dir), ["event_type", "dow"],
+                   {"n": (None, "count")}, mode="rollup")
+    out["event_type"] = out["event_type"].map(
+        lambda v: "ALL" if v is None else str(v))
+    out["dow"] = out["dow"].map(
+        lambda v: "ALL" if v is None or pd.isna(v) else str(int(v)))
+    return out.sort_values(["grouping_id", "event_type", "dow"]) \
+        .reset_index(drop=True)
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) * 2 + GROUPING(isodow(ts)) AS BIGINT)
+         AS grouping_id
+FROM events
+GROUP BY ROLLUP (event_type, isodow(ts))
+ORDER BY grouping_id, event_type, dow
+"""
+
+
+def events_pivot(sf_dir: str):
+    from ..functions.aggregates import pivot_agg
+    out = pivot_agg(_events_typed_dow(sf_dir), "event_type", "dow",
+                    (None, "count"), col_values=list(range(1, 8)),
+                    prefix="dow").to_pandas()
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 1) AS BIGINT) AS dow1,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 2) AS BIGINT) AS dow2,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 3) AS BIGINT) AS dow3,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 4) AS BIGINT) AS dow4,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 5) AS BIGINT) AS dow5,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 6) AS BIGINT) AS dow6,
+       CAST(COUNT(*) FILTER (WHERE isodow(ts) = 7) AS BIGINT) AS dow7
+FROM events GROUP BY event_type ORDER BY event_type
+"""

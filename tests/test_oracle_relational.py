@@ -553,3 +553,74 @@ class TestRound4Relational:
     def test_q22(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.q22_global_sales_opportunity(SF), R.Q22_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupingSets:
+    """CUBE / ROLLUP / PIVOT vs DuckDB (pytest-gated: driver export
+    full). The CUBE plan pays one corpus shuffle; coarser sets derive
+    from the finest result."""
+
+    def test_events_cube(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_cube(SF), R.EVENTS_CUBE_SQL, con)
+
+    def test_events_rollup(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_rollup_cube(SF), R.EVENTS_ROLLUP_SQL, con)
+
+    def test_events_pivot(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_pivot(SF), R.EVENTS_PIVOT_SQL, con)
+
+    def test_pivot_with_discovered_columns(self, con):
+        # col_values=None path: distinct column set collected first
+        import ray.data as rd
+        import pandas as pd
+        from osm_sidewalkreator_ray.functions.aggregates import pivot_agg
+        df = pd.DataFrame({"k": ["a", "a", "b", "b", "b"],
+                           "c": ["x", "y", "x", "x", "z"],
+                           "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+        out = pivot_agg(rd.from_pandas(df), "k", "c", ("v", "sum")) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(out.columns) == ["k", "x", "y", "z"]
+        assert out.loc[0].tolist() == ["a", 1.0, 2.0, 0]
+        assert out.loc[1].tolist() == ["b", 7.0, 0, 5.0]
+
+    def test_cube_three_dims_mean(self, con):
+        # 3-dim cube incl. a mean (carried as sum/count partials)
+        import ray.data as rd
+        import pandas as pd
+        import numpy as np
+        from osm_sidewalkreator_ray.functions.aggregates import cube_agg
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "a": rng.choice(["p", "q"], 200),
+            "b": rng.choice(["u", "v", "w"], 200),
+            "d": rng.randint(0, 2, 200).astype("int64"),
+            "v": rng.uniform(0, 10, 200),
+        })
+        got = cube_agg(rd.from_pandas(df), ["a", "b", "d"],
+                       {"n": (None, "count"), "m": ("v", "mean")})
+        got["a"] = got["a"].map(lambda v: "ALL" if v is None else str(v))
+        got["b"] = got["b"].map(lambda v: "ALL" if v is None else str(v))
+        got["d"] = got["d"].map(
+            lambda v: "ALL" if v is None or pd.isna(v) else str(int(v)))
+        import duckdb
+        c2 = duckdb.connect()
+        c2.register("t", df)
+        want = c2.sql("""
+            SELECT COALESCE(a,'ALL') AS a, COALESCE(b,'ALL') AS b,
+                   COALESCE(CAST(d AS VARCHAR),'ALL') AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n, AVG(v) AS m,
+                   CAST(GROUPING(a)*4 + GROUPING(b)*2 + GROUPING(d)
+                        AS BIGINT) AS grouping_id
+            FROM t GROUP BY CUBE(a, b, d)""").df()
+        key = ["grouping_id", "a", "b", "d"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got[key].astype(str).values.tolist() == \
+            want[key].astype(str).values.tolist()
+        assert np.allclose(got["m"], want["m"], atol=1e-9)
+        assert got["n"].tolist() == want["n"].tolist()
