@@ -2170,3 +2170,90 @@ SELECT event_type,
        CAST(COUNT(*) FILTER (WHERE isodow(ts) = 7) AS BIGINT) AS dow7
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --------------------------------------- range join + hopping windows
+
+
+def customer_balance_range_join(sf_dir: str, half_width: float = 1000.0):
+    """Non-equi join: customers whose account balance falls inside
+    [s_acctbal - hw, s_acctbal + hw] of each supplier — the
+    point-in-interval join via the gridded-cell plan
+    (functions/joins.range_join; each pair meets in exactly one cell)."""
+    from ..functions.joins import range_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def mk_interval(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].astype("int64"),
+            "lo": b["s_acctbal"] - half_width,
+            "hi": b["s_acctbal"] + half_width,
+        })
+
+    out = range_join(cust, sup.map_batches(mk_interval,
+                                           batch_format="pandas"),
+                     point_col="c_acctbal", lo_col="lo", hi_col="hi") \
+        .to_pandas()
+    out = out[["c_custkey", "s_suppkey", "c_acctbal"]].astype(
+        {"c_custkey": "int64", "s_suppkey": "int64"})
+    out = _round(out, {"c_acctbal": 2})
+    return out.sort_values(["c_custkey", "s_suppkey"]) \
+        .reset_index(drop=True)
+
+
+CUSTOMER_BALANCE_RANGE_JOIN_SQL = """
+SELECT c_custkey, s_suppkey, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer JOIN supplier
+  ON c_acctbal BETWEEN s_acctbal - 1000.0 AND s_acctbal + 1000.0
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+def events_hopping_counts(sf_dir: str, size_days: int = 14,
+                          hop_days: int = 7):
+    """Overlapping (hopping) event-time windows: each event lands in
+    size/hop consecutive windows. The replicate-to-windows expansion is
+    a vectorized map (np.repeat), then one grouped_agg shuffle of the
+    already-partial (type, window) counts — the same replicate-then-
+    bucket shape as range_join, specialized to aligned windows."""
+    from ..functions.aggregates import grouped_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    k = -(-size_days // hop_days)  # windows containing one event
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].astype("int64") // 86_400_000_000).to_numpy()
+        base = np.floor_divide(day, hop_days) * hop_days
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * hop_days,
+                            len(b)))
+        days = np.repeat(day, k)
+        keep = (days >= starts) & (days < starts + size_days)
+        return pd.DataFrame({
+            "event_type": np.repeat(b["event_type"].to_numpy(), k)[keep],
+            "wstart": starts[keep],
+        })
+
+    out = grouped_agg(ev.map_batches(expand, batch_format="pandas"),
+                      ["event_type", "wstart"],
+                      {"n": (None, "count")}).to_pandas()
+    out = out.astype({"wstart": "int64", "n": "int64"})
+    return out.sort_values(["event_type", "wstart"]).reset_index(drop=True)
+
+
+EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events),
+x AS (
+  SELECT event_type, day,
+         (CAST(floor(day / 7.0) AS BIGINT) - i.i) * 7 AS wstart
+  FROM e, unnest(generate_series(0, 1)) AS i(i)
+  WHERE day >= (CAST(floor(day / 7.0) AS BIGINT) - i.i) * 7
+    AND day <  (CAST(floor(day / 7.0) AS BIGINT) - i.i) * 7 + 14)
+SELECT event_type, wstart, CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY event_type, wstart ORDER BY event_type, wstart
+"""

@@ -624,3 +624,52 @@ class TestGroupingSets:
             want[key].astype(str).values.tolist()
         assert np.allclose(got["m"], want["m"], atol=1e-9)
         assert got["n"].tolist() == want["n"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoinAndWindows:
+    """Non-equi interval join + hopping windows vs DuckDB."""
+
+    def test_customer_balance_range_join(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.customer_balance_range_join(SF),
+              R.CUSTOMER_BALANCE_RANGE_JOIN_SQL, con)
+
+    def test_events_hopping_counts(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_hopping_counts(SF), R.EVENTS_HOPPING_SQL, con)
+
+    def test_range_join_boundaries_and_overlaps(self, con):
+        # BETWEEN is inclusive on both ends; overlapping intervals each
+        # match; NULLs never match; a pair meets exactly once even when
+        # the interval spans many cells
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import range_join
+        pts = pd.DataFrame({"p": [0.0, 5.0, 10.0, 15.0, None],
+                            "pid": [1, 2, 3, 4, 5]})
+        iv = pd.DataFrame({"lo": [0.0, 4.0, 9.0, None],
+                           "hi": [10.0, 6.0, 200.0, 5.0],
+                           "iid": [10, 20, 30, 40]})
+        got = range_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                         "p", "lo", "hi", cell_width=1.0) \
+            .to_pandas().sort_values(["pid", "iid"]).reset_index(drop=True)
+        c2 = duckdb.connect()
+        c2.register("p", pts)
+        c2.register("i", iv)
+        want = c2.sql("SELECT * FROM p JOIN i ON p BETWEEN lo AND hi "
+                      "ORDER BY pid, iid").df()
+        assert got["pid"].tolist() == want["pid"].tolist()
+        assert got["iid"].tolist() == want["iid"].tolist()
+        # no duplicate pairs despite the 191-cell interval
+        assert not got.duplicated(["pid", "iid"]).any()
+
+    def test_range_join_giant_interval_cap(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import range_join
+        pts = pd.DataFrame({"p": [1.0]})
+        iv = pd.DataFrame({"lo": [0.0], "hi": [1e7]})
+        with pytest.raises(Exception) as ei:
+            range_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                       "p", "lo", "hi", cell_width=1.0,
+                       max_cells_per_interval=100).to_pandas()
+        assert "cells" in str(ei.value)
