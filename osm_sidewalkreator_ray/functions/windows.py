@@ -1,0 +1,161 @@
+"""Global-order window primitives: distributed prefix sums and ranks.
+
+Per-PARTITION windows (LAG, sessionize, as-of) are already covered by
+the bucketed ``groupby(key).map_groups`` shape in
+``pipelines/relational.py`` — each partition fits one group. The ops
+here are the other family SQL calls ``OVER (ORDER BY ...)`` with NO
+partition key: a running total / global rank over the whole corpus,
+where no single worker may ever see the whole ordered input.
+
+Plan (same shape as ``textops.pack_sequences``, generalized): the order
+column is split into ORDERED key ranges (``bucket = floor(key /
+bucket_width)`` — bucket ids inherit the key order); each bucket group
+computes its intra-bucket running value and emits one (bucket, total)
+side row; the driver folds the O(#buckets) totals into EXCLUSIVE bucket
+offsets and broadcasts them (``ray.put`` once, not per batch); a final
+streaming map adds offset + intra value. Driver state is O(#buckets) —
+at 100 TB pick ``bucket_width`` so #buckets stays ~10^5; the corpus
+itself never collects and the only shuffle is the bucket co-group.
+
+A skewed order key (one bucket holding most rows) degrades the
+co-group, exactly like any groupby; callers with pathological key
+distributions should pick quantile-based bucket edges instead (the
+``bucket_edges`` argument).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+__all__ = ["running_sum", "global_rank", "ntile_of_rank"]
+
+
+def _bucket_ids(key: np.ndarray, bucket_width: float,
+                bucket_edges: np.ndarray | None) -> np.ndarray:
+    if bucket_edges is not None:
+        return np.searchsorted(bucket_edges, key, side="right") \
+            .astype(np.int64)
+    return np.floor(key / bucket_width).astype(np.int64)
+
+
+def running_sum(ds, order_col: str, value_col: str, out_col: str,
+                bucket_width: float = 1.0,
+                bucket_edges: np.ndarray | None = None,
+                tie_cols: list[str] | None = None):
+    """Add ``out_col`` = cumulative sum of ``value_col`` over rows
+    ordered globally by ``order_col`` (ties broken by ``tie_cols`` so
+    the result is deterministic; with no tie_cols, ties must be absent
+    or the caller must not care about intra-tie attribution — SQL's
+    ``SUM() OVER (ORDER BY k)`` gives all ties the same PEER total,
+    which callers get by aggregating per key first).
+
+    Returns a Dataset with the input columns plus ``out_col``. Output
+    blocks are the per-bucket groups (disjoint ordered key ranges).
+    """
+    sort_cols = [order_col] + (tie_cols or [])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__wb"] = _bucket_ids(
+            b[order_col].to_numpy(dtype=np.float64),
+            bucket_width, bucket_edges)
+        return b
+
+    def intra(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        g = g.copy()
+        g["__intra"] = g[value_col].cumsum()
+        return g
+
+    per_bucket = (ds.map_batches(tag, batch_format="pandas")
+                  .groupby("__wb").map_groups(intra,
+                                              batch_format="pandas"))
+
+    # O(#buckets) driver fold: bucket totals -> exclusive offsets
+    totals = (per_bucket.map_batches(
+        lambda b: b.groupby("__wb", as_index=False)
+        .agg(__t=(value_col, "sum")), batch_format="pandas")
+        .to_pandas().groupby("__wb", as_index=False)["__t"].sum()
+        .sort_values("__wb"))
+    offs = dict(zip(
+        totals["__wb"].to_numpy(),
+        np.concatenate([[0.0], totals["__t"].cumsum()
+                        .to_numpy(dtype=np.float64)[:-1]])))
+    off_ref = ray.put(offs)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(off_ref)
+        b = b.copy()
+        b[out_col] = b["__wb"].map(offsets).to_numpy(np.float64) \
+            + b["__intra"].to_numpy(np.float64)
+        return b.drop(columns=["__wb", "__intra"])
+
+    return per_bucket.map_batches(finalize, batch_format="pandas")
+
+
+def global_rank(ds, order_cols: list[str], out_col: str = "rank",
+                bucket_width: float = 1.0,
+                bucket_edges: np.ndarray | None = None):
+    """Add ``out_col`` = 1-based ROW_NUMBER over rows ordered globally
+    by ``order_cols`` (the FIRST order col drives the range bucketing;
+    remaining cols break ties inside a bucket, so the full tuple must
+    be a total order for determinism). Same prefix plan as
+    ``running_sum`` with value ≡ 1, specialized so the driver folds
+    COUNTS, and returns the total row count alongside (rank consumers
+    like NTILE need N)."""
+    first = order_cols[0]
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__wb"] = _bucket_ids(
+            b[first].to_numpy(dtype=np.float64),
+            bucket_width, bucket_edges)
+        return b
+
+    def intra(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort").copy()
+        g["__intra"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    per_bucket = (ds.map_batches(tag, batch_format="pandas")
+                  .groupby("__wb").map_groups(intra,
+                                              batch_format="pandas"))
+
+    counts = (per_bucket.map_batches(
+        lambda b: b.groupby("__wb", as_index=False)
+        .agg(__n=(first, "size")), batch_format="pandas")
+        .to_pandas().groupby("__wb", as_index=False)["__n"].sum()
+        .sort_values("__wb"))
+    n_total = int(counts["__n"].sum())
+    offs = dict(zip(
+        counts["__wb"].to_numpy(),
+        np.concatenate([[0], counts["__n"].cumsum()
+                        .to_numpy(dtype=np.int64)[:-1]])))
+    off_ref = ray.put(offs)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(off_ref)
+        b = b.copy()
+        b[out_col] = b["__wb"].map(offsets).to_numpy(np.int64) \
+            + b["__intra"].to_numpy(np.int64)
+        return b.drop(columns=["__wb", "__intra"])
+
+    return per_bucket.map_batches(finalize, batch_format="pandas"), \
+        n_total
+
+
+def ntile_of_rank(rank: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from a 1-based global rank: the first ``n_total %
+    k`` tiles get ``ceil(n/k)`` rows, the rest ``floor(n/k)`` —
+    vectorized, exact SQL semantics."""
+    q, r = divmod(n_total, k)
+    r0 = np.asarray(rank, dtype=np.int64) - 1  # 0-based
+    boundary = r * (q + 1)
+    big = r0 < boundary
+    out = np.empty(len(r0), dtype=np.int64)
+    out[big] = r0[big] // (q + 1) + 1
+    if q > 0:
+        out[~big] = (r0[~big] - boundary) // q + r + 1
+    return out

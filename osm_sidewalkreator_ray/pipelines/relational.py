@@ -2257,3 +2257,80 @@ x AS (
 SELECT event_type, wstart, CAST(COUNT(*) AS BIGINT) AS n
 FROM x GROUP BY event_type, wstart ORDER BY event_type, wstart
 """
+
+
+# ------------------------------ global-order windows (prefix sums)
+
+
+def orders_cumulative_revenue(sf_dir: str):
+    """Running total over a GLOBAL order — ``SUM() OVER (ORDER BY
+    o_orderdate)`` with no partition key, the window family the
+    bucketed per-user map_groups shape can't express. Plan: daily
+    revenue via one grouped_agg shuffle (slim (date, rev) rows), then
+    ``functions/windows.running_sum`` — ordered date-range buckets,
+    intra-bucket cumsum, O(#buckets) driver offset fold, broadcast
+    finalize. The corpus never collects; only per-bucket totals do."""
+    from ..functions.windows import running_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (b["o_orderdate"].astype("int64")
+                    // 86_400_000_000).astype("int64"),
+            "o_totalprice": b["o_totalprice"]})
+
+    daily = grouped_agg(ds.map_batches(to_day, batch_format="pandas"),
+                        ["day"], {"rev": ("o_totalprice", "sum")})
+    # round BEFORE the prefix sum so cumulative addition order can't
+    # produce sub-cent drift vs the SQL window sum
+    daily = daily.map_batches(
+        lambda b: b.assign(rev=b["rev"].round(2)),
+        batch_format="pandas")
+    out = running_sum(daily, "day", "rev", "cum_rev",
+                      bucket_width=64.0).to_pandas()
+    out = _round(out, {"rev": 2, "cum_rev": 2})
+    out["o_orderdate"] = pd.to_datetime(
+        out["day"].astype("int64") * 86_400_000_000, unit="us")
+    return (out[["o_orderdate", "rev", "cum_rev"]]
+            .sort_values("o_orderdate").reset_index(drop=True))
+
+
+ORDERS_CUMULATIVE_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS o_orderdate,
+         ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1)
+SELECT o_orderdate, rev,
+       ROUND(SUM(rev) OVER (ORDER BY o_orderdate), 2) AS cum_rev
+FROM d ORDER BY o_orderdate
+"""
+
+
+def customer_balance_ntile(sf_dir: str, k: int = 4):
+    """Global NTILE(k) — every customer's balance quartile over the
+    WHOLE table's order, via ``functions/windows.global_rank`` (count
+    prefix over value-range buckets; ties broken by c_custkey so the
+    rank is a total order, matching the SQL ORDER BY)."""
+    from ..functions.windows import global_rank, ntile_of_rank
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ranked, n = global_rank(cust, ["c_acctbal", "c_custkey"],
+                            out_col="rank", bucket_width=500.0)
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "c_acctbal": b["c_acctbal"].round(2),
+            "tile": ntile_of_rank(b["rank"].to_numpy(), n, k)})
+
+    out = ranked.map_batches(tile, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMER_BALANCE_NTILE_SQL = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal,
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+         AS tile
+FROM customer ORDER BY c_custkey
+"""

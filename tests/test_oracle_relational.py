@@ -673,3 +673,41 @@ class TestRangeJoinAndWindows:
                        "p", "lo", "hi", cell_width=1.0,
                        max_cells_per_interval=100).to_pandas()
         assert "cells" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalWindows:
+    """Global-order (no PARTITION BY) window functions vs DuckDB."""
+
+    def test_orders_cumulative_revenue(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.orders_cumulative_revenue(SF),
+              R.ORDERS_CUMULATIVE_REVENUE_SQL, con)
+
+    def test_customer_balance_ntile(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.customer_balance_ntile(SF),
+              R.CUSTOMER_BALANCE_NTILE_SQL, con)
+
+    def test_ntile_of_rank_sql_semantics(self):
+        # exact NTILE: first n%k tiles get ceil(n/k); also k >= n
+        from osm_sidewalkreator_ray.functions.windows import ntile_of_rank
+        c2 = duckdb.connect()
+        for n, k in [(10, 4), (12, 5), (7, 7), (3, 5), (1, 4), (8, 1)]:
+            want = c2.sql(
+                f"SELECT NTILE({k}) OVER (ORDER BY i) AS t "
+                f"FROM range({n}) AS r(i) ORDER BY i").df()["t"]
+            got = ntile_of_rank(np.arange(1, n + 1), n, k)
+            assert got.tolist() == want.tolist(), (n, k)
+
+    def test_running_sum_negative_keys_and_gaps(self, con):
+        # bucket ids from negative/gapped order keys still fold in
+        # key order (floor division keeps order for negatives)
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.windows import running_sum
+        df = pd.DataFrame({"k": [-130.0, -5.0, 0.0, 3.0, 640.0, 641.0],
+                           "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+        out = running_sum(rd.from_pandas(df), "k", "v", "cs",
+                          bucket_width=64.0).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["cs"].tolist() == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0]
