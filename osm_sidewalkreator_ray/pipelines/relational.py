@@ -2136,7 +2136,7 @@ def events_rollup_cube(sf_dir: str):
         .reset_index(drop=True)
 
 
-EVENTS_ROLLUP_SQL = """
+EVENTS_ROLLUP_DOW_SQL = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(CAST(isodow(ts) AS VARCHAR), 'ALL') AS dow,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -567,7 +567,7 @@ class TestGroupingSets:
 
     def test_events_rollup(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
-        check(R.events_rollup_cube(SF), R.EVENTS_ROLLUP_SQL, con)
+        check(R.events_rollup_cube(SF), R.EVENTS_ROLLUP_DOW_SQL, con)
 
     def test_events_pivot(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
@@ -711,3 +711,24 @@ class TestGlobalWindows:
                           bucket_width=64.0).to_pandas() \
             .sort_values("k").reset_index(drop=True)
         assert out["cs"].tolist() == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0]
+
+
+def test_no_shadowed_module_constants():
+    """Guard: a later module-level SQL constant must not silently
+    shadow an earlier one (events_daily_rollup's oracle was once
+    clobbered by a same-named ROLLUP-by-dow constant)."""
+    import ast
+    import inspect
+    from osm_sidewalkreator_ray.pipelines import relational, textops, \
+        vectors, geospatial
+    for mod in (relational, textops, vectors, geospatial):
+        tree = ast.parse(inspect.getsource(mod))
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and t.id.isupper():
+                        assert t.id not in seen, (
+                            f"{mod.__name__}.{t.id} defined at lines "
+                            f"{seen[t.id]} and {node.lineno}")
+                        seen[t.id] = node.lineno
