@@ -2371,3 +2371,235 @@ ORDER BY doc_id
 """
 
 
+
+
+# ------------------------------------------- edit-distance (ed<=k) join
+
+def _qgram_occurrence_keys(s: str, q: int) -> np.ndarray:
+    """Positional-multiset q-gram keys: hash(gram) mixed with the
+    gram's occurrence index, so duplicate grams in one string become
+    distinct keys and matching key counts equal the MULTISET
+    intersection size (sum of min counts) — the quantity the q-gram
+    count filter bounds. Grams are over UTF-8 BYTES: the whole join
+    uses byte-level Levenshtein (DuckDB/Postgres fuzzystrmatch
+    semantics), so the gram/length filters must count bytes too."""
+    bs = s.encode("utf-8")
+    grams = [bs[i:i + q] for i in range(len(bs) - q + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.array(grams, dtype=object))
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    new = np.ones(len(h), dtype=bool)
+    new[1:] = hs[1:] != hs[:-1]
+    starts = np.nonzero(new)[0]
+    run = np.cumsum(new) - 1
+    occ = np.empty(len(h), dtype=np.int64)
+    occ[order] = np.arange(len(h)) - starts[run]
+    return h ^ pd.util.hash_array(occ)
+
+
+def _edit_distances(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """UTF-8 byte-level Levenshtein distances (DuckDB ``levenshtein``
+    semantics) for aligned string arrays, vectorized ACROSS pairs:
+    pairs group by (bytes_a, bytes_b) length; inside a group both
+    sides stack into fixed-width uint8 matrices and one
+    Wagner-Fischer DP runs with O(len_a*len_b) numpy steps, each
+    spanning the whole pair axis — no per-pair Python DP."""
+    n_pairs = len(sa)
+    ea = [x.encode("utf-8") for x in sa]
+    eb = [x.encode("utf-8") for x in sb]
+    out = np.empty(n_pairs, dtype=np.int64)
+    la = np.fromiter((len(x) for x in ea), np.int64, n_pairs)
+    lb = np.fromiter((len(x) for x in eb), np.int64, n_pairs)
+    for m, n in set(zip(la.tolist(), lb.tolist())):
+        idx = np.nonzero((la == m) & (lb == n))[0]
+        if m == 0 or n == 0:
+            out[idx] = max(m, n)
+            continue
+        A = np.frombuffer(b"".join(ea[i] for i in idx),
+                          dtype=np.uint8).reshape(len(idx), m)
+        B = np.frombuffer(b"".join(eb[i] for i in idx),
+                          dtype=np.uint8).reshape(len(idx), n)
+        prev = np.tile(np.arange(n + 1, dtype=np.int64), (len(idx), 1))
+        cur = np.empty_like(prev)
+        for i in range(1, m + 1):
+            cur[:, 0] = i
+            sub = (A[:, i - 1, None] != B).astype(np.int64)
+            for j in range(1, n + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + sub[:, j - 1])
+            prev, cur = cur, prev
+        out[idx] = prev[:, n]
+    return out
+
+
+def edit_distance_join_ds(ds, k: int = 2, q: int = 2,
+                          coarse_buckets: int = 64,
+                          num_buckets: int = 32):
+    """EXACT all-pairs edit-distance join: every (doc_a, doc_b) with
+    Levenshtein distance <= ``k`` over the ``s`` column of ``ds``
+    (columns ``doc_id``, ``s``), returned as a Dataset of
+    (doc_a, doc_b, dist), doc_a < doc_b. Lossless — no LSH recall gap.
+
+    Plan (Gravano et al., "Approximate String Joins in a Database
+    (Almost) for Free", VLDB 2001): candidates from a positional
+    q-gram inverted index (the same slim explode → coarse-bucket →
+    in-bucket partial pair counts shape as ``ngram_jaccard_pairs``),
+    pruned by the lossless count filter shared >= max(gA, gB) - q*k
+    (one edit destroys at most q grams) and the length filter
+    |len_a - len_b| <= k; strings whose gram count is <= q*k can
+    evade the filter, so they pair all-against-all in ONE dedicated
+    short-string group (any qualifying partner is provably also in
+    it); survivors verify with a pair-axis-vectorized DP. Shuffles
+    move only (hash, doc_id) and slim pair rows — never the corpus."""
+    import functools
+    from ..functions.joins import hash_partition_join
+    from ..functions.pairgen import pairs_sharing_key
+
+    short_g = q * k  # grams <= short_g can evade the count filter
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        keys = [_qgram_occurrence_keys(s, q) for s in b["s"]]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "s": b["s"],
+            "L": pd.Series([len(s.encode("utf-8")) for s in b["s"]],
+                           dtype="int64"),
+            "g": pd.Series([len(v) for v in keys], dtype="int64"),
+            "keys": [v.tobytes() for v in keys]})
+
+    sized = ds.map_batches(prep, batch_format="pandas",
+                           batch_size=4096).materialize()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for d, blob in zip(b["doc_id"], b["keys"]):
+            v = np.frombuffer(blob, dtype=np.uint64)
+            hashes.append(v)
+            ids.append(np.full(len(v), d, dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({"cb": pd.Series([], dtype="int64"),
+                                 "kk": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        h = np.concatenate(hashes)
+        return pd.DataFrame({
+            "cb": (h % np.uint64(coarse_buckets)).astype(np.int64),
+            "kk": h.view(np.int64),
+            "doc_id": np.concatenate(ids)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = pairs_sharing_key(g["kk"].to_numpy(),
+                                 g["doc_id"].to_numpy())
+        if len(a) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "shared": pd.Series([], dtype="int64"),
+                                 "is_short": pd.Series([], dtype="int64")})
+        out = (pd.DataFrame({"doc_a": a, "doc_b": b})
+               .groupby(["doc_a", "doc_b"], as_index=False).size()
+               .rename(columns={"size": "shared"}))
+        out["is_short"] = np.int64(0)
+        return out
+
+    indexed = (sized.map_batches(explode, batch_format="pandas")
+               .groupby("cb").map_groups(bucket_pairs,
+                                         batch_format="pandas"))
+
+    def short_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        ls = g["L"].to_numpy(np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids, ls = ids[o], ls[o]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = np.abs(ls[ii] - ls[jj]) <= k
+        return pd.DataFrame({
+            "doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
+            "shared": np.zeros(int(keep.sum()), dtype=np.int64),
+            "is_short": np.ones(int(keep.sum()), dtype=np.int64)})
+
+    short = (sized.map_batches(
+        lambda b: b.loc[b["g"] <= short_g,
+                        ["doc_id", "L"]].assign(cb=np.int64(0)),
+        batch_format="pandas")
+        .groupby("cb").map_groups(short_pairs, batch_format="pandas"))
+
+    pairs = indexed.union(short)
+
+    sizes = sized.map_batches(
+        lambda b: b[["doc_id", "s", "L", "g"]], batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # all copies of a pair share doc_a -> this join's bucket sees
+        # them together (same trick as ngram_jaccard_pairs)
+        return df.groupby(["doc_id", "doc_b"], as_index=False).agg(
+            shared=("shared", "sum"), is_short=("is_short", "max"),
+            sa=("s", "first"), la=("L", "first"), ga=("g", "first"))
+
+    left_a = pairs.map_batches(
+        lambda b: b.rename(columns={"doc_a": "doc_id"}),
+        batch_format="pandas")
+    j1 = hash_partition_join(left_a, sizes, on="doc_id",
+                             num_buckets=num_buckets, group_fn=fold)
+    left_b = j1.map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_a",
+                                    "doc_b": "doc_id"}),
+        batch_format="pandas")
+    j2 = hash_partition_join(left_b, sizes, on="doc_id",
+                             num_buckets=num_buckets)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        ga = b["ga"].to_numpy(np.int64)
+        gb = b["g"].to_numpy(np.int64)
+        thresh = np.maximum(ga, gb) - q * k
+        cand = ((np.abs(b["la"].to_numpy(np.int64)
+                        - b["L"].to_numpy(np.int64)) <= k)
+                & ((b["is_short"].to_numpy(np.int64) == 1)
+                   | (b["shared"].to_numpy(np.int64) >= thresh)))
+        c = b.loc[cand]
+        if c.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        d = _edit_distances(c["sa"].to_numpy(), c["s"].to_numpy())
+        keep = d <= k
+        return pd.DataFrame({
+            "doc_a": c["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": c["doc_id"].to_numpy(np.int64)[keep],
+            "dist": d[keep]})
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def edit_distance_pairs(sf_dir: str, k: int = 2, q: int = 2,
+                        prefix_len: int = 24):
+    """Query form: ed<=k pairs over each document's first
+    ``prefix_len`` characters (the title/url-style short-key dedup
+    use-case; keeps the all-pairs DuckDB levenshtein oracle cheap)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "s": b["text"].str.slice(0, prefix_len)}),
+        batch_format="pandas")
+    df = edit_distance_join_ds(ds, k=k, q=q).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="int64")})
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+EDIT_DISTANCE_PAIRS_SQL = """
+WITH s AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY doc_a, doc_b
+"""

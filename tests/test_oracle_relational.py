@@ -732,3 +732,52 @@ def test_no_shadowed_module_constants():
                             f"{mod.__name__}.{t.id} defined at lines "
                             f"{seen[t.id]} and {node.lineno}")
                         seen[t.id] = node.lineno
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEditDistanceJoin:
+    """Exact ed<=k join (q-gram count filter + vectorized DP) vs
+    DuckDB levenshtein."""
+
+    def test_edit_distance_pairs_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.edit_distance_pairs(SF), T.EDIT_DISTANCE_PAIRS_SQL, con)
+
+    def test_edit_distance_adversarial_corpus(self):
+        # duplicate grams, unicode, short strings (count-filter
+        # blind spot), empty string, transpositions
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            edit_distance_join_ds
+        strs = ["aaaa", "aaab", "abab", "ba", "ab", "a", "",
+                "héllo", "hêllo", "hello", "xxyyzz", "zzxxyy",
+                "the quick brown fox", "the quick brown fix",
+                "aaaaaaaaaaaaaaa", "aaaaaaaaaaaaaab"]
+        df = pd.DataFrame({"doc_id": range(len(strs)), "s": strs})
+        got = edit_distance_join_ds(rd.from_pandas(df), k=2, q=2) \
+            .to_pandas().sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        c2 = duckdb.connect()
+        c2.register("d", df)
+        want = c2.sql(
+            "SELECT a.doc_id doc_a, b.doc_id doc_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) dist "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.s, b.s) <= 2 "
+            "ORDER BY doc_a, doc_b").df()
+        assert got["doc_a"].tolist() == want["doc_a"].tolist()
+        assert got["doc_b"].tolist() == want["doc_b"].tolist()
+        assert got["dist"].tolist() == want["dist"].tolist()
+
+    def test_vectorized_dp_equals_duckdb(self):
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            _edit_distances
+        strs = ["kitten", "sitting", "", "a", "ab", "ba", "abcdef",
+                "abcdxf", "héllo", "hello", "aaaa", "aaab", "xyz"]
+        sa = np.array([x for x in strs for _ in strs], dtype=object)
+        sb = np.array([y for _ in strs for y in strs], dtype=object)
+        c2 = duckdb.connect()
+        want = [c2.sql("select levenshtein(?, ?)",
+                       params=[x, y]).fetchone()[0]
+                for x, y in zip(sa, sb)]
+        assert _edit_distances(sa, sb).tolist() == want
