@@ -321,3 +321,58 @@ class TestStreamingScorerForms:
                    .reset_index(drop=True))
             pd.testing.assert_frame_equal(
                 got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRank:
+    @staticmethod
+    def _local_pagerank(edges, d=0.85, iters=20):
+        import numpy as np
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        verts = np.unique(np.concatenate([src, dst]))
+        idx = {v: i for i, v in enumerate(verts)}
+        n = len(verts)
+        deg = np.zeros(n)
+        for s in src:
+            deg[idx[s]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for s, t in edges:
+                contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+            dangling = r[deg == 0].sum()
+            r = (1 - d) / n + d * (contrib + dangling / n)
+        return verts, r
+
+    def _check(self, edges, iters=20):
+        import pandas as pd
+        from osm_sidewalkreator_ray.functions.graph import pagerank
+        got = pagerank(pd.DataFrame(edges, columns=["src", "dst"]),
+                       iters=iters)
+        verts, want = self._local_pagerank(edges, iters=iters)
+        assert got["vertex"].tolist() == list(verts)
+        assert np.allclose(got["rank"].to_numpy(), want, atol=1e-12)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_star_with_dangling(self):
+        # hub -> leaves; leaves dangle (no out-edges)
+        self._check([(0, 1), (0, 2), (0, 3)])
+
+    def test_cycle_uniform(self):
+        import pandas as pd
+        from osm_sidewalkreator_ray.functions.graph import pagerank
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        got = pagerank(pd.DataFrame(edges, columns=["src", "dst"]))
+        assert np.allclose(got["rank"], 0.25, atol=1e-12)
+
+    def test_multigraph_and_authority(self):
+        # many pages linking one target; parallel edges count per-edge
+        edges = [(i, 99) for i in range(10)] + [(99, 0), (3, 4), (3, 4)]
+        self._check(edges)
+
+    def test_matches_reference_random_digraph(self):
+        rng = np.random.RandomState(7)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, 40, size=(300, 2)) if a != b]
+        self._check(edges, iters=15)
