@@ -284,3 +284,166 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
     df = ranks.to_pandas()
     df["vertex"] = df["vertex"].astype("int64")
     return df.sort_values("vertex").reset_index(drop=True)
+
+
+def triangle_count(edges, num_buckets: int = 32) -> int:
+    """Exact global triangle count of the UNDIRECTED simple graph
+    spanned by (src, dst) rows (self-loops and parallel/reverse
+    duplicates removed first).
+
+    Plan (degree-ordered wedge join — the MapReduce-classic from Cohen
+    "Graph Twiddling in a MapReduce World", CiSE'09 / Suri-Vassilvitskii
+    WWW'11): orient each edge from its LOWER-(degree, id) endpoint to
+    the higher one, so every vertex's oriented out-degree is
+    O(sqrt(m)) and total wedge volume is O(m^1.5) even on hub-skewed
+    graphs (a raw id orientation would explode a high-degree hub into
+    O(deg²) wedges); group oriented edges by source and emit each
+    out-neighbor pair as a wedge; a wedge (a, b) closes a triangle iff
+    oriented edge (a, b) exists — checked with one bucketed co-group
+    keyed on hash(a)^hash(b) and an EXACT in-bucket two-column merge
+    (no hash-collision overcount). Every shuffle moves slim int pairs."""
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        out = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        out["bucket"] = (pd.util.hash_array(out["u"].to_numpy())
+                         ^ pd.util.hash_array(out["v"].to_numpy())) \
+            % num_buckets
+        return out
+
+    # distinct undirected edges (exact: per-pair groupby, slim rows)
+    simple = (edges.map_batches(canon, batch_format="pandas")
+              .groupby("bucket").map_groups(
+                  lambda g: g.drop_duplicates(["u", "v"]),
+                  batch_format="pandas").materialize())
+    if simple.count() == 0:
+        return 0
+
+    # degrees (for the orientation), attached to both endpoints via
+    # one bucketed co-group each — vertex-sized slim rows, no driver
+    # collection
+    def em_deg(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([b["u"].to_numpy(np.int64),
+                            b["v"].to_numpy(np.int64)])
+        g = pd.DataFrame({"vertex": v}).groupby(
+            "vertex", as_index=False).size()
+        return g.rename(columns={"size": "deg"})
+
+    from .aggregates import grouped_agg
+    degs = grouped_agg(simple.map_batches(em_deg, batch_format="pandas"),
+                       ["vertex"], {"deg": ("deg", "sum")}).materialize()
+
+    def _tagged(ds, key_col, cols, is_deg):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[cols].copy()
+            out["__b"] = (pd.util.hash_array(
+                b[key_col].to_numpy(np.int64)) % num_buckets) \
+                .astype(np.int64)
+            out["__deg_row"] = is_deg
+            return out
+        return ds.map_batches(f, batch_format="pandas")
+
+    def attach(g: pd.DataFrame, key: str, out_name: str) -> pd.DataFrame:
+        d = g.loc[g["__deg_row"], ["vertex", "deg"]].rename(
+            columns={"vertex": key, "deg": out_name})
+        e = g.loc[~g["__deg_row"]].drop(
+            columns=["__b", "__deg_row", "vertex", "deg"],
+            errors="ignore")
+        return e.merge(d, on=key)
+
+    def pad(order):
+        # null-pad AND pin one canonical column order so the two
+        # tagged sides union into a homogeneous Dataset
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in order:
+                if c not in b.columns:
+                    b[c] = np.int64(0)
+            return b[order]
+        return f
+
+    ORDER1 = ["u", "v", "vertex", "deg", "__b", "__deg_row"]
+    eu = _tagged(simple.map_batches(
+        lambda b: b[["u", "v"]], batch_format="pandas"), "u",
+        ["u", "v"], False).map_batches(pad(ORDER1),
+                                       batch_format="pandas")
+    du = _tagged(degs, "vertex", ["vertex", "deg"], True).map_batches(
+        pad(ORDER1), batch_format="pandas")
+    with_du = eu.union(du).groupby("__b").map_groups(
+        lambda g: attach(g, "u", "deg_u"), batch_format="pandas")
+
+    ORDER2 = ["u", "v", "deg_u", "vertex", "deg", "__b", "__deg_row"]
+    ev = _tagged(with_du, "v", ["u", "v", "deg_u"], False).map_batches(
+        pad(ORDER2), batch_format="pandas")
+    dv = _tagged(degs, "vertex", ["vertex", "deg"], True).map_batches(
+        pad(ORDER2), batch_format="pandas")
+    with_deg = ev.union(dv).groupby("__b").map_groups(
+        lambda g: attach(g, "v", "deg_v"), batch_format="pandas")
+
+    # orient low-(deg, id) -> high-(deg, id)
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        du_ = b["deg_u"].to_numpy(np.int64)
+        dv_ = b["deg_v"].to_numpy(np.int64)
+        fwd = (du_ < dv_) | ((du_ == dv_) & (u < v))
+        return pd.DataFrame({
+            "s": np.where(fwd, u, v), "t": np.where(fwd, v, u),
+            "sb": (pd.util.hash_array(np.where(fwd, u, v))
+                   % num_buckets).astype(np.int64)})
+
+    oriented = with_deg.map_batches(orient,
+                                    batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("s", sort=False):
+            t = np.sort(grp["t"].to_numpy(np.int64))
+            if len(t) < 2:
+                continue
+            ii, jj = np.triu_indices(len(t), k=1)
+            outs.append(pd.DataFrame({"a": t[ii], "b": t[jj]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = oriented.groupby("sb").map_groups(wedges,
+                                                 batch_format="pandas")
+
+    # wedge (a,b) closes iff oriented edge (a,b) OR (b,a) exists; the
+    # orientation is a total order but wedge endpoints are sorted by
+    # ID, so check both directions via an order-insensitive key
+    def tag_pairs(is_edge):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            a = b["s" if is_edge else "a"].to_numpy(np.int64)
+            c = b["t" if is_edge else "b"].to_numpy(np.int64)
+            lo, hi = np.minimum(a, c), np.maximum(a, c)
+            return pd.DataFrame({
+                "a": lo, "b": hi,
+                "__b": ((pd.util.hash_array(lo)
+                         ^ pd.util.hash_array(hi)) % num_buckets)
+                .astype(np.int64),
+                "is_edge": np.full(len(b), is_edge)})
+        return f
+
+    both = (wedge_ds.map_batches(tag_pairs(False),
+                                 batch_format="pandas")
+            .union(oriented.map_batches(
+                lambda b: b[["s", "t"]], batch_format="pandas")
+                .map_batches(tag_pairs(True), batch_format="pandas")))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.loc[~g["is_edge"], ["a", "b"]]
+        e = g.loc[g["is_edge"], ["a", "b"]].drop_duplicates()
+        n = len(w.merge(e, on=["a", "b"]))
+        return pd.DataFrame({"n": [n]})
+
+    counts = both.groupby("__b").map_groups(close,
+                                            batch_format="pandas")
+    return int(counts.sum("n") or 0)

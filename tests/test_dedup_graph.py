@@ -376,3 +376,51 @@ class TestPageRank:
         edges = [(int(a), int(b)) for a, b in
                  rng.randint(0, 40, size=(300, 2)) if a != b]
         self._check(edges, iters=15)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleCount:
+    @staticmethod
+    def _oracle(edges) -> int:
+        # DuckDB 3-way self-join on canonical (u<v, distinct) edges
+        import duckdb
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        c = duckdb.connect()
+        c.register("raw", df)
+        return c.sql("""
+            WITH e AS (SELECT DISTINCT LEAST(src, dst) u,
+                                       GREATEST(src, dst) v
+                       FROM raw WHERE src <> dst)
+            SELECT COUNT(*) FROM e a
+            JOIN e b ON b.u = a.u AND b.v > a.v
+            JOIN e c ON c.u = a.v AND c.v = b.v
+        """).fetchone()[0]
+
+    def _check(self, edges):
+        from osm_sidewalkreator_ray.functions.graph import triangle_count
+        got = triangle_count(pd.DataFrame(edges,
+                                          columns=["src", "dst"]))
+        assert got == self._oracle(edges), edges[:10]
+
+    def test_k4_has_four(self):
+        self._check([(a, b) for a in range(4) for b in range(4) if a < b])
+
+    def test_hub_star_no_triangles(self):
+        self._check([(0, i) for i in range(1, 30)])
+
+    def test_duplicates_reverses_selfloops(self):
+        self._check([(1, 2), (2, 1), (1, 2), (2, 3), (1, 3),
+                     (3, 3), (4, 5)])
+
+    def test_random_graph_matches_sql(self):
+        rng = np.random.RandomState(11)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, 60, size=(500, 2))]
+        self._check(edges)
+
+    def test_hub_plus_rim(self):
+        # hub connected to all rim vertices + rim cycle: n triangles
+        n = 20
+        edges = [(100, i) for i in range(n)] + \
+            [(i, (i + 1) % n) for i in range(n)]
+        self._check(edges)
