@@ -74,15 +74,19 @@ def running_sum(ds, order_col: str, value_col: str, out_col: str,
                                               batch_format="pandas"))
 
     # O(#buckets) driver fold: bucket totals -> exclusive offsets
-    totals = (per_bucket.map_batches(
+    # (an all-empty Dataset collects to a columnLESS frame — guard)
+    tp = per_bucket.map_batches(
         lambda b: b.groupby("__wb", as_index=False)
-        .agg(__t=(value_col, "sum")), batch_format="pandas")
-        .to_pandas().groupby("__wb", as_index=False)["__t"].sum()
-        .sort_values("__wb"))
-    offs = dict(zip(
-        totals["__wb"].to_numpy(),
-        np.concatenate([[0.0], totals["__t"].cumsum()
-                        .to_numpy(dtype=np.float64)[:-1]])))
+        .agg(__t=(value_col, "sum")), batch_format="pandas").to_pandas()
+    if tp.empty or "__wb" not in tp.columns:
+        offs: dict = {}
+    else:
+        totals = (tp.groupby("__wb", as_index=False)["__t"].sum()
+                  .sort_values("__wb"))
+        offs = dict(zip(
+            totals["__wb"].to_numpy(),
+            np.concatenate([[0.0], totals["__t"].cumsum()
+                            .to_numpy(dtype=np.float64)[:-1]])))
     off_ref = ray.put(offs)
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
@@ -123,16 +127,19 @@ def global_rank(ds, order_cols: list[str], out_col: str = "rank",
                   .groupby("__wb").map_groups(intra,
                                               batch_format="pandas"))
 
-    counts = (per_bucket.map_batches(
+    cp = per_bucket.map_batches(
         lambda b: b.groupby("__wb", as_index=False)
-        .agg(__n=(first, "size")), batch_format="pandas")
-        .to_pandas().groupby("__wb", as_index=False)["__n"].sum()
-        .sort_values("__wb"))
-    n_total = int(counts["__n"].sum())
-    offs = dict(zip(
-        counts["__wb"].to_numpy(),
-        np.concatenate([[0], counts["__n"].cumsum()
-                        .to_numpy(dtype=np.int64)[:-1]])))
+        .agg(__n=(first, "size")), batch_format="pandas").to_pandas()
+    if cp.empty or "__wb" not in cp.columns:
+        n_total, offs = 0, {}
+    else:
+        counts = (cp.groupby("__wb", as_index=False)["__n"].sum()
+                  .sort_values("__wb"))
+        n_total = int(counts["__n"].sum())
+        offs = dict(zip(
+            counts["__wb"].to_numpy(),
+            np.concatenate([[0], counts["__n"].cumsum()
+                            .to_numpy(dtype=np.int64)[:-1]])))
     off_ref = ray.put(offs)
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:

@@ -2472,6 +2472,15 @@ def edit_distance_join_ds(ds, k: int = 2, q: int = 2,
 
     sized = ds.map_batches(prep, batch_format="pandas",
                            batch_size=4096).materialize()
+    if sized.count() == 0:
+        # an all-empty corpus would reach hash_partition_join with a
+        # schemaless Dataset; return the typed empty result directly
+        # (from_arrow, not from_pandas: an empty pandas block drops
+        # its columns on the to_pandas round-trip)
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []

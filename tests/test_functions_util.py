@@ -319,3 +319,59 @@ def test_stats_frame_parses_operators():
     assert df["rows_out"].iloc[-1] == 20000
     assert df["udf_s"].notna().any()
     assert dominant_operator(ds) in set(df["name"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNewOpsEmptyInputs:
+    """Ray Data can deliver empty datasets/blocks (e.g. downstream of
+    a filter); every r4 op must return its typed empty result."""
+
+    def test_range_join_empty_sides(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import range_join
+        ep = rd.from_pandas(pd.DataFrame(
+            {"p": pd.Series([], dtype="float64"),
+             "pid": pd.Series([], dtype="int64")}))
+        iv = rd.from_pandas(pd.DataFrame(
+            {"lo": [0.0], "hi": [1.0], "iid": [1]}))
+        assert len(range_join(ep, iv, "p", "lo", "hi",
+                              cell_width=1.0).to_pandas()) == 0
+        pts = rd.from_pandas(pd.DataFrame({"p": [0.5], "pid": [1]}))
+        ei = rd.from_pandas(pd.DataFrame(
+            {"lo": pd.Series([], dtype="float64"),
+             "hi": pd.Series([], dtype="float64"),
+             "iid": pd.Series([], dtype="int64")}))
+        assert len(range_join(pts, ei, "p", "lo",
+                              "hi").to_pandas()) == 0
+
+    def test_windows_empty(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.windows import \
+            running_sum, global_rank
+        e = rd.from_pandas(pd.DataFrame(
+            {"k": pd.Series([], dtype="float64"),
+             "v": pd.Series([], dtype="float64")}))
+        assert len(running_sum(e, "k", "v", "cs").to_pandas()) == 0
+        r, n = global_rank(e, ["k"])
+        assert len(r.to_pandas()) == 0 and n == 0
+
+    def test_edit_distance_empty(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            edit_distance_join_ds
+        e = rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "s": pd.Series([], dtype="object")}))
+        out = edit_distance_join_ds(e)
+        # Dataset-level schema is the contract (Ray's to_pandas drops
+        # columns from any empty dataset — same quirk _collect_small
+        # documents)
+        assert out.schema().names == ["doc_a", "doc_b", "dist"]
+        assert out.count() == 0
+
+    def test_graph_ops_empty(self):
+        from osm_sidewalkreator_ray.functions.graph import \
+            pagerank, triangle_count
+        e = pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        assert len(pagerank(e)) == 0
+        assert triangle_count(e) == 0
