@@ -136,14 +136,18 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
     DataFrame (ranks sum to 1).
 
     Physical plan: edge rows carry ``w = 1/outdeg(src)`` and are
-    bucketed by ``hash(src) % B`` ONCE up front; each iteration (a)
-    co-groups current (vertex, rank) rows into the same buckets and
-    emits per-bucket PRE-SUMMED (dst, contrib) partials, (b) one
-    grouped sum by dst (slim rows, vertex-sized), (c) re-ranks every
-    vertex as (1-d)/N + d*(in_sum + dangling/N). The dangling mass
-    needs NO flags or extra pass: outgoing mass conservation gives
-    dangling = sum(ranks) - sum(contribs), a scalar the driver reads
-    from one tiny aggregate. Per-iteration driver state is O(1);
+    bucketed by ``hash(src) % B`` ONCE up front; each iteration is
+    exactly TWO shuffles: (a) co-group current (vertex, rank) rows
+    into the edge buckets and emit per-bucket PRE-SUMMED
+    (dst, contrib) partials, (b) union those with static per-vertex
+    ZERO rows (so every vertex — including ones with no in-edges —
+    appears in the result) and run one grouped sum by dst; the new
+    rank is then a plain streaming map over that vertex-sized slim
+    aggregate, (1-d)/N + d*(in_sum + dangling/N) — no third co-group.
+    The dangling mass needs NO flags or extra pass: outgoing mass
+    conservation gives dangling = sum(ranks) - sum(contribs), a
+    scalar the driver reads from one tiny aggregate over rows it
+    already materialized. Per-iteration driver state is O(1);
     shuffled rows are always slim (id, float) pairs, never the edge
     payload."""
     edges = _to_edge_ds(edges)
@@ -235,51 +239,33 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
 
     from .aggregates import grouped_agg
 
+    # static zero rows: every vertex appears in each iteration's
+    # grouped sum even with no in-edges, so the re-rank is a plain
+    # map (no vertex/contrib co-group)
+    zero_rows = vertices.map_batches(
+        lambda b: pd.DataFrame({
+            "dst": b["vertex"].to_numpy(np.int64),
+            "c": np.zeros(len(b), dtype=np.float64)}),
+        batch_format="pandas").materialize()
+
     for _ in range(iters):
         tagged = ranks.map_batches(tag_ranks, batch_format="pandas")
-        contribs = grouped_agg(
+        insums = grouped_agg(
             weighted.union(tagged).groupby("bucket")
-            .map_groups(contribute, batch_format="pandas"),
+            .map_groups(contribute, batch_format="pandas")
+            .union(zero_rows),
             ["dst"], {"c": ("c", "sum")}).materialize()
-        total_in = contribs.sum("c") if contribs.count() else 0.0
+        total_in = insums.sum("c") if insums.count() else 0.0
         dangling = max(0.0, 1.0 - float(total_in))
 
-        def new_rank(g: pd.DataFrame, _n=n, _d=damping,
+        def new_rank(b: pd.DataFrame, _n=n, _d=damping,
                      _dang=dangling) -> pd.DataFrame:
-            v = g.loc[~g["is_edge"], ["src"]] \
-                .rename(columns={"src": "vertex"})
-            c = g.loc[g["is_edge"], ["dst", "val"]] \
-                .rename(columns={"dst": "vertex", "val": "c"})
-            out = v.merge(c, on="vertex", how="left")
-            cc = out["c"].fillna(0.0).to_numpy(np.float64)
-            out["rank"] = (1.0 - _d) / _n + _d * (cc + _dang / _n)
-            return out[["vertex", "rank"]]
+            return pd.DataFrame({
+                "vertex": b["dst"].to_numpy(np.int64),
+                "rank": (1.0 - _d) / _n
+                + _d * (b["c"].to_numpy(np.float64) + _dang / _n)})
 
-        # vertices ride as rank-less tag rows; contribs as edge-ish
-        # rows keyed by dst — one co-group rebuilds every rank
-        vtag = vertices.map_batches(
-            lambda b: pd.DataFrame({
-                "bucket": (pd.util.hash_array(
-                    b["vertex"].to_numpy(np.int64)) % num_buckets)
-                .astype(np.int64),
-                "src": b["vertex"].to_numpy(np.int64),
-                "dst": np.full(len(b), -1, dtype=np.int64),
-                "val": np.zeros(len(b), dtype=np.float64),
-                "is_edge": np.zeros(len(b), dtype=bool)}),
-            batch_format="pandas")
-        ctag = contribs.map_batches(
-            lambda b: pd.DataFrame({
-                "bucket": (pd.util.hash_array(
-                    b["dst"].to_numpy(np.int64)) % num_buckets)
-                .astype(np.int64),
-                "src": np.full(len(b), -1, dtype=np.int64),
-                "dst": b["dst"].to_numpy(np.int64),
-                "val": b["c"].to_numpy(np.float64),
-                "is_edge": np.ones(len(b), dtype=bool)}),
-            batch_format="pandas")
-        ranks = (vtag.union(ctag).groupby("bucket")
-                 .map_groups(new_rank,
-                             batch_format="pandas").materialize())
+        ranks = insums.map_batches(new_rank, batch_format="pandas")
 
     df = ranks.to_pandas()
     df["vertex"] = df["vertex"].astype("int64")

@@ -2435,30 +2435,43 @@ def _edit_distances(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
     return out
 
 
-def edit_distance_join_ds(ds, k: int = 2, q: int = 2,
+def edit_distance_join_ds(ds, k: int = 2, q: int = 4,
                           coarse_buckets: int = 64,
                           num_buckets: int = 32):
     """EXACT all-pairs edit-distance join: every (doc_a, doc_b) with
-    Levenshtein distance <= ``k`` over the ``s`` column of ``ds``
-    (columns ``doc_id``, ``s``), returned as a Dataset of
+    byte-level Levenshtein distance <= ``k`` over the ``s`` column of
+    ``ds`` (columns ``doc_id``, ``s``), returned as a Dataset of
     (doc_a, doc_b, dist), doc_a < doc_b. Lossless — no LSH recall gap.
 
-    Plan (Gravano et al., "Approximate String Joins in a Database
-    (Almost) for Free", VLDB 2001): candidates from a positional
-    q-gram inverted index (the same slim explode → coarse-bucket →
-    in-bucket partial pair counts shape as ``ngram_jaccard_pairs``),
-    pruned by the lossless count filter shared >= max(gA, gB) - q*k
-    (one edit destroys at most q grams) and the length filter
-    |len_a - len_b| <= k; strings whose gram count is <= q*k can
-    evade the filter, so they pair all-against-all in ONE dedicated
-    short-string group (any qualifying partner is provably also in
-    it); survivors verify with a pair-axis-vectorized DP. Shuffles
-    move only (hash, doc_id) and slim pair rows — never the corpus."""
-    import functools
-    from ..functions.joins import hash_partition_join
+    Candidate generation is PREFIX-FILTERED (Ed-Join, Xiao/Wang/Lin,
+    VLDB'08, on the Gravano VLDB'01 q-gram framework): at most k
+    edits destroy at most q*k of a string's positional-multiset
+    q-grams, so under ANY global gram order two strings within
+    distance k must share a gram among their q*k+1 FIRST grams (the
+    prefix lemma). The global order is BY ASCENDING CORPUS FREQUENCY
+    (one slim distributed gram count, collected vocab-sized to the
+    driver and broadcast once — at larger vocabularies attach ranks
+    via hash_partition_join instead), so ubiquitous template grams
+    never enter a prefix and posting lists stay short. Strings with
+    <= q*k grams can evade the lemma and pair all-against-all in ONE
+    dedicated short-string group (any qualifying partner is provably
+    also in it).
+
+    Index rows carry the string itself — a bounded q*k+1-fold
+    replication of the KEY column, fair for the short join keys this
+    op targets (titles/urls/prefixes; DP verify is O(len²) per pair,
+    so long payloads should join on a truncated or fingerprinted key
+    anyway) — so candidates length-filter and DP-VERIFY inside the
+    candidate bucket and only final (doc_a, doc_b, dist) hits leave
+    it; a pair sharing several prefix grams re-verifies once per
+    shared gram, bounded by the prefix length. The only post-verify
+    shuffle is a distinct over the OUTPUT-sized hit rows."""
+    import ray as _ray
+    from ..functions.aggregates import grouped_agg
     from ..functions.pairgen import pairs_sharing_key
 
-    short_g = q * k  # grams <= short_g can evade the count filter
+    short_g = q * k        # grams <= short_g can evade the prefix lemma
+    prefix_take = q * k + 1
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         keys = [_qgram_occurrence_keys(s, q) for s in b["s"]]
@@ -2482,110 +2495,119 @@ def edit_distance_join_ds(ds, k: int = 2, q: int = 2,
             "doc_b": pa.array([], pa.int64()),
             "dist": pa.array([], pa.int64())}))
 
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes = [], []
-        for d, blob in zip(b["doc_id"], b["keys"]):
-            v = np.frombuffer(blob, dtype=np.uint64)
-            hashes.append(v)
-            ids.append(np.full(len(v), d, dtype=np.int64))
+    def explode_all(b: pd.DataFrame) -> pd.DataFrame:
+        vs = [np.frombuffer(blob, dtype=np.uint64) for blob in b["keys"]]
+        h = (np.concatenate(vs) if vs
+             else np.empty(0, dtype=np.uint64))
+        return pd.DataFrame({"kk": h.view(np.int64),
+                             "n": np.ones(len(h), dtype=np.int64)})
+
+    # global gram frequencies -> the prefix order (rarest first)
+    kc = grouped_agg(sized.map_batches(explode_all,
+                                       batch_format="pandas"),
+                     ["kk"], {"n": ("n", "sum")}).to_pandas()
+    ks = kc["kk"].to_numpy(np.int64)
+    order = np.argsort(ks, kind="stable")
+    freq_ref = _ray.put((ks[order], kc["n"].to_numpy(np.int64)[order]))
+
+    def explode_prefix(b: pd.DataFrame) -> pd.DataFrame:
+        fk, fc = _ray.get(freq_ref)
+        ids, hashes, strs, lens = [], [], [], []
+        for d, blob, s, L in zip(b["doc_id"], b["keys"], b["s"],
+                                 b["L"]):
+            v = np.frombuffer(blob, dtype=np.uint64).view(np.int64)
+            if len(v) == 0:
+                continue
+            cnt = fc[np.searchsorted(fk, v)]
+            pre = v[np.lexsort((v, cnt))[:prefix_take]]
+            hashes.append(pre)
+            ids.append(np.full(len(pre), d, dtype=np.int64))
+            strs.extend([s] * len(pre))
+            lens.append(np.full(len(pre), L, dtype=np.int64))
         if not ids:
             return pd.DataFrame({"cb": pd.Series([], dtype="int64"),
                                  "kk": pd.Series([], dtype="int64"),
-                                 "doc_id": pd.Series([], dtype="int64")})
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="object"),
+                                 "L": pd.Series([], dtype="int64")})
         h = np.concatenate(hashes)
         return pd.DataFrame({
-            "cb": (h % np.uint64(coarse_buckets)).astype(np.int64),
-            "kk": h.view(np.int64),
-            "doc_id": np.concatenate(ids)})
+            "cb": (h.view(np.uint64)
+                   % np.uint64(coarse_buckets)).astype(np.int64),
+            "kk": h,
+            "doc_id": np.concatenate(ids),
+            "s": strs,
+            "L": np.concatenate(lens)})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _verify_pairs(a: np.ndarray, b: np.ndarray,
+                      lut: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        if len(a) == 0:
+            return empty
+        la = lut["L"].reindex(a).to_numpy(np.int64)
+        lb = lut["L"].reindex(b).to_numpy(np.int64)
+        keep = np.abs(la - lb) <= k
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return empty
+        d = _edit_distances(lut["s"].reindex(a).to_numpy(),
+                            lut["s"].reindex(b).to_numpy())
+        hit = d <= k
+        return pd.DataFrame({"doc_a": a[hit], "doc_b": b[hit],
+                             "dist": d[hit]})
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         a, b = pairs_sharing_key(g["kk"].to_numpy(),
                                  g["doc_id"].to_numpy())
-        if len(a) == 0:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "shared": pd.Series([], dtype="int64"),
-                                 "is_short": pd.Series([], dtype="int64")})
-        out = (pd.DataFrame({"doc_a": a, "doc_b": b})
-               .groupby(["doc_a", "doc_b"], as_index=False).size()
-               .rename(columns={"size": "shared"}))
-        out["is_short"] = np.int64(0)
-        return out
+        if len(a):
+            dedup = pd.DataFrame({"a": a, "b": b})                 .drop_duplicates(["a", "b"])
+            a = dedup["a"].to_numpy(np.int64)
+            b = dedup["b"].to_numpy(np.int64)
+        lut = g.drop_duplicates("doc_id").set_index("doc_id")[
+            ["s", "L"]]
+        return _verify_pairs(a, b, lut)
 
-    indexed = (sized.map_batches(explode, batch_format="pandas")
-               .groupby("cb").map_groups(bucket_pairs,
+    indexed = (sized.map_batches(explode_prefix, batch_format="pandas")
+               .groupby("cb").map_groups(bucket_verify,
                                          batch_format="pandas"))
 
-    def short_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy(np.int64)
-        ls = g["L"].to_numpy(np.int64)
-        o = np.argsort(ids, kind="stable")
-        ids, ls = ids[o], ls[o]
+    def short_verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
         ii, jj = np.triu_indices(len(ids), k=1)
-        keep = np.abs(ls[ii] - ls[jj]) <= k
-        return pd.DataFrame({
-            "doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
-            "shared": np.zeros(int(keep.sum()), dtype=np.int64),
-            "is_short": np.ones(int(keep.sum()), dtype=np.int64)})
+        lut = g.drop_duplicates("doc_id").set_index("doc_id")[
+            ["s", "L"]]
+        return _verify_pairs(ids[ii], ids[jj], lut)
 
     short = (sized.map_batches(
         lambda b: b.loc[b["g"] <= short_g,
-                        ["doc_id", "L"]].assign(cb=np.int64(0)),
+                        ["doc_id", "s", "L"]].assign(cb=np.int64(0)),
         batch_format="pandas")
-        .groupby("cb").map_groups(short_pairs, batch_format="pandas"))
+        .groupby("cb").map_groups(short_verify, batch_format="pandas"))
 
-    pairs = indexed.union(short)
+    # a pair verifies once per shared prefix gram bucket (and the
+    # short block can duplicate an indexed hit): one distinct over
+    # the FINAL hit rows — output-sized, tiny
+    hits = indexed.union(short)
 
-    sizes = sized.map_batches(
-        lambda b: b[["doc_id", "s", "L", "g"]], batch_format="pandas")
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "dist"]]
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        # all copies of a pair share doc_a -> this join's bucket sees
-        # them together (same trick as ngram_jaccard_pairs)
-        return df.groupby(["doc_id", "doc_b"], as_index=False).agg(
-            shared=("shared", "sum"), is_short=("is_short", "max"),
-            sa=("s", "first"), la=("L", "first"), ga=("g", "first"))
+    def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__pb"] = ((pd.util.hash_array(b["doc_a"].to_numpy(np.int64))
+                      ^ pd.util.hash_array(
+                          b["doc_b"].to_numpy(np.int64)))
+                     % num_buckets).astype(np.int64)
+        return b
 
-    left_a = pairs.map_batches(
-        lambda b: b.rename(columns={"doc_a": "doc_id"}),
-        batch_format="pandas")
-    j1 = hash_partition_join(left_a, sizes, on="doc_id",
-                             num_buckets=num_buckets, group_fn=fold)
-    left_b = j1.map_batches(
-        lambda b: b.rename(columns={"doc_id": "doc_a",
-                                    "doc_b": "doc_id"}),
-        batch_format="pandas")
-    j2 = hash_partition_join(left_b, sizes, on="doc_id",
-                             num_buckets=num_buckets)
+    return (hits.map_batches(tag_pair, batch_format="pandas")
+            .groupby("__pb").map_groups(distinct,
+                                        batch_format="pandas"))
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if b.empty:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
-        ga = b["ga"].to_numpy(np.int64)
-        gb = b["g"].to_numpy(np.int64)
-        thresh = np.maximum(ga, gb) - q * k
-        cand = ((np.abs(b["la"].to_numpy(np.int64)
-                        - b["L"].to_numpy(np.int64)) <= k)
-                & ((b["is_short"].to_numpy(np.int64) == 1)
-                   | (b["shared"].to_numpy(np.int64) >= thresh)))
-        c = b.loc[cand]
-        if c.empty:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
-        d = _edit_distances(c["sa"].to_numpy(), c["s"].to_numpy())
-        keep = d <= k
-        return pd.DataFrame({
-            "doc_a": c["doc_a"].to_numpy(np.int64)[keep],
-            "doc_b": c["doc_id"].to_numpy(np.int64)[keep],
-            "dist": d[keep]})
-
-    return j2.map_batches(verify, batch_format="pandas")
-
-
-def edit_distance_pairs(sf_dir: str, k: int = 2, q: int = 2,
+def edit_distance_pairs(sf_dir: str, k: int = 2, q: int = 4,
                         prefix_len: int = 24):
     """Query form: ed<=k pairs over each document's first
     ``prefix_len`` characters (the title/url-style short-key dedup
