@@ -433,3 +433,150 @@ def triangle_count(edges, num_buckets: int = 32) -> int:
     counts = both.groupby("__b").map_groups(close,
                                             batch_format="pandas")
     return int(counts.sum("n") or 0)
+
+
+def connected_components_star(edges, num_buckets: int = 32,
+                              max_iters: int = 60) -> pd.DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log n) rounds regardless of
+    component DIAMETER, the regime where ``connected_components``'s
+    min-label propagation (O(diameter) rounds) deliberately raises
+    (its docstring points here). Same contract: one (vertex,
+    component=min id) row per vertex.
+
+    Per round each phase is ONE bucketed co-group of the undirected
+    edge list keyed by endpoint: large-star links every neighbor
+    GREATER than u to m = min(Γ(u) ∪ {u}); small-star links every
+    neighbor <= u (and u) to m. Both emit slim int pairs; the edge
+    multiset shrinks toward a forest of stars, detected by comparing
+    cheap per-round aggregate moments (count, Σu, Σv, Σu^v) — an
+    exact fixpoint test, no driver-side edge collection."""
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"u": np.minimum(s, d),
+                             "v": np.maximum(s, d)}).drop_duplicates()
+
+    cur = edges.map_batches(canon, batch_format="pandas").materialize()
+    if cur.count() == 0:
+        iso = edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"vertex": np.unique(np.concatenate(
+                    [b["src"].to_numpy(np.int64),
+                     b["dst"].to_numpy(np.int64)]))}),
+            batch_format="pandas")
+        df = iso.to_pandas().drop_duplicates()
+        if df.empty or "vertex" not in df.columns:
+            return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                                 "component": pd.Series([], dtype="int64")})
+        df["component"] = df["vertex"]
+        return df.sort_values("vertex").reset_index(drop=True)
+
+    # isolated-from-the-start vertices only arise from self-loop-only
+    # rows; capture the full vertex set once for the final report
+    all_verts = (edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"vertex": np.unique(np.concatenate(
+                [b["src"].to_numpy(np.int64),
+                 b["dst"].to_numpy(np.int64)]))}),
+        batch_format="pandas")
+        .groupby("vertex").count()
+        .map_batches(lambda b: pd.DataFrame(
+            {"vertex": b["vertex"].to_numpy(np.int64)}),
+            batch_format="pandas").materialize())
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([b["u"].to_numpy(np.int64),
+                            b["v"].to_numpy(np.int64)])
+        v = np.concatenate([b["v"].to_numpy(np.int64),
+                            b["u"].to_numpy(np.int64)])
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(u) % num_buckets)
+            .astype(np.int64), "u": u, "v": v})
+
+    def star(large: bool):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("u")["v"].min()
+            u = g["u"].to_numpy(np.int64)
+            v = g["v"].to_numpy(np.int64)
+            mu = np.minimum(m.reindex(u).to_numpy(np.int64), u)
+            sel = (v > u) if large else (v <= u)
+            out_u = np.concatenate([v[sel], u[~sel] if large else u])
+            out_m = np.concatenate([mu[sel], mu[~sel] if large else mu])
+            # small-star also links u itself to m (large-star keeps
+            # u's own link implicit via the (v>u, m) edges)
+            keep = out_u != out_m
+            return pd.DataFrame({"u": out_u[keep],
+                                 "v": out_m[keep]}).drop_duplicates()
+        return f
+
+    def moments(ds) -> tuple:
+        mm = ds.map_batches(
+            lambda b: pd.DataFrame({
+                "n": [len(b)],
+                "su": [int(b["u"].sum())], "sv": [int(b["v"].sum())],
+                "sx": [int((b["u"].to_numpy(np.int64)
+                            ^ b["v"].to_numpy(np.int64)).sum())]}),
+            batch_format="pandas").to_pandas()
+        if mm.empty:
+            return (0, 0, 0, 0)
+        return (int(mm["n"].sum()), int(mm["su"].sum()),
+                int(mm["sv"].sum()), int(mm["sx"].sum()))
+
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        for large in (True, False):
+            cur = (cur.map_batches(both_dirs, batch_format="pandas")
+                   .groupby("bucket").map_groups(
+                       star(large), batch_format="pandas")
+                   .map_batches(
+                       lambda b: pd.DataFrame(
+                           {"u": np.maximum(b["u"].to_numpy(np.int64),
+                                            b["v"].to_numpy(np.int64)),
+                            "v": np.minimum(b["u"].to_numpy(np.int64),
+                                            b["v"].to_numpy(np.int64))})
+                       .drop_duplicates(),
+                       batch_format="pandas").materialize())
+        sig = moments(cur)
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iters} rounds")
+
+    # cur is a forest of stars: (child, root) with child > root
+    stars = cur.map_batches(
+        lambda b: pd.DataFrame({"vertex": b["u"].to_numpy(np.int64),
+                                "component": b["v"].to_numpy(np.int64),
+                                "is_star": np.ones(len(b), dtype=bool)}),
+        batch_format="pandas")
+    vrows = all_verts.map_batches(
+        lambda b: pd.DataFrame({"vertex": b["vertex"].to_numpy(np.int64),
+                                "component": b["vertex"].to_numpy(np.int64),
+                                "is_star": np.zeros(len(b), dtype=bool)}),
+        batch_format="pandas")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("vertex", as_index=False)["component"].min()
+        return out
+
+    def tagv(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (pd.util.hash_array(
+            b["vertex"].to_numpy(np.int64)) % num_buckets) \
+            .astype(np.int64)
+        return b
+
+    df = (stars.union(vrows).map_batches(tagv, batch_format="pandas")
+          .groupby("bucket").map_groups(resolve, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values("vertex").reset_index(drop=True)

@@ -424,3 +424,40 @@ class TestTriangleCount:
         edges = [(100, i) for i in range(n)] + \
             [(i, (i + 1) % n) for i in range(n)]
         self._check(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStarComponents:
+    def test_equals_minlabel_random(self):
+        from osm_sidewalkreator_ray.functions.graph import \
+            connected_components, connected_components_star
+        rng = np.random.RandomState(13)
+        edges = pd.DataFrame(rng.randint(0, 80, size=(120, 2)),
+                             columns=["src", "dst"])
+        a = connected_components(edges)
+        b = connected_components_star(edges)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_long_chain_beyond_minlabel_budget(self):
+        # a 300-node path: min-label needs 300 rounds (raises at its
+        # default 50); star contraction converges in O(log n)
+        from osm_sidewalkreator_ray.functions.graph import \
+            connected_components, connected_components_star
+        edges = pd.DataFrame({"src": range(299),
+                              "dst": range(1, 300)})
+        with pytest.raises(RuntimeError):
+            connected_components(edges, max_iters=20)
+        got = connected_components_star(edges)
+        assert len(got) == 300
+        assert (got["component"] == 0).all()
+
+    def test_two_components_and_selfloops(self):
+        from osm_sidewalkreator_ray.functions.graph import \
+            connected_components_star
+        edges = pd.DataFrame({"src": [5, 6, 10, 11, 7, 3],
+                              "dst": [6, 7, 11, 12, 5, 3]})
+        got = connected_components_star(edges)
+        comp = dict(zip(got["vertex"], got["component"]))
+        assert comp[5] == comp[6] == comp[7] == 5
+        assert comp[10] == comp[11] == comp[12] == 10
+        assert comp[3] == 3  # self-loop-only vertex is its own comp
