@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["running_sum", "global_rank", "ntile_of_rank"]
+__all__ = ["running_sum", "global_rank", "ntile_of_rank",
+           "quantile_bucket_edges"]
 
 
 def _bucket_ids(key: np.ndarray, bucket_width: float,
@@ -166,3 +167,35 @@ def ntile_of_rank(rank: np.ndarray, n_total: int, k: int) -> np.ndarray:
     if q > 0:
         out[~big] = (r0[~big] - boundary) // q + r + 1
     return out
+
+
+def quantile_bucket_edges(ds, col: str, n_edges: int = 255,
+                          delta: float = 400.0) -> np.ndarray:
+    """Approximate equi-depth edges for ``bucket_edges`` — the
+    skewed-order-key companion to ``running_sum`` / ``global_rank``
+    (their module docstring's caveat): fixed-width buckets degrade
+    when most keys pile into one range, so compute n_edges
+    equi-DEPTH cut points from one streaming t-digest pass
+    (``functions.sketches.TDigest``: ~delta-centroid partial per
+    batch, driver merge — constant driver state, corpus never
+    collects) and bucket by ``searchsorted`` instead. Edges are
+    approximate; correctness is unaffected (any monotone bucketing
+    preserves prefix-sum order), only balance is."""
+    from .sketches import TDigest
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        d = TDigest.of(v, delta)
+        return pd.DataFrame({"digest": [d.to_bytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = TDigest(delta)
+    if not rows.empty and "digest" in rows.columns:
+        for blob in rows["digest"]:
+            acc = acc.merge(TDigest.from_bytes(blob, delta))
+    if len(acc.means) == 0:
+        return np.array([0.0])
+    qs = np.linspace(0.0, 1.0, n_edges + 2)[1:-1]
+    edges = np.array([acc.quantile(q) for q in qs], dtype=np.float64)
+    return np.unique(edges)

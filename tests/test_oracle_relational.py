@@ -781,3 +781,28 @@ class TestEditDistanceJoin:
                        params=[x, y]).fetchone()[0]
                 for x, y in zip(sa, sb)]
         assert _edit_distances(sa, sb).tolist() == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileEdgesWindows:
+    def test_skewed_running_sum_balanced_and_exact(self):
+        # lognormal keys: fixed-width buckets put ~everything in one
+        # bucket; quantile edges rebalance, result stays exact
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.windows import \
+            running_sum, quantile_bucket_edges
+        rng = np.random.RandomState(2)
+        k = np.exp(rng.normal(0, 2, size=5000))
+        df = pd.DataFrame({"k": k, "v": np.ones(5000)})
+        ds = rd.from_pandas(df)
+        edges = quantile_bucket_edges(ds, "k", n_edges=31)
+        assert len(edges) > 8
+        out = running_sum(ds, "k", "v", "cs", bucket_edges=edges,
+                          tie_cols=None).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        want = np.arange(1, 5001, dtype=float)
+        assert np.allclose(out["cs"].to_numpy(), want)
+        # balance: occupancy of the busiest bucket well under n/4
+        occ = np.bincount(np.searchsorted(edges, np.sort(k),
+                                          side="right"))
+        assert occ.max() < 1250
