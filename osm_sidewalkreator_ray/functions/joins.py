@@ -425,3 +425,86 @@ def range_join(points, intervals, point_col: str, lo_col: str, hi_col: str,
         return out.loc[keep].drop(columns="__cell")
 
     return tagged.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
+def interval_overlap_join(left, right, l_lo: str, l_hi: str,
+                          r_lo: str, r_hi: str,
+                          cell_width: float | None = None,
+                          num_buckets: int = 32,
+                          max_cells_per_interval: int = 4096):
+    """Inner join of interval rows on OVERLAP (``l_lo <= r_hi AND
+    r_lo <= l_hi``, closed ends; NULL bounds never match) — the
+    interval×interval companion to ``range_join``. Column names must
+    be disjoint.
+
+    Same gridded plan, with the classic ownership trick so a pair
+    overlapping many shared cells is still emitted exactly ONCE and
+    needs no post-dedup: both sides replicate to every cell they
+    touch, and a candidate pair is reported only in the cell
+    containing max(l_lo, r_lo) — the first cell of the overlap, which
+    both intervals provably cover. Default cell width = median RIGHT
+    interval length (one slim pass)."""
+    if cell_width is None:
+        stats = right.map_batches(
+            lambda b: pd.DataFrame(
+                {"len": (b[r_hi] - b[r_lo]).astype(np.float64)}),
+            batch_format="pandas").to_pandas()
+        med = float(stats["len"].median()) if len(stats) else 1.0
+        cell_width = max(med, 1e-9)
+    w = float(cell_width)
+
+    def tag(lo_col, hi_col, side):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b[lo_col].notna() & b[hi_col].notna()
+                  & (b[lo_col] <= b[hi_col])].copy()
+            c0 = _cell_of(b[lo_col].to_numpy(), w)
+            c1 = _cell_of(b[hi_col].to_numpy(), w)
+            n = c1 - c0 + 1
+            if len(n) and int(n.max()) > max_cells_per_interval:
+                raise ValueError(
+                    f"interval spans {int(n.max())} cells of width "
+                    f"{w}; raise cell_width or max_cells_per_interval")
+            rep = b.iloc[np.repeat(np.arange(len(b)), n)].copy()
+            starts = np.repeat(np.cumsum(n) - n, n)
+            cell = np.repeat(c0, n) + (np.arange(int(n.sum())) - starts)
+            rep["__cell"] = cell
+            rep["__b"] = _stable_bucket(pd.Series(cell), num_buckets)
+            rep["__side"] = np.int8(side)
+            return rep
+        return f
+
+    lcols = [f.name for f in _arrow_schema(left)]
+    rcols = [f.name for f in _arrow_schema(right)]
+
+    def pad(missing):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in missing:
+                b[c] = None
+            return b[lcols + rcols + ["__cell", "__b", "__side"]]
+        return f
+
+    tagged = (left.map_batches(tag(l_lo, l_hi, 0),
+                               batch_format="pandas")
+              .map_batches(pad(rcols), batch_format="pandas")
+              .union(right.map_batches(tag(r_lo, r_hi, 1),
+                                       batch_format="pandas")
+                     .map_batches(pad(lcols), batch_format="pandas")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["__side"] == 0, lcols + ["__cell"]]
+        b = g.loc[g["__side"] == 1, rcols + ["__cell"]]
+        out = a.merge(b, on="__cell")
+        if out.empty:
+            return out.drop(columns="__cell")
+        overlap = ((out[l_lo] <= out[r_hi])
+                   & (out[r_lo] <= out[l_hi]))
+        # ownership: only the cell containing the overlap's start
+        # reports the pair
+        own = _cell_of(np.maximum(out[l_lo].to_numpy(np.float64),
+                                  out[r_lo].to_numpy(np.float64)), w)
+        keep = overlap & (own == out["__cell"].to_numpy(np.int64))
+        return out.loc[keep].drop(columns="__cell")
+
+    return tagged.groupby("__b").map_groups(merge,
+                                            batch_format="pandas")
