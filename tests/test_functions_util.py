@@ -375,3 +375,45 @@ class TestNewOpsEmptyInputs:
         e = pd.DataFrame({"src": [], "dst": []}).astype("int64")
         assert len(pagerank(e)) == 0
         assert triangle_count(e) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSample:
+    def test_equals_single_process_reference(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sampling import \
+            weighted_sample, es_keys
+        rng = np.random.RandomState(1)
+        df = pd.DataFrame({"id": np.arange(5000),
+                           "w": rng.uniform(0.1, 10, 5000)})
+        got = weighted_sample(rd.from_pandas(df).repartition(13),
+                              "id", "w", n=200)
+        k = es_keys(df["id"].to_numpy(), df["w"].to_numpy(), 42)
+        want = df.iloc[np.lexsort((df["id"].to_numpy(), k))[:200]] \
+            .sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_weight_proportional_inclusion(self):
+        # two weight classes 1:9 -> heavy ids ~9x more likely; pool
+        # over seeds for a tight bound
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sampling import \
+            weighted_sample
+        df = pd.DataFrame({"id": np.arange(2000),
+                           "w": np.where(np.arange(2000) < 1000,
+                                         1.0, 9.0)})
+        heavy = 0
+        for seed in range(5):
+            s = weighted_sample(rd.from_pandas(df), "id", "w",
+                                n=100, seed=seed)
+            heavy += (s["id"] >= 1000).sum()
+        assert heavy / 500 > 0.8  # expected ~0.9
+
+    def test_zero_and_negative_weights_excluded(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sampling import \
+            weighted_sample
+        df = pd.DataFrame({"id": [1, 2, 3, 4],
+                           "w": [0.0, -5.0, np.nan, 2.0]})
+        s = weighted_sample(rd.from_pandas(df), "id", "w", n=4)
+        assert s["id"].tolist() == [4]
