@@ -2465,7 +2465,13 @@ def edit_distance_join_ds(ds, k: int = 2, q: int = 4,
     candidate bucket and only final (doc_a, doc_b, dist) hits leave
     it; a pair sharing several prefix grams re-verifies once per
     shared gram, bounded by the prefix length. The only post-verify
-    shuffle is a distinct over the OUTPUT-sized hit rows."""
+    shuffle is a distinct over the OUTPUT-sized hit rows.
+
+    Scale knob: one candidate group holds ~(q*k+1)/coarse_buckets of
+    the corpus' index rows (each ~key + id + the short string), so
+    size ``coarse_buckets`` to keep a group in worker memory —
+    ~corpus_rows/10^6 buckets at billion-doc scale, exactly like the
+    Jaccard family's coarse bucketing."""
     import ray as _ray
     from ..functions.aggregates import grouped_agg
     from ..functions.pairgen import pairs_sharing_key
