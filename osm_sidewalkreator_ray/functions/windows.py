@@ -29,8 +29,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-__all__ = ["running_sum", "global_rank", "ntile_of_rank",
-           "quantile_bucket_edges"]
+__all__ = ["running_agg", "running_sum", "global_rank",
+           "ntile_of_rank", "quantile_bucket_edges"]
 
 
 def _bucket_ids(key: np.ndarray, bucket_width: float,
@@ -41,20 +41,32 @@ def _bucket_ids(key: np.ndarray, bucket_width: float,
     return np.floor(key / bucket_width).astype(np.int64)
 
 
-def running_sum(ds, order_col: str, value_col: str, out_col: str,
-                bucket_width: float = 1.0,
+_OPS = {
+    "sum": (pd.Series.cumsum, "sum", np.cumsum, np.add, 0.0),
+    "max": (pd.Series.cummax, "max", np.maximum.accumulate,
+            np.maximum, -np.inf),
+    "min": (pd.Series.cummin, "min", np.minimum.accumulate,
+            np.minimum, np.inf),
+}
+
+
+def running_agg(ds, order_col: str, value_col: str, out_col: str,
+                op: str = "sum", bucket_width: float = 1.0,
                 bucket_edges: np.ndarray | None = None,
                 tie_cols: list[str] | None = None):
-    """Add ``out_col`` = cumulative sum of ``value_col`` over rows
-    ordered globally by ``order_col`` (ties broken by ``tie_cols`` so
-    the result is deterministic; with no tie_cols, ties must be absent
-    or the caller must not care about intra-tie attribution — SQL's
-    ``SUM() OVER (ORDER BY k)`` gives all ties the same PEER total,
-    which callers get by aggregating per key first).
+    """Add ``out_col`` = running ``op`` (sum/min/max — any associative
+    fold with an identity works on this plan) of ``value_col`` over
+    rows ordered globally by ``order_col`` (ties broken by
+    ``tie_cols`` so the result is deterministic; with no tie_cols,
+    ties must be absent or the caller must not care about intra-tie
+    attribution — SQL's ``SUM() OVER (ORDER BY k)`` gives all ties
+    the same PEER total, which callers get by aggregating per key
+    first).
 
     Returns a Dataset with the input columns plus ``out_col``. Output
     blocks are the per-bucket groups (disjoint ordered key ranges).
     """
+    cum_pd, agg_name, cum_np, combine, ident = _OPS[op]
     sort_cols = [order_col] + (tie_cols or [])
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -67,37 +79,49 @@ def running_sum(ds, order_col: str, value_col: str, out_col: str,
     def intra(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(sort_cols, kind="mergesort")
         g = g.copy()
-        g["__intra"] = g[value_col].cumsum()
+        g["__intra"] = cum_pd(g[value_col])
         return g
 
     per_bucket = (ds.map_batches(tag, batch_format="pandas")
                   .groupby("__wb").map_groups(intra,
                                               batch_format="pandas"))
 
-    # O(#buckets) driver fold: bucket totals -> exclusive offsets
+    # O(#buckets) driver fold: bucket totals -> exclusive prefix folds
     # (an all-empty Dataset collects to a columnLESS frame — guard)
     tp = per_bucket.map_batches(
         lambda b: b.groupby("__wb", as_index=False)
-        .agg(__t=(value_col, "sum")), batch_format="pandas").to_pandas()
+        .agg(__t=(value_col, agg_name)),
+        batch_format="pandas").to_pandas()
     if tp.empty or "__wb" not in tp.columns:
         offs: dict = {}
     else:
-        totals = (tp.groupby("__wb", as_index=False)["__t"].sum()
-                  .sort_values("__wb"))
+        totals = (tp.groupby("__wb", as_index=False)["__t"]
+                  .agg(agg_name).sort_values("__wb"))
+        run = cum_np(totals["__t"].to_numpy(dtype=np.float64))
         offs = dict(zip(
             totals["__wb"].to_numpy(),
-            np.concatenate([[0.0], totals["__t"].cumsum()
-                            .to_numpy(dtype=np.float64)[:-1]])))
+            np.concatenate([[ident], run[:-1]])))
     off_ref = ray.put(offs)
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         offsets = ray.get(off_ref)
         b = b.copy()
-        b[out_col] = b["__wb"].map(offsets).to_numpy(np.float64) \
-            + b["__intra"].to_numpy(np.float64)
+        b[out_col] = combine(
+            b["__wb"].map(offsets).to_numpy(np.float64),
+            b["__intra"].to_numpy(np.float64))
         return b.drop(columns=["__wb", "__intra"])
 
     return per_bucket.map_batches(finalize, batch_format="pandas")
+
+
+def running_sum(ds, order_col: str, value_col: str, out_col: str,
+                bucket_width: float = 1.0,
+                bucket_edges: np.ndarray | None = None,
+                tie_cols: list[str] | None = None):
+    """``running_agg(..., op="sum")`` — kept as the named common case."""
+    return running_agg(ds, order_col, value_col, out_col, op="sum",
+                       bucket_width=bucket_width,
+                       bucket_edges=bucket_edges, tie_cols=tie_cols)
 
 
 def global_rank(ds, order_cols: list[str], out_col: str = "rank",

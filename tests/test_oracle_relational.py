@@ -848,3 +848,50 @@ class TestIntervalOverlapJoin:
                           "bhi": lo2 + rng.uniform(0, 8, 120),
                           "bid": range(120)})
         self._check(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRunningAgg:
+    def test_running_max_matches_duckdb(self, con):
+        # record-to-date daily revenue: MAX() OVER (ORDER BY day)
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.windows import running_agg
+        from osm_sidewalkreator_ray.functions.aggregates import \
+            grouped_agg
+        ds = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+        ds = ds.map_batches(
+            lambda b: pd.DataFrame({
+                "day": (b["o_orderdate"].astype("int64")
+                        // 86_400_000_000).astype("int64"),
+                "o_totalprice": b["o_totalprice"]}),
+            batch_format="pandas")
+        daily = grouped_agg(ds, ["day"],
+                            {"rev": ("o_totalprice", "sum")})
+        daily = daily.map_batches(
+            lambda b: b.assign(rev=b["rev"].round(2)),
+            batch_format="pandas")
+        got = running_agg(daily, "day", "rev", "peak", op="max",
+                          bucket_width=64.0).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        want = con.sql("""
+            WITH d AS (
+              SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)
+                       AS day,
+                     ROUND(SUM(o_totalprice), 2) AS rev
+              FROM orders GROUP BY 1)
+            SELECT day, rev, MAX(rev) OVER (ORDER BY day) AS peak
+            FROM d ORDER BY day""").df()
+        assert got["day"].tolist() == want["day"].tolist()
+        assert np.allclose(got["rev"], want["rev"], atol=1e-6)
+        assert np.allclose(got["peak"], want["peak"], atol=1e-6)
+
+    def test_running_min_small(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.windows import running_agg
+        df = pd.DataFrame({"k": [1.0, 2.0, 3.0, 200.0, 201.0],
+                           "v": [5.0, 7.0, 2.0, 9.0, 1.0]})
+        out = running_agg(rd.from_pandas(df), "k", "v", "m", op="min",
+                          bucket_width=64.0).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["m"].tolist() == [5.0, 5.0, 2.0, 2.0, 1.0]
