@@ -417,3 +417,45 @@ class TestWeightedSample:
                            "w": [0.0, -5.0, np.nan, 2.0]})
         s = weighted_sample(rd.from_pandas(df), "id", "w", n=4)
         assert s["id"].tolist() == [4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistanceJoin:
+    def test_matches_sql_cross_join(self):
+        import duckdb
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import distance_join
+        rng = np.random.RandomState(8)
+        a = pd.DataFrame({"x": rng.uniform(0, 20, 200),
+                          "y": rng.uniform(0, 20, 200),
+                          "aid": range(200)})
+        b = pd.DataFrame({"x2": rng.uniform(0, 20, 150),
+                          "y2": rng.uniform(0, 20, 150),
+                          "bid": range(150)})
+        got = distance_join(rd.from_pandas(a), rd.from_pandas(b),
+                            d=1.5).to_pandas() \
+            .sort_values(["aid", "bid"]).reset_index(drop=True)
+        c = duckdb.connect()
+        c.register("a", a)
+        c.register("b", b)
+        want = c.sql(
+            "SELECT aid, bid FROM a, b WHERE "
+            "(x-x2)*(x-x2) + (y-y2)*(y-y2) <= 1.5*1.5 "
+            "ORDER BY aid, bid").df()
+        assert got["aid"].tolist() == want["aid"].tolist()
+        assert got["bid"].tolist() == want["bid"].tolist()
+        assert not got.duplicated(["aid", "bid"]).any()
+
+    def test_boundary_negatives_nulls(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import distance_join
+        a = pd.DataFrame({"x": [0.0, -5.0, None],
+                          "y": [0.0, -5.0, 1.0], "aid": [1, 2, 3]})
+        b = pd.DataFrame({"x2": [1.0, -5.0, 100.0],
+                          "y2": [0.0, -6.0, 100.0], "bid": [10, 20, 30]})
+        got = distance_join(rd.from_pandas(a), rd.from_pandas(b),
+                            d=1.0).to_pandas() \
+            .sort_values(["aid", "bid"]).reset_index(drop=True)
+        # (1,10) exactly at d; (2,20) at distance 1 across negative
+        # cells; NULL row never matches
+        assert list(zip(got["aid"], got["bid"])) == [(1, 10), (2, 20)]
