@@ -2334,3 +2334,73 @@ SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal,
          AS tile
 FROM customer ORDER BY c_custkey
 """
+
+
+# ----------------------------- rolling window + algebraic correlation
+
+
+def events_rolling_avg(sf_dir: str, window: int = 7):
+    """Per-user trailing-N rolling mean of event values ordered by ts
+    (SQL `AVG() OVER (PARTITION BY u ORDER BY ts ROWS BETWEEN 6
+    PRECEDING AND CURRENT ROW)`): one user-hash bucket shuffle, one
+    vectorized pandas groupby-rolling per bucket."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"]))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        r = (g.groupby("user_id", sort=False)["value"]
+             .rolling(window, min_periods=1).mean()
+             .reset_index(drop=True))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "rolling_avg": np.round(r.to_numpy(np.float64), 6)})
+
+    out = ds.groupby("__ubucket").map_groups(roll,
+                                             batch_format="pandas")
+    return (out.to_pandas().sort_values("event_id")
+            .reset_index(drop=True))
+
+
+EVENTS_ROLLING_AVG_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_avg
+FROM events ORDER BY event_id
+"""
+
+
+def lineitem_price_quantity_corr(sf_dir: str):
+    """Global Pearson correlation as an ALGEBRAIC aggregate: each
+    batch contributes the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²); the driver folds O(#batches) tiny rows — the canonical
+    way any moment-based statistic (corr, covar, stddev, skew)
+    distributes without a shuffle at all."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy(np.float64)
+        y = b["l_extendedprice"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = p["n"].sum()
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    sxy, sxx, syy = p["sxy"].sum(), p["sxx"].sum(), p["syy"].sum()
+    corr = ((n * sxy - sx * sy)
+            / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return pd.DataFrame({"corr": [round(float(corr), 6)]})
+
+
+LINEITEM_CORR_SQL = """
+SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem
+"""

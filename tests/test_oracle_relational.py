@@ -895,3 +895,16 @@ class TestRunningAgg:
                           bucket_width=64.0).to_pandas() \
             .sort_values("k").reset_index(drop=True)
         assert out["m"].tolist() == [5.0, 5.0, 2.0, 2.0, 1.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingAndCorr:
+    def test_events_rolling_avg(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_rolling_avg(SF), R.EVENTS_ROLLING_AVG_SQL, con)
+
+    def test_lineitem_corr(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        got = R.lineitem_price_quantity_corr(SF)
+        want = con.sql(R.LINEITEM_CORR_SQL).df()
+        assert abs(got["corr"].iloc[0] - want["corr"].iloc[0]) < 1e-6
