@@ -126,3 +126,104 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
        list(tf ORDER BY doc_id) AS tfs
 FROM tf GROUP BY term ORDER BY term
 """
+
+
+def hybrid_search(sf_dir: str, terms: list[str] | None = None,
+                  k: int = 10, num_buckets: int = 32,
+                  index_dir: str | None = None) -> pd.DataFrame:
+    """Hybrid (filtered-vector) search: boolean TERM filter through
+    the partition-pruned inverted index, then cosine TOP-K over only
+    the surviving docs' embeddings — the retrieval shape every
+    RAG/search stack runs. The filter never touches the corpus (index
+    postings read via hive-partition + row pushdown); the vector leg
+    reads embeddings with a pushed-down ``vec_id IN hits`` parquet
+    filter when the hit set is small (same trick as the PQ stored
+    path), falling back to a broadcast hit-set membership filter in
+    ``map_batches`` when it isn't; top-k folds per batch so only k
+    rows per batch reach the driver."""
+    import tempfile
+    import ray
+    import pyarrow.parquet as pq
+
+    if terms is None:
+        terms = ["join", "scan"]
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="hybridx_")
+        build_index_for_sf(sf_dir, index_dir, num_buckets=num_buckets)
+    hits = search_index(index_dir, terms, mode="and",
+                        num_buckets=num_buckets)["doc_id"].to_numpy()
+    if len(hits) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cosine_sim": pd.Series([], dtype="float64")})
+
+    # query vector: the first hit's embedding ("more like this")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "=", int(hits[0]))])
+    q = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+
+    if len(hits) <= 10_000:
+        # pushed-down in-list row filter (the PQ stored-codes trick):
+        # only hit rows leave storage
+        import pyarrow.dataset as pads
+        import pyarrow.compute as pc
+        import pyarrow as pa
+        tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(
+                pa.array(hits, type=pa.int64())))
+        ds = rd.from_arrow(tbl)
+        hit_ref = None
+    else:  # broadcast membership filter, corpus streams
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        hit_ref = ray.put(np.sort(hits))
+    q_ref = ray.put(q)
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy(np.int64)
+        if hit_ref is not None:
+            hs = ray.get(hit_ref)
+            m = hs[np.searchsorted(hs, ids).clip(0, len(hs) - 1)] == ids
+            b, ids = b[m], ids[m]
+        if len(b) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64")})
+        emb = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in b["embedding"]])
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sim = emb @ ray.get(q_ref)
+        take = np.lexsort((ids, -sim))[:k]
+        return pd.DataFrame({"doc_id": ids[take],
+                             "cosine_sim": sim[take]})
+
+    df = ds.map_batches(topk, batch_format="pandas",
+                        batch_size=4096).to_pandas()
+    df = df.sort_values(["cosine_sim", "doc_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df.reset_index(drop=True)
+
+
+HYBRID_SEARCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE t IN ('join', 'scan')
+  GROUP BY doc_id HAVING COUNT(DISTINCT t) = 2),
+q AS (
+  SELECT embedding FROM embeddings
+  WHERE vec_id = (SELECT MIN(doc_id) FROM hits))
+SELECT e.vec_id AS doc_id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6)
+         AS cosine_sim
+FROM embeddings e JOIN hits h ON e.vec_id = h.doc_id, q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]) DESC,
+         e.vec_id
+LIMIT 10
+"""

@@ -82,3 +82,26 @@ class TestInvertedIndex:
         pruned = ds.get_fragments(pads.field("b") == b)
         touched = {f.path for f in pruned}
         assert touched and touched < all_files
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHybridSearch:
+    def test_matches_duckdb(self):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines import search as S
+        sf = "/root/testdata/sf0.001"
+        got = S.hybrid_search(sf, ["join", "scan"], k=10)
+        con = duckdb.connect()
+        for t in ["documents", "embeddings"]:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf}/{t}.parquet'")
+        want = con.sql(S.HYBRID_SEARCH_SQL).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert np.allclose(got["cosine_sim"], want["cosine_sim"],
+                           atol=1e-5)
+
+    def test_no_hits_returns_empty(self):
+        from osm_sidewalkreator_ray.pipelines import search as S
+        got = S.hybrid_search("/root/testdata/sf0.001",
+                              ["zzzznope"], k=5)
+        assert len(got) == 0
