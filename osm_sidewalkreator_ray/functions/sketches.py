@@ -284,3 +284,84 @@ def tdigest_quantiles(ds, column: str, qs: tuple[float, ...] = (
         acc = acc.merge(TDigest.from_bytes(blob, delta))
     return pd.DataFrame({f"p{int(q * 100)}": [round(acc.quantile(q), 6)]
                          for q in qs})
+
+
+def exact_quantile(ds, column: str, q: float,
+                   max_collect: int = 65536,
+                   max_rounds: int = 80) -> float:
+    """EXACT interpolated quantile (SQL ``quantile_cont``; NaNs
+    ignored) of a float column via DISTRIBUTED SELECTION — the exact
+    counterpart to the t-digest (approximate) and
+    distinct-value-histogram (int-only) plans. One bootstrap pass
+    gets (valid count, min, max); a t-digest guess seeds the pivot;
+    then each round is ONE counting pass (two slim numbers per batch)
+    that bisects the value bracket containing the target order
+    statistics; when the bracket holds <= ``max_collect`` rows they
+    collect and the interpolation finishes exactly. Rounds are
+    O(log(n/max_collect)) for non-degenerate data; massive ties
+    resolve via the one-representable-value bracket branch (a single
+    tied value IS both straddling order statistics)."""
+    boot = ds.map_batches(
+        lambda b: (lambda v: pd.DataFrame(
+            {"n": [len(v)],
+             "mn": [v.min() if len(v) else np.inf],
+             "mx": [v.max() if len(v) else -np.inf]}))(
+            b[column].to_numpy(dtype=np.float64)
+            [~np.isnan(b[column].to_numpy(dtype=np.float64))]),
+        batch_format="pandas").to_pandas()
+    n_total = int(boot["n"].sum())
+    if n_total == 0:
+        raise ValueError("exact_quantile of an all-NaN/empty column")
+    lo, hi = float(boot["mn"].min()), float(boot["mx"].max())
+
+    # target: interpolated between 0-indexed floor(h) and ceil(h)
+    h = (n_total - 1) * float(q)
+    k_lo, k_hi = int(np.floor(h)), int(np.ceil(h))
+
+    td = tdigest_quantiles(ds, column, qs=(q,))
+    pivot = float(np.clip(float(td.iloc[0, 0]),
+                          np.nextafter(lo, np.inf), hi))
+    lo_count = 0          # rows strictly below lo
+
+    for _ in range(max_rounds):
+        def count_batch(b: pd.DataFrame, _lo=lo, _hi=hi,
+                        _p=pivot) -> pd.DataFrame:
+            v = b[column].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            inb = v[(v >= _lo) & (v <= _hi)]
+            return pd.DataFrame({
+                "below_p": [int((inb < _p).sum())],
+                "in_bracket": [len(inb)]})
+
+        c = ds.map_batches(count_batch,
+                           batch_format="pandas").to_pandas()
+        below_p = int(c["below_p"].sum())   # within bracket, < pivot
+        in_bracket = int(c["in_bracket"].sum())
+
+        if in_bracket <= max_collect:
+            def grab(b: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
+                v = b[column].to_numpy(dtype=np.float64)
+                v = v[~np.isnan(v)]
+                return pd.DataFrame(
+                    {"v": v[(v >= _lo) & (v <= _hi)]})
+
+            vals = np.sort(ds.map_batches(
+                grab, batch_format="pandas").to_pandas()["v"]
+                .to_numpy(np.float64))
+            x_lo = vals[k_lo - lo_count]
+            x_hi = vals[k_hi - lo_count]
+            return float(x_lo + (h - k_lo) * (x_hi - x_lo))
+
+        # narrow: rows below the pivot globally = lo_count + below_p
+        if lo_count + below_p > k_lo:       # targets are < pivot
+            hi = np.nextafter(pivot, -np.inf)
+        else:                               # targets are >= pivot
+            lo, lo_count = pivot, lo_count + below_p
+        nxt = lo + (hi - lo) / 2.0
+        if not (lo < nxt < hi) or nxt == pivot:
+            # bracket narrowed to one representable value (ties):
+            # both order statistics equal it
+            return float(lo)
+        pivot = nxt
+    raise RuntimeError("exact_quantile did not converge "
+                       f"in {max_rounds} rounds")

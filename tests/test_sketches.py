@@ -131,3 +131,50 @@ def test_mg_heavy_hitters_grouped():
         assert sub["value"].iloc[0] == f"{g}_head"
         true = int((df.loc[df["lang"] == g, "tok"] == f"{g}_head").sum())
         assert sub["count_low"].iloc[0] <= true <= sub["count_high"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactQuantile:
+    def test_matches_duckdb_quantile_cont(self):
+        import duckdb
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import \
+            exact_quantile
+        sf = "/root/testdata/sf0.01"
+        ds = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_extendedprice"])
+        con = duckdb.connect()
+        for q in (0.5, 0.9, 0.01, 1.0, 0.0):
+            got = exact_quantile(ds, "l_extendedprice", q,
+                                 max_collect=512)
+            want = con.sql(
+                f"SELECT quantile_cont(l_extendedprice, {q}) FROM "
+                f"'{sf}/lineitem.parquet'").fetchone()[0]
+            assert abs(got - want) < 1e-9, (q, got, want)
+
+    def test_massive_ties(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import \
+            exact_quantile
+        df = pd.DataFrame({"x": np.concatenate(
+            [np.full(50_000, 7.0), np.array([1.0, 2.0, 100.0])])})
+        got = exact_quantile(rd.from_pandas(df), "x", 0.5,
+                             max_collect=64)
+        assert got == 7.0
+
+    def test_nan_ignored(self):
+        import duckdb
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import \
+            exact_quantile
+        rng = np.random.RandomState(9)
+        x = rng.normal(size=20_000)
+        x[::7] = np.nan
+        df = pd.DataFrame({"x": x})
+        got = exact_quantile(rd.from_pandas(df), "x", 0.25,
+                             max_collect=256)
+        c = duckdb.connect()
+        c.register("t", df)
+        want = c.sql("SELECT quantile_cont(x, 0.25) FROM t "
+                     "WHERE NOT isnan(x)").fetchone()[0]
+        assert abs(got - want) < 1e-12
