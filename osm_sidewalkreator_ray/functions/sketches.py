@@ -365,3 +365,54 @@ def exact_quantile(ds, column: str, q: float,
         pivot = nxt
     raise RuntimeError("exact_quantile did not converge "
                        f"in {max_rounds} rounds")
+
+
+# ------------------------------------------------ Count-Min sketch
+
+_CM_SEEDS = np.array([0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F,
+                      0x165667B1], dtype=np.uint64)
+
+
+def _cm_rows(values: np.ndarray, width: int) -> np.ndarray:
+    """(depth, len(values)) column indices — Kirsch-Mitzenmacher
+    double hashing off one 64-bit base hash, like the Bloom filter."""
+    h = pd.util.hash_array(values)
+    return np.stack([((h + s * h // np.uint64(2 ** 17 + 1)) * s
+                      % np.uint64(width)).astype(np.int64)
+                     for s in _CM_SEEDS])
+
+
+def count_min(ds, column: str, width: int = 16384,
+              depth: int = 5) -> np.ndarray:
+    """Count-Min sketch (Cormode-Muthukrishnan, J.Alg 2005) of a key
+    column: (depth, width) uint64 counter matrix. Per-batch partials
+    are the SAME fixed-size matrix and merge by entrywise ADD (exactly
+    like HLL's max-merge) — nothing cardinality-proportional moves;
+    point estimates overcount by at most eps*N (eps ~ e/width) with
+    probability 1-delta (delta ~ exp(-depth)). The point-frequency
+    complement to Misra-Gries (which only tracks the head)."""
+    depth = min(depth, len(_CM_SEEDS))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros((depth, width), dtype=np.uint64)
+        v = np.asarray(b[column])
+        rows = _cm_rows(v, width)[:depth]
+        for d in range(depth):
+            np.add.at(m[d], rows[d], 1)
+        return pd.DataFrame({"cm": [m.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = np.zeros((depth, width), dtype=np.uint64)
+    for blob in parts.get("cm", []):
+        acc += np.frombuffer(blob, dtype=np.uint64) \
+            .reshape(depth, width)
+    return acc
+
+
+def cm_estimate(sketch: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for ``values``."""
+    depth, width = sketch.shape
+    rows = _cm_rows(np.asarray(values), width)[:depth]
+    return np.min(np.stack([sketch[d, rows[d]]
+                            for d in range(depth)]), axis=0) \
+        .astype(np.int64)

@@ -178,3 +178,31 @@ class TestExactQuantile:
         want = c.sql("SELECT quantile_cont(x, 0.25) FROM t "
                      "WHERE NOT isnan(x)").fetchone()[0]
         assert abs(got - want) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMin:
+    def test_never_undercounts_and_bounded_overcount(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import \
+            count_min, cm_estimate
+        rng = np.random.RandomState(6)
+        keys = rng.zipf(1.3, 200_000).astype(np.int64) % 10_000
+        ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+        sk = count_min(ds, "k", width=16384, depth=5)
+        true = pd.Series(keys).value_counts()
+        probe = true.index.to_numpy()[:500]
+        est = cm_estimate(sk, probe)
+        tr = true.loc[probe].to_numpy()
+        assert (est >= tr).all()          # CM never undercounts
+        # eps ~ e/width -> overcount <= ~3 * e*N/width w.h.p.
+        bound = 3 * np.e * len(keys) / 16384
+        assert (est - tr).max() <= bound
+
+    def test_merge_equals_single_pass(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import count_min
+        df = pd.DataFrame({"k": np.arange(50_000) % 1000})
+        one = count_min(rd.from_pandas(df).repartition(1), "k")
+        many = count_min(rd.from_pandas(df).repartition(16), "k")
+        assert np.array_equal(one, many)
