@@ -227,3 +227,98 @@ ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
          e.vec_id
 LIMIT 10
 """
+
+
+def update_inverted_index(new_docs, index_dir: str,
+                          num_buckets: int = 32) -> list[int]:
+    """INCREMENTAL index maintenance: fold a batch of NEW documents
+    (doc_id, text — ids must not already be indexed; dedup upstream,
+    e.g. ``textops.incremental_exact_dedup``) into an existing
+    ``build_inverted_index`` directory. Only the term-hash buckets
+    that actually receive new postings are rewritten — every other
+    partition's files are untouched, so repeated ingests stay
+    proportional to the DELTA, not the corpus (the same
+    partitioned-resume contract as the join checkpoints). Returns the
+    touched bucket ids.
+
+    Per touched bucket (one Ray task each): read that partition's
+    postings, explode ONLY the terms that gained docs back to long
+    rows, merge with the new rows, re-aggregate, write a fresh file
+    and drop the old ones (temp + rename for the new file, so a crash
+    mid-bucket leaves the old postings readable)."""
+    import os
+    import uuid
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        terms, ids, tfs = [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            cnt = Counter(_tokens(text))
+            terms.extend(cnt.keys())
+            tfs.extend(cnt.values())
+            ids.extend([did] * len(cnt))
+        t = np.asarray(terms, dtype=object)
+        out = pd.DataFrame({
+            "term": t,
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "tf": pd.Series(tfs, dtype="int64")})
+        out["b"] = _bucket_of(t, num_buckets) if len(out) else \
+            pd.Series([], dtype="int64")
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        b = int(g["b"].iloc[0])
+        part_dir = os.path.join(index_dir, f"b={b}")
+        new_terms = set(g["term"])
+        keep_rows, long_rows = [], [g[["term", "doc_id", "tf"]]]
+        old_files = []
+        if os.path.isdir(part_dir):
+            for fn in sorted(os.listdir(part_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                old_files.append(os.path.join(part_dir, fn))
+                old = pq.read_table(
+                    os.path.join(part_dir, fn)).to_pandas()
+                hit = old["term"].isin(new_terms)
+                keep_rows.append(old[~hit])
+                aff = old[hit]
+                if len(aff):
+                    long_rows.append(pd.DataFrame({
+                        "term": np.repeat(
+                            aff["term"].to_numpy(object),
+                            aff["df"].to_numpy(np.int64)),
+                        "doc_id": np.concatenate(
+                            [np.asarray(x, dtype=np.int64)
+                             for x in aff["doc_ids"]]),
+                        "tf": np.concatenate(
+                            [np.asarray(x, dtype=np.int64)
+                             for x in aff["tfs"]])}))
+        merged = pd.concat(long_rows, ignore_index=True) \
+            .sort_values(["term", "doc_id"], kind="mergesort")
+        agg = merged.groupby("term", sort=True)
+        fresh = pd.DataFrame({
+            "term": list(agg.groups.keys()),
+            "df": agg["doc_id"].count().to_numpy(np.int64),
+            "doc_ids": agg["doc_id"].agg(list).to_numpy(object),
+            "tfs": agg["tf"].agg(list).to_numpy(object)})
+        out = pd.concat([fresh]
+                        + [k[["term", "df", "doc_ids", "tfs"]]
+                           for k in keep_rows if len(k)],
+                        ignore_index=True).sort_values("term")
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(part_dir,
+                             f"upd-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       tmp)
+        os.rename(tmp, final)
+        for f in old_files:
+            os.remove(f)
+        return pd.DataFrame({"b": [b]})
+
+    touched = (new_docs.map_batches(explode, batch_format="pandas")
+               .groupby("b").map_groups(merge_bucket,
+                                        batch_format="pandas")
+               .to_pandas())
+    return sorted(int(x) for x in touched.get("b", []))

@@ -105,3 +105,58 @@ class TestHybridSearch:
         got = S.hybrid_search("/root/testdata/sf0.001",
                               ["zzzznope"], k=5)
         assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalIndexUpdate:
+    def test_incremental_equals_full_rebuild(self, tmp_path):
+        import ray.data as rd
+        import pyarrow.dataset as pads
+        from osm_sidewalkreator_ray.pipelines import search as S
+        from osm_sidewalkreator_ray.pipelines.textops import _read_docs
+        docs = _read_docs(SF, ["doc_id", "text"]).to_pandas()
+        first, rest = docs[docs.doc_id % 3 != 0], docs[docs.doc_id % 3 == 0]
+
+        inc_dir = str(tmp_path / "inc")
+        S.build_inverted_index(rd.from_pandas(first), inc_dir)
+        touched = S.update_inverted_index(rd.from_pandas(rest), inc_dir)
+        assert touched  # some buckets rewritten
+
+        full_dir = str(tmp_path / "full")
+        S.build_inverted_index(rd.from_pandas(docs), full_dir)
+
+        def load(d):
+            t = pads.dataset(d, partitioning="hive").to_table(
+                columns=["term", "df", "doc_ids"]).to_pandas()
+            t["doc_ids"] = t["doc_ids"].map(
+                lambda x: tuple(int(v) for v in x))
+            return t.sort_values("term").reset_index(drop=True)
+
+        a, b = load(inc_dir), load(full_dir)
+        pd.testing.assert_frame_equal(a, b)
+
+        # searches agree too
+        r1 = S.search_index(inc_dir, ["join", "scan"], mode="and")
+        r2 = S.search_index(full_dir, ["join", "scan"], mode="and")
+        pd.testing.assert_frame_equal(r1, r2)
+
+    def test_untouched_partitions_not_rewritten(self, tmp_path):
+        import os
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import search as S
+        base = pd.DataFrame({"doc_id": [1, 2],
+                             "text": ["alpha beta", "beta gamma"]})
+        d = str(tmp_path / "ix")
+        S.build_inverted_index(rd.from_pandas(base), d, num_buckets=8)
+        before = {p: sorted(os.listdir(os.path.join(d, p)))
+                  for p in os.listdir(d)}
+        new = pd.DataFrame({"doc_id": [3], "text": ["alpha alpha"]})
+        touched = S.update_inverted_index(rd.from_pandas(new), d,
+                                          num_buckets=8)
+        after = {p: sorted(os.listdir(os.path.join(d, p)))
+                 for p in os.listdir(d)}
+        t_dirs = {f"b={b}" for b in touched}
+        for p in before:
+            if p not in t_dirs:
+                assert before[p] == after[p], p
+        assert len(touched) == 1  # only alpha's bucket
