@@ -67,6 +67,7 @@ def build_inverted_index(docs, out_dir: str, num_buckets: int = 32):
     rows = docs.map_batches(explode, batch_format="pandas")
     idx = rows.groupby("b").map_groups(postings, batch_format="pandas")
     idx.write_parquet(out_dir, partition_cols=["b"])
+    _write_doclens(docs, out_dir)   # BM25 sidecars (append-only)
     return out_dir
 
 
@@ -321,4 +322,121 @@ def update_inverted_index(new_docs, index_dir: str,
                .groupby("b").map_groups(merge_bucket,
                                         batch_format="pandas")
                .to_pandas())
+    _write_doclens(new_docs, index_dir)   # append-only BM25 sidecars
     return sorted(int(x) for x in touched.get("b", []))
+
+
+# --------------------------------------------------- BM25 ranking
+
+def _write_doclens(docs, index_dir: str) -> None:
+    """Append-only (doc_id, dl) sidecar under ``_doclens/`` plus a
+    (n_docs, total_len) row under ``_meta/`` — underscore prefixes
+    keep pyarrow's hive loader from mixing them into the postings.
+    Append-only means ``update_inverted_index`` just adds files; the
+    reader sums the meta rows."""
+    import os
+    import uuid
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def lens(b: pd.DataFrame) -> pd.DataFrame:
+        # .to_numpy(): a filtered pandas block keeps its original
+        # index, and mixing it with a fresh 0..n-1 Series would UNION
+        # the indexes (row duplication + NaNs)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "dl": np.array([len(_tokens(t)) for t in b["text"]],
+                           dtype=np.int64)})
+
+    dl = docs.map_batches(lens, batch_format="pandas").to_pandas()
+    for sub in ("_doclens", "_meta"):
+        os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+    tag = uuid.uuid4().hex
+    pq.write_table(pa.Table.from_pandas(dl, preserve_index=False),
+                   os.path.join(index_dir, "_doclens",
+                                f"part-{tag}.parquet"))
+    meta = pa.table({"n_docs": pa.array([len(dl)], pa.int64()),
+                     "total_len": pa.array([int(dl["dl"].sum())],
+                                           pa.int64())})
+    pq.write_table(meta, os.path.join(index_dir, "_meta",
+                                      f"part-{tag}.parquet"))
+
+
+def bm25_search(index_dir: str, terms: list[str], k: int = 10,
+                k1: float = 1.5, b: float = 0.75,
+                num_buckets: int = 32) -> pd.DataFrame:
+    """Okapi BM25 top-k over the inverted index (Robertson/Walker,
+    Lucene's idf = ln(1 + (N - df + 0.5)/(df + 0.5))): postings (ids,
+    tfs, df) come from the PRUNED partition read; doc lengths come
+    from the ``_doclens`` sidecar with a pushed-down ``doc_id IN
+    hits`` row filter, so scoring reads O(|hits|) rows of each store,
+    never the corpus. Requires the index to have been built/updated
+    by code that writes the sidecars."""
+    import os
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    t = np.asarray(sorted(set(terms)), dtype=object)
+    buckets = sorted(set(_bucket_of(t, num_buckets).tolist()))
+    dset = pads.dataset(index_dir, partitioning="hive")
+    tbl = dset.to_table(
+        columns=["term", "df", "doc_ids", "tfs"],
+        filter=(pads.field("b").isin(buckets)
+                & pads.field("term").isin(list(map(str, t)))))
+    if tbl.num_rows == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+
+    meta = pads.dataset(
+        os.path.join(index_dir, "_meta")).to_table().to_pandas()
+    n_docs = int(meta["n_docs"].sum())
+    avg_dl = float(meta["total_len"].sum()) / max(n_docs, 1)
+
+    ids_all = [np.asarray(x, dtype=np.int64)
+               for x in tbl["doc_ids"].to_pylist()]
+    hits = np.unique(np.concatenate(ids_all))
+    dl_tbl = pads.dataset(
+        os.path.join(index_dir, "_doclens")).to_table(
+        filter=pc.field("doc_id").isin(
+            pa.array(hits, type=pa.int64()))).to_pandas()
+    dl_ids = dl_tbl["doc_id"].to_numpy(np.int64)
+    order = np.argsort(dl_ids)
+    dl_sorted, dlv = dl_ids[order], \
+        dl_tbl["dl"].to_numpy(np.float64)[order]
+
+    acc_ids = hits
+    acc = np.zeros(len(hits), dtype=np.float64)
+    for df_, ids, tfs in zip(tbl["df"].to_pylist(), ids_all,
+                             tbl["tfs"].to_pylist()):
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = dlv[np.searchsorted(dl_sorted, ids)]
+        idf = np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+        s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avg_dl))
+        acc[np.searchsorted(acc_ids, ids)] += s
+    take = np.lexsort((acc_ids, -acc))[:k]
+    return pd.DataFrame({
+        "doc_id": acc_ids[take],
+        "score": np.round(acc[take], 6)})
+
+
+BM25_SEARCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+meta AS (SELECT COUNT(*) AS n, AVG(dl) AS avg_dl FROM dl),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+       WHERE t IN ('join', 'scan') GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id,
+       ROUND(SUM(ln(1 + (meta.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.5
+                 / (tf.tf + 1.5 * (1 - 0.75
+                                   + 0.75 * dl.dl / meta.avg_dl))),
+             6) AS score
+FROM tf, df, dl, meta
+WHERE df.t = tf.t AND dl.doc_id = tf.doc_id
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id LIMIT 10
+"""

@@ -157,6 +157,49 @@ class TestIncrementalIndexUpdate:
                  for p in os.listdir(d)}
         t_dirs = {f"b={b}" for b in touched}
         for p in before:
+            if p.startswith("_"):
+                continue  # append-only BM25 sidecars gain files
             if p not in t_dirs:
                 assert before[p] == after[p], p
         assert len(touched) == 1  # only alpha's bucket
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25:
+    def test_matches_duckdb_formula(self, tmp_path):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines import search as S
+        d = str(tmp_path / "ix")
+        S.build_index_for_sf(SF, d)
+        got = S.bm25_search(d, ["join", "scan"], k=10)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+        want = con.sql(S.BM25_SEARCH_SQL).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert np.allclose(got["score"], want["score"], atol=1e-5)
+
+    def test_incremental_update_keeps_bm25_exact(self, tmp_path):
+        import ray.data as rd
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines import search as S
+        from osm_sidewalkreator_ray.pipelines.textops import _read_docs
+        docs = _read_docs(SF, ["doc_id", "text"]).to_pandas()
+        first = docs[docs.doc_id % 4 != 0]
+        rest = docs[docs.doc_id % 4 == 0]
+        d = str(tmp_path / "inc")
+        S.build_inverted_index(rd.from_pandas(first), d)
+        S.update_inverted_index(rd.from_pandas(rest), d)
+        got = S.bm25_search(d, ["join", "scan"], k=10)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+        want = con.sql(S.BM25_SEARCH_SQL).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert np.allclose(got["score"], want["score"], atol=1e-5)
+
+    def test_unknown_terms_empty(self, tmp_path):
+        from osm_sidewalkreator_ray.pipelines import search as S
+        d = str(tmp_path / "ix2")
+        S.build_index_for_sf(SF, d)
+        assert len(S.bm25_search(d, ["zzz_nope"])) == 0
