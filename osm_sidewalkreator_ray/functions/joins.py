@@ -583,3 +583,47 @@ def distance_join(left, right, d: float, l_x: str = "x", l_y: str = "y",
 
     return tagged.groupby("__b").map_groups(merge,
                                             batch_format="pandas")
+
+
+def merge_into(base, updates, on: str, delete_col: str | None = None,
+               num_buckets: int = 32):
+    """Lakehouse MERGE INTO / CDC apply: fold a changeset into a
+    snapshot by key — an update row REPLACES the base row with its
+    key, a new key INSERTS, and (with ``delete_col``) a truthy delete
+    marker REMOVES the key. Exactly ONE bucketed co-group of slim
+    rows; both sides stream, nothing collects. Schemas must match on
+    every non-marker column. The changeset must hold ONE row per key:
+    Ray block order is not a stable CDC sequence, so "last wins"
+    cannot be decided here — pre-dedup the changeset (e.g. a grouped
+    max on a version column) before applying."""
+    cols = [f.name for f in _arrow_schema(base)]
+
+    def tag(side):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            if side == 1 and delete_col is not None:
+                d = b[delete_col].fillna(False).astype(bool)
+                b = b.drop(columns=[delete_col])
+                b["__del"] = d.to_numpy()
+            else:
+                b["__del"] = False
+            b["__side"] = np.int8(side)
+            b["__b"] = _stable_bucket(b[on], num_buckets)
+            return b[cols + ["__del", "__side", "__b"]]
+        return f
+
+    tagged = (base.map_batches(tag(0), batch_format="pandas")
+              .union(updates.map_batches(tag(1),
+                                         batch_format="pandas")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        upd = g.loc[g["__side"] == 1]
+        bse = g.loc[g["__side"] == 0]
+        upd_keys = set(upd[on])
+        keep_base = bse[~bse[on].isin(upd_keys)]
+        inserts = upd.loc[~upd["__del"]]
+        out = pd.concat([keep_base, inserts], ignore_index=True)
+        return out[cols]
+
+    return tagged.groupby("__b").map_groups(fold,
+                                            batch_format="pandas")

@@ -459,3 +459,38 @@ class TestDistanceJoin:
         # (1,10) exactly at d; (2,20) at distance 1 across negative
         # cells; NULL row never matches
         assert list(zip(got["aid"], got["bid"])) == [(1, 10), (2, 20)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeInto:
+    def test_upsert_insert_delete_vs_sql(self):
+        import duckdb
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import merge_into
+        base = pd.DataFrame({"k": [1, 2, 3, 4],
+                             "v": ["a", "b", "c", "d"]})
+        upd = pd.DataFrame({"k": [2, 5, 3],
+                            "v": ["B", "E", None],
+                            "is_del": [False, False, True]})
+        got = merge_into(rd.from_pandas(base), rd.from_pandas(upd),
+                         on="k", delete_col="is_del").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        c = duckdb.connect()
+        c.register("base", base)
+        c.register("upd", upd)
+        want = c.sql("""
+            SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM upd)
+            UNION ALL
+            SELECT k, v FROM upd WHERE NOT is_del
+            ORDER BY k""").df()
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["v"].tolist() == want["v"].tolist()
+
+    def test_pure_upsert_without_delete_col(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import merge_into
+        base = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+        upd = pd.DataFrame({"k": [2, 3], "v": [99, 30]})
+        got = merge_into(rd.from_pandas(base), rd.from_pandas(upd),
+                         on="k").to_pandas().sort_values("k")
+        assert got["v"].tolist() == [10, 99, 30]
