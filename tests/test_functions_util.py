@@ -494,3 +494,45 @@ class TestMergeInto:
         got = merge_into(rd.from_pandas(base), rd.from_pandas(upd),
                          on="k").to_pandas().sort_values("k")
         assert got["v"].tolist() == [10, 99, 30]
+
+
+def test_no_library_module_calls_ray_init():
+    """Driver contract: the driver owns the Ray session — no library
+    module (or __ray_entry__) may call ray.init()/shutdown()."""
+    import ast
+    import pathlib
+    root = pathlib.Path("/root/repo")
+    files = list((root / "osm_sidewalkreator_ray").rglob("*.py"))
+    files.append(root / "__ray_entry__.py")
+    offenders = []
+    for f in files:
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in ("init", "shutdown")
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id in ("ray", "_ray")):
+                offenders.append(f"{f.name}:{node.lineno}")
+    assert not offenders, offenders
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distance_join_dense_cluster_exact():
+    """All points piled into one cell (worst skew): the single big
+    group stays correct, pairs still exact and dup-free."""
+    import duckdb
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.joins import distance_join
+    rng = np.random.RandomState(12)
+    a = pd.DataFrame({"x": rng.uniform(0, 0.5, 300),
+                      "y": rng.uniform(0, 0.5, 300),
+                      "aid": range(300)})
+    b = pd.DataFrame({"x2": rng.uniform(0, 0.5, 300),
+                      "y2": rng.uniform(0, 0.5, 300),
+                      "bid": range(300)})
+    got = distance_join(rd.from_pandas(a), rd.from_pandas(b),
+                        d=5.0).to_pandas()
+    # every pair is within d=5 of each other in a 0.5-side box
+    assert len(got) == 300 * 300
+    assert not got.duplicated(["aid", "bid"]).any()
