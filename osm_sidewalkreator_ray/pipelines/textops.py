@@ -2640,3 +2640,49 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.s, b.s) <= 2
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------------------------------- epoch shuffle (training)
+
+def epoch_shuffle_ds(ds, id_col: str = "doc_id", epoch: int = 0,
+                     seed: int = 42):
+    """Deterministic training-epoch reshuffle: globally reorder rows
+    by ``knuth_hash(id + epoch*PRIME + seed)`` — a different, fully
+    reproducible permutation per epoch, with NO RNG state (resume
+    mid-epoch re-derives the same order; SQL can reproduce it for the
+    oracle). One range sort on the hash key — the same all-to-all any
+    shuffle pays, but unlike ``random_shuffle`` the order is a pure
+    function of (id, epoch, seed), so retries, re-runs and different
+    block layouts give byte-identical epochs."""
+    mult = np.uint64(2654435761)
+    off = np.uint64(epoch) * np.uint64(0x9E3779B97F4A7C15) \
+        + np.uint64(seed)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        ids = b[id_col].to_numpy(np.int64).astype(np.uint64)
+        b["__shuf"] = ((ids + off) * mult % np.uint64(1 << 32)) \
+            .astype(np.int64)
+        return b
+
+    return ds.map_batches(key, batch_format="pandas").sort(
+        ["__shuf", id_col]).map_batches(
+        lambda b: b.drop(columns="__shuf"), batch_format="pandas")
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 0, seed: int = 42):
+    """Query form: the shuffled doc_id order for one epoch."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+    df = epoch_shuffle_ds(ds, epoch=epoch, seed=seed).to_pandas()
+    df["pos"] = np.arange(len(df), dtype=np.int64)
+    return df[["pos", "doc_id"]]
+
+
+EPOCH_SHUFFLE_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+         ((doc_id::HUGEINT + 7 * 11400714819323198485
+           + 42) * 2654435761) % 4294967296, doc_id) - 1 AS BIGINT)
+         AS pos,
+       doc_id
+FROM documents ORDER BY pos
+"""

@@ -908,3 +908,18 @@ class TestRollingAndCorr:
         got = R.lineitem_price_quantity_corr(SF)
         want = con.sql(R.LINEITEM_CORR_SQL).df()
         assert abs(got["corr"].iloc[0] - want["corr"].iloc[0]) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEpochShuffle:
+    def test_epoch7_matches_sql(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.epoch_shuffle(SF, epoch=7), T.EPOCH_SHUFFLE_SQL, con)
+
+    def test_epochs_differ_and_are_deterministic(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        a0 = T.epoch_shuffle(SF, epoch=0)
+        a1 = T.epoch_shuffle(SF, epoch=1)
+        assert a0["doc_id"].tolist() != a1["doc_id"].tolist()
+        assert sorted(a0["doc_id"]) == sorted(a1["doc_id"])
+        pd.testing.assert_frame_equal(a0, T.epoch_shuffle(SF, epoch=0))
