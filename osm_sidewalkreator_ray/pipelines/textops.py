@@ -2686,3 +2686,111 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY
        doc_id
 FROM documents ORDER BY pos
 """
+
+
+def packed_token_sequences_ds(ds, budget: int = 512,
+                              bucket_width: int = 4096,
+                              vocab_bits: int = 16,
+                              seq_buckets: int = 32):
+    """The trainer FEED behind ``pack_sequences``'s bookkeeping: the
+    actual fixed-``budget`` token-id sequences, concat-then-chunk in
+    doc_id order, as a Dataset of (seq_id, n_filled, token_ids
+    int32 list; the final partial sequence zero-pads to budget).
+    Consume with ``iter_batches`` — the corpus streams straight into
+    the training loop.
+
+    Plan: the pack_sequences prefix sum assigns every doc its global
+    token offset (O(#buckets) driver state); a second streaming pass
+    re-tokenizes each doc, hash-maps tokens to ids (2^vocab_bits — a
+    deterministic stand-in; swap in BPE ranks from
+    ``pipelines/bpe.py`` for a real vocab), SLICES the doc's id array
+    at sequence boundaries, and emits one (seq_id, offset, ids-bytes)
+    SPAN row per doc×sequence overlap — O(docs + crossings) rows, not
+    O(tokens); a seq-bucket co-group assembles each sequence's spans
+    by offset. No step holds more than a bucket of spans."""
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        n = b["text"].map(lambda s: len(_tokens(s))).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "n_tokens": n,
+            "bucket": ids // np.int64(bucket_width)})
+
+    counted = ds.map_batches(count, batch_format="pandas")
+    totals = (counted.map_batches(
+        lambda b: b.groupby("bucket", as_index=False)
+        .agg(total=("n_tokens", "sum")), batch_format="pandas")
+        .to_pandas().groupby("bucket", as_index=False)["total"].sum()
+        .sort_values("bucket"))
+    offsets = dict(zip(
+        totals["bucket"].to_numpy(),
+        np.concatenate([[0], totals["total"].cumsum()
+                        .to_numpy()[:-1]])))
+    # intra-bucket starts need doc order within the bucket: compute
+    # per-bucket cumsums once (slim (doc_id, start) rows) and
+    # broadcast the per-doc starts per bucket is O(corpus) driver
+    # state — instead recompute intra offsets inside the span pass by
+    # co-grouping docs per bucket (ordered key ranges)
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+    mask = np.uint64((1 << vocab_bits) - 1)
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        base = int(offs[int(g["bucket"].iloc[0])])
+        out_seq, out_off, out_ids = [], [], []
+        pos = base
+        for text in g["text"]:
+            toks = _tokens(text)
+            if not toks:
+                continue
+            tid = (pd.util.hash_array(np.array(toks, dtype=object))
+                   & mask).astype(np.int32)
+            start = pos
+            pos += len(tid)
+            s0, s1 = start // budget, (pos - 1) // budget
+            for s in range(s0, s1 + 1):
+                lo = max(start, s * budget)
+                hi = min(pos, (s + 1) * budget)
+                out_seq.append(s)
+                out_off.append(lo - s * budget)
+                out_ids.append(tid[lo - start:hi - start].tobytes())
+        return pd.DataFrame({
+            "seq_id": pd.Series(out_seq, dtype="int64"),
+            "off": pd.Series(out_off, dtype="int64"),
+            "ids": pd.Series(out_ids, dtype=object),
+            "sb": pd.Series(
+                (np.asarray(out_seq, dtype=np.uint64)
+                 % np.uint64(seq_buckets)).astype(np.int64)
+                if out_seq else [], dtype="int64")})
+
+    # the span pass needs text alongside the bucket key
+    def count_with_text(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "text": b["text"].to_numpy(object),
+            "bucket": ids // np.int64(bucket_width)})
+
+    span_rows = (ds.map_batches(count_with_text, batch_format="pandas")
+                 .groupby("bucket")
+                 .map_groups(spans, batch_format="pandas"))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        out_seq, out_n, out_arr = [], [], []
+        for sid, grp in g.groupby("seq_id", sort=True):
+            buf = np.zeros(budget, dtype=np.int32)
+            filled = 0
+            for off, blob in zip(grp["off"], grp["ids"]):
+                v = np.frombuffer(blob, dtype=np.int32)
+                buf[off:off + len(v)] = v
+                filled += len(v)
+            out_seq.append(int(sid))
+            out_n.append(filled)
+            out_arr.append(buf.tolist())
+        return pd.DataFrame({
+            "seq_id": pd.Series(out_seq, dtype="int64"),
+            "n_filled": pd.Series(out_n, dtype="int64"),
+            "token_ids": pd.Series(out_arr, dtype=object)})
+
+    return span_rows.groupby("sb").map_groups(assemble,
+                                              batch_format="pandas")

@@ -923,3 +923,44 @@ class TestEpochShuffle:
         assert a0["doc_id"].tolist() != a1["doc_id"].tolist()
         assert sorted(a0["doc_id"]) == sorted(a1["doc_id"])
         pd.testing.assert_frame_equal(a0, T.epoch_shuffle(SF, epoch=0))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackedTokenSequences:
+    def test_reconstructs_the_token_stream(self):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas() \
+            .sort_values("doc_id")
+        budget = 64
+        out = T.packed_token_sequences_ds(
+            rd.from_pandas(docs), budget=budget).to_pandas() \
+            .sort_values("seq_id").reset_index(drop=True)
+        # reference stream: hash-ids of all tokens in doc order
+        toks = [t for s in docs["text"] for t in T._tokens(s)]
+        ref = (pd.util.hash_array(np.array(toks, dtype=object))
+               & np.uint64(0xFFFF)).astype(np.int32)
+        got = np.concatenate([
+            np.asarray(r, dtype=np.int32)[:n]
+            for r, n in zip(out["token_ids"], out["n_filled"])])
+        assert np.array_equal(got, ref)
+        # every sequence except the last is exactly full
+        assert (out["n_filled"].iloc[:-1] == budget).all()
+        assert out["seq_id"].tolist() == list(range(len(out)))
+
+    def test_streams_into_iter_batches(self):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        ds = T.packed_token_sequences_ds(rd.from_pandas(docs),
+                                         budget=128)
+        n = 0
+        for batch in ds.iter_batches(batch_size=16,
+                                     batch_format="pandas"):
+            assert all(len(r) == 128 for r in batch["token_ids"])
+            n += len(batch)
+        assert n == ds.count()
