@@ -832,3 +832,78 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
     df = semantic_dedup_ds(ds, fit["centroids"],
                            sim_threshold=sim_threshold).to_pandas()
     return df.sort_values("vec_id").reset_index(drop=True)
+
+
+# --------------------------------------- covariance / distributed PCA
+
+def embedding_covariance(sf_dir: str):
+    """Mean vector and covariance matrix of the embedding column as
+    ALGEBRAIC aggregates: each batch contributes (n, Σx, Σxxᵀ) — one
+    (d + d²)-float partial per batch, summed on the driver; no
+    shuffle, the corpus streams once. The whitening/OPQ/PCA
+    preprocessing primitive. Returns (mean (d,), cov (d,d) — the
+    population covariance, matching np.cov(bias=True))."""
+    ds = _read_emb(sf_dir, ["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        return pd.DataFrame({
+            "n": [len(m)],
+            "sx": [m.sum(axis=0).tobytes()],
+            "sxx": [(m.T @ m).tobytes()]})
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=4096).to_pandas()
+    n = int(p["n"].sum())
+    d = len(np.frombuffer(p["sx"].iloc[0], dtype=np.float64))
+    sx = np.sum([np.frombuffer(v, dtype=np.float64)
+                 for v in p["sx"]], axis=0)
+    sxx = np.sum([np.frombuffer(v, dtype=np.float64).reshape(d, d)
+                  for v in p["sxx"]], axis=0)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    return mean, cov
+
+
+def embedding_top_component(sf_dir: str, iters: int = 50,
+                            seed: int = 3):
+    """First principal component by POWER ITERATION with the matvec
+    distributed: per iteration each batch contributes
+    Xᵀ(Xv) - n·mean(mean·v) partials (one d-float row per batch,
+    driver-summed; v broadcast via ray.put) — the corpus streams once
+    per iteration and the driver holds O(d). Deterministic start
+    vector. Returns (eigenvalue, component (d,), sign-fixed so the
+    largest-|coord| entry is positive)."""
+    mean, _ = embedding_covariance(sf_dir)
+    ds = _read_emb(sf_dir, ["embedding"]).materialize()
+    rng = np.random.RandomState(seed)
+    d = len(mean)
+    v = rng.normal(size=d)
+    v /= np.linalg.norm(v)
+    n_total = ds.count()
+    lam = 0.0
+    for _ in range(iters):
+        v_ref = ray.put(v)
+
+        def matvec(b: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in b["embedding"]])
+            vv = ray.get(v_ref)
+            return pd.DataFrame({
+                "y": [(m.T @ (m @ vv)).tobytes()],
+                "n": [len(m)]})
+
+        p = ds.map_batches(matvec, batch_format="pandas",
+                           batch_size=4096).to_pandas()
+        y = np.sum([np.frombuffer(x, dtype=np.float64)
+                    for x in p["y"]], axis=0)
+        # centered matvec: Cov·v = (XᵀX v)/n - mean (mean·v)
+        y = y / n_total - mean * float(mean @ v)
+        lam = float(np.linalg.norm(y))
+        if lam == 0:
+            break
+        v = y / lam
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return lam, v

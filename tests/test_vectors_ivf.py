@@ -1,4 +1,5 @@
 import duckdb
+import numpy as np
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -278,3 +279,31 @@ def test_semantic_dedup_planted_pair():
     assert not bool(out.loc[7, "keep"])
     assert int(out.loc[7, "dup_of"]) == 3
     assert (out.drop(index=7)["keep"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCovariancePCA:
+    def test_covariance_equals_numpy(self):
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines.vectors import \
+            embedding_covariance
+        mean, cov = embedding_covariance(SF)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in
+                      pq.read_table(f"{SF}/embeddings.parquet",
+                                    columns=["embedding"])
+                      ["embedding"].to_pylist()])
+        assert np.allclose(mean, m.mean(axis=0), atol=1e-12)
+        assert np.allclose(cov, np.cov(m.T, bias=True), atol=1e-10)
+
+    def test_top_component_matches_eigh(self):
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines.vectors import \
+            embedding_top_component, embedding_covariance
+        lam, v = embedding_top_component(SF, iters=200)
+        _, cov = embedding_covariance(SF)
+        w, u = np.linalg.eigh(cov)
+        top = u[:, -1]
+        if top[np.argmax(np.abs(top))] < 0:
+            top = -top
+        assert abs(lam - w[-1]) < 1e-6 * max(1.0, w[-1])
+        assert np.allclose(np.abs(v @ top), 1.0, atol=1e-6)
