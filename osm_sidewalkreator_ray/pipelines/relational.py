@@ -2404,3 +2404,112 @@ LINEITEM_CORR_SQL = """
 SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr
 FROM lineitem
 """
+
+
+# --------------------------------- resample/gap-fill + rank fractions
+
+
+def events_daily_gapfilled(sf_dir: str):
+    """Time-series RESAMPLE: daily event counts per type with missing
+    days ZERO-FILLED over each type's [min, max] day span — the gap
+    structure SQL gets from a generate_series lateral. Distributed:
+    one grouped_agg shuffle to slim (type, day, n) rows, then a
+    per-type co-group expands each type's day range vectorized
+    (np.arange + searchsorted scatter; the expansion is
+    output-proportional, days-not-events)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": (b["ts"].astype("int64")
+                    // 86_400_000_000).astype("int64")})
+
+    daily = grouped_agg(ds.map_batches(to_day, batch_format="pandas"),
+                        ["event_type", "day"], {"n": (None, "count")})
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, grp in g.groupby("event_type", sort=False):
+            days = np.arange(grp["day"].min(), grp["day"].max() + 1,
+                             dtype=np.int64)
+            n = np.zeros(len(days), dtype=np.int64)
+            n[np.searchsorted(days, grp["day"].to_numpy(np.int64))] \
+                = grp["n"].to_numpy(np.int64)
+            outs.append(pd.DataFrame({"event_type": et, "day": days,
+                                      "n": n}))
+        return pd.concat(outs, ignore_index=True)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__tb"] = (pd.util.hash_array(
+            np.asarray(b["event_type"])) % 32).astype(np.int64)
+        return b
+
+    out = (daily.map_batches(tag, batch_format="pandas")
+           .groupby("__tb").map_groups(
+               lambda g: fill(g.drop(columns="__tb")),
+               batch_format="pandas").to_pandas())
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
+EVENTS_GAPFILL_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+  FROM d GROUP BY event_type),
+grid AS (
+  SELECT s.event_type, g.day
+  FROM spans s, LATERAL unnest(generate_series(s.lo, s.hi))
+    AS g(day))
+SELECT grid.event_type, grid.day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN d
+  ON d.event_type = grid.event_type AND d.day = grid.day
+ORDER BY grid.event_type, grid.day
+"""
+
+
+def customer_balance_percent_rank(sf_dir: str):
+    """Global PERCENT_RANK + CUME_DIST over the customer balance
+    order — plain maps over ``global_rank``'s distributed prefix
+    rank: pr = (rank-1)/(N-1), cd = rank_of_last_peer/N (peers share
+    the max rank among ties; ties broken in the rank by custkey, so
+    peer groups are exact-balance groups handled by a per-balance max
+    over the slim (balance, rank) rows)."""
+    from ..functions.windows import global_rank
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ranked, n = global_rank(cust, ["c_acctbal", "c_custkey"],
+                            out_col="rank", bucket_width=500.0)
+
+    # peers = equal balances: cume_dist uses each peer group's top
+    # rank, percent_rank its bottom rank - 1. The peer fold runs on
+    # the collected slim (key, balance, rank) rows — a batch-local
+    # transform would be wrong (a peer group can straddle a batch
+    # boundary); the distributed form is one grouped_agg of
+    # (balance -> min/max rank) joined back, which this output-sized
+    # query form doesn't need
+    df = ranked.to_pandas()
+    grp = df.groupby("c_acctbal")["rank"]
+    top = grp.transform("max").to_numpy(np.int64)
+    bot = grp.transform("min").to_numpy(np.int64)
+    out = pd.DataFrame({
+        "c_custkey": df["c_custkey"].astype("int64"),
+        "pct_rank": np.round((bot - 1) / (n - 1), 6),
+        "cume_dist": np.round(top / n, 6)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMER_PERCENT_RANK_SQL = """
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6)
+         AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY c_acctbal), 6) AS cume_dist
+FROM customer ORDER BY c_custkey
+"""

@@ -964,3 +964,15 @@ class TestPackedTokenSequences:
             assert all(len(r) == 128 for r in batch["token_ids"])
             n += len(batch)
         assert n == ds.count()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResampleAndRankFractions:
+    def test_events_daily_gapfilled(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_daily_gapfilled(SF), R.EVENTS_GAPFILL_SQL, con)
+
+    def test_customer_percent_rank(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.customer_balance_percent_rank(SF),
+              R.CUSTOMER_PERCENT_RANK_SQL, con)
