@@ -131,7 +131,8 @@ FROM tf GROUP BY term ORDER BY term
 
 def hybrid_search(sf_dir: str, terms: list[str] | None = None,
                   k: int = 10, num_buckets: int = 32,
-                  index_dir: str | None = None) -> pd.DataFrame:
+                  index_dir: str | None = None,
+                  pushdown_max_hits: int = 10_000) -> pd.DataFrame:
     """Hybrid (filtered-vector) search: boolean TERM filter through
     the partition-pruned inverted index, then cosine TOP-K over only
     the surviving docs' embeddings — the retrieval shape every
@@ -164,7 +165,7 @@ def hybrid_search(sf_dir: str, terms: list[str] | None = None,
     q = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
     q = q / np.linalg.norm(q)
 
-    if len(hits) <= 10_000:
+    if len(hits) <= pushdown_max_hits:
         # pushed-down in-list row filter (the PQ stored-codes trick):
         # only hit rows leave storage
         import pyarrow.dataset as pads

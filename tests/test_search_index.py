@@ -203,3 +203,18 @@ class TestBM25:
         d = str(tmp_path / "ix2")
         S.build_index_for_sf(SF, d)
         assert len(S.bm25_search(d, ["zzz_nope"])) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hybrid_search_broadcast_path_equals_pushdown():
+    """Force the large-hit-set branch (broadcast membership filter,
+    corpus streams) and require identical results to the pushed-down
+    in-list read."""
+    from osm_sidewalkreator_ray.pipelines import search as S
+    import tempfile
+    d = tempfile.mkdtemp(prefix="hyb2_")
+    S.build_index_for_sf(SF, d)
+    a = S.hybrid_search(SF, ["join", "scan"], k=10, index_dir=d)
+    b = S.hybrid_search(SF, ["join", "scan"], k=10, index_dir=d,
+                        pushdown_max_hits=0)
+    pd.testing.assert_frame_equal(a, b)
