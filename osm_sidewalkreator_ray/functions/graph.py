@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 
@@ -128,7 +129,8 @@ def connected_components(edges, num_buckets: int = 32,
 
 
 def pagerank(edges, damping: float = 0.85, iters: int = 20,
-             num_buckets: int = 32):
+             num_buckets: int = 32, weight_col: str | None = None,
+             personalization: dict | None = None):
     """Distributed PageRank over a directed edge Dataset/DataFrame
     (src, dst int64) — the canonical iterative graph op beside
     ``connected_components`` (PEGASUS, Kang et al. ICDM'09: PR as
@@ -149,16 +151,26 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
     scalar the driver reads from one tiny aggregate over rows it
     already materialized. Per-iteration driver state is O(1);
     shuffled rows are always slim (id, float) pairs, never the edge
-    payload."""
+    payload.
+
+    ``weight_col`` names an edge-weight column: contributions become
+    w/Σw_out(src) instead of 1/outdeg. ``personalization`` is a small
+    {vertex: mass} restart distribution (normalized here; seed sets
+    are small by nature, so it broadcasts as one ``ray.put`` dict):
+    teleport AND dangling mass land on the seeds instead of uniformly
+    — personalized PageRank (Jeh-Widom WWW'03 random-walk-with-
+    restart semantics)."""
     edges = _to_edge_ds(edges)
 
     def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
         src = b["src"].to_numpy(np.int64)
+        w = (b[weight_col].to_numpy(np.float64) if weight_col
+             else np.ones(len(b), dtype=np.float64))
         return pd.DataFrame({
             "bucket": (pd.util.hash_array(src) % num_buckets)
             .astype(np.int64),
             "src": src, "dst": b["dst"].to_numpy(np.int64),
-            "val": np.zeros(len(b), dtype=np.float64),
+            "val": w,
             "is_edge": np.ones(len(b), dtype=bool)})
 
     edge_rows = edges.map_batches(tag_edges,
@@ -167,10 +179,11 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
         return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="float64")})
 
-    # out-degrees -> edge weight 1/deg, attached once (static)
+    # out-weight sums -> edge factor w/Σw, attached once (static)
     def partial_deg(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(["bucket", "src"], as_index=False).size()
-        return g.rename(columns={"size": "deg"})
+        g = b.groupby(["bucket", "src"], as_index=False) \
+            .agg(deg=("val", "sum"))
+        return g
 
     def fold_deg(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("src", as_index=False)["deg"].sum() \
@@ -185,7 +198,8 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
         d = g.loc[~g["is_edge"], ["src", "val"]] \
             .rename(columns={"val": "inv"})
         out = e.merge(d, on="src")
-        out["val"] = out["inv"]
+        out["val"] = out["val"].to_numpy(np.float64) \
+            * out["inv"].to_numpy(np.float64)
         return out[["bucket", "src", "dst", "val", "is_edge"]]
 
     deg_rows = degs.map_batches(
@@ -213,11 +227,29 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
                     batch_format="pandas").materialize())
     n = vertices.count()
 
-    ranks = vertices.map_batches(
-        lambda b: pd.DataFrame({
-            "vertex": b["vertex"].to_numpy(np.int64),
-            "rank": np.full(len(b), 1.0 / n, dtype=np.float64)}),
-        batch_format="pandas").materialize()
+    if personalization:
+        tot = float(sum(personalization.values()))
+        sk = np.sort(np.array(list(personalization), dtype=np.int64))
+        sv = np.array([float(personalization[int(k)]) / tot
+                       for k in sk])
+        p_ref = ray.put((sk, sv))
+    else:
+        p_ref = None
+
+    def _seed_mass(v: np.ndarray) -> np.ndarray:
+        # vectorized sparse lookup: sorted seed keys + searchsorted
+        sk_, sv_ = ray.get(p_ref)
+        idx = np.searchsorted(sk_, v).clip(0, len(sk_) - 1)
+        return np.where(sk_[idx] == v, sv_[idx], 0.0)
+
+    def init_rank(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["vertex"].to_numpy(np.int64)
+        r = (_seed_mass(v) if p_ref is not None
+             else np.full(len(v), 1.0 / n, dtype=np.float64))
+        return pd.DataFrame({"vertex": v, "rank": r})
+
+    ranks = vertices.map_batches(init_rank,
+                                 batch_format="pandas").materialize()
 
     def tag_ranks(b: pd.DataFrame) -> pd.DataFrame:
         v = b["vertex"].to_numpy(np.int64)
@@ -259,11 +291,14 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
         dangling = max(0.0, 1.0 - float(total_in))
 
         def new_rank(b: pd.DataFrame, _n=n, _d=damping,
-                     _dang=dangling) -> pd.DataFrame:
+                     _dang=dangling, _p=p_ref) -> pd.DataFrame:
+            v = b["dst"].to_numpy(np.int64)
+            base = (_seed_mass(v) if _p is not None
+                    else np.full(len(v), 1.0 / _n))
             return pd.DataFrame({
-                "vertex": b["dst"].to_numpy(np.int64),
-                "rank": (1.0 - _d) / _n
-                + _d * (b["c"].to_numpy(np.float64) + _dang / _n)})
+                "vertex": v,
+                "rank": (1.0 - _d) * base
+                + _d * (b["c"].to_numpy(np.float64) + _dang * base)})
 
         ranks = insums.map_batches(new_rank, batch_format="pandas")
 

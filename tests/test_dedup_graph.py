@@ -461,3 +461,73 @@ class TestStarComponents:
         assert comp[5] == comp[6] == comp[7] == 5
         assert comp[10] == comp[11] == comp[12] == 10
         assert comp[3] == 3  # self-loop-only vertex is its own comp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedPersonalizedPageRank:
+    @staticmethod
+    def _local(edges, weights=None, pers=None, d=0.85, iters=20):
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        w = (np.asarray(weights, dtype=float) if weights is not None
+             else np.ones(len(edges)))
+        verts = np.unique(np.concatenate([src, dst]))
+        idx = {v: i for i, v in enumerate(verts)}
+        n = len(verts)
+        wout = np.zeros(n)
+        for s, ww in zip(src, w):
+            wout[idx[s]] += ww
+        if pers:
+            tot = sum(pers.values())
+            base = np.array([pers.get(int(v), 0.0) / tot
+                             for v in verts])
+        else:
+            base = np.full(n, 1.0 / n)
+        r = base.copy()
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for (s, t), ww in zip(edges, w):
+                contrib[idx[t]] += r[idx[s]] * ww / wout[idx[s]]
+            dangling = r[wout == 0].sum()
+            r = (1 - d) * base + d * (contrib + dangling * base)
+        return verts, r
+
+    def test_weighted_matches_reference(self):
+        from osm_sidewalkreator_ray.functions.graph import pagerank
+        rng = np.random.RandomState(21)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, 30, size=(150, 2)) if a != b]
+        w = rng.uniform(0.1, 5.0, len(edges))
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        df["w"] = w
+        import ray.data as rd
+        got = pagerank(rd.from_pandas(df), iters=15, weight_col="w")
+        verts, want = self._local(edges, weights=w, iters=15)
+        assert got["vertex"].tolist() == list(verts)
+        assert np.allclose(got["rank"], want, atol=1e-12)
+
+    def test_personalized_restarts_on_seeds(self):
+        from osm_sidewalkreator_ray.functions.graph import pagerank
+        rng = np.random.RandomState(22)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, 40, size=(200, 2)) if a != b]
+        pers = {0: 1.0, 1: 3.0}
+        got = pagerank(pd.DataFrame(edges, columns=["src", "dst"]),
+                       iters=15, personalization=pers)
+        verts, want = self._local(edges, pers=pers, iters=15)
+        assert got["vertex"].tolist() == list(verts)
+        assert np.allclose(got["rank"], want, atol=1e-12)
+        # mass concentrated near the seeds vs the uniform variant
+        uni = pagerank(pd.DataFrame(edges, columns=["src", "dst"]),
+                       iters=15)
+        g = dict(zip(got["vertex"], got["rank"]))
+        u = dict(zip(uni["vertex"], uni["rank"]))
+        assert g[1] > u[1]
+
+    def test_unweighted_unchanged(self):
+        # the weight generalization must not perturb the plain op
+        from osm_sidewalkreator_ray.functions.graph import pagerank
+        edges = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+        got = pagerank(edges, iters=10)
+        base = self._local([(0, 1), (0, 2), (0, 3)], iters=10)[1]
+        assert np.allclose(got["rank"], base, atol=1e-12)
