@@ -501,8 +501,8 @@ class TestWeightedPersonalizedPageRank:
         df = pd.DataFrame(edges, columns=["src", "dst"])
         df["w"] = w
         import ray.data as rd
-        got = pagerank(rd.from_pandas(df), iters=15, weight_col="w")
-        verts, want = self._local(edges, weights=w, iters=15)
+        got = pagerank(rd.from_pandas(df), iters=6, weight_col="w")
+        verts, want = self._local(edges, weights=w, iters=6)
         assert got["vertex"].tolist() == list(verts)
         assert np.allclose(got["rank"], want, atol=1e-12)
 
@@ -513,13 +513,13 @@ class TestWeightedPersonalizedPageRank:
                  rng.randint(0, 40, size=(200, 2)) if a != b]
         pers = {0: 1.0, 1: 3.0}
         got = pagerank(pd.DataFrame(edges, columns=["src", "dst"]),
-                       iters=15, personalization=pers)
-        verts, want = self._local(edges, pers=pers, iters=15)
+                       iters=6, personalization=pers)
+        verts, want = self._local(edges, pers=pers, iters=6)
         assert got["vertex"].tolist() == list(verts)
         assert np.allclose(got["rank"], want, atol=1e-12)
         # mass concentrated near the seeds vs the uniform variant
         uni = pagerank(pd.DataFrame(edges, columns=["src", "dst"]),
-                       iters=15)
+                       iters=6)
         g = dict(zip(got["vertex"], got["rank"]))
         u = dict(zip(uni["vertex"], uni["rank"]))
         assert g[1] > u[1]
