@@ -1,0 +1,213 @@
+"""URL-level webtext curation: parse / gate / per-domain aggregate.
+
+These are the URL-side counterparts of the document-text gates in
+``textops`` (C4's URL filtering, Raffel et al. 2020 §2.2; RefinedWeb's
+URL dedup + filtering, Penedo et al. 2023 §3.1). At crawl scale the
+cheapest tokens to drop are the ones you never fetch or parse, so URL
+gates run BEFORE HTML extraction — each op here maps a Dataset with a
+``url`` string column (the flagship pages corpus of
+``sources/synthetic.py``, a crawl frontier, a WARC index) and stays a
+Dataset, so it composes ahead of ``stages/html_text``.
+
+Scale notes (100 TB): parsing is one compiled-regex pass per batch —
+embarrassingly parallel, zero shuffle. Filtering broadcasts the
+blocklists once (``ray.put`` for big lists — same contract as
+``decontaminate_ds``); per-domain stats pre-aggregate inside each batch
+via ``functions.aggregates.grouped_agg`` so only (domain, partial) rows
+enter the one small shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+
+# One pass, RFC-3986-shaped: scheme://[userinfo@]hostport[/path][?query][#frag]
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+    r"(?:[^@/?#]*@)?"
+    r"(?P<hostport>[^/?#]*)"
+    r"(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?"
+)
+
+# Common multi-label public suffixes (heuristic subset — the full
+# Mozilla Public Suffix List is a data file; C4-style pipelines use
+# exactly this kind of short table for grouping-by-site).
+MULTI_SUFFIXES = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "com.br", "net.br", "org.br", "co.jp", "ne.jp", "or.jp", "com.cn",
+    "net.cn", "org.cn", "co.in", "co.kr", "com.mx", "com.ar", "com.tr",
+})
+
+
+def _registered_domain(host: str) -> str:
+    """eTLD+1 under the MULTI_SUFFIXES heuristic; '' for empty/IP-ish
+    hosts (no dot → returned as-is: 'localhost' registers as itself)."""
+    if not host:
+        return ""
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def parse_url_frame(urls: pd.Series) -> pd.DataFrame:
+    """Vectorized URL decomposition (pure; shared by the Dataset stage
+    and the tests' stdlib-urlparse cross-check). Non-matching strings
+    (no ``scheme://``) yield empty scheme/host and NaN port.
+
+    Columns: scheme, host (lowercased, trailing-dot stripped), port
+    (float64, NaN = default), domain (eTLD+1 heuristic), tld,
+    path_depth (non-empty '/'-segments), n_query_params (non-empty
+    '&'-split), url_len.
+    """
+    s = urls.astype("string").fillna("")
+    ext = s.str.extract(_URL_RE)
+    scheme = ext["scheme"].fillna("").str.lower()
+    hostport = ext["hostport"].fillna("")
+    # split host:port — IPv6 brackets intentionally unsupported (rare
+    # in web corpora; such hosts parse as-is with NaN port)
+    hp = hostport.str.extract(r"^(?P<h>[^:]*)(?::(?P<p>\d+))?$")
+    host = hp["h"].fillna(hostport).str.lower().str.rstrip(".")
+    port = pd.to_numeric(hp["p"], errors="coerce")
+    path = ext["path"].fillna("")
+    query = ext["query"].fillna("")
+    path_depth = path.str.split("/").map(
+        lambda segs: sum(1 for x in segs if x), na_action="ignore")
+    n_q = query.str.split("&").map(
+        lambda segs: sum(1 for x in segs if x), na_action="ignore")
+    domain = host.map(_registered_domain, na_action="ignore")
+    tld = host.str.rsplit(".", n=1).str[-1].where(host.str.contains(
+        r"\.", regex=True), other="")
+    return pd.DataFrame({
+        "scheme": scheme.astype(object).fillna("").astype(str),
+        "host": host.astype(object).fillna("").astype(str),
+        "port": port.astype("float64"),
+        "domain": domain.astype(object).fillna("").astype(str),
+        "tld": tld.astype(object).fillna("").astype(str),
+        "path_depth": pd.Series(path_depth, dtype="float64").fillna(0)
+                        .astype("int64"),
+        "n_query_params": pd.Series(n_q, dtype="float64").fillna(0)
+                            .astype("int64"),
+        "url_len": s.str.len().fillna(0).astype("int64"),
+    })
+
+
+def url_parse_ds(ds, url_col: str = "url"):
+    """Dataset stage: append parsed-URL columns to every row. One
+    compiled-regex pass per batch, no shuffle, no state."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        parsed = parse_url_frame(batch[url_col])
+        parsed.index = batch.index
+        return pd.concat([batch, parsed], axis=1)
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# Gate order is part of the contract: drop_reason reports the FIRST
+# failing gate, so reordering changes outputs.
+_GATES = ("bad_scheme", "blocked_host", "blocked_domain", "blocked_tld",
+          "too_long", "too_deep", "too_many_params")
+
+
+def url_filter_ds(parsed, blocked_hosts=frozenset(),
+                  blocked_domains=frozenset(), blocked_tlds=frozenset(),
+                  max_url_len: int = 2048, max_path_depth: int = 12,
+                  max_query_params: int = 8,
+                  allowed_schemes=("http", "https")):
+    """C4-style URL gating over a ``url_parse_ds`` output: appends
+    ``keep`` (bool) and ``drop_reason`` ('' when kept; else the first
+    failing gate in ``_GATES`` order).
+
+    Blocklists may be plain sets (small; shipped in the task closure)
+    or ``ray.ObjectRef`` s to frozensets (``ray.put`` once for
+    million-host lists — each node then holds one shared copy, the
+    ``decontaminate_ds`` contract).
+    """
+    refs = {k: (v if isinstance(v, ray.ObjectRef) else None)
+            for k, v in (("h", blocked_hosts), ("d", blocked_domains),
+                         ("t", blocked_tlds))}
+    plain = {"h": blocked_hosts if refs["h"] is None else None,
+             "d": blocked_domains if refs["d"] is None else None,
+             "t": blocked_tlds if refs["t"] is None else None}
+    schemes = frozenset(allowed_schemes)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        bh = plain["h"] if refs["h"] is None else ray.get(refs["h"])
+        bd = plain["d"] if refs["d"] is None else ray.get(refs["d"])
+        bt = plain["t"] if refs["t"] is None else ray.get(refs["t"])
+        n = len(batch)
+        reason = np.full(n, "", dtype=object)
+        checks = (
+            ("bad_scheme", ~batch["scheme"].isin(schemes).to_numpy()),
+            ("blocked_host", batch["host"].isin(bh).to_numpy()),
+            ("blocked_domain", batch["domain"].isin(bd).to_numpy()),
+            ("blocked_tld", batch["tld"].isin(bt).to_numpy()),
+            ("too_long", (batch["url_len"] > max_url_len).to_numpy()),
+            ("too_deep", (batch["path_depth"] > max_path_depth).to_numpy()),
+            ("too_many_params",
+             (batch["n_query_params"] > max_query_params).to_numpy()),
+        )
+        for name, mask in checks:  # later gates never overwrite earlier
+            hit = mask & (reason == "")
+            reason[hit] = name
+        out = batch.copy()
+        out["keep"] = reason == ""
+        out["drop_reason"] = reason
+        return out
+    return parsed.map_batches(f, batch_format="pandas")
+
+
+def host_stats_ds(parsed, num_buckets: int = 32):
+    """Per registered-domain crawl stats over a ``url_parse_ds``
+    output: (domain, n_pages, n_hosts, mean_path_depth,
+    mean_url_len). Distinct-host counting stays exact by shuffling
+    one slim (domain, host) row per DISTINCT pair per batch — the
+    per-batch dedup is the combiner; the final per-domain nunique
+    runs in the same bucket reducer as the sums.
+    """
+    from ..functions.aggregates import _BUCKET
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("domain", sort=False)
+        agg = pd.DataFrame({
+            "n_pages": g.size(),
+            "s_depth": g["path_depth"].sum(),
+            "s_len": g["url_len"].sum(),
+        }).reset_index()
+        hosts = (batch[["domain", "host"]].drop_duplicates()
+                 .groupby("domain", sort=False)["host"]
+                 .agg(lambda s: list(set(s))).reset_index()
+                 .rename(columns={"host": "hosts"}))
+        p = agg.merge(hosts, on="domain")
+        h = pd.util.hash_array(p["domain"].to_numpy(dtype=object))
+        p[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return p
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dom, g in bucket.groupby("domain", sort=False):
+            hosts = set()
+            for lst in g["hosts"]:
+                hosts.update(lst)
+            n = int(g["n_pages"].sum())
+            rows.append({"domain": dom, "n_pages": n,
+                         "n_hosts": len(hosts),
+                         "mean_path_depth": float(g["s_depth"].sum()) / n,
+                         "mean_url_len": float(g["s_len"].sum()) / n})
+        cols = ["domain", "n_pages", "n_hosts", "mean_path_depth",
+                "mean_url_len"]
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in
+                                 zip(cols, [str, "int64", "int64",
+                                            "float64", "float64"])})
+        return pd.DataFrame(rows)[cols]
+
+    return (parsed.map_batches(partial, batch_format="pandas")
+            .groupby(_BUCKET)
+            .map_groups(combine, batch_format="pandas"))
