@@ -163,3 +163,33 @@ class TestFlagshipComposition:
         assert set(stats["domain"]) == {"example.test"}
         gated = W.url_filter_ds(parsed).to_pandas()
         assert gated["keep"].all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPmiCollocations:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_duckdb(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        got = T.pmi_collocations(self.SF, min_count=5, top_k=20)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{self.SF}/documents.parquet'")
+        want = con.sql(T.PMI_SQL_TMPL.format(min_count=5, top_k=20)).df()
+        assert got["w1"].tolist() == want["w1"].tolist()
+        assert got["w2"].tolist() == want["w2"].tolist()
+        assert got["c_xy"].tolist() == want["c_xy"].astype("int64").tolist()
+        assert np.allclose(got["pmi"], want["pmi"])
+
+    def test_no_cross_doc_bigrams(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5, 6],
+             "text": ["a b", "a b", "a b", "a b", "a b", "b a"]}))
+        out = T.pmi_collocations_ds(docs, min_count=1, top_k=10)
+        # 'b a' occurs once INSIDE doc 6 only; the five doc-boundary
+        # b->a adjacencies must not count
+        ba = out[(out["w1"] == "b") & (out["w2"] == "a")]
+        assert ba["c_xy"].tolist() == [1]
+        ab = out[(out["w1"] == "a") & (out["w2"] == "b")]
+        assert ab["c_xy"].tolist() == [5]
