@@ -509,6 +509,14 @@ def embedding_near_dups_exact(sf_dir: str, sim_threshold: float = 0.4,
     reserve this as the verify/recall oracle on samples.
     """
     ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    return _exact_pairs(ds, sim_threshold, target_block_rows)
+
+
+def _exact_pairs(ds, sim_threshold: float,
+                 target_block_rows: int = 4096) -> pd.DataFrame:
+    """Block-pair exact cosine pairs >= threshold over an embeddings
+    Dataset (the physical plan documented on
+    ``embedding_near_dups_exact``); shared with DBSCAN's eps-graph."""
     n = ds.count()
     nblocks = max(1, -(-n // target_block_rows))
     refs = [r for bundle in ds.repartition(nblocks).iter_internal_ref_bundles()
@@ -907,3 +915,97 @@ def embedding_top_component(sf_dir: str, iters: int = 50,
     if v[np.argmax(np.abs(v))] < 0:
         v = -v
     return lam, v
+
+
+# -------------------------------------------------- DBSCAN clustering
+#
+# Density clustering over the embedding column (Ester et al., KDD'96)
+# with COSINE distance (1 - cosine_sim), the metric every other op in
+# this module uses. Deterministic variant: classic DBSCAN assigns a
+# border point to whichever core reaches it first (scan-order
+# dependent); here a border point joins the MINIMUM cluster label
+# among its core neighbors, so output is independent of block layout.
+
+def dbscan_embeddings_ds(emb, eps: float = 0.2, min_pts: int = 4,
+                         target_block_rows: int = 4096):
+    """embeddings Dataset (vec_id, embedding) -> Dataset of
+    (vec_id, label, is_core); label = min core vec_id of the cluster,
+    -1 = noise.
+
+    Physical plan: eps-graph from the shared block-pair kernel
+    (`_exact_pairs`, only pairs with cosine_sim >= 1 - eps leave the
+    tasks) -> degrees / core flags from the SURVIVING pair list (edge
+    set, not corpus-sized) -> `connected_components_star` over
+    core-core edges (O(log n) rounds, any diameter) -> border points
+    take the min core-neighbor component; everything else is noise.
+    The labeling map (clustered points only) is broadcast via
+    ``ray.put`` into one final map_batches over vec_ids — the
+    embeddings table itself streams, is read twice (pairs + labeling)
+    and never materializes on the driver. At corpus scale, swap the
+    exact eps-graph for the LSH candidates of `embedding_near_dups`
+    verified at 1 - eps: every later stage is pair-source agnostic
+    (same contract as textops.near_dup_components).
+    """
+    from ..functions.graph import connected_components_star
+    pairs = _exact_pairs(emb.select_columns(["vec_id", "embedding"]),
+                         1.0 - eps, target_block_rows)
+    if len(pairs):
+        ids = np.concatenate([pairs["vec_a"].to_numpy(np.int64),
+                              pairs["vec_b"].to_numpy(np.int64)])
+        deg = pd.Series(ids).value_counts()
+        # |N_eps(p)| includes p itself
+        core_ids = set(deg.index[(deg + 1) >= min_pts].astype(np.int64))
+    else:
+        core_ids = set()
+    label: dict[int, int] = {}
+    if core_ids:
+        ca = pairs["vec_a"].isin(core_ids).to_numpy()
+        cb = pairs["vec_b"].isin(core_ids).to_numpy()
+        cc = pairs[ca & cb]
+        if len(cc):
+            comp = connected_components_star(pd.DataFrame(
+                {"src": cc["vec_a"].to_numpy(np.int64),
+                 "dst": cc["vec_b"].to_numpy(np.int64)}))
+            label = dict(zip(comp["vertex"].astype(np.int64),
+                             comp["component"].astype(np.int64)))
+        for c in core_ids:          # isolated cores: own cluster
+            label.setdefault(int(c), int(c))
+        # border points: min component among core neighbors
+        border = pairs[ca ^ cb]
+        if len(border):
+            p = np.where(ca[ca ^ cb], border["vec_b"].to_numpy(np.int64),
+                         border["vec_a"].to_numpy(np.int64))
+            c = np.where(ca[ca ^ cb], border["vec_a"].to_numpy(np.int64),
+                         border["vec_b"].to_numpy(np.int64))
+            bl = pd.DataFrame({"p": p, "lab": [label[int(x)] for x in c]})
+            for pt, lab in bl.groupby("p")["lab"].min().items():
+                label[int(pt)] = int(lab)
+    lab_ref = ray.put(label)
+    cores_ref = ray.put(core_ids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        cores = ray.get(cores_ref)
+        vid = batch["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "vec_id": vid,
+            "label": np.fromiter((lab.get(int(v), -1) for v in vid),
+                                 dtype=np.int64, count=len(vid)),
+            "is_core": np.fromiter((int(v) in cores for v in vid),
+                                   dtype=bool, count=len(vid))})
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        assign, batch_format="pandas")
+
+
+def dbscan_clusters(sf_dir: str, eps: float = 0.2, min_pts: int = 4):
+    """Collected oracle form over the embeddings table (reference
+    equality vs a naive quadratic DBSCAN with the same deterministic
+    border rule — see tests)."""
+    out = dbscan_embeddings_ds(_read_emb(sf_dir, ["vec_id", "embedding"]),
+                               eps=eps, min_pts=min_pts)
+    return (out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+            if out.count() else
+            pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "label": pd.Series([], dtype="int64"),
+                          "is_core": pd.Series([], dtype="bool")}))

@@ -307,3 +307,104 @@ class TestCovariancePCA:
             top = -top
         assert abs(lam - w[-1]) < 1e-6 * max(1.0, w[-1])
         assert np.allclose(np.abs(v @ top), 1.0, atol=1e-6)
+
+
+def _naive_dbscan(ids, M, eps, min_pts):
+    """Quadratic reference with the SAME deterministic border rule
+    (min cluster label among core neighbors; label = min core id)."""
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = Mn @ Mn.T
+    adj = sims >= (1.0 - eps)
+    np.fill_diagonal(adj, False)
+    deg = adj.sum(axis=1)
+    core = (deg + 1) >= min_pts
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and adj[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    label = np.full(n, -1, dtype=np.int64)
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        if core[i]:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, ids[i]), ids[i])
+    for i in range(n):
+        if core[i]:
+            label[i] = comp_min[find(i)]
+    for i in range(n):
+        if core[i]:
+            continue
+        neigh = [comp_min[find(j)] for j in np.nonzero(adj[i])[0]
+                 if core[j]]
+        if neigh:
+            label[i] = min(neigh)
+    return label, core
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDbscan:
+    def _run(self, ids, M, eps, min_pts, blocks=3):
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        emb = rd.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": list(M)})).repartition(blocks)
+        got = (V.dbscan_embeddings_ds(emb, eps=eps, min_pts=min_pts)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        lab, core = _naive_dbscan(ids, M, eps, min_pts)
+        assert got["vec_id"].tolist() == list(ids)
+        assert got["label"].tolist() == list(lab)
+        assert got["is_core"].tolist() == list(core)
+
+    def test_blobs_vs_naive(self):
+        rng = np.random.RandomState(3)
+        centers = np.eye(4)[:3] * 10
+        M = np.concatenate([c + rng.normal(0, .6, (12, 4))
+                            for c in centers]
+                           + [rng.normal(0, 6, (8, 4))])  # noise-ish
+        ids = np.arange(len(M), dtype=np.int64) * 7 + 1  # non-contiguous
+        self._run(ids, M, eps=0.08, min_pts=4)
+
+    def test_border_and_isolated_core_rules(self):
+        # hand-built: a tight core pair, one border point touching it,
+        # a star whose center is core only through non-core leaves,
+        # and an isolated noise point
+        M = np.array([
+            [1.0, 0.0, 0.0], [0.999, 0.04, 0.0],    # core pair
+            [0.96, 0.28, 0.0],                       # border of the pair
+            [0.0, 1.0, 0.0], [0.05, 0.998, 0.0],
+            [-0.05, 0.998, 0.0], [0.0, 0.999, 0.05],  # star center+leaves
+            [0.0, 0.0, 1.0],                         # lone noise
+        ])
+        ids = np.arange(8, dtype=np.int64)
+        self._run(ids, M, eps=0.01, min_pts=3, blocks=2)
+
+    def test_sf0001_table_vs_naive(self):
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        M = np.stack([np.asarray(v, np.float64)
+                      for v in t["embedding"].to_pylist()])
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        got = V.dbscan_clusters(SF, eps=0.72, min_pts=5)
+        lab, core = _naive_dbscan(ids, M, 0.72, 5)
+        assert got["vec_id"].tolist() == list(ids)
+        assert got["label"].tolist() == list(lab)
+        assert got["is_core"].tolist() == list(core)
+        assert (got["label"] >= 0).any()  # parameters actually cluster
