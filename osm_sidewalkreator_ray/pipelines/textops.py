@@ -371,6 +371,30 @@ class MinHasher:
 _HASHER_CACHE: dict[tuple, MinHasher] = {}
 
 
+def _explode_bands(batch: pd.DataFrame, num_perm: int, bands: int,
+                   coarse_buckets: int) -> pd.DataFrame:
+    """Signature rows -> SLIM LSH band rows (band, band_hash, doc_id,
+    coarse bucket). Shared by the full and incremental minhash paths —
+    identical banding is what makes the incremental result provably a
+    filter of the full run's."""
+    n = len(batch)
+    rows_per_band = num_perm // bands
+    s = np.frombuffer(b"".join(batch["sig"]),
+                      dtype=np.uint64).reshape(n, num_perm)
+    chunks = s.reshape(n, bands, rows_per_band)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows_per_band):
+        bh ^= (chunks[:, :, j] + np.uint64(j + 1)) \
+            * np.uint64(_MIX[j % len(_MIX)])
+    bh >>= np.uint64(1)  # keep int64-positive for Arrow
+    return pd.DataFrame({
+        "band": np.tile(np.arange(bands), n),
+        "band_hash": bh.reshape(-1).view(np.int64),
+        "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+        "__cb": (bh.reshape(-1) % np.uint64(coarse_buckets))
+            .astype(np.int64)})
+
+
 def _minhash_batch(batch: pd.DataFrame, num_perm: int, k: int,
                    seed: int) -> pd.DataFrame:
     key = (num_perm, k, seed)
@@ -405,24 +429,11 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42),
         batch_format="pandas", batch_size=1024).materialize())
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        s = np.frombuffer(b"".join(batch["sig"]),
-                          dtype=np.uint64).reshape(n, num_perm)
-        chunks = s.reshape(n, bands, rows_per_band)
-        bh = np.zeros((n, bands), dtype=np.uint64)
-        for j in range(rows_per_band):
-            bh ^= (chunks[:, :, j] + np.uint64(j + 1)) \
-                * np.uint64(_MIX[j % len(_MIX)])
-        bh >>= np.uint64(1)  # keep int64-positive for Arrow
-        return pd.DataFrame({
-            "band": np.tile(np.arange(bands), n),
-            "band_hash": bh.reshape(-1).view(np.int64),
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-            "__cb": (bh.reshape(-1) % np.uint64(coarse_buckets))
-                .astype(np.int64)})
-
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    import functools
+    exploded = sigs.map_batches(
+        functools.partial(_explode_bands, num_perm=num_perm, bands=bands,
+                          coarse_buckets=coarse_buckets),
+        batch_format="pandas")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.pairgen import pairs_sharing_key
@@ -2939,3 +2950,98 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, top_k: int = 20):
     """Oracle form over the documents table (PMI_SQL_TMPL mirror)."""
     return pmi_collocations_ds(_read_docs(sf_dir, ["doc_id", "text"]),
                                min_count=min_count, top_k=top_k)
+
+
+# ----------------------------- incremental (new-vs-corpus) minhash
+#
+# Continuous-ingestion form of ``minhash_dedup_pairs`` (the MinHash
+# sibling of ``incremental_exact_dedup``): a fresh crawl batch is
+# checked against an already-deduped corpus without ever generating
+# the corpus's internal candidate pairs.
+
+def incremental_minhash_pairs(existing, new, num_perm: int = 64,
+                              bands: int = 16, threshold: float = 0.5,
+                              coarse_buckets: int = 64):
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) where AT LEAST
+    ONE side is a NEW doc — new-vs-existing plus new-vs-new; the
+    existing corpus is assumed internally deduped, so its
+    existing-existing pairs are skipped by construction. Both args are
+    (doc_id, text) Datasets with globally unique doc_ids.
+
+    Determinism guarantee (tested): with the same LSH parameters the
+    result EXACTLY equals ``minhash_dedup_pairs`` over the union
+    filtered to pairs touching a new doc — the signature and banding
+    kernels are shared (`_minhash_batch` / `_explode_bands`), and the
+    only pruning removes existing-existing candidates.
+
+    Physical plan: band rows carry an ``is_new`` flag; inside each
+    coarse bucket, LSH keys with NO new doc are dropped BEFORE pair
+    expansion — in steady state (|new| << |corpus|) almost every
+    bucket dies there, so candidate volume scales with |new|, not
+    |corpus|. In production the existing side's signature pass is a
+    stored artifact: feed a Dataset of (doc_id, sig, shingles) rows
+    straight into this function to skip re-sharding the corpus text
+    (the pass-through is keyed on column presence, like
+    ``incremental_exact_dedup``'s content_hash).
+    """
+    import functools
+    from ..functions.blocks import coalesce_slim
+
+    def sigs_of(ds):
+        names = ds.schema().names
+        if "sig" in names and "shingles" in names:
+            return ds
+        return coalesce_slim(ds.map_batches(
+            functools.partial(_minhash_batch, num_perm=num_perm, k=3,
+                              seed=42),
+            batch_format="pandas", batch_size=1024).materialize())
+
+    sigs_ex, sigs_new = sigs_of(existing), sigs_of(new)
+
+    def tag(flag):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = _explode_bands(b, num_perm=num_perm, bands=bands,
+                                 coarse_buckets=coarse_buckets)
+            out["is_new"] = np.full(len(out), flag, dtype=bool)
+            return out
+        return f
+
+    exploded = (sigs_ex.map_batches(tag(False), batch_format="pandas")
+                .union(sigs_new.map_batches(tag(True),
+                                            batch_format="pandas")))
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.pairgen import pairs_sharing_key
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        flags = g["is_new"].to_numpy(bool)
+        if not flags.any():
+            return empty
+        key = g["band_hash"].to_numpy() ^ (g["band"].to_numpy() + 1)
+        doc = g["doc_id"].to_numpy(np.int64)
+        live = np.isin(key, np.unique(key[flags]))
+        a, b = pairs_sharing_key(key[live], doc[live])
+        if len(a) == 0:
+            return empty
+        gnew = np.unique(doc[flags])
+        keep = np.isin(a, gnew) | np.isin(b, gnew)
+        if not keep.any():
+            return empty
+        return (pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
+                .drop_duplicates())
+
+    # candidates are slim (doc_a, doc_b) rows — materializing them is
+    # cheap and lets the zero-candidate case short-circuit before the
+    # verify joins (whose schema inference needs at least one block)
+    cand = (exploded.groupby("__cb")
+            .map_groups(candidates, batch_format="pandas")).materialize()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if cand.count() == 0:
+        return empty
+    pairs = _exact_verify_pairs(cand, sigs_ex.union(sigs_new), threshold)
+    df = pairs.to_pandas()
+    if df.empty:
+        return empty
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -531,3 +531,60 @@ class TestWeightedPersonalizedPageRank:
         got = pagerank(edges, iters=10)
         base = self._local([(0, 1), (0, 2), (0, 3)], iters=10)[1]
         assert np.allclose(got["rank"], base, atol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalMinhash:
+    def test_equals_full_run_filtered_to_new(self):
+        """Splitting the corpus into existing/new and running the
+        incremental op must yield EXACTLY the full run's verified
+        pairs restricted to >=1 new side (shared signature + banding
+        kernels; pruning only drops existing-existing candidates)."""
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        full = T.minhash_dedup_pairs(SF)
+        docs = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        existing = docs.map_batches(lambda b: b[b["doc_id"] % 5 != 0],
+                                    batch_format="pandas")
+        new = docs.map_batches(lambda b: b[b["doc_id"] % 5 == 0],
+                               batch_format="pandas")
+        inc = T.incremental_minhash_pairs(existing, new)
+        is_new_a = (full["doc_a"] % 5 == 0)
+        is_new_b = (full["doc_b"] % 5 == 0)
+        want = (full[is_new_a | is_new_b]
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(inc, want)
+        # and some existing-existing pairs were actually pruned away
+        assert len(want) < len(full)
+
+    def test_precomputed_signature_passthrough(self):
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        existing = docs.map_batches(lambda b: b[b["doc_id"] % 5 != 0],
+                                    batch_format="pandas")
+        new = docs.map_batches(lambda b: b[b["doc_id"] % 5 == 0],
+                               batch_format="pandas")
+        import functools
+        sig_ex = existing.map_batches(
+            functools.partial(T._minhash_batch, num_perm=64, k=3, seed=42),
+            batch_format="pandas")
+        via_sigs = T.incremental_minhash_pairs(sig_ex, new)
+        via_text = T.incremental_minhash_pairs(existing, new)
+        pd.testing.assert_frame_equal(via_sigs, via_text)
+
+    def test_disjoint_batches_no_pairs(self):
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        existing = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta gamma delta epsilon",
+                                        "one two three four five six"]}))
+        new = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [10], "text": ["totally different words here now"]}))
+        out = T.incremental_minhash_pairs(existing, new)
+        assert out.empty
