@@ -211,3 +211,126 @@ def host_stats_ds(parsed, num_buckets: int = 32):
     return (parsed.map_batches(partial, batch_format="pandas")
             .groupby(_BUCKET)
             .map_groups(combine, batch_format="pandas"))
+
+
+# ------------------------------------------- link graph / host rank
+#
+# The CommonCrawl-style curation chain: extract anchors -> resolve
+# against the page URL -> collapse to a registered-domain link graph
+# -> PageRank hosts (host-level centrality is the standard crawl
+# prioritisation / quality prior; cf. the harmonic-centrality host
+# ranks shipped with Common Crawl).
+
+_HREF_RE = r"""<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']"""
+
+
+def extract_links_ds(pages, url_col: str = "url", html_col: str = "html"):
+    """pages Dataset -> one row per anchor: (url, href, dst_url).
+
+    Extraction is one vectorized ``str.extractall`` per batch;
+    resolution matches stdlib ``urllib.parse.urljoin`` exactly but
+    runs once per DISTINCT (base, href) pair in the batch (anchors
+    repeat heavily — nav bars, footers), not per anchor row.
+    javascript:/mailto:/data: pseudo-links are dropped.
+    """
+    from urllib.parse import urljoin
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        html = batch[html_col].map(
+            lambda b: b.decode("utf-8", "replace")
+            if isinstance(b, (bytes, bytearray)) else str(b))
+        hits = html.str.extractall(_HREF_RE, flags=re.IGNORECASE)
+        cols = ["url", "href", "dst_url"]
+        if hits.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in cols})
+        page_idx = hits.index.get_level_values(0)
+        out = pd.DataFrame({
+            "url": batch[url_col].to_numpy(object)[
+                batch.index.get_indexer(page_idx)],
+            "href": hits[0].to_numpy(object)})
+        bad = out["href"].str.lower().str.match(
+            r"(javascript|mailto|data|tel):")
+        out = out[~bad.to_numpy()]
+        if out.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in cols})
+        uniq = out.drop_duplicates(["url", "href"])
+        resolved = {(u, h): urljoin(u, h)
+                    for u, h in zip(uniq["url"], uniq["href"])}
+        out["dst_url"] = [resolved[(u, h)]
+                          for u, h in zip(out["url"], out["href"])]
+        return out.reset_index(drop=True)[cols]
+
+    return pages.map_batches(f, batch_format="pandas")
+
+
+def host_link_graph_ds(links, drop_self: bool = True,
+                       num_buckets: int = 32):
+    """link rows (url, dst_url) -> weighted registered-domain edge
+    list (src_domain, dst_domain, n_links). One `grouped_agg` shuffle
+    of slim pre-counted rows; self-edges (intra-domain nav) dropped by
+    default."""
+    from ..functions.aggregates import grouped_agg
+
+    def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
+        src = parse_url_frame(batch["url"])["domain"].to_numpy(object)
+        dst = parse_url_frame(batch["dst_url"])["domain"].to_numpy(object)
+        out = pd.DataFrame({"src_domain": src, "dst_domain": dst})
+        out = out[(out["src_domain"] != "") & (out["dst_domain"] != "")]
+        if drop_self:
+            out = out[out["src_domain"] != out["dst_domain"]]
+        return out.reset_index(drop=True)
+
+    dom = links.map_batches(to_domains, batch_format="pandas")
+    return grouped_agg(dom, ["src_domain", "dst_domain"],
+                       {"n_links": (None, "count")},
+                       num_buckets=num_buckets)
+
+
+def _host_id(hosts: np.ndarray) -> np.ndarray:
+    """Stable 63-bit id per host string (PageRank wants int64
+    vertices). Collision odds at web scale (~10^8 hosts) are ~1e-11;
+    the name<->id pairing rides the edge rows so no separate lookup
+    shuffle is needed."""
+    return (pd.util.hash_array(hosts.astype(object))
+            >> np.uint64(1)).astype(np.int64)
+
+
+def host_rank(pages, damping: float = 0.85, iters: int = 20,
+              url_col: str = "url", html_col: str = "html"):
+    """pages -> per-registered-domain PageRank: (domain, rank),
+    rank desc. Composes extract_links_ds -> host_link_graph_ds ->
+    functions.graph.pagerank (weighted by link multiplicity).
+    The final name join happens on the HOST-cardinality rank result,
+    never on page rows."""
+    from ..functions.graph import pagerank
+    graph = host_link_graph_ds(
+        extract_links_ds(pages, url_col=url_col, html_col=html_col))
+
+    def with_ids(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["src"] = _host_id(b["src_domain"].to_numpy(object))
+        b["dst"] = _host_id(b["dst_domain"].to_numpy(object))
+        return b
+
+    edges = graph.map_batches(with_ids, batch_format="pandas")
+    edges = edges.materialize()  # reused: name map + iterated PR input
+    if edges.count() == 0:       # e.g. every link is intra-domain
+        return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype="float64")})
+    names = (edges.map_batches(
+        lambda b: pd.concat([
+            pd.DataFrame({"vid": b["src"].to_numpy(np.int64),
+                          "domain": b["src_domain"].to_numpy(object)}),
+            pd.DataFrame({"vid": b["dst"].to_numpy(np.int64),
+                          "domain": b["dst_domain"].to_numpy(object)}),
+        ]).drop_duplicates("vid"), batch_format="pandas")
+        .to_pandas().drop_duplicates("vid"))
+    pr = pagerank(edges.map_batches(
+        lambda b: b[["src", "dst", "n_links"]], batch_format="pandas"),
+        damping=damping, iters=iters, weight_col="n_links")
+    out = pr.merge(names, left_on="vertex", right_on="vid")
+    return (out[["domain", "rank"]]
+            .sort_values(["rank", "domain"], ascending=[False, True])
+            .reset_index(drop=True))

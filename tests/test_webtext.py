@@ -193,3 +193,128 @@ class TestPmiCollocations:
         assert ba["c_xy"].tolist() == [1]
         ab = out[(out["w1"] == "a") & (out["w2"] == "b")]
         assert ab["c_xy"].tolist() == [5]
+
+
+def make_link_pages():
+    """Deterministic HTML corpus: quoted hrefs only (the common ground
+    between the regex extractor and the stdlib-HTMLParser reference)."""
+    hosts = ["alpha.example.com", "beta.example.com", "www.gamma.co.uk",
+             "delta.org"]
+    pages, n = [], 0
+    for hi, h in enumerate(hosts):
+        for p in range(3):
+            url = f"https://{h}/sec{p}/page{n}.html"
+            other = hosts[(hi + 1) % len(hosts)]
+            body = (
+                f'<html><body>'
+                f'<a href="rel{p}/next.html">rel</a> '
+                f'<a class="x" href="/root{p}">root</a> '
+                f'<a href="https://{other}/in">abs</a> '
+                f'<a href="//{hosts[(hi + 2) % len(hosts)]}/pp">proto</a> '
+                f'<a href="#frag">skip</a> '
+                f'<a href="javascript:void(0)">skip</a> '
+                f'<a href="mailto:a@b.c">skip</a> '
+                f'</body></html>')
+            pages.append({"url": url, "html": body.encode()})
+            n += 1
+    return pd.DataFrame(pages)
+
+
+def reference_links(df: pd.DataFrame) -> pd.DataFrame:
+    """Independent extraction: stdlib HTMLParser + urljoin."""
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+    rows = []
+
+    class P(HTMLParser):
+        def __init__(self, base):
+            super().__init__()
+            self.base = base
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "a":
+                return
+            for k, v in attrs:
+                if k == "href" and v and not v.startswith("#") and \
+                        not v.lower().startswith(
+                            ("javascript:", "mailto:", "data:", "tel:")):
+                    rows.append({"url": self.base, "href": v,
+                                 "dst_url": urljoin(self.base, v)})
+
+    for _, r in df.iterrows():
+        P(r["url"]).feed(r["html"].decode())
+    return pd.DataFrame(rows)
+
+
+HOST_GRAPH_SQL = """
+SELECT src_domain, dst_domain, COUNT(*) AS n_links FROM linkdoms
+WHERE src_domain <> dst_domain AND src_domain <> '' AND dst_domain <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkGraph:
+    def test_extract_matches_htmlparser(self):
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        df = make_link_pages()
+        got = (W.extract_links_ds(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values(["url", "href"])
+               .reset_index(drop=True))
+        want = (reference_links(df).sort_values(["url", "href"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_host_graph_matches_duckdb(self):
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        df = make_link_pages()
+        links = W.extract_links_ds(rd.from_pandas(df)).to_pandas()
+        linkdoms = pd.DataFrame({
+            "src_domain": W.parse_url_frame(links["url"])["domain"],
+            "dst_domain": W.parse_url_frame(links["dst_url"])["domain"]})
+        con = duckdb.connect()
+        con.register("linkdoms", linkdoms)
+        want = con.sql(HOST_GRAPH_SQL).df()
+        got = (W.host_link_graph_ds(rd.from_pandas(links).repartition(4))
+               .to_pandas().sort_values(["src_domain", "dst_domain"])
+               .reset_index(drop=True))
+        assert got["src_domain"].tolist() == want["src_domain"].tolist()
+        assert got["dst_domain"].tolist() == want["dst_domain"].tolist()
+        assert got["n_links"].astype("int64").tolist() == \
+            want["n_links"].astype("int64").tolist()
+
+    def test_host_rank_cycle_is_uniform(self):
+        # 3 domains in a directed cycle -> exact PageRank 1/3 each,
+        # any damping, any iteration count
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        pages = pd.DataFrame([
+            {"url": "https://a.com/x",
+             "html": b'<a href="https://b.com/">b</a>'},
+            {"url": "https://b.com/x",
+             "html": b'<a href="https://c.com/">c</a>'},
+            {"url": "https://c.com/x",
+             "html": b'<a href="https://a.com/">a</a>'},
+        ])
+        out = W.host_rank(rd.from_pandas(pages), iters=8)
+        assert sorted(out["domain"]) == ["a.com", "b.com", "c.com"]
+        assert np.allclose(out["rank"], 1 / 3)
+
+    def test_host_rank_hub_wins(self):
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        # hub is DANGLING (no outlinks): exercises the dangling-mass
+        # path and converges monotonically (a hub<->spoke 2-cycle
+        # oscillates for tens of iterations before the fixpoint)
+        rows = [{"url": f"https://s{i}.org/p",
+                 "html": b'<a href="https://hub.org/">h</a>'}
+                for i in range(5)]
+        out = W.host_rank(rd.from_pandas(pd.DataFrame(rows)), iters=12)
+        assert out.iloc[0]["domain"] == "hub.org"
+        assert np.isclose(out["rank"].sum(), 1.0)
+
+    def test_all_intra_domain_links_empty_rank(self):
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        pages = pd.DataFrame([
+            {"url": "https://a.example.com/x",
+             "html": b'<a href="https://b.example.com/">same etld+1</a>'}])
+        out = W.host_rank(rd.from_pandas(pages))
+        assert out.empty and list(out.columns) == ["domain", "rank"]
