@@ -2375,6 +2375,60 @@ FROM events ORDER BY event_id
 """
 
 
+def events_rolling_anomalies(sf_dir: str, window: int = 7,
+                             z_thresh: float = 2.0):
+    """Trailing-window z-score anomaly flags per user (the streaming
+    outlier detector next to ``events_rolling_avg``): z = (value -
+    trailing mean) / trailing SAMPLE stddev over the last ``window``
+    rows (current included); zscore is NULL while the window has <2
+    rows or zero variance. Same single user-bucket shuffle + one
+    vectorized groupby-rolling per bucket as the rolling mean.
+
+    NOTE the threshold bound: a member's |z| against its OWN trailing
+    sample of n points is at most (n-1)/sqrt(n) (~2.27 at n=7), so
+    z_thresh must sit below that for the window in use."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"]))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["value"]
+        m = grp.rolling(window, min_periods=1).mean().to_numpy(np.float64)
+        s = grp.rolling(window, min_periods=1).std().to_numpy(np.float64)
+        v = g["value"].to_numpy(np.float64)
+        ok = np.isfinite(s) & (s > 0)
+        z = np.where(ok, (v - m) / np.where(ok, s, 1.0), np.nan)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "zscore": np.round(z, 6),
+            "is_anomaly": ok & (np.abs(z) > z_thresh)})
+
+    out = ds.groupby("__ubucket").map_groups(roll,
+                                             batch_format="pandas")
+    return (out.to_pandas().sort_values("event_id")
+            .reset_index(drop=True))
+
+
+EVENTS_ROLLING_ANOMALIES_SQL = """
+SELECT event_id, user_id, ROUND(zscore, 6) AS zscore,
+       COALESCE(ABS(zscore) > 2.0, false) AS is_anomaly
+FROM (
+  SELECT event_id, user_id,
+         CASE WHEN s IS NULL OR s = 0 THEN NULL
+              ELSE (value - m) / s END AS zscore
+  FROM (
+    SELECT event_id, user_id, value,
+           AVG(value) OVER w AS m, STDDEV_SAMP(value) OVER w AS s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))
+ORDER BY event_id
+"""
+
+
 def lineitem_price_quantity_corr(sf_dir: str):
     """Global Pearson correlation as an ALGEBRAIC aggregate: each
     batch contributes the five sufficient statistics (n, Σx, Σy, Σxy,

@@ -976,3 +976,21 @@ class TestResampleAndRankFractions:
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.customer_balance_percent_rank(SF),
               R.CUSTOMER_PERCENT_RANK_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingAnomalies:
+    def test_matches_duckdb(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        got = R.events_rolling_anomalies(SF)
+        want = con.sql(R.EVENTS_ROLLING_ANOMALIES_SQL).df()
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        gz, wz = got["zscore"].to_numpy(), want["zscore"].to_numpy()
+        assert ((np.isnan(gz) & np.isnan(wz))
+                | (np.abs(gz - wz) < 1e-5)).all()
+        assert got["is_anomaly"].tolist() == \
+            want["is_anomaly"].astype(bool).tolist()
+        # some anomalies exist and nulls are never flagged
+        assert got["is_anomaly"].any()
+        assert not got.loc[got["zscore"].isna(), "is_anomaly"].any()
