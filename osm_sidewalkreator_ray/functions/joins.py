@@ -191,14 +191,20 @@ def detect_hot_keys(ds, on: str, frac: float = 0.05,
             if total and c > frac * total}
 
 
-def hash_partition_join(left, right, on: str, num_buckets: int = 32,
+def hash_partition_join(left, right, on: str | list[str],
+                        num_buckets: int = 32,
                         how: str = "inner", group_fn=None,
                         hot_keys: set | None = None, n_salts: int = 8):
     """Large-large equi-join via an explicit partitioned hash join.
 
-    Both inputs are Datasets sharing the key column ``on``; other
-    column names must be disjoint. Null-padded to a common schema so
-    the tagged union is one homogeneous Dataset.
+    Both inputs are Datasets sharing the key column(s) ``on`` (a name
+    or a list for COMPOSITE keys — every key's rows still land in one
+    bucket, via a rotate-combined per-column hash so (a, b) and (b, a)
+    bucket independently); other column names must be disjoint.
+    Null-padded to a common schema so the tagged union is one
+    homogeneous Dataset. Composite keys support the four equality
+    hows only — 'semi'/'anti' membership and hot-key salting are
+    defined on a single column (raise otherwise).
 
     ``group_fn``: optional aggregate pushdown — applied to each
     bucket's merged frame INSIDE the join stage. Because the bucket
@@ -231,6 +237,11 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
     if hot_keys and how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
             "salted join supports how='inner'/'left'/'semi'/'anti' only")
+    keys = [on] if isinstance(on, str) else list(on)
+    if len(keys) > 1 and (how in ("semi", "anti") or hot_keys):
+        raise ValueError(
+            "composite keys support how='inner'/'left'/'right'/'outer' "
+            "only, without hot_keys")
     hot_idx = {k: i for i, k in enumerate(sorted(hot_keys))} \
         if hot_keys else {}
     lschema = _arrow_schema(left)
@@ -244,7 +255,7 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
     lcols = list(lschema.names)
     rcols = list(rschema.names)
 
-    key_type = combined.field(on).type
+    key_types = {k: combined.field(k).type for k in keys}
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -255,13 +266,23 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
                     arrays.append(t[field.name].cast(field.type))
                 else:
                     arrays.append(pa.nulls(len(t), field.type))
-            # bucket on the key CAST to the shared schema type: hashing
-            # the raw column would bucket int64 keys differently from
-            # the same keys arriving as float64 (e.g. null-padded
-            # through an upstream join), silently dropping ~(B-1)/B of
-            # the matches
-            key = t[on].cast(key_type).to_pandas()
-            b = _stable_bucket(key, num_buckets)
+            # bucket on the key(s) CAST to the shared schema type:
+            # hashing the raw column would bucket int64 keys
+            # differently from the same keys arriving as float64
+            # (e.g. null-padded through an upstream join), silently
+            # dropping ~(B-1)/B of the matches. Composite keys
+            # rotate-combine per-column hashes so column order matters
+            # and (a, b) never collides with (b, a) by construction.
+            h = None
+            for i, k in enumerate(keys):
+                key = t[k].cast(key_types[k]).to_pandas()
+                hk = pd.util.hash_array(np.asarray(key))
+                if h is None:
+                    h = hk.copy()
+                else:
+                    r = np.uint64(i % 63 + 1)
+                    h ^= (hk << r) | (hk >> (np.uint64(64) - r))
+            b = (h % num_buckets).astype(np.int64)
             if hot_idx:
                 hot_pos = key.map(hot_idx).to_numpy(dtype=np.float64)
                 is_hot = ~np.isnan(hot_pos)
@@ -322,12 +343,13 @@ def hash_partition_join(left, right, on: str, num_buckets: int = 32,
             # membership against the de-nulled right key set: identical
             # under salting (the right side is replicated per salt) and
             # a left NULL key is never a member (SQL EXISTS semantics)
-            rkeys = pc.unique(pc.drop_null(r[on]))
-            hit = pc.fill_null(pc.is_in(l[on], value_set=rkeys), False)
+            rkeys = pc.unique(pc.drop_null(r[keys[0]]))
+            hit = pc.fill_null(pc.is_in(l[keys[0]], value_set=rkeys),
+                               False)
             out = l.filter(hit if how == "semi"
                            else pc.invert(hit)).to_pandas()
         else:
-            out = l.to_pandas().merge(r.to_pandas(), on=on, how=how)
+            out = l.to_pandas().merge(r.to_pandas(), on=keys, how=how)
         return group_fn(out) if group_fn is not None else out
 
     return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")

@@ -93,3 +93,61 @@ def test_salted_outer_rejected(frames):
         _run(left, right, "outer", hot_keys={7.0})
     with pytest.raises(ValueError):
         _run(left, right, "bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompositeKeyJoin:
+    def _sides(self):
+        rng = np.random.RandomState(9)
+        left = pd.DataFrame({
+            "k1": rng.randint(0, 20, 400),
+            "k2": rng.choice(["x", "y", "z"], 400),
+            "lval": np.arange(400)})
+        right = pd.DataFrame({
+            "k1": rng.randint(0, 20, 300),
+            "k2": rng.choice(["x", "y", "z", "w"], 300),
+            "rval": np.arange(300) * 10})
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+    def test_matches_pandas(self, how):
+        from osm_sidewalkreator_ray.functions.joins import (
+            hash_partition_join)
+        left, right = self._sides()
+        got = hash_partition_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            on=["k1", "k2"], how=how, num_buckets=7).to_pandas()
+        want = left.merge(right, on=["k1", "k2"], how=how)
+        key = ["k1", "k2", "lval", "rval"]
+        got = got.sort_values(key).reset_index(drop=True)[want.columns]
+        want = want.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want), how
+        for c in want.columns:
+            pd.testing.assert_series_equal(
+                got[c].astype("float64", errors="ignore"),
+                want[c].astype("float64", errors="ignore"),
+                check_dtype=False, obj=c)
+
+    def test_swapped_tuple_does_not_match(self):
+        # (a, b) on the left must not meet (b, a) on the right
+        from osm_sidewalkreator_ray.functions.joins import (
+            hash_partition_join)
+        left = pd.DataFrame({"k1": [1, 2], "k2": [2, 1], "lval": [0, 1]})
+        right = pd.DataFrame({"k1": [2, 1], "k2": [1, 2], "rval": [7, 8]})
+        got = hash_partition_join(rd.from_pandas(left),
+                                  rd.from_pandas(right),
+                                  on=["k1", "k2"], how="inner").to_pandas()
+        assert got["k1"].tolist() == sorted(got["k1"].tolist())
+        want = left.merge(right, on=["k1", "k2"])
+        assert len(got) == len(want) == 2  # (1,2)x(1,2) and (2,1)x(2,1)
+
+    def test_composite_semi_and_salting_raise(self):
+        from osm_sidewalkreator_ray.functions.joins import (
+            hash_partition_join)
+        left, right = self._sides()
+        l, r = rd.from_pandas(left), rd.from_pandas(right)
+        with pytest.raises(ValueError):
+            hash_partition_join(l, r, on=["k1", "k2"], how="semi")
+        with pytest.raises(ValueError):
+            hash_partition_join(l, r, on=["k1", "k2"], hot_keys={1})
