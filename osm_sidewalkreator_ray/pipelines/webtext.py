@@ -334,3 +334,103 @@ def host_rank(pages, damping: float = 0.85, iters: int = 20,
     return (out[["domain", "rank"]]
             .sort_values(["rank", "domain"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+# -------------------------------------------- URL normalize + dedup
+#
+# RefinedWeb's FIRST dedup stage (Penedo et al. 2023 §3.2) runs on
+# URLs, before any content hashing: re-crawls and tracking-parameter
+# variants of the same resource collapse for the cost of a string
+# transform plus one slim shuffle.
+
+TRACKING_PARAMS = frozenset({
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "msclkid", "ref", "mc_cid",
+    "mc_eid", "igshid",
+})
+
+
+def normalize_url(url: str) -> str:
+    """Canonical form: lowercase scheme+host, strip fragment, default
+    ports (http:80/https:443), trailing host dot and trailing path
+    slash (root kept), drop TRACKING_PARAMS, sort remaining query
+    params bytewise. Non-URLs (no ``scheme://``) pass through
+    unchanged. Pure function — the vectorized stage dedups repeats
+    per batch before calling it."""
+    m = _URL_RE.match(url)
+    if m is None:
+        return url
+    scheme = m.group("scheme").lower()
+    hostport = m.group("hostport")
+    path = m.group("path") or ""
+    query = m.group("query")
+    host, port = hostport, ""
+    if ":" in hostport:
+        h, _, p = hostport.rpartition(":")
+        if p.isdigit():
+            host, port = h, p
+    host = host.lower().rstrip(".")
+    if (scheme, port) in (("http", "80"), ("https", "443")):
+        port = ""
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    q = ""
+    if query:
+        parts = [kv for kv in query.split("&") if kv
+                 and kv.split("=", 1)[0].lower() not in TRACKING_PARAMS]
+        if parts:
+            q = "?" + "&".join(sorted(parts))
+    netloc = host + (f":{port}" if port else "")
+    return f"{scheme}://{netloc}{path}{q}"
+
+
+def normalize_urls_ds(pages, url_col: str = "url",
+                      out_col: str = "norm_url"):
+    """Append the canonical URL. Per batch the transform runs once
+    per DISTINCT url (crawl frontiers repeat heavily); no shuffle."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[url_col]
+        mapping = {x: normalize_url(x) for x in pd.unique(u)}
+        out = batch.copy()
+        out[out_col] = u.map(mapping)
+        return out
+    return pages.map_batches(f, batch_format="pandas")
+
+
+def url_dedup_ds(pages, url_col: str = "url", id_col: str = "warc_ts"):
+    """URL-level dedup: one surviving row per canonical URL — the
+    survivor is the row with the MINIMUM ``id_col`` (for the flagship
+    pages corpus: the earliest ``warc_ts`` capture, matching
+    keep-first-crawl semantics). Plan mirrors ``textops.exact_dedup``:
+    only (norm_url, id) slim rows cross the coarse-bucketed shuffle;
+    the full row set streams through a second pass that keeps members
+    of the surviving (norm_url, id) set via an inner hash join.
+
+    Output: the input rows (plus norm_url) of survivors, and n_dups =
+    multiplicity of the canonical URL.
+    """
+    from ..functions.joins import hash_partition_join
+    normed = normalize_urls_ds(pages, url_col=url_col).materialize()
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"norm_url": batch["norm_url"],
+                            "__id": batch[id_col]})
+        h = pd.util.hash_array(out["norm_url"].to_numpy(dtype=object))
+        out["__b"] = (h % 256).astype(np.int64)
+        return out
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("norm_url").agg(
+            __id=("__id", "min"), n_dups=("__id", "size")).reset_index()
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    winners = (normed.map_batches(slim, batch_format="pandas")
+               .groupby("__b").map_groups(first, batch_format="pandas"))
+    # attach survivor rows: equi-join on (norm_url, id) — composite
+    # keys keep capture-time ties exact instead of re-comparing ids
+    keyed = winners.map_batches(
+        lambda b: b.rename(columns={"__id": id_col}),
+        batch_format="pandas")
+    return hash_partition_join(normed, keyed,
+                               on=["norm_url", id_col], how="inner")

@@ -318,3 +318,76 @@ class TestLinkGraph:
              "html": b'<a href="https://b.example.com/">same etld+1</a>'}])
         out = W.host_rank(rd.from_pandas(pages))
         assert out.empty and list(out.columns) == ["domain", "rank"]
+
+
+def reference_normalize(url: str) -> str:
+    """Independent canonicalizer via stdlib urlsplit/parse_qsl."""
+    from urllib.parse import urlsplit, urlunsplit
+    if "://" not in url:
+        return url
+    p = urlsplit(url)
+    host = (p.hostname or "").rstrip(".")
+    port = p.port
+    if (p.scheme.lower(), port) in (("http", 80), ("https", 443)):
+        port = None
+    netloc = host + (f":{port}" if port is not None else "")
+    path = p.path
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    from osm_sidewalkreator_ray.pipelines.webtext import TRACKING_PARAMS
+    parts = [kv for kv in p.query.split("&") if kv
+             and kv.split("=", 1)[0].lower() not in TRACKING_PARAMS]
+    query = "&".join(sorted(parts))
+    return urlunsplit((p.scheme.lower(), netloc, path, query, ""))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUrlNormalizeDedup:
+    def test_normalize_matches_stdlib_composition(self):
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        cases = [
+            "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com:443/",
+            "https://example.com:8443/x/",
+            "http://a.b.co.uk./deep/path///",
+            "https://h.io/p?gclid=1&fbclid=2",
+            "https://h.io/p?z=1&y=2&z=0",
+            "not a url",
+            "https://u:p@h.io:9090/q?ref=tw&keep=1",
+        ]
+        for u in cases:
+            assert W.normalize_url(u) == reference_normalize(u), u
+        # and over the adversarial corpus (skip userinfo-less delta:
+        # reference drops userinfo too via hostname)
+        for u in make_urls(300):
+            assert W.normalize_url(u) == reference_normalize(u), u
+
+    def test_url_dedup_keeps_earliest_capture(self):
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        rows = []
+        for i in range(60):
+            base = f"https://site{i % 7}.org/art/{i % 20}"
+            variant = [base,
+                       base + "?utm_source=feed",
+                       base + "/#sec",
+                       f"HTTPS://SITE{i % 7}.ORG:443/art/{i % 20}"][i % 4]
+            rows.append({"url": variant, "warc_ts": 1000 + i,
+                         "payload": i})
+        df = pd.DataFrame(rows)
+        out = (W.url_dedup_ds(rd.from_pandas(df).repartition(5))
+               .to_pandas().sort_values("norm_url")
+               .reset_index(drop=True))
+        # pandas reference
+        ref = df.copy()
+        ref["norm_url"] = ref["url"].map(W.normalize_url)
+        g = ref.groupby("norm_url").agg(warc_ts=("warc_ts", "min"),
+                                        n_dups=("warc_ts", "size"))
+        assert len(out) == len(g)
+        got = out.set_index("norm_url")
+        assert got["warc_ts"].to_dict() == g["warc_ts"].to_dict()
+        assert got["n_dups"].astype(int).to_dict() == \
+            g["n_dups"].astype(int).to_dict()
+        # survivor carries its own full row
+        merged = out.merge(ref, on=["norm_url", "warc_ts"],
+                           suffixes=("", "_ref"))
+        assert (merged["payload"] == merged["payload_ref"]).all()
