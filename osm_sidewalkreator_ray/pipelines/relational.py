@@ -2429,6 +2429,47 @@ ORDER BY event_id
 """
 
 
+def lineitem_price_histogram(sf_dir: str, n_bins: int = 20):
+    """Equi-width histogram of l_extendedprice (width_bucket
+    semantics over the observed [min, max], spelled arithmetically —
+    this DuckDB build lacks width_bucket; bins 1..n, the max value
+    folded into bin n): a global (min, max) from two cheap aggregates,
+    then ONE pass of per-batch np.bincount partials — O(n_bins) rows
+    per batch reach the tiny final fold, zero shuffles. Empty bins are
+    emitted with n = 0 (no silent gaps)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    lo = ds.min("l_extendedprice")
+    hi = ds.max("l_extendedprice")
+    if lo is None or hi == lo:
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    w = (hi - lo) / n_bins
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["l_extendedprice"].to_numpy(np.float64)
+        v = v[np.isfinite(v)]
+        b = np.minimum(((v - lo) / w).astype(np.int64), n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        return pd.DataFrame({"bin": np.arange(1, n_bins + 1),
+                             "n": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    out = (parts.groupby("bin", sort=True)["n"].sum().reset_index())
+    return out.astype({"bin": "int64", "n": "int64"})
+
+
+LINEITEM_PRICE_HISTOGRAM_SQL = """
+WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+           FROM lineitem),
+h AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - lo)
+                          / ((hi - lo) / 20.0)) AS BIGINT) + 1, 20) AS bin
+      FROM lineitem, b),
+g AS (SELECT UNNEST(generate_series(1, 20)) AS bin)
+SELECT g.bin, COUNT(h.bin) AS n FROM g LEFT JOIN h USING (bin)
+GROUP BY g.bin ORDER BY g.bin
+"""
+
+
 def lineitem_price_quantity_corr(sf_dir: str):
     """Global Pearson correlation as an ALGEBRAIC aggregate: each
     batch contributes the five sufficient statistics (n, Σx, Σy, Σxy,

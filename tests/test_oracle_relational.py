@@ -994,3 +994,14 @@ class TestRollingAnomalies:
         # some anomalies exist and nulls are never flagged
         assert got["is_anomaly"].any()
         assert not got.loc[got["zscore"].isna(), "is_anomaly"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPriceHistogram:
+    def test_matches_duckdb(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        got = R.lineitem_price_histogram(SF)
+        want = con.sql(R.LINEITEM_PRICE_HISTOGRAM_SQL).df()
+        assert got["bin"].tolist() == want["bin"].astype("int64").tolist()
+        assert got["n"].tolist() == want["n"].astype("int64").tolist()
+        assert len(got) == 20 and got["n"].sum() > 0
