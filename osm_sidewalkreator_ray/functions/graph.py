@@ -615,3 +615,217 @@ def connected_components_star(edges, num_buckets: int = 32,
           .groupby("bucket").map_groups(resolve, batch_format="pandas")
           .to_pandas())
     return df.sort_values("vertex").reset_index(drop=True)
+
+
+def k_core(edges, k: int, num_buckets: int = 32,
+           max_iters: int = 200) -> pd.DataFrame:
+    """Vertices of the k-core: the maximal subgraph in which every
+    vertex has degree >= k (Seidman, "Network structure and minimum
+    degree", Social Networks 1983) — the standard peeling algorithm
+    (repeatedly delete vertices of degree < k), distributed.
+
+    Physical plan: self-loops dropped, undirected edges materialized
+    in BOTH directions and bucketed by ``hash(src) % num_buckets``,
+    so a vertex's full adjacency (and hence its degree) is local to
+    one bucket. Each peeling round is then ONE bucketed shuffle:
+    a bucket applies incoming tombstones, recounts degrees with a
+    vectorized groupby-size, deletes every low-degree vertex's rows,
+    and emits the REVERSED deleted rows as tombstones addressed to the
+    other endpoint's bucket (the reverse copy is exactly the row that
+    must die there). Converges when a round emits no tombstones;
+    rounds = peeling depth of the graph (small for the shallow
+    near-dup / link graphs this engine feeds it). Multi-edges are
+    deduped up front (bucket-locally: both copies of a directed row
+    share a bucket), matching the simple-graph definition.
+
+    Returns one row per surviving vertex: (vertex int64), sorted.
+    """
+    if k <= 0:
+        raise ValueError("k_core requires k >= 1")
+    edges = _to_edge_ds(edges)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(src) % num_buckets)
+            .astype(np.int64),
+            "src": src, "dst": dst,
+            "is_tomb": np.zeros(len(src), dtype=bool)})
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"])
+
+    cur = (edges.map_batches(undirect, batch_format="pandas")
+           .groupby("bucket").map_groups(dedupe, batch_format="pandas")
+           .materialize())
+
+    empty = pd.DataFrame({"vertex": pd.Series([], dtype="int64")})
+    converged = False
+    for _ in range(max_iters):
+        if cur.count() == 0:
+            return empty
+
+        def peel(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[~g["is_tomb"]]
+            t = g.loc[g["is_tomb"]]
+            if len(t):
+                key_e = pd.MultiIndex.from_arrays(
+                    [e["src"].to_numpy(), e["dst"].to_numpy()])
+                key_t = pd.MultiIndex.from_arrays(
+                    [t["src"].to_numpy(), t["dst"].to_numpy()])
+                e = e.loc[~key_e.isin(key_t)]
+            if not len(e):
+                return e.iloc[:0]
+            low = e.groupby("src")["dst"].transform("size") \
+                .to_numpy() < k
+            killed = e.loc[low]
+            e = e.loc[~low]
+            if not len(killed):
+                return e
+            rs = killed["dst"].to_numpy(np.int64)
+            tomb = pd.DataFrame({
+                "bucket": (pd.util.hash_array(rs) % num_buckets)
+                .astype(np.int64),
+                "src": rs, "dst": killed["src"].to_numpy(np.int64),
+                "is_tomb": np.ones(len(killed), dtype=bool)})
+            return pd.concat([e, tomb], ignore_index=True)
+
+        cur = (cur.groupby("bucket")
+               .map_groups(peel, batch_format="pandas").materialize())
+        if cur.count() == 0:
+            return empty
+        n_tomb = cur.map_batches(
+            lambda b: pd.DataFrame({"n": [int(b["is_tomb"].sum())]}),
+            batch_format="pandas").to_pandas()["n"].sum()
+        if n_tomb == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not peel to a fixpoint in {max_iters} rounds "
+            "(peeling depth exceeds max_iters); raise max_iters")
+
+    df = cur.map_batches(
+        lambda b: pd.DataFrame(
+            {"vertex": np.unique(b["src"].to_numpy(np.int64))}),
+        batch_format="pandas").to_pandas()
+    return (pd.DataFrame({"vertex": np.unique(df["vertex"].to_numpy())})
+            if len(df) else empty)
+
+
+_BFS_INF = np.int64(1) << 62
+
+
+def bfs_hops(edges, sources, num_buckets: int = 32,
+             max_iters: int = 60) -> pd.DataFrame:
+    """Multi-source BFS hop distance over an undirected edge Dataset:
+    for every vertex, the minimum number of edges to any vertex in
+    ``sources`` (-1 if unreachable). Same bucketed label-propagation
+    machinery as ``connected_components`` — each round is one slim
+    (vertex, dist) shuffle with the update rule
+    ``dist[v] = min(dist[v], min over neighbors u of dist[u] + 1)``
+    (distributed Bellman-Ford with unit weights; rounds = graph
+    eccentricity of the source set). ``sources`` is a small driver-side
+    collection broadcast into the init closure — the standard
+    small-side broadcast, no shuffle.
+    """
+    edges = _to_edge_ds(edges)
+    src_set = frozenset(int(s) for s in sources)
+    if not src_set:
+        raise ValueError("bfs_hops requires at least one source")
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(src) % num_buckets)
+            .astype(np.int64),
+            "src": src, "dst": dst,
+            "label": np.full(len(src), _BFS_INF, dtype=np.int64),
+            "is_edge": np.ones(len(src), dtype=bool)})
+
+    edge_rows = edges.map_batches(undirect,
+                                  batch_format="pandas").materialize()
+    if edge_rows.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "hops": pd.Series([], dtype="int64")})
+
+    src_arr = np.fromiter(src_set, dtype=np.int64)
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([b["src"].to_numpy(),
+                                      b["dst"].to_numpy()]))
+        lab = np.where(np.isin(v, src_arr), np.int64(0), _BFS_INF)
+        return pd.DataFrame({"vertex": v, "label": lab})
+
+    def _as_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vertex": b["vertex"].to_numpy().astype(np.int64),
+            "label": b["min(label)"].to_numpy().astype(np.int64)})
+
+    labels = (edge_rows.map_batches(init_labels, batch_format="pandas")
+              .groupby("vertex").min("label")
+              .map_batches(_as_labels, batch_format="pandas")
+              .materialize())
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(b["vertex"].to_numpy())
+                       % num_buckets).astype(np.int64),
+            "src": b["vertex"].to_numpy(),
+            "dst": np.full(len(b), -1, dtype=np.int64),
+            "label": b["label"].to_numpy(),
+            "is_edge": np.zeros(len(b), dtype=bool)})
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[~g["is_edge"], ["src", "label"]] \
+            .rename(columns={"src": "vertex"})
+        reach = lab.loc[lab["label"] < _BFS_INF]
+        e = g.loc[g["is_edge"], ["src", "dst"]]
+        prop = e.merge(reach, left_on="src", right_on="vertex")
+        if len(prop):
+            cand = prop.assign(label=prop["label"] + 1) \
+                .groupby("dst", as_index=False)["label"].min() \
+                .rename(columns={"dst": "vertex"})
+            return pd.concat([lab, cand], ignore_index=True)
+        return lab
+
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_labels, batch_format="pandas")
+        merged = (edge_rows.union(tagged).groupby("bucket")
+                  .map_groups(relax, batch_format="pandas"))
+        labels = (merged.groupby("vertex").min("label")
+                  .map_batches(_as_labels, batch_format="pandas")
+                  .materialize())
+
+        def stat(b: pd.DataFrame) -> pd.DataFrame:
+            lab = b["label"].to_numpy()
+            fin = lab[lab < _BFS_INF]
+            return pd.DataFrame({"n": [len(fin)], "s": [int(fin.sum())]})
+
+        st = labels.map_batches(stat, batch_format="pandas").to_pandas()
+        cur = (int(st["n"].sum()), int(st["s"].sum()))
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"bfs_hops did not converge in {max_iters} rounds "
+            "(source-set eccentricity exceeds max_iters); "
+            "raise max_iters")
+    df = labels.to_pandas()
+    hops = df["label"].to_numpy()
+    df = pd.DataFrame({"vertex": df["vertex"].to_numpy(np.int64),
+                       "hops": np.where(hops >= _BFS_INF, -1, hops)
+                       .astype(np.int64)})
+    return df.sort_values("vertex").reset_index(drop=True)

@@ -588,3 +588,103 @@ class TestIncrementalMinhash:
             {"doc_id": [10], "text": ["totally different words here now"]}))
         out = T.incremental_minhash_pairs(existing, new)
         assert out.empty
+
+
+class TestKCore:
+    @staticmethod
+    def _ref_k_core(edges, k):
+        """Local peeling reference: repeatedly drop deg<k vertices."""
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, nb in adj.items() if len(nb) < k]:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+        return sorted(adj)
+
+    def test_triangle_with_tail(self):
+        from osm_sidewalkreator_ray.functions.graph import k_core
+        # triangle 1-2-3 plus a tail 3-4-5: 2-core = the triangle
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        got = k_core(pd.DataFrame(edges, columns=["src", "dst"]), k=2)
+        assert got["vertex"].tolist() == [1, 2, 3]
+
+    def test_matches_reference_random(self):
+        from osm_sidewalkreator_ray.functions.graph import k_core
+        rng = np.random.default_rng(7)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 60, size=(400, 2))]
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        for k in (2, 3, 5):
+            got = k_core(df, k=k, num_buckets=8)
+            assert got["vertex"].tolist() == self._ref_k_core(edges, k)
+
+    def test_everything_peels(self):
+        from osm_sidewalkreator_ray.functions.graph import k_core
+        # a path has no 2-core
+        edges = [(i, i + 1) for i in range(10)]
+        got = k_core(pd.DataFrame(edges, columns=["src", "dst"]), k=2)
+        assert len(got) == 0
+        assert got["vertex"].dtype == np.int64
+
+    def test_multiedges_and_selfloops_ignored(self):
+        from osm_sidewalkreator_ray.functions.graph import k_core
+        # duplicate parallel edges must NOT inflate degree
+        edges = [(1, 2), (1, 2), (2, 1), (1, 1), (2, 2)]
+        got = k_core(pd.DataFrame(edges, columns=["src", "dst"]), k=2)
+        assert len(got) == 0
+
+
+class TestBfsHops:
+    @staticmethod
+    def _ref_bfs(edges, sources):
+        from collections import deque
+        adj = {}
+        verts = set()
+        for u, v in edges:
+            verts.update((u, v))
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        dist = {s: 0 for s in sources if s in verts}
+        q = deque(dist)
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return {v: dist.get(v, -1) for v in verts}
+
+    def test_chain(self):
+        from osm_sidewalkreator_ray.functions.graph import bfs_hops
+        edges = [(i, i + 1) for i in range(6)]
+        got = bfs_hops(pd.DataFrame(edges, columns=["src", "dst"]), [0])
+        assert dict(zip(got["vertex"], got["hops"])) == {
+            i: i for i in range(7)}
+
+    def test_multi_source_and_unreachable(self):
+        from osm_sidewalkreator_ray.functions.graph import bfs_hops
+        edges = [(0, 1), (1, 2), (10, 11)]
+        got = bfs_hops(pd.DataFrame(edges, columns=["src", "dst"]),
+                       [0, 2])
+        m = dict(zip(got["vertex"], got["hops"]))
+        assert m == {0: 0, 1: 1, 2: 0, 10: -1, 11: -1}
+
+    def test_matches_reference_random(self):
+        from osm_sidewalkreator_ray.functions.graph import bfs_hops
+        rng = np.random.default_rng(11)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 80, size=(150, 2)) if a != b]
+        sources = [0, 5]
+        got = bfs_hops(pd.DataFrame(edges, columns=["src", "dst"]),
+                       sources, num_buckets=8)
+        assert dict(zip(got["vertex"], got["hops"])) == \
+            self._ref_bfs(edges, sources)
