@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["weighted_sample", "es_keys"]
+__all__ = ["weighted_sample", "weighted_sample_by", "es_keys"]
 
 
 def es_keys(ids: np.ndarray, weights: np.ndarray,
@@ -54,4 +54,37 @@ def weighted_sample(ds, id_col: str, weight_col: str, n: int,
     df = df[np.isfinite(df["__es"])]
     df = df.sort_values(["__es", id_col], kind="mergesort").head(n)
     return (df.drop(columns="__es").sort_values(id_col)
+            .reset_index(drop=True))
+
+
+def weighted_sample_by(ds, group_col: str, id_col: str,
+                       weight_col: str, n: int,
+                       seed: int = 42) -> pd.DataFrame:
+    """Per-group weighted sample without replacement: for every
+    distinct ``group_col`` value, ``min(n, group size)`` rows with
+    inclusion probability proportional to ``weight_col`` — the same
+    Efraimidis-Spirakis hash-derived keys as ``weighted_sample``, so
+    the result is deterministic in (id, seed) and independent of
+    partitioning. Physical plan: per-batch per-group top-n partial
+    (vectorized lexsort + groupby head — no shuffle), then a driver
+    merge bounded by n x groups x blocks rows; for corpora where that
+    bound is large, raise the block size or pre-bucket by group."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        k = es_keys(ids, b[weight_col].to_numpy(), seed)
+        fin = np.isfinite(k)
+        b, ids, k = b.iloc[fin], ids[fin], k[fin]
+        if not len(b):
+            return b.iloc[:0].assign(__es=np.array([], dtype=np.float64))
+        out = b.copy()
+        out["__es"] = k
+        out = out.sort_values(["__es", id_col], kind="mergesort")
+        return out.groupby(group_col, sort=False).head(n)
+
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if df.empty:
+        return df
+    df = df.sort_values(["__es", id_col], kind="mergesort")
+    df = df.groupby(group_col, sort=False).head(n)
+    return (df.drop(columns="__es").sort_values([group_col, id_col])
             .reset_index(drop=True))

@@ -2608,3 +2608,129 @@ SELECT c_custkey,
        ROUND(CUME_DIST() OVER (ORDER BY c_acctbal), 6) AS cume_dist
 FROM customer ORDER BY c_custkey
 """
+
+
+# ------------------------------------------------------- unpivot (melt)
+#
+# Wide -> long reshaping: each input row becomes len(value_cols) output
+# rows (variable, value). Zero shuffle — a pure per-batch numpy repeat/
+# tile — so at 100 TB it streams block-by-block and the only cost is
+# the (intentional) row-count multiplication. The inverse of pivot_agg
+# (functions/aggregates.py).
+
+
+def unpivot_ds(ds, id_cols: list[str], value_cols: list[str],
+               var_name: str = "variable", value_name: str = "value"):
+    """Dataset -> Dataset long form: (id_cols..., var_name, value_name)
+    with one output row per (input row, value column). Value columns
+    are cast to float64 (the shared type of the long column)."""
+    vcols = list(value_cols)
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        n, k = len(b), len(vcols)
+        out = {c: np.repeat(b[c].to_numpy(), k) for c in id_cols}
+        out[var_name] = np.tile(np.asarray(vcols, dtype=object), n)
+        vals = np.empty((n, k), dtype=np.float64)
+        for j, c in enumerate(vcols):
+            vals[:, j] = b[c].to_numpy(np.float64)
+        out[value_name] = vals.ravel()
+        return pd.DataFrame(out)
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+def lineitem_unpivot(sf_dir: str):
+    """Long-form lineitem measures: (l_orderkey, l_linenumber) x
+    {quantity, extendedprice, discount, tax} -> (variable, value)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"])
+    out = unpivot_ds(ds, ["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"])
+    return (out.to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber", "variable"])
+            .reset_index(drop=True))
+
+
+LINEITEM_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, variable, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax',
+         CAST(l_tax AS DOUBLE) FROM lineitem
+) ORDER BY l_orderkey, l_linenumber, variable
+"""
+
+
+# ---------------------------------------------------------- winsorize
+#
+# Outlier clamping at exact percentiles: two distributed-selection
+# exact quantiles (functions/sketches.exact_quantile — interpolated,
+# quantile_cont semantics) bracket the column, then a zero-shuffle
+# per-batch clip. The quantile passes are slim counting scans; nothing
+# materializes.
+
+
+def winsorize_ds(ds, col: str, p_lo: float = 0.01, p_hi: float = 0.99,
+                 out_col: str | None = None):
+    """Clamp ``col`` into its [p_lo, p_hi] exact-quantile range
+    (winsorization). Returns (dataset, lo, hi)."""
+    from ..functions.sketches import exact_quantile
+    lo = exact_quantile(ds, col, p_lo)
+    hi = exact_quantile(ds, col, p_hi)
+    oc = out_col or col
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[oc] = np.clip(b[col].to_numpy(np.float64), lo, hi)
+        return b
+
+    return ds.map_batches(clip, batch_format="pandas"), lo, hi
+
+
+def lineitem_winsorized_stats(sf_dir: str, p_lo: float = 0.01,
+                              p_hi: float = 0.99):
+    """Summary stats of l_extendedprice after winsorizing at
+    [p_lo, p_hi]: one row (w_min, w_max, w_sum, w_rows)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    wds, _, _ = winsorize_ds(ds, "l_extendedprice", p_lo, p_hi,
+                             out_col="w")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["w"].to_numpy(np.float64)
+        return pd.DataFrame({"mn": [v.min() if len(v) else np.inf],
+                             "mx": [v.max() if len(v) else -np.inf],
+                             "s": [float(v.sum())],
+                             "n": [len(v)]})
+
+    p = wds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "w_min": [round(float(p["mn"].min()), 4)],
+        "w_max": [round(float(p["mx"].max()), 4)],
+        "w_sum": [round(float(p["s"].sum()), 2)],
+        "w_rows": [int(p["n"].sum())]})
+
+
+LINEITEM_WINSORIZED_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem
+)
+SELECT ROUND(MIN(LEAST(GREATEST(l_extendedprice, lo), hi)), 4)
+         AS w_min,
+       ROUND(MAX(LEAST(GREATEST(l_extendedprice, lo), hi)), 4)
+         AS w_max,
+       ROUND(SUM(LEAST(GREATEST(l_extendedprice, lo), hi)), 2)
+         AS w_sum,
+       COUNT(*) AS w_rows
+FROM lineitem, q
+"""

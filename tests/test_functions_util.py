@@ -536,3 +536,47 @@ def test_distance_join_dense_cluster_exact():
     # every pair is within d=5 of each other in a 0.5-side box
     assert len(got) == 300 * 300
     assert not got.duplicated(["aid", "bid"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSampleBy:
+    def test_equals_single_process_reference(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sampling import (
+            es_keys, weighted_sample_by)
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"id": np.arange(3000),
+                           "g": rng.randint(0, 7, 3000),
+                           "w": rng.uniform(0.1, 10, 3000)})
+        got = weighted_sample_by(rd.from_pandas(df).repartition(11),
+                                 "g", "id", "w", n=20)
+        k = es_keys(df["id"].to_numpy(), df["w"].to_numpy(), 42)
+        ref = df.assign(__es=k).sort_values(["__es", "id"],
+                                            kind="mergesort")
+        want = (ref.groupby("g", sort=False).head(20)
+                .drop(columns="__es").sort_values(["g", "id"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_group_counts_capped(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sampling import \
+            weighted_sample_by
+        df = pd.DataFrame({"id": np.arange(100),
+                           "g": np.where(np.arange(100) < 95, 0, 1),
+                           "w": np.ones(100)})
+        got = weighted_sample_by(rd.from_pandas(df), "g", "id", "w",
+                                 n=10)
+        counts = got.groupby("g").size()
+        assert counts[0] == 10 and counts[1] == 5
+
+    def test_zero_weights_excluded_per_group(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sampling import \
+            weighted_sample_by
+        df = pd.DataFrame({"id": [1, 2, 3, 4],
+                           "g": [0, 0, 1, 1],
+                           "w": [0.0, 1.0, np.nan, 3.0]})
+        got = weighted_sample_by(rd.from_pandas(df), "g", "id", "w",
+                                 n=5)
+        assert got["id"].tolist() == [2, 4]

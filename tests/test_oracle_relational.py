@@ -1005,3 +1005,30 @@ class TestPriceHistogram:
         assert got["bin"].tolist() == want["bin"].astype("int64").tolist()
         assert got["n"].tolist() == want["n"].astype("int64").tolist()
         assert len(got) == 20 and got["n"].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnpivotWinsorize:
+    def test_lineitem_unpivot(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.lineitem_unpivot(SF), R.LINEITEM_UNPIVOT_SQL, con)
+
+    def test_lineitem_winsorized_stats(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.lineitem_winsorized_stats(SF),
+              R.LINEITEM_WINSORIZED_SQL, con)
+
+    def test_winsorize_ds_bounds(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            winsorize_ds
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({"x": rng.normal(0, 100, 4000)})
+        wds, lo, hi = winsorize_ds(rd.from_pandas(df).repartition(7),
+                                   "x", 0.05, 0.95)
+        assert np.isclose(lo, np.quantile(df["x"], 0.05))
+        assert np.isclose(hi, np.quantile(df["x"], 0.95))
+        w = wds.to_pandas()["x"].to_numpy()
+        assert w.min() >= lo - 1e-9 and w.max() <= hi + 1e-9
+        assert np.isclose(w.sum(),
+                          np.clip(df["x"], lo, hi).sum())
