@@ -280,3 +280,71 @@ def pivot_agg(ds, index: str, column: str, spec: tuple[str | None, str],
             .groupby("__pb")
             .map_groups(lambda g: reshape(g.drop(columns="__pb")),
                         batch_format="pandas"))
+
+
+def grouped_convex_hull(ds, group_col: str, x_col: str, y_col: str,
+                        num_buckets: int = 32,
+                        vertices: bool = False) -> pd.DataFrame:
+    """Per-group convex hull over a point Dataset — the combiner
+    pattern applied to a GEOMETRIC aggregate: the hull is algebraic
+    (hull(A u B) = hull(hull(A) u hull(B))), so each batch reduces a
+    group's points to its partial hull vertices (typically O(log n)
+    of them) BEFORE the shuffle, and only those rim points cross the
+    wire; a bucketed merge then finishes each group with one final
+    chain walk. Returns one row per group: (group_col, n_vertices,
+    hull_area, hull_perimeter), or the CCW vertex rows (group_col,
+    seq, x, y) when ``vertices=True``. Degenerate groups (<3 distinct
+    or collinear points) report area 0.
+    """
+    from ..geom.core import convex_hull_xy, ring_signed_area
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in b.groupby(group_col, sort=False):
+            h = convex_hull_xy(
+                np.column_stack([sub[x_col].to_numpy(np.float64),
+                                 sub[y_col].to_numpy(np.float64)]))
+            out.append(pd.DataFrame({group_col: g, "x": h[:, 0],
+                                     "y": h[:, 1]}))
+        if not out:
+            return pd.DataFrame({group_col: pd.Series([], dtype="int64"),
+                                 "x": pd.Series([], dtype="float64"),
+                                 "y": pd.Series([], dtype="float64")})
+        res = pd.concat(out, ignore_index=True)
+        res["__hb"] = (pd.util.hash_array(np.asarray(res[group_col]))
+                       % num_buckets).astype(np.int64)
+        return res
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in g.groupby(group_col, sort=False):
+            h = convex_hull_xy(np.column_stack(
+                [sub["x"].to_numpy(), sub["y"].to_numpy()]))
+            if vertices:
+                rows.append(pd.DataFrame({
+                    group_col: key,
+                    "seq": np.arange(len(h), dtype=np.int64),
+                    "x": h[:, 0], "y": h[:, 1]}))
+                continue
+            if len(h) >= 3:
+                ring = np.vstack([h, h[:1]])
+                area = abs(ring_signed_area(ring))
+                per = float(np.linalg.norm(np.diff(ring, axis=0),
+                                           axis=1).sum())
+            else:
+                area = 0.0
+                per = (2.0 * float(np.linalg.norm(h[1] - h[0]))
+                       if len(h) == 2 else 0.0)
+            rows.append(pd.DataFrame({
+                group_col: [key],
+                "n_vertices": np.array([len(h)], dtype=np.int64),
+                "hull_area": [round(area, 9)],
+                "hull_perimeter": [round(per, 9)]}))
+        return pd.concat(rows, ignore_index=True)
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("__hb")
+           .map_groups(lambda g: finalize(g.drop(columns="__hb")),
+                       batch_format="pandas").to_pandas())
+    sort_cols = [group_col, "seq"] if vertices else [group_col]
+    return out.sort_values(sort_cols).reset_index(drop=True)

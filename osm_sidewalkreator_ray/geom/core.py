@@ -236,3 +236,63 @@ def angle_at(p_prev: np.ndarray, p: np.ndarray, p_next: np.ndarray) -> float:
         return 180.0
     c = np.clip(np.dot(v1, v2) / (n1 * n2), -1.0, 1.0)
     return float(np.degrees(np.arccos(c)))
+
+
+def _akl_toussaint_keep(pts: np.ndarray) -> np.ndarray:
+    """Vectorized Akl-Toussaint prefilter: mask of points NOT strictly
+    inside the quadrilateral of the four extreme points in x, y, x+y,
+    x-y (those interior points cannot be on the convex hull), so the
+    O(n log n) chain walk only ever sees the thin candidate rim."""
+    x, y = pts[:, 0], pts[:, 1]
+    corners = pts[[np.argmin(x), np.argmin(x + y), np.argmax(x),
+                   np.argmax(x - y), np.argmin(y), np.argmax(y)]]
+    corners = np.unique(corners, axis=0)
+    if len(corners) < 3:
+        return np.ones(len(pts), dtype=bool)
+    # order corners CCW around their centroid
+    c = corners.mean(axis=0)
+    corners = corners[np.argsort(
+        np.arctan2(corners[:, 1] - c[1], corners[:, 0] - c[0]))]
+    inside = np.ones(len(pts), dtype=bool)
+    for i in range(len(corners)):
+        a, b = corners[i], corners[(i + 1) % len(corners)]
+        cross = ((b[0] - a[0]) * (y - a[1])
+                 - (b[1] - a[1]) * (x - a[0]))
+        inside &= cross > 1e-12
+    return ~inside
+
+
+def convex_hull_xy(pts: np.ndarray) -> np.ndarray:
+    """Convex hull of (n, 2) float points — Andrew's monotone chain
+    (CCW vertex order, first vertex = lexicographic minimum, collinear
+    boundary points dropped). Degenerate inputs (<3 distinct points,
+    or all collinear) return the distinct extreme points. The Python
+    chain walk runs only on the Akl-Toussaint candidate rim, so batch
+    cost is vectorized-prefilter + a short loop."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    pts = np.unique(pts, axis=0)          # also lexsorts by (x, y)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[_akl_toussaint_keep(pts)]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) \
+                        <= 1e-12:
+                    out.pop()
+                else:
+                    break
+            out.append((p[0], p[1]))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+    if len(hull) < 3:                     # collinear input
+        return np.unique(np.asarray(lower + upper), axis=0)[
+            [0, -1]] if len(pts) > 1 else pts
+    return hull

@@ -580,3 +580,64 @@ class TestWeightedSampleBy:
         got = weighted_sample_by(rd.from_pandas(df), "g", "id", "w",
                                  n=5)
         assert got["id"].tolist() == [2, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedConvexHull:
+    @staticmethod
+    def _ref_hull(pts):
+        from osm_sidewalkreator_ray.geom.core import convex_hull_xy
+        return convex_hull_xy(pts)
+
+    def test_distributed_equals_local(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.aggregates import \
+            grouped_convex_hull
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({"g": rng.randint(0, 5, 4000),
+                           "x": rng.normal(0, 3, 4000),
+                           "y": rng.normal(0, 3, 4000)})
+        got = grouped_convex_hull(rd.from_pandas(df).repartition(13),
+                                  "g", "x", "y", vertices=True)
+        for g, sub in df.groupby("g"):
+            want = self._ref_hull(
+                np.column_stack([sub["x"], sub["y"]]))
+            have = got[got["g"] == g][["x", "y"]].to_numpy()
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    def test_square_metrics(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.aggregates import \
+            grouped_convex_hull
+        df = pd.DataFrame({
+            "g": [1] * 6 + [2] * 3,
+            "x": [0, 2, 2, 0, 1, 0.5, 0, 1, 2],
+            "y": [0, 0, 2, 2, 1, 1.2, 0, 1, 2]})  # g2 collinear
+        got = grouped_convex_hull(rd.from_pandas(df).repartition(4),
+                                  "g", "x", "y")
+        r1 = got[got["g"] == 1].iloc[0]
+        assert r1["n_vertices"] == 4
+        assert np.isclose(r1["hull_area"], 4.0)
+        assert np.isclose(r1["hull_perimeter"], 8.0)
+        r2 = got[got["g"] == 2].iloc[0]
+        assert r2["hull_area"] == 0.0
+        assert np.isclose(r2["hull_perimeter"],
+                          2 * np.sqrt(8))  # degenerate out-and-back
+
+    def test_hull_kernel_properties(self):
+        from osm_sidewalkreator_ray.geom.core import convex_hull_xy
+        rng = np.random.RandomState(17)
+        for _ in range(20):
+            p = rng.uniform(-10, 10, size=(rng.randint(1, 300), 2))
+            h = convex_hull_xy(p)
+            if len(h) < 3:
+                continue
+            # CCW and all points inside
+            x, y = p[:, 0], p[:, 1]
+            for i in range(len(h)):
+                a, b = h[i], h[(i + 1) % len(h)]
+                cr = ((b[0] - a[0]) * (y - a[1])
+                      - (b[1] - a[1]) * (x - a[0]))
+                assert (cr >= -1e-9).all()
+            # idempotent
+            np.testing.assert_allclose(convex_hull_xy(h), h)
