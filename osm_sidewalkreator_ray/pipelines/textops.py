@@ -3045,3 +3045,87 @@ def incremental_minhash_pairs(existing, new, num_perm: int = 64,
     if df.empty:
         return empty
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------ corpus distribution drift
+#
+# Jensen-Shannon divergence between the unigram term distributions of
+# two corpus slices (Lin, "Divergence measures based on the Shannon
+# entropy", IEEE IT 1991) — the standard drift / contamination / domain
+# -shift measure between two text corpora (e.g. this crawl vs last
+# crawl, en vs es). Physical plan: one read, per-batch partial
+# (token, n_a, n_b) value_counts, the bucketed grouped_agg combiner
+# (only per-(token, batch) partials cross the wire), then a slim
+# per-bucket vectorized JS-contribution pass whose one-row partials the
+# driver sums. Nothing wide ever collects.
+
+
+def corpus_js_divergence_ds(docs, split_col: str = "lang",
+                            side_a: str = "en", side_b: str = "es",
+                            num_buckets: int = 32) -> pd.DataFrame:
+    """One row: (js_bits, tokens_a, tokens_b, vocab_a, vocab_b,
+    vocab_union). ``js_bits`` is the Jensen-Shannon divergence (log2;
+    0 = identical distributions, 1 = disjoint supports) between the
+    whitespace-token unigram distributions of the ``side_a`` and
+    ``side_b`` slices of ``split_col``."""
+    from ..functions.aggregates import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for side, col, other in ((side_a, "n_a", "n_b"),
+                                 (side_b, "n_b", "n_a")):
+            vc = (b.loc[b[split_col] == side, "text"].str.split()
+                  .explode().dropna().value_counts())
+            if len(vc):
+                frames.append(pd.DataFrame({
+                    "token": vc.index.astype(str),
+                    col: vc.to_numpy(np.int64),
+                    other: np.zeros(len(vc), dtype=np.int64)}))
+        if not frames:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "n_a": pd.Series([], dtype="int64"),
+                                 "n_b": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)[
+            ["token", "n_a", "n_b"]]
+
+    counts = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["token"], {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+        num_buckets=num_buckets).materialize()
+
+    tot = counts.map_batches(
+        lambda b: pd.DataFrame({
+            "ta": [int(b["n_a"].sum())], "tb": [int(b["n_b"].sum())],
+            "va": [int((b["n_a"] > 0).sum())],
+            "vb": [int((b["n_b"] > 0).sum())], "vu": [len(b)]}),
+        batch_format="pandas").to_pandas()
+    na, nb = int(tot["ta"].sum()), int(tot["tb"].sum())
+    if na == 0 or nb == 0:
+        raise ValueError("corpus_js_divergence: empty side "
+                         f"({side_a}: {na} tokens, {side_b}: {nb})")
+
+    def js_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["n_a"].to_numpy(np.float64) / na
+        q = b["n_b"].to_numpy(np.float64) / nb
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = (0.5 * np.where(p > 0, p * np.log2(p / m), 0.0)
+                    + 0.5 * np.where(q > 0, q * np.log2(q / m), 0.0))
+        return pd.DataFrame({"js": [float(term.sum())]})
+
+    js = counts.map_batches(js_partial,
+                            batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "js_bits": [round(float(js["js"].sum()), 6)],
+        "tokens_a": [na], "tokens_b": [nb],
+        "vocab_a": [int(tot["va"].sum())],
+        "vocab_b": [int(tot["vb"].sum())],
+        "vocab_union": [int(tot["vu"].sum())]})
+
+
+def corpus_js_divergence(sf_dir: str, side_a: str = "en",
+                         side_b: str = "es") -> pd.DataFrame:
+    """Driver form: JS divergence between the side_a and side_b slices of the
+    documents table."""
+    docs = _read_docs(sf_dir, ["text", "lang"])
+    return corpus_js_divergence_ds(docs, "lang", side_a, side_b)
