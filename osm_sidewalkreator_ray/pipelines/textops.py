@@ -3129,3 +3129,75 @@ def corpus_js_divergence(sf_dir: str, side_a: str = "en",
     documents table."""
     docs = _read_docs(sf_dir, ["text", "lang"])
     return corpus_js_divergence_ds(docs, "lang", side_a, side_b)
+
+
+# ----------------------------------------------- train/val/test split
+#
+# Every training pipeline needs a leakage-proof corpus split. The
+# assignment is a pure function of (doc_id, seed) — a Knuth
+# multiplicative hash mapped to [0, 1) and cut at the cumulative
+# fractions — so it is reproducible across runs, engines and
+# partitionings (the SQL oracle reproduces it bit-for-bit in integer
+# arithmetic), and a document can never migrate between splits when
+# the corpus is re-sharded. Zero shuffle: one map_batches.
+
+_SPLIT_KNUTH = 2654435761
+_SPLIT_MOD = 1 << 32
+
+
+def split_assign_ds(docs, fractions: dict[str, float],
+                    id_col: str = "doc_id", seed: int = 7):
+    """Add a ``split`` column: deterministic hash split of ``id_col``
+    by the given fractions (must sum to 1). Order of ``fractions``
+    fixes the cut order."""
+    names = list(fractions)
+    cuts = np.cumsum([fractions[n] for n in names])
+    if not np.isclose(cuts[-1], 1.0):
+        raise ValueError("fractions must sum to 1")
+    edges = np.floor(cuts * _SPLIT_MOD).astype(np.uint64)
+    edges[-1] = _SPLIT_MOD  # guard against float round-down at 1.0
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.uint64)
+        h = ((ids + np.uint64(seed))
+             * np.uint64(_SPLIT_KNUTH)) % np.uint64(_SPLIT_MOD)
+        idx = np.searchsorted(edges, h, side="right")
+        b = b.copy()
+        b["split"] = np.asarray(names, dtype=object)[idx]
+        return b
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+def corpus_split_counts(sf_dir: str, seed: int = 7) -> pd.DataFrame:
+    """Driver form: 98/1/1 train/val/test split of the documents
+    table -> (split, n_docs) counts."""
+    docs = _read_docs(sf_dir, ["doc_id"])
+    ds = split_assign_ds(docs, {"train": 0.98, "val": 0.01,
+                                "test": 0.01}, seed=seed)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["split"].value_counts()
+        return pd.DataFrame({"split": vc.index.astype(str),
+                             "n_docs": vc.to_numpy(np.int64)})
+
+    df = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+          .groupby("split", as_index=False)["n_docs"].sum())
+    return df.sort_values("split").reset_index(drop=True)
+
+
+CORPUS_SPLIT_SQL = r"""
+WITH h AS (
+  SELECT CAST(((CAST(doc_id AS HUGEINT) + 7) * 2654435761)
+              % 4294967296 AS UBIGINT) AS hv
+  FROM documents
+),
+cut AS (
+  SELECT hv, CASE
+    WHEN hv < CAST(FLOOR(0.98 * 4294967296) AS UBIGINT) THEN 'train'
+    WHEN hv < CAST(FLOOR(0.99 * 4294967296) AS UBIGINT) THEN 'val'
+    ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, COUNT(*) AS n_docs FROM cut GROUP BY split ORDER BY split
+"""

@@ -1032,3 +1032,37 @@ class TestUnpivotWinsorize:
         assert w.min() >= lo - 1e-9 and w.max() <= hi + 1e-9
         assert np.isclose(w.sum(),
                           np.clip(df["x"], lo, hi).sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusSplit:
+    def test_matches_sql_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.corpus_split_counts(SF), T.CORPUS_SPLIT_SQL, con)
+
+    def test_partitioning_invariant_and_seeded(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            split_assign_ds
+        df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = (split_assign_ds(rd.from_pandas(df), fr).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (split_assign_ds(rd.from_pandas(df).repartition(17), fr)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        c = split_assign_ds(rd.from_pandas(df), fr, seed=99) \
+            .to_pandas()
+        assert not (a.sort_values("doc_id")["split"].to_numpy()
+                    == c.sort_values("doc_id")["split"].to_numpy()) \
+            .all()
+        frac = (a["split"] == "train").mean()
+        assert 0.75 < frac < 0.85
+
+    def test_fractions_must_sum(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            split_assign_ds
+        with pytest.raises(ValueError):
+            split_assign_ds(rd.from_pandas(
+                pd.DataFrame({"doc_id": [1]})), {"a": 0.5})
