@@ -348,3 +348,78 @@ def grouped_convex_hull(ds, group_col: str, x_col: str, y_col: str,
                        batch_format="pandas").to_pandas())
     sort_cols = [group_col, "seq"] if vertices else [group_col]
     return out.sort_values(sort_cols).reset_index(drop=True)
+
+
+# --------------------------------------- incremental view maintenance
+#
+# A grouped aggregate maintained across corpus APPENDS without ever
+# re-reading history: ``agg_state_ds`` reduces a Dataset to one
+# algebraic STATE row per key (mean kept as sum+count so states stay
+# mergeable), ``merge_agg_states`` folds yesterday's state with a new
+# delta's state (slim state-vs-state bucketed combine — cost scales
+# with |keys touched|, not corpus size), ``finalize_agg_state``
+# projects the user-facing values. The insert-only counterpart to
+# joins.merge_into (which maintains the BASE table; this maintains a
+# downstream aggregate).
+
+
+def _state_spec(spec: dict) -> dict:
+    out = {}
+    for name, (col, kind) in spec.items():
+        if kind == "mean":
+            out[f"__{name}_s"] = (col, "sum")
+            out[f"__{name}_c"] = (col, "count")
+        else:
+            out[name] = (col, kind)
+    return out
+
+
+def agg_state_ds(ds, keys: list[str], spec: dict,
+                 num_buckets: int = 32):
+    """Dataset -> mergeable state Dataset (one row per key group)."""
+    return grouped_agg(ds, keys, _state_spec(spec),
+                       num_buckets=num_buckets)
+
+
+def merge_agg_states(state_a, state_b, keys: list[str], spec: dict,
+                     num_buckets: int = 32):
+    """Fold two state Datasets into one (sum/count add, min/max
+    fold). Both inputs must come from agg_state_ds with the SAME
+    keys/spec."""
+    sspec = _state_spec(spec)
+    merge_kind = {out: ("sum" if kind in ("sum", "count") else kind)
+                  for out, (_, kind) in sspec.items()}
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in keys:
+            h ^= pd.util.hash_array(np.asarray(b[k]))
+        b[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False, dropna=False)
+        cols = {out: getattr(gb[out], mk)()
+                for out, mk in merge_kind.items()}
+        return pd.DataFrame(cols).reset_index()[
+            keys + list(sspec.keys())]
+
+    return (state_a.union(state_b)
+            .map_batches(bucketed, batch_format="pandas")
+            .groupby(_BUCKET)
+            .map_groups(lambda g: fold(g.drop(columns=_BUCKET)),
+                        batch_format="pandas"))
+
+
+def finalize_agg_state(state, keys: list[str], spec: dict
+                       ) -> pd.DataFrame:
+    """State Dataset/DataFrame -> final values (mean = sum/count)."""
+    df = state.to_pandas() if not isinstance(state, pd.DataFrame) \
+        else state.copy()
+    for name, (_, kind) in spec.items():
+        if kind == "mean":
+            df[name] = df[f"__{name}_s"] / df[f"__{name}_c"]
+            df = df.drop(columns=[f"__{name}_s", f"__{name}_c"])
+    df = df[keys + list(spec.keys())]
+    return df.sort_values(keys).reset_index(drop=True)

@@ -1066,3 +1066,61 @@ class TestCorpusSplit:
         with pytest.raises(ValueError):
             split_assign_ds(rd.from_pandas(
                 pd.DataFrame({"doc_id": [1]})), {"a": 0.5})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalAggState:
+    SPEC = {"n": (None, "count"), "sum_price": ("o_totalprice", "sum"),
+            "avg_price": ("o_totalprice", "mean"),
+            "max_price": ("o_totalprice", "max")}
+
+    SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    def test_base_plus_delta_equals_full(self, con):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.aggregates import (
+            agg_state_ds, finalize_agg_state, merge_agg_states)
+        full = rd.read_parquet(f"{SF}/orders.parquet",
+                               columns=["o_orderkey", "o_orderpriority",
+                                        "o_totalprice"])
+        base = full.filter(lambda r: r["o_orderkey"] % 3 != 0)
+        delta = full.filter(lambda r: r["o_orderkey"] % 3 == 0)
+        keys = ["o_orderpriority"]
+        st = merge_agg_states(agg_state_ds(base, keys, self.SPEC),
+                              agg_state_ds(delta, keys, self.SPEC),
+                              keys, self.SPEC)
+        got = finalize_agg_state(st, keys, self.SPEC)
+        got["sum_price"] = got["sum_price"].round(2)
+        got["avg_price"] = got["avg_price"].round(6)
+        check(got, self.SQL, con)
+
+    def test_merge_is_associative_with_disjoint_and_overlapping_keys(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.aggregates import (
+            agg_state_ds, finalize_agg_state, merge_agg_states)
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({"k": rng.randint(0, 9, 500),
+                           "v": rng.uniform(0, 10, 500)})
+        spec = {"n": (None, "count"), "s": ("v", "sum"),
+                "m": ("v", "mean"), "mn": ("v", "min")}
+        a, b = df.iloc[:100], df.iloc[100:]
+        st = merge_agg_states(
+            agg_state_ds(rd.from_pandas(a), ["k"], spec),
+            agg_state_ds(rd.from_pandas(b), ["k"], spec),
+            ["k"], spec)
+        got = finalize_agg_state(st, ["k"], spec)
+        g = df.groupby("k")["v"]
+        want = pd.DataFrame({"k": sorted(df["k"].unique())})
+        want["n"] = g.count().reindex(want["k"]).to_numpy()
+        want["s"] = g.sum().reindex(want["k"]).to_numpy()
+        want["m"] = g.mean().reindex(want["k"]).to_numpy()
+        want["mn"] = g.min().reindex(want["k"]).to_numpy()
+        assert np.allclose(got[["n", "s", "m", "mn"]].to_numpy(),
+                           want[["n", "s", "m", "mn"]].to_numpy())
+        assert got["k"].tolist() == want["k"].tolist()
