@@ -408,3 +408,42 @@ class TestDbscan:
         assert got["label"].tolist() == list(lab)
         assert got["is_core"].tolist() == list(core)
         assert (got["label"] >= 0).any()  # parameters actually cluster
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSQ8Quantization:
+    def test_roundtrip_error_bounded(self):
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        rng = np.random.RandomState(4)
+        m = rng.uniform(-2, 3, size=(300, 16))
+        m[:, 5] = 1.25  # constant dim
+        emb = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": list(m.astype(np.float32))})).repartition(5)
+        ranges = V.embedding_ranges(emb)
+        np.testing.assert_allclose(ranges[0],
+                                   m.astype(np.float32).min(axis=0),
+                                   rtol=1e-6)
+        codes_df = (V.quantize_embeddings_ds(emb, ranges).to_pandas()
+                    .sort_values("vec_id"))
+        codes = np.frombuffer(b"".join(codes_df["codes"]),
+                              dtype=np.uint8).reshape(300, 16)
+        rec = V.dequantize_codes(codes, ranges)
+        step = (ranges[1] - ranges[0]) / 255.0
+        err = np.abs(rec - m.astype(np.float32).astype(np.float64))
+        assert (err <= step * 0.5 + 1e-9).all()
+        assert (rec[:, 5] == 1.25).all() or \
+            np.allclose(rec[:, 5], 1.25, atol=1e-6)
+
+    def test_sq8_topk_recall_and_exact_rerank(self):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        exact = V.ann_topk(SF, k=10)
+        got = V.sq8_topk_query(SF, k=10)
+        recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+        assert recall >= 0.8, recall
+        merged = got.merge(exact, on="vec_id",
+                           suffixes=("_sq", "_ex"))
+        assert (merged["cosine_sim_sq"]
+                == merged["cosine_sim_ex"]).all()
