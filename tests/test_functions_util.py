@@ -641,3 +641,34 @@ class TestGroupedConvexHull:
                 assert (cr >= -1e-9).all()
             # idempotent
             np.testing.assert_allclose(convex_hull_xy(h), h)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewReport:
+    def test_block_and_key_skew(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.stats import skew_report
+        # 10k rows, one key holds 60%
+        k = np.concatenate([np.zeros(6000, dtype=np.int64),
+                            np.arange(1, 4001, dtype=np.int64)])
+        df = pd.DataFrame({"k": k, "v": np.arange(10000)})
+        rep = skew_report(rd.from_pandas(df).repartition(8), key="k")
+        b = rep["blocks"].iloc[0]
+        assert b["rows_total"] == 10000
+        assert b["n_blocks"] == 8
+        hot = rep["hot_keys"]
+        assert int(hot.iloc[0]["value"]) == 0
+        assert hot.iloc[0]["share"] >= 0.55
+        assert hot.iloc[0]["count_low"] <= 6000 \
+            <= hot.iloc[0]["count_high"]
+
+    def test_no_key_and_empty(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.stats import skew_report
+        df = pd.DataFrame({"x": np.arange(100)})
+        rep = skew_report(rd.from_pandas(df))
+        assert rep["hot_keys"] is None
+        assert rep["blocks"].iloc[0]["rows_total"] == 100
+        empty = rd.from_pandas(df).filter(lambda r: r["x"] < 0)
+        rep2 = skew_report(empty)
+        assert rep2["blocks"].iloc[0]["rows_total"] == 0
