@@ -2734,3 +2734,76 @@ SELECT ROUND(MIN(LEAST(GREATEST(l_extendedprice, lo), hi)), 4)
        COUNT(*) AS w_rows
 FROM lineitem, q
 """
+
+
+# --------------------------------------------------- touch attribution
+#
+# Marketing-style conversion attribution: for every purchase event,
+# the strictly-preceding click by the same user — LAST touch (the most
+# recent preceding click) and FIRST touch (the user's earliest click,
+# provided it precedes the purchase). "Preceding" is exact in the
+# total (ts, event_id) order, so same-timestamp ties resolve
+# deterministically and identically to the SQL window frame
+# ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``. One user-hash
+# bucket shuffle; inside a bucket one sorted vectorized pass (ffill
+# for last touch, per-user position-min for first touch).
+
+
+def events_attribution(sf_dir: str) -> pd.DataFrame:
+    """(event_id, user_id, last_click_id, first_click_id) for every
+    purchase; -1 when the user has no preceding click."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"]))
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        is_click = (g["event_type"] == "click").to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        # last preceding click: forward-fill click ids within user;
+        # a purchase row's own cell is NaN so no self-inclusion
+        clicks = pd.Series(np.where(is_click, eid, np.nan))
+        last_id = clicks.groupby(uid).ffill().to_numpy()
+        pos = np.arange(len(g))
+        fpos = (pd.Series(np.where(is_click, pos, np.nan))
+                .groupby(uid).transform("min").to_numpy())
+        first_ok = ~np.isnan(fpos) & (fpos < pos)
+        first_id = np.where(first_ok,
+                            eid[np.nan_to_num(fpos).astype(np.int64)],
+                            -1)
+        m = (g["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "event_id": eid[m], "user_id": uid[m],
+            "last_click_id": np.where(np.isnan(last_id[m]), -1,
+                                      np.nan_to_num(last_id[m]))
+            .astype(np.int64),
+            "first_click_id": first_id[m].astype(np.int64)})
+
+    out = (ds.groupby("__ubucket")
+           .map_groups(lambda g: attribute(g.drop(columns="__ubucket")),
+                       batch_format="pandas").to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_id,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                     IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_click_id
+  FROM events
+)
+SELECT event_id, user_id,
+       COALESCE(last_click_id, -1) AS last_click_id,
+       COALESCE(first_click_id, -1) AS first_click_id
+FROM w WHERE event_type = 'purchase' ORDER BY event_id
+"""

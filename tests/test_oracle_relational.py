@@ -1124,3 +1124,18 @@ class TestIncrementalAggState:
         assert np.allclose(got[["n", "s", "m", "mn"]].to_numpy(),
                            want[["n", "s", "m", "mn"]].to_numpy())
         assert got["k"].tolist() == want["k"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAttribution:
+    def test_events_attribution(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_attribution(SF), R.EVENTS_ATTRIBUTION_SQL, con)
+
+    def test_sf001_too(self):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        sf = "/root/testdata/sf0.01"
+        c = duckdb.connect()
+        c.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        check(R.events_attribution(sf), R.EVENTS_ATTRIBUTION_SQL, c)
