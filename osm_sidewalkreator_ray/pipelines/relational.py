@@ -2807,3 +2807,80 @@ SELECT event_id, user_id,
        COALESCE(first_click_id, -1) AS first_click_id
 FROM w WHERE event_type = 'purchase' ORDER BY event_id
 """
+
+
+# ------------------------------------------------ grouped z-score
+#
+# Per-group standardization (feature normalization for training): a
+# two-pass plan — pass 1 is the slim grouped_agg combiner (mean +
+# sample stddev per group, O(groups) rows), whose result broadcasts
+# into a zero-shuffle pass 2 that standardizes every row. No row-level
+# shuffle at any point, so the op streams at any scale; groups with
+# fewer than 2 rows or zero variance emit NULL-like NaN -> -0.0 guard
+# handled by the caller (the driver form maps them to 0 to match the
+# SQL CASE).
+
+
+def grouped_zscore_ds(ds, key: str, value_col: str,
+                      out_col: str = "zscore",
+                      num_buckets: int = 32):
+    """Add ``out_col`` = (value - group mean) / group SAMPLE stddev.
+    Groups with <2 rows or zero variance get NaN."""
+    from ..functions.aggregates import grouped_agg
+
+    # sample variance needs sum of squares: widen rows with v^2 so ONE
+    # combiner pass carries (n, sum, sum_sq) per group
+    def sq(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64)
+        return pd.DataFrame({key: b[key], "v2": v * v, "v": v})
+
+    var_stats = grouped_agg(
+        ds.map_batches(sq, batch_format="pandas"),
+        [key], {"n": (None, "count"), "s": ("v", "sum"),
+                "s2": ("v2", "sum")}, num_buckets=num_buckets)
+    st = var_stats.to_pandas()
+    n = st["n"].to_numpy(np.float64)
+    mean = st["s"].to_numpy() / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (st["s2"].to_numpy() - n * mean * mean) \
+            / np.where(n > 1, n - 1, np.nan)
+        sd = np.sqrt(var)
+    lut_mean = dict(zip(st[key], mean))
+    lut_sd = dict(zip(st[key], sd))
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        mu = b[key].map(lut_mean).to_numpy(np.float64)
+        s = b[key].map(lut_sd).to_numpy(np.float64)
+        v = b[value_col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mu) / s
+        b[out_col] = np.where(np.isfinite(z), z, np.nan)
+        return b
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+def events_value_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type standardized event values (z = (v - mean_t) /
+    stddev_samp_t), NaN->0 for degenerate groups to mirror the SQL
+    CASE."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    out = grouped_zscore_ds(ds, "event_type", "value").to_pandas()
+    out["zscore"] = np.round(np.nan_to_num(out["zscore"]), 6)
+    return (out[["event_id", "event_type", "zscore"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+EVENTS_VALUE_ZSCORE_SQL = """
+SELECT event_id, event_type,
+       ROUND(CASE WHEN COUNT(*) OVER w > 1
+                   AND STDDEV_SAMP(value) OVER w > 0
+             THEN (value - AVG(value) OVER w)
+                  / STDDEV_SAMP(value) OVER w
+             ELSE 0 END, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""

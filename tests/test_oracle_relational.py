@@ -1139,3 +1139,25 @@ class TestAttribution:
         c = duckdb.connect()
         c.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
         check(R.events_attribution(sf), R.EVENTS_ATTRIBUTION_SQL, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedZscore:
+    def test_events_value_zscore(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_value_zscore(SF), R.EVENTS_VALUE_ZSCORE_SQL,
+              con)
+
+    def test_degenerate_groups_nan(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            grouped_zscore_ds
+        df = pd.DataFrame({"k": ["a", "b", "b", "c", "c"],
+                           "v": [5.0, 1.0, 3.0, 2.0, 2.0]})
+        out = (grouped_zscore_ds(rd.from_pandas(df), "k", "v")
+               .to_pandas().sort_values(["k", "v"])
+               .reset_index(drop=True))
+        assert np.isnan(out.loc[0, "zscore"])        # singleton
+        assert np.isclose(out.loc[1, "zscore"], -np.sqrt(0.5),
+                          atol=1e-9)
+        assert np.isnan(out.loc[3, "zscore"])        # zero variance
