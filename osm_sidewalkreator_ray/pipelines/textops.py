@@ -3201,3 +3201,130 @@ cut AS (
 )
 SELECT split, COUNT(*) AS n_docs FROM cut GROUP BY split ORDER BY split
 """
+
+
+# ------------------------------------------- paragraph-level dedup
+#
+# C4-style exact PARAGRAPH dedup across the whole corpus (Raffel et
+# al., JMLR'20 kept three-sentence spans; RefinedWeb scrubs exact
+# duplicate spans): every paragraph (a "\n\n" split) survives only at
+# its FIRST corpus occurrence — the minimum (doc_id, position) — and
+# is scrubbed everywhere else; documents are rewritten with their
+# surviving paragraphs in original order. Complements
+# frequent_line_scrub (which drops lines crossing a distinct-doc
+# frequency threshold but keeps no canonical copy).
+#
+# Physical plan, two slim shuffles, text crosses the wire once:
+# 1. docs -> exploded (hash64(para), doc_id, idx) rows (no text),
+#    bucketed by paragraph hash; per bucket a vectorized groupby-min
+#    finds each paragraph's winner; only LOSER (doc_id, idx) pairs
+#    leave the stage.
+# 2. losers re-bucket by doc_id and co-group with the documents
+#    (text travels here, once); each doc re-splits, drops its loser
+#    positions, and re-joins. Paragraph identity is the 64-bit hash
+#    (collision = one lost paragraph; the SQL oracle partitions by the
+#    raw string, so the tests also guard collisions at test scale).
+
+_PARA_SEP = "\n\n"
+
+
+def dedup_paragraphs_ds(docs, num_buckets: int = 32):
+    """documents (doc_id, text) -> (doc_id, text) with every paragraph
+    kept only at its first (doc_id, position) corpus occurrence."""
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        paras = b["text"].str.split(_PARA_SEP)
+        lens = paras.map(len).to_numpy(np.int64)
+        doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+        idx = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens]) if len(b) else \
+            np.array([], dtype=np.int64)
+        flat = paras.explode()
+        h = pd.util.hash_array(flat.to_numpy(dtype=object)) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "__pb": ((h.view(np.uint64)) % num_buckets)
+            .astype(np.int64),
+            "h": h, "doc_id": doc, "idx": idx})
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        # winner per hash = lexicographic min (doc_id, idx)
+        g = g.sort_values(["h", "doc_id", "idx"], kind="mergesort")
+        first = ~g["h"].duplicated()
+        out = g.loc[~first, ["doc_id", "idx"]]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "idx": out["idx"].to_numpy(np.int64)})
+
+    loser_rows = (docs.map_batches(explode, batch_format="pandas")
+                  .groupby("__pb")
+                  .map_groups(lambda g: losers(g.drop(columns="__pb")),
+                              batch_format="pandas"))
+
+    def tag_doc(b: pd.DataFrame, is_doc: bool) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__db": (pd.util.hash_array(
+                b["doc_id"].to_numpy(np.int64)) % num_buckets)
+            .astype(np.int64),
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "idx": (np.full(len(b), -1, dtype=np.int64) if is_doc
+                    else b["idx"].to_numpy(np.int64)),
+            "text": (b["text"].astype(object) if is_doc
+                     else np.full(len(b), None, dtype=object))})
+
+    tagged = (docs.map_batches(lambda b: tag_doc(b, True),
+                               batch_format="pandas")
+              .union(loser_rows.map_batches(
+                  lambda b: tag_doc(b, False), batch_format="pandas")))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        drops: dict[int, set] = {}
+        l = g.loc[g["idx"] >= 0]
+        for d, i in zip(l["doc_id"].to_numpy(), l["idx"].to_numpy()):
+            drops.setdefault(int(d), set()).add(int(i))
+        d_rows = g.loc[g["idx"] < 0]
+        texts = []
+        for d, t in zip(d_rows["doc_id"].to_numpy(),
+                        d_rows["text"].to_numpy()):
+            dead = drops.get(int(d))
+            if not dead:
+                texts.append(t)
+                continue
+            parts = t.split(_PARA_SEP)
+            texts.append(_PARA_SEP.join(
+                p for j, p in enumerate(parts) if j not in dead))
+        return pd.DataFrame({
+            "doc_id": d_rows["doc_id"].to_numpy(np.int64),
+            "text": np.asarray(texts, dtype=object)})
+
+    return (tagged.groupby("__db")
+            .map_groups(lambda g: rebuild(g.drop(columns="__db")),
+                        batch_format="pandas"))
+
+
+def paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Driver form: paragraph-deduped documents (doc_id, text)."""
+    out = dedup_paragraphs_ds(_read_docs(sf_dir, ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH s AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS sp
+  FROM documents
+),
+p AS (
+  SELECT doc_id, UNNEST(sp) AS para,
+         UNNEST(generate_series(1, len(sp))) AS idx
+  FROM s
+),
+w AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY para
+                            ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                  FILTER (WHERE rn = 1), '') AS text
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1161,3 +1161,32 @@ class TestGroupedZscore:
         assert np.isclose(out.loc[1, "zscore"], -np.sqrt(0.5),
                           atol=1e-9)
         assert np.isnan(out.loc[3, "zscore"])        # zero variance
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParagraphDedup:
+    def test_matches_sql_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.paragraph_dedup(SF), T.PARAGRAPH_DEDUP_SQL, con)
+
+    def test_first_occurrence_survives(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            dedup_paragraphs_ds
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["A\n\nB", "B\n\nC\n\nB", "C\n\nA\n\nD"]})
+        out = (dedup_paragraphs_ds(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        assert out["text"].tolist() == ["A\n\nB", "C", "D"]
+
+    def test_within_doc_duplicates_and_empty(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            dedup_paragraphs_ds
+        df = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["X\n\nX\n\nY", "X\n\nY"]})
+        out = (dedup_paragraphs_ds(rd.from_pandas(df)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out["text"].tolist() == ["X\n\nY", ""]
