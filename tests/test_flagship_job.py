@@ -80,3 +80,42 @@ def test_index_job_cli_lifecycle(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["hits"] == 3 and m["top"][0]["doc_id"] == 389
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_job_cli(tmp_path, capsys):
+    """profile/check/skew modes print one JSON report line; a failing
+    rule suite exits nonzero."""
+    from jobs.profile_job import main as pmain
+    sf = "/root/testdata/sf0.001"
+
+    assert pmain(["profile", "--data", f"{sf}/lineitem.parquet",
+                  "--columns", "l_quantity", "l_returnflag"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "profile" and rep["rows"] > 0
+    cols = {c["column"]: c for c in rep["columns"]}
+    assert cols["l_quantity"]["nulls"] == 0
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"kind": "not_null", "column": "l_quantity"},
+        {"kind": "in_range", "column": "l_quantity",
+         "lo": 0, "hi": 3},  # fails: quantities go to 50
+        {"kind": "foreign_key", "column": "l_orderkey",
+         "parent_path": f"{sf}/orders.parquet",
+         "parent_column": "o_orderkey"},
+    ]))
+    rc = pmain(["check", "--data", f"{sf}/lineitem.parquet",
+                "--rules", str(rules)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and rep["passed"] is False
+    by = {r["rule"]: r for r in rep["rules"]}
+    assert by["not_null"]["violations"] == 0
+    assert by["in_range"]["violations"] > 0
+    assert by["foreign_key"]["violations"] == 0
+
+    assert pmain(["skew", "--data", f"{sf}/events.parquet",
+                  "--key", "event_type"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["blocks"]["rows_total"] == 1000
+    assert len(rep["hot_keys"]) > 0
