@@ -2884,3 +2884,53 @@ FROM events
 WINDOW w AS (PARTITION BY event_type)
 ORDER BY event_id
 """
+
+
+# ------------------------------------------- equi-depth histogram
+#
+# The skew-proof complement to the equi-width histogram: bin EDGES at
+# exact quantiles (functions/sketches.exact_quantile distributed
+# selections — slim counting passes), then ONE zero-shuffle bincount
+# pass (np.searchsorted against the 7 broadcast edges). Rows per bin
+# are ~equal by construction no matter how heavy the value skew —
+# the same property that makes these edges the right range-partition
+# boundaries.
+
+
+def lineitem_price_equidepth(sf_dir: str, n_bins: int = 8
+                             ) -> pd.DataFrame:
+    """(bin, n_rows) equi-depth histogram of l_extendedprice; bin i
+    holds values in (edge_{i-1}, edge_i] with edges at the exact
+    i/n_bins quantiles (quantile_cont interpolation)."""
+    from ..functions.sketches import exact_quantile
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    edges = np.array([exact_quantile(ds, "l_extendedprice",
+                                     i / n_bins)
+                      for i in range(1, n_bins)])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy(np.float64)
+        bins = np.searchsorted(edges, v, side="left")
+        return pd.DataFrame({
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "n_rows": np.bincount(bins, minlength=n_bins)
+            .astype(np.int64)})
+
+    df = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+          .groupby("bin", as_index=False)["n_rows"].sum())
+    return df.sort_values("bin").reset_index(drop=True)
+
+
+LINEITEM_EQUIDEPTH_SQL = """
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+  FROM lineitem
+),
+b AS (
+  SELECT len(list_filter(e.qs, q -> l_extendedprice > q)) AS bin
+  FROM lineitem, e
+)
+SELECT bin, COUNT(*) AS n_rows FROM b GROUP BY bin ORDER BY bin
+"""

@@ -1190,3 +1190,19 @@ class TestParagraphDedup:
         out = (dedup_paragraphs_ds(rd.from_pandas(df)).to_pandas()
                .sort_values("doc_id").reset_index(drop=True))
         assert out["text"].tolist() == ["X\n\nY", ""]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEquidepthHistogram:
+    def test_matches_sql(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.lineitem_price_equidepth(SF),
+              R.LINEITEM_EQUIDEPTH_SQL, con)
+
+    def test_bins_roughly_equal(self):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        got = R.lineitem_price_equidepth(SF)
+        n = got["n_rows"].sum()
+        assert len(got) == 8
+        assert (np.abs(got["n_rows"] - n / 8) <= n / 8 * 0.05
+                + 2).all()
