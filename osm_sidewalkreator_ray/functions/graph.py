@@ -829,3 +829,128 @@ def bfs_hops(edges, sources, num_buckets: int = 32,
                        "hops": np.where(hops >= _BFS_INF, -1, hops)
                        .astype(np.int64)})
     return df.sort_values("vertex").reset_index(drop=True)
+
+
+def _walk_choice_hash(walk_id: np.ndarray, step: int,
+                      seed: int) -> np.ndarray:
+    """Deterministic per-(walk, step) uint64 draw — a Knuth mix of the
+    walk id with the step and seed, so the chosen neighbor is a pure
+    function of (walk_id, step, seed): independent of partitioning,
+    arrival order and retries (a re-executed task re-derives the same
+    walk)."""
+    x = (walk_id.astype(np.uint64)
+         + np.uint64(step) * np.uint64(0x9E3779B97F4A7C15)
+         + np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return x ^ (x >> np.uint64(33))
+
+
+def random_walks(edges, walk_len: int = 5, walks_per_vertex: int = 1,
+                 seed: int = 42, num_buckets: int = 32
+                 ) -> pd.DataFrame:
+    """Deterministic uniform random walks over a DIRECTED edge
+    Dataset (the DeepWalk/node2vec corpus-generation step, Perozzi et
+    al. KDD'14): ``walks_per_vertex`` walks start at every distinct
+    source vertex and take up to ``walk_len`` steps; at each step the
+    next vertex is the ``h % out_degree``-th neighbor in canonical
+    (dst-sorted) adjacency order with ``h`` from ``_walk_choice_hash``
+    — reproducible noise, no RNG stream. A walk reaching a vertex
+    with no out-edges terminates.
+
+    Physical plan: adjacency is bucketed ONCE by hash(src) with
+    per-source (offset, degree) computed bucket-locally; each step is
+    one slim (walk_id, cur) shuffle into those buckets where a
+    vectorized merge + fancy-index advances every walker. Rows out:
+    (walk_id, step, vertex) — step 0 is the start vertex.
+    """
+    edges = _to_edge_ds(edges)
+
+    def adj(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(s) % num_buckets)
+            .astype(np.int64),
+            "src": s, "dst": d,
+            "walk_id": np.full(len(s), -1, dtype=np.int64),
+            "is_edge": np.ones(len(s), dtype=bool)})
+
+    edge_rows = edges.map_batches(adj,
+                                  batch_format="pandas").materialize()
+    if edge_rows.count() == 0:
+        return pd.DataFrame({"walk_id": pd.Series([], dtype="int64"),
+                             "step": pd.Series([], dtype="int64"),
+                             "vertex": pd.Series([], dtype="int64")})
+
+    def starts(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(b["src"].to_numpy(np.int64))
+        v = np.repeat(v, walks_per_vertex)
+        w = (v * np.int64(walks_per_vertex)
+             + np.tile(np.arange(walks_per_vertex, dtype=np.int64),
+                       len(v) // walks_per_vertex))
+        return pd.DataFrame({"walk_id": w, "vertex": v})
+
+    # distinct sources: per-batch unique + one keyed min dedupe
+    cur = (edges.map_batches(starts, batch_format="pandas")
+           .groupby("walk_id").min("vertex")
+           .map_batches(lambda b: pd.DataFrame({
+               "walk_id": b["walk_id"].to_numpy(np.int64),
+               "vertex": b["min(vertex)"].to_numpy(np.int64)}),
+               batch_format="pandas").materialize())
+
+    trail = [cur]
+    for step in range(1, walk_len + 1):
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": (pd.util.hash_array(
+                    b["vertex"].to_numpy(np.int64)) % num_buckets)
+                .astype(np.int64),
+                "src": b["vertex"].to_numpy(np.int64),
+                "dst": np.full(len(b), -1, dtype=np.int64),
+                "walk_id": b["walk_id"].to_numpy(np.int64),
+                "is_edge": np.zeros(len(b), dtype=bool)})
+
+        def advance(g: pd.DataFrame, _step=step) -> pd.DataFrame:
+            e = g.loc[g["is_edge"], ["src", "dst"]] \
+                .sort_values(["src", "dst"], kind="mergesort")
+            w = g.loc[~g["is_edge"], ["walk_id", "src"]]
+            if not len(w) or not len(e):
+                return pd.DataFrame({
+                    "walk_id": pd.Series([], dtype="int64"),
+                    "vertex": pd.Series([], dtype="int64")})
+            srcs = e["src"].to_numpy()
+            starts_ = np.flatnonzero(
+                np.r_[True, srcs[1:] != srcs[:-1]])
+            uniq = srcs[starts_]
+            degs = np.diff(np.r_[starts_, len(srcs)])
+            pos = np.searchsorted(uniq, w["src"].to_numpy())
+            ok = (pos < len(uniq)) & \
+                (uniq[np.minimum(pos, len(uniq) - 1)]
+                 == w["src"].to_numpy())
+            w = w.loc[ok]
+            pos = pos[ok]
+            h = _walk_choice_hash(w["walk_id"].to_numpy(np.int64),
+                                  _step, seed)
+            pick = starts_[pos] + (h % degs[pos].astype(np.uint64)) \
+                .astype(np.int64)
+            return pd.DataFrame({
+                "walk_id": w["walk_id"].to_numpy(np.int64),
+                "vertex": e["dst"].to_numpy()[pick]})
+
+        cur = (edge_rows.union(
+            cur.map_batches(tag, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(lambda g: advance(g.drop(columns="bucket")),
+                        batch_format="pandas").materialize())
+        if cur.count() == 0:
+            break
+        trail.append(cur)
+
+    frames = []
+    for i, t in enumerate(trail):
+        df = t.to_pandas()
+        df["step"] = np.int64(i)
+        frames.append(df[["walk_id", "step", "vertex"]])
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(["walk_id", "step"])
+            .reset_index(drop=True))

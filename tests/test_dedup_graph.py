@@ -688,3 +688,65 @@ class TestBfsHops:
                        sources, num_buckets=8)
         assert dict(zip(got["vertex"], got["hops"])) == \
             self._ref_bfs(edges, sources)
+
+
+class TestRandomWalks:
+    @staticmethod
+    def _ref_walks(edges, walk_len, wpv, seed):
+        from osm_sidewalkreator_ray.functions.graph import \
+            _walk_choice_hash
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        for u in adj:
+            adj[u].sort()
+        rows = []
+        for v in sorted(adj):
+            for r in range(wpv):
+                w = v * wpv + r
+                cur = v
+                rows.append((w, 0, cur))
+                for step in range(1, walk_len + 1):
+                    nb = adj.get(cur)
+                    if not nb:
+                        break
+                    h = _walk_choice_hash(
+                        np.array([w], dtype=np.int64), step, 42)[0]
+                    cur = nb[int(h % np.uint64(len(nb)))]
+                    rows.append((w, step, cur))
+        return pd.DataFrame(rows,
+                            columns=["walk_id", "step", "vertex"])
+
+    def test_matches_reference_random_digraph(self):
+        from osm_sidewalkreator_ray.functions.graph import random_walks
+        rng = np.random.default_rng(3)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 40, size=(200, 2))]
+        got = random_walks(pd.DataFrame(edges,
+                                        columns=["src", "dst"]),
+                           walk_len=6, walks_per_vertex=2,
+                           num_buckets=8)
+        want = self._ref_walks(edges, 6, 2, 42) \
+            .sort_values(["walk_id", "step"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_dead_end_terminates(self):
+        from osm_sidewalkreator_ray.functions.graph import random_walks
+        edges = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+        got = random_walks(edges, walk_len=5)
+        # walk from 1: 1 -> 2 -> 3 (3 has no out-edge, stops at step 2)
+        w1 = got[got["walk_id"] == 1]
+        assert w1["vertex"].tolist() == [1, 2, 3]
+        assert w1["step"].tolist() == [0, 1, 2]
+
+    def test_walks_per_vertex_and_determinism(self):
+        from osm_sidewalkreator_ray.functions.graph import random_walks
+        rng = np.random.default_rng(5)
+        edges = pd.DataFrame(rng.integers(0, 20, size=(80, 2)),
+                             columns=["src", "dst"]).astype("int64")
+        a = random_walks(edges, walk_len=4, walks_per_vertex=3)
+        b = random_walks(edges, walk_len=4, walks_per_vertex=3,
+                         num_buckets=5)
+        pd.testing.assert_frame_equal(a, b)
+        n_starts = a[a["step"] == 0]["walk_id"].nunique()
+        assert n_starts == edges["src"].nunique() * 3
