@@ -1113,3 +1113,92 @@ def sq8_topk_query(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return (out.sort_values(["cosine_sim", "vec_id"],
                             ascending=[False, True]).head(k)
             .reset_index(drop=True))
+
+
+# ------------------------------------------- cluster topic labeling
+#
+# c-TF-IDF (Grootendorst, "BERTopic", arXiv 2022): after k-means over
+# the embeddings, label each cluster with its most DISTINCTIVE terms —
+# score(t, c) = n_{t,c} * ln(1 + A / f_t) with n_{t,c} the term count
+# inside cluster c, f_t the corpus term count and A the average
+# cluster token mass. Physical plan: cluster ids join to documents via
+# the partitioned hash join; ONE combiner groupby builds the slim
+# (cluster, token, n) dataset; a token-bucketed pass folds f_t and
+# scores in place (a token's rows share a bucket, so f_t is
+# bucket-local); per-batch partial top-k per cluster, driver merge of
+# k x topk rows.
+
+
+def cluster_topic_terms(sf_dir: str, k: int = 5, topk: int = 5,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """(cluster, term, score) — topk c-TF-IDF terms per k-means
+    cluster of the embeddings table (vec_id == doc_id by data
+    contract)."""
+    from ..functions.aggregates import grouped_agg
+    from ..functions.joins import hash_partition_join
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+    cents = kmeans_fit_ds(emb, k=k)["centroids"]
+    labels = kmeans_assign_ds(emb, cents).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["vec_id"].to_numpy(np.int64),
+            "cluster": b["cluster"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    joined = hash_partition_join(labels, docs, on="doc_id",
+                                 num_buckets=num_buckets)
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        tok = b["text"].str.split().explode().dropna()
+        cl = b["cluster"].reindex(tok.index)
+        vc = pd.DataFrame({"cluster": cl.to_numpy(np.int64),
+                           "token": tok.to_numpy(dtype=object)}) \
+            .value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"cluster": idx["cluster"],
+                             "token": idx["token"],
+                             "n": vc.to_numpy(np.int64)})
+
+    ct = grouped_agg(joined.map_batches(counts, batch_format="pandas"),
+                     ["cluster", "token"], {"n": ("n", "sum")},
+                     num_buckets=num_buckets).materialize()
+
+    tot = ct.map_batches(
+        lambda b: b.groupby("cluster", as_index=False)["n"].sum(),
+        batch_format="pandas").to_pandas() \
+        .groupby("cluster")["n"].sum()
+    avg_mass = float(tot.mean())
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__tb"] = (pd.util.hash_array(
+            b["token"].to_numpy(dtype=object)) % num_buckets) \
+            .astype(np.int64)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ft = g.groupby("token", sort=False)["n"].transform("sum") \
+            .to_numpy(np.float64)
+        sc = g["n"].to_numpy(np.float64) \
+            * np.log(1.0 + avg_mass / ft)
+        out = pd.DataFrame({"cluster": g["cluster"].to_numpy(),
+                            "term": g["token"].to_numpy(),
+                            "score": sc})
+        return (out.sort_values(["score", "term"],
+                                ascending=[False, True],
+                                kind="mergesort")
+                .groupby("cluster", sort=False).head(topk))
+
+    parts = (ct.map_batches(score, batch_format="pandas")
+             .groupby("__tb")
+             .map_groups(lambda g: fold(g.drop(columns="__tb")),
+                         batch_format="pandas").to_pandas())
+    out = (parts.sort_values(["score", "term"],
+                             ascending=[False, True],
+                             kind="mergesort")
+           .groupby("cluster", sort=False).head(topk))
+    out["score"] = np.round(out["score"].to_numpy(np.float64), 6)
+    return (out.sort_values(["cluster", "score", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True))

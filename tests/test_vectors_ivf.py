@@ -447,3 +447,47 @@ class TestSQ8Quantization:
                            suffixes=("_sq", "_ex"))
         assert (merged["cosine_sim_sq"]
                 == merged["cosine_sim_ex"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterTopicTerms:
+    def test_matches_local_reference(self):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        got = V.cluster_topic_terms(SF, k=4, topk=3)
+        # local reference with the SAME cluster assignment
+        emb = V._read_emb(SF, ["vec_id", "embedding"])
+        cents = V.kmeans_fit_ds(emb, k=4)["centroids"]
+        lab = (V.kmeans_assign_ds(emb, cents).to_pandas()
+               [["vec_id", "cluster"]])
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        df = docs.merge(lab, left_on="doc_id", right_on="vec_id")
+        tok = df["text"].str.split().explode().dropna()
+        long = pd.DataFrame({
+            "cluster": df["cluster"].reindex(tok.index).to_numpy(),
+            "token": tok.to_numpy()})
+        ct = (long.value_counts().rename("n").reset_index())
+        ft = ct.groupby("token")["n"].transform("sum")
+        mass = ct.groupby("cluster")["n"].sum()
+        ct["score"] = ct["n"] * np.log(1 + float(mass.mean()) / ft)
+        want = (ct.sort_values(["score", "token"],
+                               ascending=[False, True],
+                               kind="mergesort")
+                .groupby("cluster", sort=False).head(3))
+        for c in sorted(want["cluster"].unique()):
+            w = want[want["cluster"] == c]
+            g = got[got["cluster"] == c]
+            assert g["term"].tolist() == w["token"].tolist(), c
+            np.testing.assert_allclose(g["score"].to_numpy(),
+                                       np.round(w["score"], 6),
+                                       atol=1e-5)
+
+    def test_shapes_and_determinism(self):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        a = V.cluster_topic_terms(SF, k=3, topk=4)
+        b = V.cluster_topic_terms(SF, k=3, topk=4)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+        assert (a.groupby("cluster").size() <= 4).all()
