@@ -838,11 +838,12 @@ def _walk_choice_hash(walk_id: np.ndarray, step: int,
     function of (walk_id, step, seed): independent of partitioning,
     arrival order and retries (a re-executed task re-derives the same
     walk)."""
-    x = (walk_id.astype(np.uint64)
-         + np.uint64(step) * np.uint64(0x9E3779B97F4A7C15)
-         + np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
-    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-    return x ^ (x >> np.uint64(33))
+    with np.errstate(over="ignore"):
+        x = (walk_id.astype(np.uint64)
+             + np.uint64(step) * np.uint64(0x9E3779B97F4A7C15)
+             + np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return x ^ (x >> np.uint64(33))
 
 
 def random_walks(edges, walk_len: int = 5, walks_per_vertex: int = 1,

@@ -3328,3 +3328,124 @@ SELECT doc_id,
                   FILTER (WHERE rn = 1), '') AS text
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# --------------------------------------- categorical dependence (MI)
+#
+# Mutual information between two categorical columns — the
+# feature-dependence / leakage probe (is `source` predictive of
+# `lang`?). Distributed part: the joint contingency table via the
+# grouped_agg combiner (slim (a, b, n) rows, one bucketed shuffle);
+# finalize is O(cells) driver arithmetic. Natural-log entropies
+# converted to bits.
+
+
+def categorical_mi_ds(ds, col_a: str, col_b: str,
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """One row: (mi_bits, h_a, h_b, n_cells). MI(A;B) in bits plus
+    the marginal entropies."""
+    from ..functions.aggregates import grouped_agg
+
+    joint = grouped_agg(ds, [col_a, col_b],
+                        {"n": (None, "count")},
+                        num_buckets=num_buckets).to_pandas()
+    n = joint["n"].to_numpy(np.float64)
+    t = n.sum()
+    p = n / t
+    pa = joint.groupby(col_a)["n"].transform("sum").to_numpy() / t
+    pb = joint.groupby(col_b)["n"].transform("sum").to_numpy() / t
+    mi = float(np.sum(p * np.log2(p / (pa * pb))))
+
+    def ent(marg: pd.Series) -> float:
+        q = marg.to_numpy(np.float64) / t
+        return float(-np.sum(q * np.log2(q)))
+
+    return pd.DataFrame({
+        "mi_bits": [round(mi, 6)],
+        "h_a": [round(ent(joint.groupby(col_a)["n"].sum()), 6)],
+        "h_b": [round(ent(joint.groupby(col_b)["n"].sum()), 6)],
+        "n_cells": [len(joint)]})
+
+
+def lang_source_mi(sf_dir: str) -> pd.DataFrame:
+    """Driver form: MI(lang; source) over the documents table."""
+    return categorical_mi_ds(_read_docs(sf_dir, ["lang", "source"]),
+                             "lang", "source")
+
+
+LANG_SOURCE_MI_SQL = """
+WITH j AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n) AS t FROM j),
+mx AS (SELECT lang, SUM(n) AS nl FROM j GROUP BY lang),
+my AS (SELECT source, SUM(n) AS ns FROM j GROUP BY source)
+SELECT
+  ROUND(SUM((n / t) * LOG2((n / t) / ((nl / t) * (ns / t)))), 6)
+    AS mi_bits,
+  ROUND((SELECT -SUM((nl / t) * LOG2(nl / t))
+         FROM mx, tot), 6) AS h_a,
+  ROUND((SELECT -SUM((ns / t) * LOG2(ns / t))
+         FROM my, tot), 6) AS h_b,
+  (SELECT COUNT(*) FROM j) AS n_cells
+FROM j JOIN mx USING (lang) JOIN my USING (source), tot
+"""
+
+
+# ------------------------------------------- Poisson bootstrap CI
+#
+# Confidence interval for a mean over data too large to resample:
+# the POISSON bootstrap (Chamandy et al., "Estimating uncertainty for
+# massive data streams", Google 2012) — replicate r weights every row
+# by an independent Poisson(1) draw, so each replicate's weighted
+# mean is computable in the SAME single streaming pass (an (n_boot,)
+# partial sum vector per batch, driver fold). Draws are hash-derived
+# from (id, replicate): deterministic, partition-invariant, retry-safe.
+
+
+def _poisson_counts(ids: np.ndarray, rep: int, seed: int
+                    ) -> np.ndarray:
+    """Poisson(1) via inverse-CDF on a hash-uniform; P(k>=6) < 1e-4
+    truncated."""
+    with np.errstate(over="ignore"):
+        x = (ids.astype(np.uint64)
+             + np.uint64(rep) * np.uint64(0x9E3779B97F4A7C15)
+             + np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    u = ((x >> np.uint64(11)).astype(np.float64) + 0.5) / 2.0 ** 53
+    # cumulative Poisson(1) pmf: e^-1 * (1, 1, 1/2, 1/6, 1/24, 1/120)
+    cdf = np.cumsum(np.exp(-1.0)
+                    * np.array([1, 1, 1 / 2, 1 / 6, 1 / 24, 1 / 120]))
+    return np.searchsorted(cdf, u).astype(np.int64)
+
+
+def poisson_bootstrap_mean(ds, id_col: str, value_col: str,
+                           n_boot: int = 200, alpha: float = 0.05,
+                           seed: int = 11) -> pd.DataFrame:
+    """One row: (mean, ci_lo, ci_hi, n_boot) — percentile bootstrap
+    CI of mean(value_col). One streaming pass: each batch contributes
+    a (n_boot, 2) partial (weighted sum, weight) matrix."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        v = b[value_col].to_numpy(np.float64)
+        sums = np.empty(n_boot)
+        cnts = np.empty(n_boot)
+        for r in range(n_boot):
+            w = _poisson_counts(ids, r, seed)
+            sums[r] = float(w @ v)
+            cnts[r] = float(w.sum())
+        return pd.DataFrame({"sums": [sums.tobytes()],
+                             "cnts": [cnts.tobytes()],
+                             "s": [float(v.sum())], "n": [len(v)]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sums = np.sum([np.frombuffer(x) for x in p["sums"]], axis=0)
+    cnts = np.sum([np.frombuffer(x) for x in p["cnts"]], axis=0)
+    means = sums / np.maximum(cnts, 1.0)
+    lo, hi = np.quantile(means, [alpha / 2, 1 - alpha / 2])
+    return pd.DataFrame({
+        "mean": [round(float(p["s"].sum()) / int(p["n"].sum()), 6)],
+        "ci_lo": [round(float(lo), 6)],
+        "ci_hi": [round(float(hi), 6)],
+        "n_boot": [n_boot]})

@@ -1206,3 +1206,47 @@ class TestEquidepthHistogram:
         assert len(got) == 8
         assert (np.abs(got["n_rows"] - n / 8) <= n / 8 * 0.05
                 + 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMIAndBootstrap:
+    def test_lang_source_mi(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.lang_source_mi(SF), T.LANG_SOURCE_MI_SQL, con)
+
+    def test_mi_independence_and_identity(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            categorical_mi_ds
+        # independent uniform columns -> MI ~ 0
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame({"a": rng.randint(0, 4, 20000).astype(str),
+                           "b": rng.randint(0, 4, 20000).astype(str)})
+        got = categorical_mi_ds(rd.from_pandas(df), "a", "b")
+        assert got["mi_bits"][0] < 0.01
+        # b == a -> MI == H(a)
+        df2 = pd.DataFrame({"a": df["a"], "b": df["a"]})
+        got2 = categorical_mi_ds(rd.from_pandas(df2), "a", "b")
+        assert np.isclose(got2["mi_bits"][0], got2["h_a"][0],
+                          atol=1e-6)
+
+    def test_poisson_bootstrap_ci(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            poisson_bootstrap_mean
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({"id": np.arange(20000, dtype=np.int64),
+                           "v": rng.normal(10.0, 2.0, 20000)})
+        got = poisson_bootstrap_mean(rd.from_pandas(df)
+                                     .repartition(9), "id", "v",
+                                     n_boot=100)
+        m = df["v"].mean()
+        se = df["v"].std() / np.sqrt(len(df))
+        assert np.isclose(got["mean"][0], m, atol=1e-4)
+        assert got["ci_lo"][0] < m < got["ci_hi"][0]
+        width = got["ci_hi"][0] - got["ci_lo"][0]
+        assert 0.5 * 3.92 * se < width < 2.0 * 3.92 * se
+        # partition-invariant
+        got2 = poisson_bootstrap_mean(rd.from_pandas(df), "id", "v",
+                                      n_boot=100)
+        pd.testing.assert_frame_equal(got, got2)
