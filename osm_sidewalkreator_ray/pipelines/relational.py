@@ -2934,3 +2934,75 @@ b AS (
 )
 SELECT bin, COUNT(*) AS n_rows FROM b GROUP BY bin ORDER BY bin
 """
+
+
+# ------------------------------------------- grouped OLS regression
+#
+# Per-group simple linear regression y = slope*x + intercept, plus R².
+# Fully algebraic (like the corr/covariance ops): each batch
+# contributes one (n, Σx, Σy, Σxx, Σyy, Σxy) row per key through the
+# bucketed grouped_agg combiner — O(keys) rows cross the shuffle, the
+# finalize arithmetic runs vectorized over the already-small grouped
+# result. Zero-variance-x groups yield NULL slope/intercept/r2.
+
+
+def grouped_regression_ds(ds, key: str, x_col: str, y_col: str,
+                          num_buckets: int = 32):
+    """Dataset of (key, slope, intercept, r2, n) per group."""
+    from ..functions.aggregates import grouped_agg
+
+    def with_products(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(np.float64)
+        y = b[y_col].to_numpy(np.float64)
+        return pd.DataFrame({key: b[key].to_numpy(),
+                             "__x": x, "__y": y, "__xx": x * x,
+                             "__yy": y * y, "__xy": x * y})
+
+    agg = grouped_agg(
+        ds.map_batches(with_products, batch_format="pandas"), [key],
+        {"n": ("__x", "count"), "sx": ("__x", "sum"),
+         "sy": ("__y", "sum"), "sxx": ("__xx", "sum"),
+         "syy": ("__yy", "sum"), "sxy": ("__xy", "sum")},
+        num_buckets=num_buckets)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        sx, sy = b["sx"].to_numpy(), b["sy"].to_numpy()
+        dxx = n * b["sxx"].to_numpy() - sx * sx
+        dyy = n * b["syy"].to_numpy() - sy * sy
+        dxy = n * b["sxy"].to_numpy() - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(dxx > 0, dxy / dxx, np.nan)
+            r2 = np.where((dxx > 0) & (dyy > 0),
+                          dxy * dxy / (dxx * dyy), np.nan)
+        return pd.DataFrame({key: b[key].to_numpy(),
+                             "slope": slope,
+                             "intercept": (sy - slope * sx) / n,
+                             "r2": r2,
+                             "n": b["n"].to_numpy(np.int64)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def lineitem_price_regression(sf_dir: str) -> pd.DataFrame:
+    """Driver form: per l_returnflag OLS of extendedprice on
+    quantity."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_regression_ds(ds, "l_returnflag", "l_quantity",
+                                "l_extendedprice").to_pandas()
+    for c in ("slope", "intercept", "r2"):
+        out[c] = out[c].round(6)
+    return (out.sort_values("l_returnflag").reset_index(drop=True)
+            [["l_returnflag", "slope", "intercept", "r2", "n"]])
+
+
+LINEITEM_REGRESSION_SQL = """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+         AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

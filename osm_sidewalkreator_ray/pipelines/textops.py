@@ -3449,3 +3449,144 @@ def poisson_bootstrap_mean(ds, id_col: str, value_col: str,
         "ci_lo": [round(float(lo), 6)],
         "ci_hi": [round(float(hi), 6)],
         "n_boot": [n_boot]})
+
+
+# ----------------------------------- chi-squared independence test
+#
+# Pearson chi-squared over the same distributed contingency table as
+# categorical_mi_ds, plus Cramér's V effect size. Cells absent from
+# the observed joint still carry expected mass; they enter through
+# the identity Σ_unobserved e = n − Σ_observed e (every expected cell
+# is computable from the marginals alone), so only observed cells
+# are ever materialized.
+
+
+def categorical_chi2_ds(ds, col_a: str, col_b: str,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """One row: (chi2, dof, cramers_v, n_rows)."""
+    from ..functions.aggregates import grouped_agg
+
+    joint = grouped_agg(ds, [col_a, col_b],
+                        {"n": (None, "count")},
+                        num_buckets=num_buckets).to_pandas()
+    n = joint["n"].to_numpy(np.float64)
+    t = n.sum()
+    na = joint.groupby(col_a)["n"].transform("sum").to_numpy()
+    nb = joint.groupby(col_b)["n"].transform("sum").to_numpy()
+    e = na * nb / t
+    chi2 = float(np.sum((n - e) ** 2 / e) + (t - e.sum()))
+    r = joint[col_a].nunique(dropna=False)
+    c = joint[col_b].nunique(dropna=False)
+    v = float(np.sqrt(chi2 / (t * max(min(r, c) - 1, 1))))
+    return pd.DataFrame({"chi2": [round(chi2, 6)],
+                         "dof": [(r - 1) * (c - 1)],
+                         "cramers_v": [round(v, 6)],
+                         "n_rows": [int(t)]})
+
+
+def lang_source_chi2(sf_dir: str) -> pd.DataFrame:
+    """Driver form: chi-squared of lang vs source over documents."""
+    return categorical_chi2_ds(_read_docs(sf_dir, ["lang", "source"]),
+                               "lang", "source")
+
+
+LANG_SOURCE_CHI2_SQL = """
+WITH j AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n) AS t FROM j),
+mx AS (SELECT lang, SUM(n) AS nl FROM j GROUP BY lang),
+my AS (SELECT source, SUM(n) AS ns FROM j GROUP BY source),
+stat AS (
+  SELECT SUM(POW(n - nl * ns / t, 2) / (nl * ns / t))
+           + (ANY_VALUE(t) - SUM(nl * ns / t)) AS chi2,
+         ANY_VALUE(t) AS t
+  FROM j JOIN mx USING (lang) JOIN my USING (source), tot
+)
+SELECT ROUND(chi2, 6) AS chi2,
+       ((SELECT COUNT(*) FROM mx) - 1)
+         * ((SELECT COUNT(*) FROM my) - 1) AS dof,
+       ROUND(SQRT(chi2 / (t * (LEAST((SELECT COUNT(*) FROM mx),
+                                     (SELECT COUNT(*) FROM my))
+                               - 1))), 6) AS cramers_v,
+       CAST(t AS BIGINT) AS n_rows
+FROM stat
+"""
+
+
+# --------------------------------------------- AUC (Mann-Whitney)
+#
+# Binary-classification AUC with exact tie handling. The distributed
+# part reduces the corpus to ONE (score, pos, neg) row per DISTINCT
+# score through the bucketed combiner; the driver fold (sort + prefix
+# sum) is O(distinct scores). For continuous scores at corpus scale,
+# round/quantize the score column first (bounded distinct domain) —
+# bucketed-score ranking metrics are the standard large-scale shape.
+
+
+def binary_auc_ds(ds, score_col: str, label_col: str,
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """One row: (auc, n_pos, n_neg). label_col must be 0/1-coercible.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed as
+    Σ_v pos_v * (neg_below_v + neg_v / 2) / (P * N).
+    """
+    from ..functions.aggregates import grouped_agg
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        y = b[label_col].to_numpy(np.int64)
+        return pd.DataFrame({score_col: b[score_col].to_numpy(),
+                             "__pos": y, "__neg": 1 - y})
+
+    g = (grouped_agg(ds.map_batches(tag, batch_format="pandas"),
+                     [score_col],
+                     {"pos": ("__pos", "sum"), "neg": ("__neg", "sum")},
+                     num_buckets=num_buckets)
+         .to_pandas().sort_values(score_col).reset_index(drop=True))
+    pos = g["pos"].to_numpy(np.float64)
+    neg = g["neg"].to_numpy(np.float64)
+    cneg = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
+    p_tot, n_tot = pos.sum(), neg.sum()
+    auc = float(np.sum(pos * (cneg + neg / 2.0)) / (p_tot * n_tot))
+    return pd.DataFrame({"auc": [round(auc, 6)],
+                         "n_pos": [int(p_tot)], "n_neg": [int(n_tot)]})
+
+
+def doc_length_auc(sf_dir: str) -> pd.DataFrame:
+    """Driver form: how well does n_chars rank lang == 'en'?"""
+    docs = _read_docs(sf_dir, ["n_chars", "lang"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_chars": b["n_chars"].to_numpy(),
+            "y": (b["lang"].to_numpy() == "en").astype(np.int64)})
+
+    return binary_auc_ds(docs.map_batches(lab, batch_format="pandas"),
+                         "n_chars", "y")
+
+
+DOC_LENGTH_AUC_SQL = """
+WITH s AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT score, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM s GROUP BY score
+),
+o AS (
+  SELECT pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cneg
+  FROM g
+)
+SELECT ROUND(SUM(pos * (cneg + neg / 2.0))
+             / ((SELECT SUM(pos) FROM g)
+                * (SELECT SUM(neg) FROM g)), 6) AS auc,
+       CAST((SELECT SUM(pos) FROM g) AS BIGINT) AS n_pos,
+       CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg
+FROM o
+"""

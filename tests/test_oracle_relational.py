@@ -1250,3 +1250,79 @@ class TestMIAndBootstrap:
         got2 = poisson_bootstrap_mean(rd.from_pandas(df), "id", "v",
                                       n_boot=100)
         pd.testing.assert_frame_equal(got, got2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRegressionChi2AUC:
+    def test_lineitem_regression(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.lineitem_price_regression(SF),
+              R.LINEITEM_REGRESSION_SQL, con)
+
+    def test_regression_known_line(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            grouped_regression_ds
+        rng = np.random.RandomState(3)
+        x = rng.uniform(0, 10, 5000)
+        df = pd.DataFrame({"g": np.repeat(["a", "b"], 2500),
+                           "x": x,
+                           "y": np.where(np.repeat([1, 0], 2500),
+                                         3.0 * x + 7.0, 5.0)})
+        got = (grouped_regression_ds(rd.from_pandas(df)
+                                     .repartition(7), "g", "x", "y")
+               .to_pandas().set_index("g"))
+        assert np.isclose(got.loc["a", "slope"], 3.0)
+        assert np.isclose(got.loc["a", "intercept"], 7.0)
+        assert np.isclose(got.loc["a", "r2"], 1.0)
+        # constant y: slope 0, r2 NULL (zero y-variance)
+        assert np.isclose(got.loc["b", "slope"], 0.0)
+        assert pd.isna(got.loc["b", "r2"])
+
+    def test_lang_source_chi2(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.lang_source_chi2(SF), T.LANG_SOURCE_CHI2_SQL, con)
+
+    def test_chi2_identity_and_independence(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            categorical_chi2_ds
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 5, 30000).astype(str)
+        got = categorical_chi2_ds(
+            rd.from_pandas(pd.DataFrame({"a": a, "b": a})), "a", "b")
+        assert np.isclose(got["cramers_v"][0], 1.0, atol=1e-6)
+        got2 = categorical_chi2_ds(
+            rd.from_pandas(pd.DataFrame(
+                {"a": a, "b": rng.randint(0, 5, 30000).astype(str)})),
+            "a", "b")
+        assert got2["cramers_v"][0] < 0.05
+
+    def test_doc_length_auc(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.doc_length_auc(SF), T.DOC_LENGTH_AUC_SQL, con)
+
+    def test_auc_separation_and_symmetry(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            binary_auc_ds
+        rng = np.random.RandomState(5)
+        y = rng.randint(0, 2, 20000)
+        # perfect separation (with in-class ties) -> exactly 1.0
+        df = pd.DataFrame({"s": np.where(y == 1, 10, 5), "y": y})
+        got = binary_auc_ds(rd.from_pandas(df).repartition(6),
+                            "s", "y")
+        assert got["auc"][0] == 1.0
+        assert got["n_pos"][0] + got["n_neg"][0] == 20000
+        # all-tied scores -> exactly 0.5
+        df2 = pd.DataFrame({"s": np.zeros(20000), "y": y})
+        assert binary_auc_ds(rd.from_pandas(df2), "s",
+                             "y")["auc"][0] == 0.5
+        # label flip -> 1 - auc
+        s = rng.normal(y.astype(float), 1.0).round(2)
+        a1 = binary_auc_ds(rd.from_pandas(
+            pd.DataFrame({"s": s, "y": y})), "s", "y")["auc"][0]
+        a2 = binary_auc_ds(rd.from_pandas(
+            pd.DataFrame({"s": s, "y": 1 - y})), "s", "y")["auc"][0]
+        assert np.isclose(a1 + a2, 1.0, atol=1e-6)
+        assert a1 > 0.6
