@@ -3006,3 +3006,161 @@ SELECT l_returnflag,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ------------------------------------------------ SCD2 history build
+#
+# Slowly-changing-dimension type 2 from a change log: per user,
+# consecutive runs of the same event_type (in the exact total
+# (ts, event_id) order) collapse into one versioned validity row
+# (valid_from, valid_to, version); the current run's valid_to is NULL.
+# The classic warehouse op for turning an append-only attribute log
+# into an as-of-joinable dimension. One user-hash bucket shuffle;
+# inside a bucket one sorted vectorized pass (shift-compare run
+# starts, next-start lookup for valid_to).
+
+
+def scd2_history_ds(ds, key: str, attr: str, ts_col: str,
+                    tie_col: str, num_buckets: int = 32):
+    """Dataset of (key, attr, valid_from, valid_to, version)."""
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t[key].to_numpy())
+        return t.append_column(
+            "__kb", pa.array((h % num_buckets).astype(np.int64)))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        k = g[key].to_numpy()
+        a = g[attr].to_numpy()
+        ts = g[ts_col].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        start = new_key.copy()
+        start[1:] |= a[1:] != a[:-1]
+        sidx = np.flatnonzero(start)
+        # valid_to = next run start's ts within the same key
+        nxt = np.empty(len(sidx), dtype="datetime64[ns]")
+        nxt[:-1] = ts[sidx[1:]]
+        nxt[-1] = np.datetime64("NaT")
+        same_key = np.empty(len(sidx), dtype=bool)
+        same_key[:-1] = k[sidx[:-1]] == k[sidx[1:]]
+        same_key[-1] = False
+        run_key_start = np.flatnonzero(new_key[sidx])
+        version = np.arange(len(sidx)) - np.repeat(
+            run_key_start,
+            np.diff(np.append(run_key_start, len(sidx)))) + 1
+        return pd.DataFrame({
+            key: k[sidx], attr: a[sidx], "valid_from": ts[sidx],
+            "valid_to": np.where(same_key, nxt,
+                                 np.datetime64("NaT")),
+            "version": version.astype(np.int64)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(lambda g: collapse(g.drop(columns="__kb")),
+                        batch_format="pandas"))
+
+
+def events_scd2(sf_dir: str) -> pd.DataFrame:
+    """Driver form: per-user event_type validity history."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    out = scd2_history_ds(ds, "user_id", "event_type", "ts",
+                          "event_id").to_pandas()
+    return (out.sort_values(["user_id", "valid_from", "version"])
+            .reset_index(drop=True))
+
+
+EVENTS_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS run
+  FROM o
+),
+g AS (
+  SELECT user_id, ANY_VALUE(event_type) AS event_type, run,
+         MIN(ts) AS valid_from
+  FROM r GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+         AS valid_to,
+       CAST(run AS BIGINT) AS version
+FROM g ORDER BY user_id, valid_from, version
+"""
+
+
+# ------------------------------------------------- Welch's t-test
+#
+# Two-sample A/B significance over a metric column: Welch's unequal-
+# variance t statistic plus the Welch–Satterthwaite df. Purely
+# algebraic — one slim grouped_agg pass collects (n, Σv, Σv²) per arm,
+# the driver finalize is O(1).
+
+
+def welch_ttest_ds(ds, group_col: str, value_col: str,
+                   group_a: str, group_b: str,
+                   num_buckets: int = 8) -> pd.DataFrame:
+    """One row: (mean_a, mean_b, t_stat, df, n_a, n_b)."""
+    from ..functions.aggregates import grouped_agg
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[group_col].isin([group_a, group_b]).to_numpy()
+        v = b[value_col].to_numpy(np.float64)[m]
+        return pd.DataFrame({group_col: b[group_col].to_numpy()[m],
+                             "__v": v, "__v2": v * v})
+
+    agg = grouped_agg(ds.map_batches(keep, batch_format="pandas"),
+                      [group_col],
+                      {"n": ("__v", "count"), "s": ("__v", "sum"),
+                       "s2": ("__v2", "sum")},
+                      num_buckets=num_buckets).to_pandas()
+    agg = agg.set_index(group_col)
+    n1, n2 = float(agg.loc[group_a, "n"]), float(agg.loc[group_b, "n"])
+    m1, m2 = agg.loc[group_a, "s"] / n1, agg.loc[group_b, "s"] / n2
+    v1 = (agg.loc[group_a, "s2"] - n1 * m1 * m1) / (n1 - 1)
+    v2 = (agg.loc[group_b, "s2"] - n2 * m2 * m2) / (n2 - 1)
+    se2_1, se2_2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / np.sqrt(se2_1 + se2_2)
+    df = (se2_1 + se2_2) ** 2 / (se2_1 ** 2 / (n1 - 1)
+                                 + se2_2 ** 2 / (n2 - 1))
+    return pd.DataFrame({"mean_a": [round(float(m1), 6)],
+                         "mean_b": [round(float(m2), 6)],
+                         "t_stat": [round(float(t), 6)],
+                         "df": [round(float(df), 4)],
+                         "n_a": [int(n1)], "n_b": [int(n2)]})
+
+
+def events_ab_ttest(sf_dir: str) -> pd.DataFrame:
+    """Driver form: Welch t-test of value, click vs purchase arms."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return welch_ttest_ds(ds, "event_type", "value",
+                          "click", "purchase")
+
+
+EVENTS_AB_TTEST_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT ROUND(a.m, 6) AS mean_a, ROUND(b.m, 6) AS mean_b,
+       ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       ROUND(POW(a.v / a.n + b.v / b.n, 2)
+             / (POW(a.v / a.n, 2) / (a.n - 1)
+                + POW(b.v / b.n, 2) / (b.n - 1)), 4) AS df,
+       a.n AS n_a, b.n AS n_b
+FROM a, b
+"""

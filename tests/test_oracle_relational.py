@@ -1326,3 +1326,52 @@ class TestRegressionChi2AUC:
             pd.DataFrame({"s": s, "y": 1 - y})), "s", "y")["auc"][0]
         assert np.isclose(a1 + a2, 1.0, atol=1e-6)
         assert a1 > 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSCD2AndTTest:
+    def test_events_scd2(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_scd2(SF), R.EVENTS_SCD2_SQL, con)
+
+    def test_scd2_run_collapse(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            scd2_history_ds
+        ts = pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+             "2024-01-01", "2024-01-02"])
+        df = pd.DataFrame({"k": [1, 1, 1, 1, 2, 2],
+                           "a": ["x", "x", "y", "x", "z", "z"],
+                           "ts": ts,
+                           "i": np.arange(6, dtype=np.int64)})
+        got = (scd2_history_ds(rd.from_pandas(df).repartition(3),
+                               "k", "a", "ts", "i").to_pandas()
+               .sort_values(["k", "valid_from"])
+               .reset_index(drop=True))
+        # k=1: runs x(1-3), y(3-4), x(4-open); k=2: one open z run
+        assert got["a"].tolist() == ["x", "y", "x", "z"]
+        assert got["version"].tolist() == [1, 2, 3, 1]
+        assert got["valid_to"].iloc[0] == ts[2]
+        assert pd.isna(got["valid_to"].iloc[2])
+        assert pd.isna(got["valid_to"].iloc[3])
+
+    def test_events_ab_ttest(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_ab_ttest(SF), R.EVENTS_AB_TTEST_SQL, con)
+
+    def test_welch_known_shift(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            welch_ttest_ds
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({
+            "g": np.repeat(["a", "b"], 4000),
+            "v": np.concatenate([rng.normal(0, 1, 4000),
+                                 rng.normal(1, 2, 4000)])})
+        got = welch_ttest_ds(rd.from_pandas(df).repartition(5),
+                             "g", "v", "a", "b")
+        # large negative t for a 1-sigma shift at n=4000
+        assert got["t_stat"][0] < -20
+        assert 4000 < got["df"][0] < 8000
+        assert got["n_a"][0] == got["n_b"][0] == 4000
