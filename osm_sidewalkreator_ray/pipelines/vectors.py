@@ -1202,3 +1202,136 @@ def cluster_topic_terms(sf_dir: str, k: int = 5, topk: int = 5,
     return (out.sort_values(["cluster", "score", "term"],
                             ascending=[True, False, True],
                             kind="mergesort").reset_index(drop=True))
+
+
+# ------------------------------------- distributed logistic regression
+#
+# Full-batch gradient-descent logistic regression — the learned-filter
+# trainer (quality classifiers, SemDeDup follow-up scoring) expressed
+# the same way as kmeans above: per epoch the weight vector broadcasts
+# once (`ray.put`), each batch does ONE matmul + sigmoid and emits a
+# single packed (d+1)-float gradient partial plus its loss/count, and
+# partials fold through a <=32-bucket groupby so the driver sees
+# O(buckets) slim rows. The corpus STREAMS through every epoch — no
+# input materialization, one read pass per iteration (the 100 TB
+# shape). Full-batch GD is deterministic: the distributed fit equals a
+# local single-process fit to float tolerance regardless of
+# partitioning (tested), unlike minibatch SGD whose result depends on
+# block order.
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logreg_fit_ds(ds, label_col: str, iters: int = 50,
+                  lr: float = 0.5, l2: float = 0.0,
+                  n_fold_buckets: int = 32) -> dict:
+    """Fit P(y=1|x) = sigmoid(w.x + b) over (vec_id, embedding,
+    label_col) rows. Returns {"w": (d,), "b": float, "loss":
+    [per-epoch mean log-loss], "n": rows}. Driver state is O(d)."""
+    d = len(np.asarray(ds.take(1)[0]["embedding"]))
+    wb = np.zeros(d + 1, dtype=np.float64)  # [w..., b]
+    loss_hist: list[float] = []
+    n_total = 0
+    for _ in range(iters):
+        ref = ray.put(wb)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(ref)
+            m = _batch_matrix(batch).astype(np.float64)
+            y = batch[label_col].to_numpy(np.float64)
+            p = _sigmoid(m @ v[:-1] + v[-1])
+            r = p - y
+            g = np.empty(len(v))
+            g[:-1] = r @ m
+            g[-1] = r.sum()
+            # clipped log-loss partial (never -inf)
+            q = np.clip(p, 1e-12, 1 - 1e-12)
+            ll = -float(np.sum(y * np.log(q)
+                               + (1 - y) * np.log(1 - q)))
+            return pd.DataFrame({
+                "grad": [g], "loss": [ll], "n": [len(y)],
+                "__b": [int(pd.util.hash_array(
+                    np.asarray([batch["vec_id"].iloc[0]]))[0]
+                    % n_fold_buckets)]})
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "grad": [np.sum(np.stack(g["grad"].to_list()),
+                                axis=0)],
+                "loss": [float(g["loss"].sum())],
+                "n": [int(g["n"].sum())],
+                "__b": [int(g["__b"].iloc[0])]})
+
+        folded = (ds.map_batches(partial, batch_format="pandas")
+                  .groupby("__b").map_groups(combine,
+                                             batch_format="pandas")
+                  .to_pandas())
+        grad = np.sum(np.stack(folded["grad"].map(np.asarray)
+                               .to_list()), axis=0)
+        n_total = int(folded["n"].sum())
+        loss_hist.append(float(folded["loss"].sum()) / n_total)
+        grad /= n_total
+        grad[:-1] += l2 * wb[:-1]  # bias is never regularized
+        wb = wb - lr * grad
+    return {"w": wb[:-1], "b": float(wb[-1]), "loss": loss_hist,
+            "n": n_total}
+
+
+def logreg_fit_local(m: np.ndarray, y: np.ndarray, iters: int = 50,
+                     lr: float = 0.5, l2: float = 0.0) -> dict:
+    """Single-process reference with identical semantics (equality
+    target for the distributed fit)."""
+    wb = np.zeros(m.shape[1] + 1, dtype=np.float64)
+    loss_hist = []
+    for _ in range(iters):
+        p = _sigmoid(m @ wb[:-1] + wb[-1])
+        r = p - y
+        q = np.clip(p, 1e-12, 1 - 1e-12)
+        loss_hist.append(float(-np.mean(y * np.log(q)
+                                        + (1 - y) * np.log(1 - q))))
+        grad = np.concatenate([r @ m, [r.sum()]]) / len(y)
+        grad[:-1] += l2 * wb[:-1]
+        wb = wb - lr * grad
+    return {"w": wb[:-1], "b": float(wb[-1]), "loss": loss_hist}
+
+
+def logreg_predict_ds(ds, w: np.ndarray, b: float,
+                      threshold: float = 0.5):
+    """Streaming scorer: (vec_id, proba, pred) — one matvec per batch
+    against the broadcast weights."""
+    ref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(ref)
+        p = _sigmoid(_batch_matrix(batch).astype(np.float64) @ v + b)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+            "proba": np.round(p, 6),
+            "pred": (p >= threshold).astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def embedding_logreg(sf_dir: str, iters: int = 50,
+                     lr: float = 0.5) -> pd.DataFrame:
+    """Collecting form: one-vs-rest classifier for label == 0 over the
+    embeddings table; per-vector predictions."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding", "label"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(),
+            "embedding": b["embedding"].to_numpy(),
+            "y": (b["label"].to_numpy() == 0).astype(np.float64)})
+
+    fit = logreg_fit_ds(ds.map_batches(tag, batch_format="pandas"),
+                        "y", iters=iters, lr=lr)
+    out = logreg_predict_ds(ds, fit["w"], fit["b"]).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

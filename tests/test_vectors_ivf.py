@@ -491,3 +491,60 @@ class TestClusterTopicTerms:
         import pandas as pd
         pd.testing.assert_frame_equal(a, b)
         assert (a.groupby("cluster").size() <= 4).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogReg:
+    def _planted(self, n=3000, d=16, seed=4):
+        import pandas as pd
+        rng = np.random.RandomState(seed)
+        w_true = rng.standard_normal(d)
+        x = rng.standard_normal((n, d))
+        y = (x @ w_true + 0.3 * rng.standard_normal(n) > 0)
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in x],
+            "y": y.astype(np.float64)})
+        return df, x, y.astype(np.float64)
+
+    def test_distributed_equals_local(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        df, x, y = self._planted()
+        fit = V.logreg_fit_ds(rd.from_pandas(df).repartition(7),
+                              "y", iters=30, lr=0.5, l2=0.01)
+        ref = V.logreg_fit_local(x, y, iters=30, lr=0.5, l2=0.01)
+        assert np.allclose(fit["w"], ref["w"], atol=1e-9)
+        assert np.isclose(fit["b"], ref["b"], atol=1e-9)
+        assert np.allclose(fit["loss"], ref["loss"], atol=1e-9)
+        # loss decreases monotonically under full-batch GD at this lr
+        assert all(np.diff(fit["loss"]) < 0)
+
+    def test_learns_separable_and_scores(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        df, x, y = self._planted()
+        ds = rd.from_pandas(df).repartition(5)
+        fit = V.logreg_fit_ds(ds, "y", iters=80, lr=1.0)
+        pred = (V.logreg_predict_ds(ds, fit["w"], fit["b"])
+                .to_pandas().sort_values("vec_id"))
+        acc = float((pred["pred"].to_numpy() == y).mean())
+        assert acc > 0.9
+        # proba consistent with pred at the 0.5 threshold
+        assert ((pred["proba"] >= 0.5).astype(int)
+                == pred["pred"]).all()
+
+    def test_embedding_logreg_sf(self):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        out = V.embedding_logreg(SF, iters=40)
+        con = duckdb.connect()
+        n = con.sql(f"SELECT COUNT(*) n, SUM(CASE WHEN label = 0 "
+                    f"THEN 1 ELSE 0 END) p FROM "
+                    f"'{SF}/embeddings.parquet'").df()
+        assert len(out) == n["n"][0]
+        y = con.sql(f"SELECT vec_id, CASE WHEN label = 0 THEN 1 "
+                    f"ELSE 0 END y FROM '{SF}/embeddings.parquet' "
+                    f"ORDER BY vec_id").df()["y"].to_numpy()
+        acc = float((out["pred"].to_numpy() == y).mean())
+        # label-0 cluster embeddings are linearly separable enough
+        assert acc > 0.8, acc
