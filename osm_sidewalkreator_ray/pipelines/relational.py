@@ -3164,3 +3164,82 @@ SELECT ROUND(a.m, 6) AS mean_a, ROUND(b.m, 6) AS mean_b,
        a.n AS n_a, b.n AS n_b
 FROM a, b
 """
+
+
+# ------------------------------------------------------------ pivot
+#
+# Long-to-wide pivot (the inverse of unpivot_ds): one output row per
+# index key, one column per DISTINCT pivot value, cells aggregated
+# with sum/count/min/max/mean. Plan: the heavy reduction happens FIRST
+# through the slim grouped_agg combiner on (index, pivot) — only one
+# row per populated cell crosses the shuffle — then an index-bucketed
+# map_groups reshapes each bucket with ONE vectorized pandas
+# pivot_table. The pivot column's distinct values must be bounded
+# (they become schema columns); the index cardinality is unbounded.
+
+
+def pivot_ds(ds, index: str, pivot_col: str, value_col: str,
+             agg: str = "sum", columns: list[str] | None = None,
+             fill_value: float = 0.0, num_buckets: int = 32):
+    """Dataset of (index, <col_v1>, <col_v2>, ...) — one column per
+    pivot value. ``columns`` fixes the output column set (required
+    schema stability at scale); when None it is discovered with one
+    small distinct pass over the aggregated cells."""
+    from ..functions.aggregates import grouped_agg
+
+    cells = grouped_agg(ds, [index, pivot_col],
+                        {"v": (value_col, agg)},
+                        num_buckets=num_buckets)
+    if columns is None:
+        columns = sorted(
+            cells.groupby(pivot_col).count().to_pandas()[pivot_col]
+            .astype(str).tolist())
+    cols = [str(c) for c in columns]
+
+    def reshape(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index=index, columns=pivot_col, values="v",
+                          aggfunc="first")
+        w.columns = [str(c) for c in w.columns]
+        w = w.reindex(columns=cols)
+        if fill_value is not None:
+            w = w.fillna(fill_value)
+        return w.reset_index()
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(np.asarray(b[index]))
+        b = b.copy()
+        b["__pb"] = (h % num_buckets).astype(np.int64)
+        return b
+
+    return (cells.map_batches(bucket, batch_format="pandas")
+            .groupby("__pb")
+            .map_groups(lambda g: reshape(g.drop(columns="__pb")),
+                        batch_format="pandas"))
+
+
+def events_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Driver form: per-user total value by event type, wide."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+    out = pivot_ds(ds, "user_id", "event_type", "value", agg="sum",
+                   columns=["click", "error", "purchase", "signup",
+                            "view"]).to_pandas()
+    for c in ("click", "error", "purchase", "signup", "view"):
+        out[c] = out[c].round(4)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'),
+                      0), 4) AS click,
+       ROUND(COALESCE(SUM(value) FILTER (event_type = 'error'),
+                      0), 4) AS error,
+       ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'),
+                      0), 4) AS purchase,
+       ROUND(COALESCE(SUM(value) FILTER (event_type = 'signup'),
+                      0), 4) AS signup,
+       ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'),
+                      0), 4) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 _WS = re.compile(r"\s+")
@@ -3590,3 +3591,93 @@ SELECT ROUND(SUM(pos * (cneg + neg / 2.0))
        CAST((SELECT SUM(neg) FROM g) AS BIGINT) AS n_neg
 FROM o
 """
+
+
+# -------------------------------- SON frequent itemset mining (pairs)
+#
+# Token pairs co-occurring (set semantics) in >= min_support documents
+# — market-basket mining over the corpus, via the SON two-pass
+# algorithm (Savasere/Omiecinski/Navathe VLDB'95): pass 1 finds
+# CANDIDATE pairs per block at the block-scaled support threshold
+# (pigeonhole: a globally frequent pair must be locally frequent in at
+# least one block, so pass 1 has no false negatives); pass 2 counts
+# ONLY the broadcast candidates exactly. The all-pairs explosion is
+# confined to per-block A-priori-pruned tokens (tokens below the local
+# threshold can't form a frequent pair), and nothing
+# cardinality-proportional reaches the driver except the candidate
+# set, whose size the support threshold itself bounds.
+
+
+def _doc_token_pairs(b: pd.DataFrame, keep: set | None = None
+                     ) -> pd.DataFrame:
+    """Distinct (doc, w1 < w2) pairs per document, vectorized: one
+    (doc, token) long frame, one self-merge on doc."""
+    toks = b["text"].map(lambda t: sorted(set(_tokens(t))))
+    lens = toks.map(len).to_numpy(np.int64)
+    long = pd.DataFrame({
+        "doc": np.repeat(b["doc_id"].to_numpy(np.int64), lens),
+        "w": np.concatenate(toks.to_list()) if lens.sum()
+        else np.array([], dtype=object)})
+    if keep is not None:
+        long = long[long["w"].isin(keep)]
+    pairs = long.merge(long, on="doc")
+    return pairs[pairs["w_x"] < pairs["w_y"]].rename(
+        columns={"w_x": "w1", "w_y": "w2"})
+
+
+def frequent_token_pairs(sf_dir: str, min_support: int = 60
+                         ) -> pd.DataFrame:
+    """(w1, w2, support) for every token pair in >= min_support docs,
+    ordered by (w1, w2)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_total = ds.count()
+
+    def candidates(b: pd.DataFrame) -> pd.DataFrame:
+        local_s = max(int(np.ceil(min_support * len(b) / n_total)), 1)
+        # A-priori prune: only locally-frequent tokens can appear in
+        # a locally-frequent pair
+        cnt = (b["text"].map(lambda t: sorted(set(_tokens(t))))
+               .explode().value_counts())
+        keep = set(cnt[cnt >= local_s].index)
+        p = _doc_token_pairs(b, keep)
+        sup = p.groupby(["w1", "w2"], sort=False).size()
+        sup = sup[sup >= local_s]
+        return sup.reset_index()[["w1", "w2"]]
+
+    cand = (ds.map_batches(candidates, batch_format="pandas")
+            .to_pandas().drop_duplicates())
+    cand_ref = ray.put(cand)
+    tok_ref = ray.put(set(cand["w1"]) | set(cand["w2"]))
+
+    def exact(b: pd.DataFrame) -> pd.DataFrame:
+        cdf, tset = ray.get(cand_ref), ray.get(tok_ref)
+        p = _doc_token_pairs(b, tset)
+        if p.empty:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "support": pd.Series(dtype=np.int64)})
+        sup = p.groupby(["w1", "w2"], sort=False).size().reset_index(
+            name="support")
+        return sup.merge(cdf, on=["w1", "w2"])
+
+    from ..functions.aggregates import grouped_agg
+    counts = grouped_agg(
+        ds.map_batches(exact, batch_format="pandas"), ["w1", "w2"],
+        {"support": ("support", "sum")}).to_pandas()
+    out = counts[counts["support"] >= min_support]
+    out = out.astype({"support": np.int64})
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+FREQUENT_PAIRS_SQL_TMPL = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(
+           regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT a.w AS w1, b.w AS w2, COUNT(*) AS support
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_support} ORDER BY 1, 2
+"""
+
+FREQUENT_PAIRS_SQL = FREQUENT_PAIRS_SQL_TMPL.format(min_support=60)

@@ -1375,3 +1375,52 @@ class TestSCD2AndTTest:
         assert got["t_stat"][0] < -20
         assert 4000 < got["df"][0] < 8000
         assert got["n_a"][0] == got["n_b"][0] == 4000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivotAndFrequentPairs:
+    def test_events_type_pivot(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_type_pivot(SF), R.EVENTS_TYPE_PIVOT_SQL, con)
+
+    def test_pivot_roundtrip_with_unpivot(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            pivot_ds, unpivot_ds
+        df = pd.DataFrame({"k": np.repeat(np.arange(50), 3),
+                           "a": np.random.RandomState(0)
+                           .uniform(size=150).round(4),
+                           "b": np.arange(150, dtype=np.float64)})
+        long = unpivot_ds(rd.from_pandas(df).repartition(4),
+                          ["k"], ["a", "b"])
+        wide = (pivot_ds(long, "k", "variable", "value", agg="sum",
+                         columns=["a", "b"]).to_pandas()
+                .sort_values("k").reset_index(drop=True))
+        ref = df.groupby("k", as_index=False)[["a", "b"]].sum()
+        assert np.allclose(wide[["a", "b"]], ref[["a", "b"]])
+
+    def test_frequent_pairs_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        s = 20
+        check(T.frequent_token_pairs(SF, min_support=s),
+              T.FREQUENT_PAIRS_SQL_TMPL.format(min_support=s), con)
+
+    def test_son_no_false_negatives_across_partitioning(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        # planted frequent pair concentrated in few docs: must be
+        # found regardless of block layout
+        docs = (["alpha beta gamma"] * 30
+                + ["delta epsilon"] * 5
+                + [f"noise{i} filler{i % 7}" for i in range(60)])
+        df = pd.DataFrame({"doc_id": np.arange(len(docs),
+                                               dtype=np.int64),
+                           "text": docs})
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            df.to_parquet(os.path.join(td, "documents.parquet"))
+            got = T.frequent_token_pairs(td, min_support=30)
+        assert {("alpha", "beta"), ("alpha", "gamma"),
+                ("beta", "gamma")} == set(
+            map(tuple, got[["w1", "w2"]].to_numpy()))
+        assert (got["support"] == 30).all()
