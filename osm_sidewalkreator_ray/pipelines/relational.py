@@ -3243,3 +3243,160 @@ SELECT user_id,
                       0), 4) AS view
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# ------------------------------------------------- robust MAD stats
+#
+# Median absolute deviation — the robust dispersion used for outlier
+# fences where stddev is skew-poisoned. Two distributed exact-quantile
+# selections (median of x, then median of |x − med|): each is
+# O(log n) slim counting passes, nothing row-proportional ever reaches
+# the driver.
+
+
+def mad_ds(ds, col: str) -> pd.DataFrame:
+    """One row: (median, mad, mad_sigma) with mad_sigma = 1.4826*mad
+    (the normal-consistent scale estimate)."""
+    from ..functions.sketches import exact_quantile
+    med = exact_quantile(ds, col, 0.5)
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"__d": np.abs(b[col].to_numpy(np.float64) - med)})
+
+    mad = exact_quantile(ds.map_batches(absdev,
+                                        batch_format="pandas"),
+                         "__d", 0.5)
+    return pd.DataFrame({"median": [round(med, 6)],
+                         "mad": [round(mad, 6)],
+                         "mad_sigma": [round(1.4826 * mad, 6)]})
+
+
+def lineitem_price_mad(sf_dir: str) -> pd.DataFrame:
+    return mad_ds(_read(sf_dir, "lineitem", ["l_extendedprice"]),
+                  "l_extendedprice")
+
+
+LINEITEM_MAD_SQL = """
+WITH m AS (SELECT MEDIAN(l_extendedprice) AS med FROM lineitem)
+SELECT ROUND(ANY_VALUE(med), 6) AS median,
+       ROUND(MEDIAN(ABS(l_extendedprice - med)), 6) AS mad,
+       ROUND(1.4826 * MEDIAN(ABS(l_extendedprice - med)), 6)
+         AS mad_sigma
+FROM lineitem, m
+"""
+
+
+# ------------------------------------------- pairwise correlations
+#
+# Full Pearson correlation matrix over a set of numeric columns in
+# ONE streaming pass: each batch emits a single packed partial
+# (n, Σx vector, X'X matrix) row; the driver fold is O(d²). The
+# standard feature-redundancy screen before training.
+
+
+def correlation_matrix_ds(ds, cols: list[str]) -> pd.DataFrame:
+    """Long-form (col_a, col_b, corr) for every unordered pair
+    (col_a < col_b positionally), rounded to 6."""
+    k = len(cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.column_stack([b[c].to_numpy(np.float64) for c in cols])
+        return pd.DataFrame({"n": [len(m)],
+                             "s": [m.sum(axis=0)],
+                             "ss": [(m.T @ m).ravel()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = float(p["n"].sum())
+    s = np.sum(np.stack(p["s"].map(np.asarray).to_list()), axis=0)
+    ss = np.sum(np.stack(p["ss"].map(np.asarray).to_list()),
+                axis=0).reshape(k, k)
+    cov = ss - np.outer(s, s) / n
+    sd = np.sqrt(np.diag(cov))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov / np.outer(sd, sd)
+    ia, ib = np.triu_indices(k, 1)
+    return pd.DataFrame({
+        "col_a": [cols[i] for i in ia],
+        "col_b": [cols[j] for j in ib],
+        "corr": np.round(corr[ia, ib], 6)})
+
+
+def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return correlation_matrix_ds(_read(sf_dir, "lineitem", cols),
+                                 cols)
+
+
+LINEITEM_CORR_MATRIX_SQL = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr
+  FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount',
+         ROUND(CORR(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+         ROUND(CORR(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+         ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+         ROUND(CORR(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax',
+         ROUND(CORR(l_discount, l_tax), 6) FROM lineitem
+)
+"""
+
+
+# --------------------------------------------- time-weighted average
+#
+# Per-user time-weighted mean of `value` between first and last event:
+# each inter-event interval weights the value that was CURRENT during
+# it (step-function integral / elapsed time) — the standard metric for
+# irregularly-sampled state series. One user-bucket shuffle, one
+# sorted vectorized pass per bucket. Single-event users are excluded
+# (zero elapsed time).
+
+
+def events_time_weighted_value(sf_dir: str) -> pd.DataFrame:
+    """(user_id, twa) per user with >= 2 events."""
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"]))
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = uid[:-1] == uid[1:]
+        same[-1] = False
+        dt = np.where(same, np.append(ts[1:], 0) - ts, 0).astype(
+            np.float64)
+        num = pd.Series(v * dt).groupby(uid).sum()
+        den = pd.Series(dt).groupby(uid).sum()
+        keep = den > 0
+        return pd.DataFrame({
+            "user_id": num.index.to_numpy(np.int64)[keep],
+            "twa": np.round((num[keep] / den[keep]).to_numpy(), 6)})
+
+    out = (ds.groupby("__ubucket")
+           .map_groups(lambda g: twa(g.drop(columns="__ubucket")),
+                       batch_format="pandas").to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_TWA_SQL = """
+WITH w AS (
+  SELECT user_id, value,
+         CAST(date_diff('microsecond', ts,
+              LEAD(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) AS DOUBLE) AS dt
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * dt) / SUM(dt), 6) AS twa
+FROM w WHERE dt IS NOT NULL
+GROUP BY user_id HAVING SUM(dt) > 0 ORDER BY user_id
+"""

@@ -3681,3 +3681,61 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {min_support} ORDER BY 1, 2
 """
 
 FREQUENT_PAIRS_SQL = FREQUENT_PAIRS_SQL_TMPL.format(min_support=60)
+
+
+# ----------------------------------------------- regex span extraction
+#
+# Generic extract-all: every non-overlapping match of a pattern,
+# exploded to (doc_id, match_idx, match) rows — the workhorse for
+# pulling emails/ids/citations out of a corpus. The pattern compiles
+# ONCE per worker process (module-level cache keyed by pattern, the
+# stateful-setup rule); extraction itself is one vectorized
+# str.extractall per batch; zero shuffles.
+
+_EXTRACT_CACHE: dict[str, re.Pattern] = {}
+
+
+def regex_extract_ds(ds, pattern: str, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Dataset of (id_col, match_idx, match); match_idx is the
+    0-based occurrence index within the document."""
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        pat = _EXTRACT_CACHE.get(pattern)
+        if pat is None:
+            pat = _EXTRACT_CACHE[pattern] = re.compile(
+                f"({pattern})")
+        s = pd.Series(b[text_col].to_numpy(),
+                      index=b[id_col].to_numpy())
+        m = s.str.extractall(pat)
+        if m.empty:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                "match_idx": pd.Series(dtype=np.int64),
+                "match": pd.Series(dtype=object)})
+        idx = m.index.to_frame(index=False)
+        return pd.DataFrame({
+            id_col: idx.iloc[:, 0].to_numpy(np.int64),
+            "match_idx": idx["match"].to_numpy(np.int64),
+            "match": m[0].to_numpy()})
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+def doc_s_word_mentions(sf_dir: str) -> pd.DataFrame:
+    """Driver form: every s-initial word mention, in document
+    order."""
+    out = regex_extract_ds(_read_docs(sf_dir, ["doc_id", "text"]),
+                           r"s[a-z]+").to_pandas()
+    return (out.sort_values(["doc_id", "match_idx"])
+            .reset_index(drop=True))
+
+
+DOC_S_WORD_MENTIONS_SQL = r"""
+WITH a AS (
+  SELECT doc_id, regexp_extract_all(text, 's[a-z]+') AS arr
+  FROM documents
+)
+SELECT doc_id, CAST(g - 1 AS BIGINT) AS match_idx, arr[g] AS match
+FROM a, UNNEST(generate_series(1, len(arr))) AS t(g)
+ORDER BY doc_id, match_idx
+"""

@@ -1424,3 +1424,40 @@ class TestPivotAndFrequentPairs:
                 ("beta", "gamma")} == set(
             map(tuple, got[["w1", "w2"]].to_numpy()))
         assert (got["support"] == 30).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMadCorrTwaRegex:
+    def test_lineitem_mad(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.lineitem_price_mad(SF), R.LINEITEM_MAD_SQL, con)
+
+    def test_corr_matrix(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.lineitem_corr_matrix(SF),
+              R.LINEITEM_CORR_MATRIX_SQL, con)
+
+    def test_corr_matrix_known(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            correlation_matrix_ds
+        rng = np.random.RandomState(9)
+        x = rng.standard_normal(8000)
+        df = pd.DataFrame({"a": x, "b": 2 * x + 1,
+                           "c": rng.standard_normal(8000)})
+        got = (correlation_matrix_ds(rd.from_pandas(df)
+                                     .repartition(6),
+                                     ["a", "b", "c"])
+               .set_index(["col_a", "col_b"]))
+        assert np.isclose(got.loc[("a", "b"), "corr"], 1.0)
+        assert abs(got.loc[("a", "c"), "corr"]) < 0.05
+
+    def test_events_twa(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_time_weighted_value(SF), R.EVENTS_TWA_SQL,
+              con)
+
+    def test_regex_extract(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.doc_s_word_mentions(SF), T.DOC_S_WORD_MENTIONS_SQL,
+              con)
