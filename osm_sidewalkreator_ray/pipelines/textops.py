@@ -562,14 +562,7 @@ def simhash_fingerprints(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-
-
-def _popcount64(u: np.ndarray) -> np.ndarray:
-    """Per-element popcount of a uint64 array (numpy<2 has no
-    bitwise_count): byte-table lookup summed over the 8 bytes."""
-    return _POP8[u.view(np.uint8).reshape(u.shape + (8,))] \
-        .sum(axis=-1).astype(np.int64)
+from ..functions.hamming import popcount64 as _popcount64
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
@@ -590,66 +583,15 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
     shingle-store joins) -> global pair dedup by pair-hash bucket
     (a pair sharing several bands surfaces in several buckets).
     """
-    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     from ..functions.blocks import coalesce_slim
+    from ..functions.hamming import banded_hamming_pairs
     sigs = coalesce_slim(
         ds.map_batches(_simhash_batch, batch_format="pandas")
         .materialize())
-    width = 64 // bands
-
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        sim = batch["simhash"].to_numpy().view(np.uint64)
-        chunks = np.empty((n, bands), dtype=np.uint64)
-        mask = np.uint64((1 << width) - 1)
-        for b in range(bands):
-            chunks[:, b] = (sim >> np.uint64(b * width)) & mask
-        band = np.tile(np.arange(bands, dtype=np.int64), n)
-        bval = chunks.reshape(-1)
-        # fold (band, value) to one key; bucket on its hash
-        key = (bval * np.uint64(0x9E3779B97F4A7C15)
-               + (band.view(np.uint64) + np.uint64(1)))
-        return pd.DataFrame({
-            "bkey": (key >> np.uint64(1)).view(np.int64),
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-            "simhash": np.repeat(sim, bands).view(np.int64),
-            "__cb": (key % np.uint64(coarse_buckets)).astype(np.int64)})
-
-    exploded = sigs.map_batches(explode, batch_format="pandas")
-
-    def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.pairgen import pairs_sharing_key
-        ids = g["doc_id"].to_numpy()
-        a, b = pairs_sharing_key(g["bkey"].to_numpy(), ids)
-        empty = pd.DataFrame({
-            "doc_a": pd.Series([], dtype="int64"),
-            "doc_b": pd.Series([], dtype="int64"),
-            "hamming": pd.Series([], dtype="int64"),
-            "__pb": pd.Series([], dtype="int64")})
-        if len(a) == 0:
-            return empty
-        pairs = pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
-        u, first = np.unique(ids, return_index=True)
-        sims = g["simhash"].to_numpy().view(np.uint64)
-        sa = sims[first[np.searchsorted(u, pairs["doc_a"].to_numpy())]]
-        sb = sims[first[np.searchsorted(u, pairs["doc_b"].to_numpy())]]
-        ham = _popcount64(sa ^ sb)
-        keep = ham <= max_hamming
-        if not keep.any():
-            return empty
-        out = pairs.loc[keep].copy()
-        out["hamming"] = ham[keep]
-        ph = (pd.util.hash_array(out["doc_a"].to_numpy())
-              ^ pd.util.hash_array(out["doc_b"].to_numpy()))
-        out["__pb"] = (ph % 32).astype(np.int64)
-        return out
-
-    cand = exploded.groupby("__cb").map_groups(verified_pairs,
-                                               batch_format="pandas")
-    dedup = cand.groupby("__pb").map_groups(
-        lambda g: g.drop_duplicates(["doc_a", "doc_b"])
-        [["doc_a", "doc_b", "hamming"]], batch_format="pandas")
+    dedup = banded_hamming_pairs(sigs, "doc_id", "simhash",
+                                 max_hamming=max_hamming, bands=bands,
+                                 coarse_buckets=coarse_buckets)
     df = dedup.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
@@ -698,6 +640,36 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     Cost is quadratic in true duplicate-cluster sizes — the inherent
     output complexity of all-pairs dedup — but never in corpus size.
     """
+    j2 = _shared_shingle_counts(sf_dir, k, coarse_buckets,
+                                max_posting)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        shared = b["shared"].to_numpy(dtype=np.float64)
+        union = (b["na"].to_numpy() + b["n_sh"].to_numpy()
+                 - b["shared"].to_numpy())
+        jac = np.divide(shared, union, out=np.zeros_like(shared),
+                        where=union > 0)
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "doc_a": b["doc_a"].to_numpy()[keep].astype(np.int64),
+            "doc_b": b["doc_id"].to_numpy()[keep].astype(np.int64),
+            "jaccard": np.round(jac[keep], 6)})
+
+    df = j2.map_batches(finalize, batch_format="pandas").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _shared_shingle_counts(sf_dir: str, k: int, coarse_buckets: int,
+                           max_posting: int | None):
+    """Shared candidate machinery for the shingle-overlap family
+    (Jaccard and containment): a Dataset with one row per doc pair
+    sharing >= 1 shingle, columns (doc_a, na, shared, doc_id = doc_b,
+    n_sh = nb). All shuffles slim; see ngram_jaccard_pairs for the
+    plan."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     import functools
     from ..functions.blocks import coalesce_slim
@@ -767,26 +739,83 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
             "shared": pa.array(b["shared"].to_numpy().astype(np.int64)),
             "doc_id": pa.array(b["doc_b"].to_numpy().astype(np.int64))}),
         batch_format="pandas")
-    j2 = hash_partition_join(left_b, sizes, on="doc_id", num_buckets=32)
+    return hash_partition_join(left_b, sizes, on="doc_id",
+                               num_buckets=32)
+
+
+# ------------------------------------------ shingle containment join
+#
+# ASYMMETRIC overlap: containment(A in B) = |A∩B| / |A| — the
+# quote/subset detector Jaccard misses (a paragraph fully contained in
+# a much longer page has tiny Jaccard but containment 1.0). Reuses the
+# exact inverted-shingle candidate machinery above verbatim; only the
+# finalize differs. Pairs are emitted once (doc_a < doc_b) with BOTH
+# directions' scores; keep when either direction clears the
+# threshold.
+
+
+def ngram_containment_pairs(sf_dir: str, threshold: float = 0.8,
+                            k: int = 3, coarse_buckets: int = 64,
+                            max_posting: int | None = None):
+    """(doc_a, doc_b, cont_a_in_b, cont_b_in_a) for every pair where
+    max(containment) >= threshold."""
+    j2 = _shared_shingle_counts(sf_dir, k, coarse_buckets,
+                                max_posting)
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         shared = b["shared"].to_numpy(dtype=np.float64)
-        union = (b["na"].to_numpy() + b["n_sh"].to_numpy()
-                 - b["shared"].to_numpy())
-        jac = np.divide(shared, union, out=np.zeros_like(shared),
-                        where=union > 0)
-        keep = jac >= threshold
+        na = b["na"].to_numpy(np.float64)
+        nb = b["n_sh"].to_numpy(np.float64)
+        ca = np.divide(shared, na, out=np.zeros_like(shared),
+                       where=na > 0)
+        cb = np.divide(shared, nb, out=np.zeros_like(shared),
+                       where=nb > 0)
+        keep = np.maximum(ca, cb) >= threshold
         return pd.DataFrame({
             "doc_a": b["doc_a"].to_numpy()[keep].astype(np.int64),
             "doc_b": b["doc_id"].to_numpy()[keep].astype(np.int64),
-            "jaccard": np.round(jac[keep], 6)})
+            "cont_a_in_b": np.round(ca[keep], 6),
+            "cont_b_in_a": np.round(cb[keep], 6)})
 
     df = j2.map_batches(finalize, batch_format="pandas").to_pandas()
     if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "cont_a_in_b": pd.Series([], dtype="float64"),
+            "cont_b_in_a": pd.Series([], dtype="float64")})
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+NGRAM_CONTAINMENT_SQL_TMPL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, chr(1))]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || chr(1) || w[i+1] || chr(1) || w[i+2]))
+         END AS s
+  FROM tok
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / na, 6) AS cont_a_in_b,
+       ROUND(inter * 1.0 / nb, 6) AS cont_b_in_a
+FROM pairs
+WHERE inter > 0
+  AND GREATEST(inter * 1.0 / na, inter * 1.0 / nb) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+NGRAM_CONTAINMENT_SQL = NGRAM_CONTAINMENT_SQL_TMPL.format(
+    threshold=0.8)
 
 
 def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,

@@ -39,6 +39,7 @@ import wave
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -626,3 +627,57 @@ def media_features(n: int = 200, seed: int = 42):
            .union(video.map_batches(vid_norm, batch_format="pandas")))
     return (out.to_pandas().sort_values(["media_id", "kind"])
             .reset_index(drop=True))
+
+
+class ImagePHasher:
+    """map_batches stage: image payload -> 64-bit perceptual hash
+    (dHash: bilinear-resize the luma plane to 8x9, one bit per
+    horizontal brightness gradient). Near-identical images (re-noised,
+    re-encoded BMP vs PNG, small crops) land within a few bits; the
+    hash rides as an int64 bit-view ready for
+    functions.hamming.banded_hamming_pairs."""
+
+    def __init__(self, fake: bool = False):
+        self._decoder = ImageDecoder(fake=fake)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        ws = batch["width"].to_numpy(dtype=np.int64)
+        hs = batch["height"].to_numpy(dtype=np.int64)
+        payloads = batch["payload"].tolist()
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        hashes = np.empty(len(ids), dtype=np.uint64)
+        for i, (payload, w0, h0) in enumerate(zip(payloads, ws, hs)):
+            luma = self._decoder._decode(payload, int(w0), int(h0))
+            small = resize_bilinear(luma, 8, 9)
+            bits = (small[:, 1:] > small[:, :-1]).ravel()
+            hashes[i] = np.uint64(np.sum(weights[bits]))
+        return pd.DataFrame({"media_id": ids,
+                             "phash": hashes.view(np.int64)})
+
+
+def phash_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
+                    coarse_buckets: int = 64) -> pd.DataFrame:
+    """Perceptual near-duplicate image pairs: (media_a, media_b,
+    hamming) for every image pair whose dHashes differ in
+    <= max_hamming bits. The payload column is dropped at the hashing
+    stage — only slim (media_id, phash) rows enter the banded search
+    (exact pigeonhole recall, see functions/hamming.py)."""
+    from ..functions.hamming import banded_hamming_pairs
+
+    imgs = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")),
+        batch_format="pyarrow")
+    sigs = imgs.map_batches(ImagePHasher(), batch_format="pandas",
+                            batch_size=256)
+    df = banded_hamming_pairs(sigs, "media_id", "phash",
+                              max_hamming=max_hamming, bands=bands,
+                              coarse_buckets=coarse_buckets,
+                              out_a="media_a",
+                              out_b="media_b").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"media_a": pd.Series([], dtype="int64"),
+                             "media_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return df.sort_values(["media_a", "media_b"]) \
+        .reset_index(drop=True)

@@ -269,3 +269,87 @@ class TestPngCodec:
         assert any(p[:2] == b"BM" for p in payloads)
         df = media_features(n=24)
         assert (df[df["kind"] == "image"]["feature"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPHash:
+    def _media_with_dups(self):
+        """Synthetic images plus planted near-duplicates: re-noised
+        copies and a BMP-vs-PNG re-encode of the same pixels."""
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        t = M.synthetic_media(60, seed=7).to_pandas()
+        imgs = t[t["kind"] == "image"].reset_index(drop=True)
+        rng = np.random.RandomState(0)
+        extra = []
+        # planted: tiny-noise copy of image 0, cross-format copy of 1
+        src0 = M._decode_bmp(imgs.loc[0, "payload"]) \
+            if imgs.loc[0, "payload"][:2] == b"BM" \
+            else M._decode_png(imgs.loc[0, "payload"])
+        noisy = np.clip(src0.astype(np.int16)
+                        + rng.randint(-2, 3, src0.shape), 0,
+                        255).astype(np.uint8)
+        extra.append((1000, M.encode_bmp(noisy),
+                      src0.shape[1], src0.shape[0]))
+        src1 = M._decode_bmp(imgs.loc[1, "payload"]) \
+            if imgs.loc[1, "payload"][:2] == b"BM" \
+            else M._decode_png(imgs.loc[1, "payload"])
+        other = M.encode_png(src1) \
+            if imgs.loc[1, "payload"][:2] == b"BM" \
+            else M.encode_bmp(src1)
+        extra.append((1001, other, src1.shape[1], src1.shape[0]))
+        rows = pd.DataFrame({
+            "media_id": [e[0] for e in extra],
+            "kind": ["image"] * 2,
+            "width": [e[2] for e in extra],
+            "height": [e[3] for e in extra],
+            "sample_rate": [0, 0], "fps": [0, 0],
+            "payload": [e[1] for e in extra]})
+        return pd.concat([imgs, rows], ignore_index=True), t
+
+    def test_phash_near_dups_planted(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        imgs, full = self._media_with_dups()
+        ds = rd.from_pandas(imgs).repartition(4)
+        pairs = M.phash_near_dups(ds, max_hamming=6)
+        found = set(map(tuple, pairs[["media_a",
+                                      "media_b"]].to_numpy()))
+        a0 = int(imgs.loc[0, "media_id"])
+        a1 = int(imgs.loc[1, "media_id"])
+        assert (min(a0, 1000), max(a0, 1000)) in found
+        # same pixels, different container -> hamming 0
+        m = pairs[(pairs["media_a"] == min(a1, 1001))
+                  & (pairs["media_b"] == max(a1, 1001))]
+        assert len(m) == 1 and m["hamming"].iloc[0] == 0
+
+    def test_phash_equals_bruteforce(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        from osm_sidewalkreator_ray.functions.hamming import \
+            popcount64
+        imgs, _ = self._media_with_dups()
+        ds = rd.from_pandas(imgs)
+        sigs = (ds.map_batches(M.ImagePHasher(),
+                               batch_format="pandas")
+                .to_pandas().sort_values("media_id"))
+        h = sigs["phash"].to_numpy().view(np.uint64)
+        ids = sigs["media_id"].to_numpy()
+        ref = set()
+        for i in range(len(h)):
+            d = popcount64(h ^ h[i])
+            for j in np.flatnonzero((d <= 6)
+                                    & (ids > ids[i])):
+                ref.add((int(ids[i]), int(ids[j])))
+        got = M.phash_near_dups(rd.from_pandas(imgs).repartition(3),
+                                max_hamming=6)
+        assert set(map(tuple,
+                       got[["media_a", "media_b"]].to_numpy())) == ref
+
+    def test_phash_mixed_kinds_filtered(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        _, full = self._media_with_dups()
+        # full table includes audio/video rows: must not crash or pair
+        pairs = M.phash_near_dups(rd.from_pandas(full),
+                                  max_hamming=6)
+        assert (pairs[["media_a", "media_b"]].to_numpy() < 1000).all()

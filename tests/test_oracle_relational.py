@@ -1461,3 +1461,31 @@ class TestMadCorrTwaRegex:
         from osm_sidewalkreator_ray.pipelines import textops as T
         check(T.doc_s_word_mentions(SF), T.DOC_S_WORD_MENTIONS_SQL,
               con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContainmentJoin:
+    def test_containment_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        t = 0.6
+        check(T.ngram_containment_pairs(SF, threshold=t),
+              T.NGRAM_CONTAINMENT_SQL_TMPL.format(threshold=t), con)
+
+    def test_planted_containment(self):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        # doc 1 is a verbatim chunk of doc 0: containment 1.0 but
+        # low Jaccard (the asymmetric case Jaccard misses)
+        base = " ".join(f"w{i}" for i in range(200))
+        chunk = " ".join(f"w{i}" for i in range(40, 60))
+        import tempfile, os
+        df = pd.DataFrame({"doc_id": [0, 1, 2],
+                           "text": [base, chunk,
+                                    "x y z q r s t u v"]})
+        with tempfile.TemporaryDirectory() as td:
+            df.to_parquet(os.path.join(td, "documents.parquet"))
+            got = T.ngram_containment_pairs(td, threshold=0.9)
+            jac = T.ngram_jaccard_pairs(td, threshold=0.9)
+        assert got[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
+        assert got["cont_b_in_a"][0] == 1.0
+        assert got["cont_a_in_b"][0] < 0.2
+        assert jac.empty
