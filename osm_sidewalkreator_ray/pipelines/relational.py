@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..functions.aggregates import grouped_agg
@@ -3400,3 +3401,172 @@ SELECT user_id,
 FROM w WHERE dt IS NOT NULL
 GROUP BY user_id HAVING SUM(dt) > 0 ORDER BY user_id
 """
+
+
+# -------------------------------------------------- cohort retention
+#
+# Classic cohort analysis: users grouped by first-activity day
+# (cohort), counted by day offset of each later activity — the
+# retention triangle. Two slim passes: (1) per-user first day via the
+# grouped_agg min combiner; (2) first days broadcast back into a
+# zero-row-shuffle distinct-count pass per (cohort_day, day_offset).
+# The broadcast is the per-user first-day table — at 100x user
+# cardinality swap it for the partitioned hash join (same contract as
+# q3's size gate); the o(users) map is the right default here.
+
+
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """(cohort_day, day_offset, n_users) — distinct users of each
+    first-day cohort active at each day offset >= 0."""
+    from ..functions.aggregates import grouped_agg
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].to_numpy("datetime64[D]")
+            .astype(np.int64)})
+
+    days = ds.map_batches(to_day, batch_format="pandas")
+    first = grouped_agg(days, ["user_id"],
+                        {"first_day": ("day", "min")}).to_pandas()
+    fmap = ray.put(first.set_index("user_id")["first_day"])
+
+    def offsets(b: pd.DataFrame) -> pd.DataFrame:
+        fm = ray.get(fmap)
+        fd = fm.reindex(b["user_id"]).to_numpy(np.int64)
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "cohort_day": fd,
+            "day_offset": b["day"].to_numpy(np.int64) - fd})
+        # per-batch distinct pre-reduce: the combiner for COUNT(
+        # DISTINCT user) — only distinct triples leave the batch
+        return out.drop_duplicates()
+
+    trip = days.map_batches(offsets, batch_format="pandas")
+    # batch-distinct triples can still repeat ACROSS batches: dedup
+    # through one slim (user, cohort, offset) shuffle, then count
+    ded = grouped_agg(trip, ["user_id", "cohort_day", "day_offset"],
+                      {"one": (None, "count")})
+    out = grouped_agg(ded, ["cohort_day", "day_offset"],
+                      {"n_users": ("one", "count")}).to_pandas()
+    out["cohort_date"] = pd.to_datetime(out["cohort_day"] * 86400
+                                        * 10 ** 9).dt.date.astype(str)
+    out = out[["cohort_date", "day_offset", "n_users"]]
+    return (out.sort_values(["cohort_date", "day_offset"])
+            .reset_index(drop=True).astype({"day_offset": np.int64,
+                                            "n_users": np.int64}))
+
+
+EVENTS_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id,
+         CAST(f.first_day AS VARCHAR) AS cohort_date,
+         date_diff('day', f.first_day, CAST(e.ts AS DATE))
+           AS day_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort_date, day_offset, COUNT(*) AS n_users
+FROM a GROUP BY cohort_date, day_offset
+ORDER BY cohort_date, day_offset
+"""
+
+
+# ------------------------------------------------- exact group mode
+#
+# Most frequent value per group with deterministic ties (smallest
+# value wins — DuckDB's mode() tie rule is unspecified, so the SQL
+# oracle pins the same rule via row_number). Two slim combiner
+# passes: (group, value) counts, then per-group argmax inside the
+# group-hash bucket.
+
+
+def grouped_mode_ds(ds, key: str, value_col: str,
+                    num_buckets: int = 32):
+    """Dataset of (key, mode, n) — n = occurrences of the mode."""
+    from ..functions.aggregates import grouped_agg
+    counts = grouped_agg(ds, [key, value_col],
+                         {"n": (None, "count")},
+                         num_buckets=num_buckets)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__gb"] = (pd.util.hash_array(np.asarray(b[key]))
+                     % num_buckets).astype(np.int64)
+        return b
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__gb", key, "n", value_col],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        top = g.groupby(key, sort=False).head(1)
+        return pd.DataFrame({key: top[key].to_numpy(),
+                             "mode": top[value_col].to_numpy(),
+                             "n": top["n"].to_numpy(np.int64)})
+
+    return (counts.map_batches(bucket, batch_format="pandas")
+            .groupby("__gb").map_groups(argmax,
+                                        batch_format="pandas"))
+
+
+def user_top_event_type(sf_dir: str) -> pd.DataFrame:
+    """Driver form: each user's most frequent event_type."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_mode_ds(ds, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_TOP_EVENT_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode, n FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------- group-mean imputation
+#
+# Feature-pipeline staple: fill NULLs in a numeric column with the
+# group mean (global mean for groups that are entirely NULL). Pass 1:
+# slim grouped_agg (sum, count of non-null) per key; pass 2: stats
+# broadcast into a zero-shuffle fill map. NULL bookkeeping is exact.
+
+
+def impute_group_mean_ds(ds, key: str, value_col: str,
+                         out_col: str | None = None,
+                         num_buckets: int = 32):
+    """Add ``out_col`` (default: value_col + '_filled') — value_col
+    with NULLs replaced by the key's mean, else the global mean."""
+    from ..functions.aggregates import grouped_agg
+    oc = out_col or f"{value_col}_filled"
+    stats = grouped_agg(ds, [key],
+                        {"s": (value_col, "sum"),
+                         "c": (value_col, "count")},
+                        num_buckets=num_buckets).to_pandas()
+    g_sum, g_cnt = float(stats["s"].sum()), int(stats["c"].sum())
+    gmean = g_sum / g_cnt if g_cnt else np.nan
+    means = stats["s"] / stats["c"].replace(0, np.nan)
+    mref = ray.put(pd.Series(means.to_numpy(),
+                             index=stats[key].to_numpy()))
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        v = b[value_col].to_numpy(np.float64)
+        fillv = mm.reindex(b[key]).to_numpy(np.float64)
+        fillv = np.where(np.isnan(fillv), gmean, fillv)
+        b = b.copy()
+        b[oc] = np.where(np.isnan(v), fillv, v)
+        return b
+
+    return ds.map_batches(fill, batch_format="pandas")

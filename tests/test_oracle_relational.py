@@ -1489,3 +1489,45 @@ class TestContainmentJoin:
         assert got["cont_b_in_a"][0] == 1.0
         assert got["cont_a_in_b"][0] < 0.2
         assert jac.empty
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortModeImpute:
+    def test_events_cohort(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_cohort_retention(SF), R.EVENTS_COHORT_SQL,
+              con)
+
+    def test_user_top_event(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.user_top_event_type(SF), R.USER_TOP_EVENT_SQL, con)
+
+    def test_mode_tie_break(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            grouped_mode_ds
+        df = pd.DataFrame({"k": [1, 1, 1, 1, 2],
+                           "v": ["b", "b", "a", "a", "z"]})
+        got = (grouped_mode_ds(rd.from_pandas(df).repartition(3),
+                               "k", "v").to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        # tie (a=2, b=2) -> smallest value wins
+        assert got["mode"].tolist() == ["a", "z"]
+        assert got["n"].tolist() == [2, 1]
+
+    def test_impute_group_mean(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            impute_group_mean_ds
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "v": [1.0, np.nan, 3.0, np.nan, np.nan, 5.0]})
+        got = (impute_group_mean_ds(rd.from_pandas(df)
+                                    .repartition(3), "k", "v")
+               .to_pandas().sort_values(["k", "v"])
+               .reset_index(drop=True))
+        # a's NaN -> mean(1,3)=2; b all-NaN -> global mean 3; c kept
+        filled = got["v_filled"].to_numpy()
+        assert np.allclose(sorted(filled), [1.0, 2.0, 3.0, 3.0,
+                                            3.0, 5.0])
+        assert not np.isnan(filled).any()

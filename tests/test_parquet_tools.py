@@ -55,3 +55,43 @@ class TestHarmonized:
         assert df["lang"].tolist()[2:] == ["en", "es"]
         types = dict(zip(ds.schema().names, ds.schema().types))
         assert types["id"] == pa.int64()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextFormats:
+    def test_jsonl_roundtrip(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.text_formats import (
+            read_jsonl_ds, write_jsonl)
+        src = "/root/testdata/sf0.001/documents.parquet"
+        schema = pq.read_schema(src)
+        ds = rd.read_parquet(src)
+        out = str(tmp_path / "jsonl")
+        write_jsonl(ds, out)
+        back = (read_jsonl_ds(out, schema=schema).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        orig = (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(back, orig[back.columns])
+        # typed: schema cast reproduces the parquet types exactly
+        assert read_jsonl_ds(out, schema=schema).schema().names \
+            == list(schema.names)
+
+    def test_csv_roundtrip_lineitem(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.text_formats import (
+            read_csv_ds, write_csv)
+        src = "/root/testdata/sf0.001/lineitem.parquet"
+        schema = pq.read_schema(src)
+        ds = rd.read_parquet(src)
+        out = str(tmp_path / "csv")
+        write_csv(ds, out)
+        back = (read_csv_ds(out, schema=schema).to_pandas()
+                .sort_values(["l_orderkey", "l_linenumber"])
+                .reset_index(drop=True))
+        orig = (ds.to_pandas()
+                .sort_values(["l_orderkey", "l_linenumber"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(back, orig[back.columns])
