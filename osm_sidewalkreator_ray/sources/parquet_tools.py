@@ -83,3 +83,112 @@ def read_parquet_harmonized(paths: list[str],
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# ------------------------------------------------ zone-map file pruning
+#
+# File skipping for selective scans: ``build_zone_map`` collects one
+# (path, min, max, null_count, rows) row per file per column from
+# parquet FOOTER metadata only (no data pages read; row-group stats
+# folded per file), persisted as a tiny manifest parquet.
+# ``read_parquet_pruned`` consults the manifest and hands Ray's
+# reader ONLY the files whose [min, max] range can satisfy the
+# predicate — at 100 TB a selective predicate over a
+# sorted/zordered/partitioned layout skips almost every file before a
+# single byte of data moves. Pruning is conservative (files lacking
+# stats for the column are kept) and therefore always correct; an
+# optional residual row filter finishes the job.
+
+
+def build_zone_map(in_dir: str, columns: list[str],
+                   manifest_path: str | None = None) -> pd.DataFrame:
+    """One row per (file, column): (path, column, vmin, vmax, nulls,
+    rows) with NATIVE stat values (object dtype). Rebuilding is
+    footer-only and cheap; the optional persisted manifest stringifies
+    values for inspection and is NOT the pruning input."""
+    rows = []
+    names = sorted(f for f in os.listdir(in_dir)
+                   if f.endswith(".parquet"))
+    for name in names:
+        path = os.path.join(in_dir, name)
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        for col in columns:
+            if col not in idx:
+                continue
+            mins, maxs, nulls = [], [], 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count or 0
+            rows.append({
+                "path": path, "column": col,
+                "vmin": min(mins) if ok else None,
+                "vmax": max(maxs) if ok else None,
+                "nulls": nulls if ok else -1,
+                "rows": md.num_rows})
+    mf = pd.DataFrame(rows)
+    if manifest_path:
+        disp = mf.copy()
+        disp["vmin"] = disp["vmin"].map(repr)
+        disp["vmax"] = disp["vmax"].map(repr)
+        disp.to_parquet(manifest_path)
+    return mf
+
+
+def prune_files(manifest: pd.DataFrame, column: str,
+                lo=None, hi=None) -> list[str]:
+    """Paths whose [vmin, vmax] zone intersects [lo, hi] (either bound
+    may be None = unbounded). Files without stats are conservatively
+    kept."""
+    all_paths = sorted(manifest["path"].unique())
+    m = manifest[manifest["column"] == column]
+    keep = set(all_paths) - set(m["path"])  # no zone row -> keep
+    for _, r in m.iterrows():
+        vmin, vmax = r["vmin"], r["vmax"]
+        if vmin is None:
+            keep.add(r["path"])
+            continue
+        if (lo is None or vmax >= lo) and (hi is None or vmin <= hi):
+            keep.add(r["path"])
+    return sorted(keep)
+
+
+def read_parquet_pruned(in_dir: str, manifest: pd.DataFrame,
+                        column: str, lo=None, hi=None,
+                        columns: list[str] | None = None,
+                        exact: bool = True):
+    """Dataset of rows with lo <= column <= hi, reading ONLY the files
+    the zone map cannot rule out. ``exact=True`` applies the residual
+    per-batch filter (zone pruning alone admits whole surviving
+    files)."""
+    paths = prune_files(manifest, column, lo, hi)
+    if not paths:
+        sch = pq.read_schema(
+            os.path.join(in_dir, sorted(
+                f for f in os.listdir(in_dir)
+                if f.endswith(".parquet"))[0]))
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
+    ds = rd.read_parquet(paths, columns=columns)
+    if not exact:
+        return ds
+
+    def residual(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(t[column], lo)
+        if hi is not None:
+            le = pc.less_equal(t[column], hi)
+            mask = le if mask is None else pc.and_(mask, le)
+        return t.filter(mask) if mask is not None else t
+
+    return ds.map_batches(residual, batch_format="pyarrow")

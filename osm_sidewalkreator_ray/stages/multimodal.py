@@ -681,3 +681,63 @@ def phash_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
                              "hamming": pd.Series([], dtype="int64")})
     return df.sort_values(["media_a", "media_b"]) \
         .reset_index(drop=True)
+
+
+class AudioFingerprinter:
+    """map_batches stage: WAV payload -> 64-bit spectral fingerprint
+    (Haitsma-Kalker shape: log-power spectrogram collapsed to 16
+    bands, one bit per positive band-energy gradient over a 4-bucket
+    time grid + band mean sign). Re-noised / re-gained copies of the
+    same tone land within a few bits; same int64 bit-view contract as
+    ImagePHasher for functions.hamming.banded_hamming_pairs."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        payloads = batch["payload"].tolist()
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        hashes = np.empty(len(ids), dtype=np.uint64)
+        for i, payload in enumerate(payloads):
+            x, _sr = _decode_wav(payload)
+            # fixed 4-bucket time grid: band energies per signal
+            # quarter through the shared spectrogram kernel
+            edges = (np.arange(5) * len(x)) // 4
+            tg = np.stack([
+                spectrogram_bands(x[edges[j]:edges[j + 1]],
+                                  n_fft=256, hop=128, n_bands=16)
+                for j in range(4)])  # (4, 16)
+            # 64 bits = the 4x16 grid thresholded at the clip's
+            # log-energy midrange: energized cells sit far above it,
+            # noise-floor cells far below — stable under re-gain and
+            # additive noise (sign-of-noise bits are what a
+            # median/gradient scheme degenerates to on sparse
+            # spectra)
+            mid = (tg.max() + tg.min()) / 2.0
+            bits = (tg > mid).ravel()
+            hashes[i] = np.uint64(np.sum(weights[bits]))
+        return pd.DataFrame({"media_id": ids,
+                             "afp": hashes.view(np.int64)})
+
+
+def audio_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
+                    coarse_buckets: int = 64) -> pd.DataFrame:
+    """Near-duplicate audio pairs by spectral fingerprint: (media_a,
+    media_b, hamming); exact pigeonhole recall within max_hamming
+    (see functions/hamming.py)."""
+    from ..functions.hamming import banded_hamming_pairs
+
+    auds = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")),
+        batch_format="pyarrow")
+    sigs = auds.map_batches(AudioFingerprinter(),
+                            batch_format="pandas", batch_size=256)
+    df = banded_hamming_pairs(sigs, "media_id", "afp",
+                              max_hamming=max_hamming, bands=bands,
+                              coarse_buckets=coarse_buckets,
+                              out_a="media_a",
+                              out_b="media_b").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"media_a": pd.Series([], dtype="int64"),
+                             "media_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return df.sort_values(["media_a", "media_b"]) \
+        .reset_index(drop=True)

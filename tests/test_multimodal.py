@@ -353,3 +353,59 @@ class TestPHash:
         pairs = M.phash_near_dups(rd.from_pandas(full),
                                   max_hamming=6)
         assert (pairs[["media_a", "media_b"]].to_numpy() < 1000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioFingerprint:
+    def test_audio_near_dups_planted(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        rng = np.random.RandomState(1)
+        sr = 8000
+        t = np.arange(sr) / sr
+        rows = []
+        # 8 distinct tones + a re-noised, re-gained copy of tone 0
+        for i in range(8):
+            freq = 150.0 * (i + 1)
+            x = 0.5 * np.sin(2 * np.pi * freq * t) \
+                * np.linspace(1.0, 0.2 + 0.1 * i, sr)
+            rows.append((i, M.encode_wav(x, sr)))
+        x0 = 0.4 * np.sin(2 * np.pi * 150.0 * t) \
+            * np.linspace(1.0, 0.2, sr) \
+            + 0.01 * rng.standard_normal(sr)
+        rows.append((100, M.encode_wav(x0, sr)))
+        df = pd.DataFrame({
+            "media_id": [r[0] for r in rows],
+            "kind": ["audio"] * len(rows),
+            "width": 0, "height": 0, "sample_rate": sr, "fps": 0,
+            "payload": [r[1] for r in rows]})
+        pairs = M.audio_near_dups(rd.from_pandas(df).repartition(3),
+                                  max_hamming=6)
+        found = set(map(tuple,
+                        pairs[["media_a", "media_b"]].to_numpy()))
+        assert (0, 100) in found
+        # distinct tones should not all collapse together
+        assert len(found) < 10
+
+    def test_audio_fp_equals_bruteforce(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        from osm_sidewalkreator_ray.functions.hamming import \
+            popcount64
+        media = M.synthetic_media(45, seed=5).to_pandas()
+        auds = media[media["kind"] == "audio"].reset_index(drop=True)
+        sigs = (rd.from_pandas(auds)
+                .map_batches(M.AudioFingerprinter(),
+                             batch_format="pandas")
+                .to_pandas().sort_values("media_id"))
+        h = sigs["afp"].to_numpy().view(np.uint64)
+        ids = sigs["media_id"].to_numpy()
+        ref = set()
+        for i in range(len(h)):
+            d = popcount64(h ^ h[i])
+            for j in np.flatnonzero((d <= 6) & (ids > ids[i])):
+                ref.add((int(ids[i]), int(ids[j])))
+        got = M.audio_near_dups(
+            rd.from_pandas(media).repartition(4), max_hamming=6)
+        assert set(map(tuple, got[["media_a",
+                                   "media_b"]].to_numpy())) == ref

@@ -95,3 +95,64 @@ class TestTextFormats:
                 .sort_values(["l_orderkey", "l_linenumber"])
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(back, orig[back.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZoneMapPruning:
+    def _layout(self, tmp_path):
+        """4 files with disjoint l_orderkey ranges (a sorted layout)."""
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        d = tmp_path / "zoned"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            n = 500
+            t = pa.table({
+                "l_orderkey": np.arange(i * 1000, i * 1000 + n,
+                                        dtype=np.int64),
+                "v": rng.uniform(size=n)})
+            pq.write_table(t, str(d / f"part-{i}.parquet"))
+        return str(d)
+
+    def test_prune_reads_only_matching_files(self, tmp_path):
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            build_zone_map, prune_files, read_parquet_pruned)
+        d = self._layout(tmp_path)
+        mf = build_zone_map(d, ["l_orderkey"])
+        assert len(mf) == 4
+        # range inside file 2 only
+        paths = prune_files(mf, "l_orderkey", lo=2100, hi=2200)
+        assert [p.split("/")[-1] for p in paths] == ["part-2.parquet"]
+        got = (read_parquet_pruned(d, mf, "l_orderkey", 2100, 2200)
+               .to_pandas())
+        assert len(got) == 101
+        assert got["l_orderkey"].min() == 2100
+        assert got["l_orderkey"].max() == 2200
+
+    def test_prune_conservative_and_empty(self, tmp_path):
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            build_zone_map, prune_files, read_parquet_pruned)
+        d = self._layout(tmp_path)
+        mf = build_zone_map(d, ["l_orderkey"])
+        # column without a zone row -> every file kept
+        assert len(prune_files(mf, "no_such_col")) == 4
+        # out-of-range -> zero files, empty typed Dataset
+        ds = read_parquet_pruned(d, mf, "l_orderkey", 10 ** 9, None)
+        assert ds.count() == 0
+        assert "l_orderkey" in ds.schema().names
+
+    def test_prune_equals_full_scan(self, tmp_path):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            build_zone_map, read_parquet_pruned)
+        d = self._layout(tmp_path)
+        mf = build_zone_map(d, ["l_orderkey"])
+        got = (read_parquet_pruned(d, mf, "l_orderkey", 900, 2100)
+               .to_pandas().sort_values("l_orderkey")
+               .reset_index(drop=True))
+        full = rd.read_parquet(d).to_pandas()
+        ref = (full[(full["l_orderkey"] >= 900)
+                    & (full["l_orderkey"] <= 2100)]
+               .sort_values("l_orderkey").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref)
