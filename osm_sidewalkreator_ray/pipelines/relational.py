@@ -3570,3 +3570,56 @@ def impute_group_mean_ds(ds, key: str, value_col: str,
         return b
 
     return ds.map_batches(fill, batch_format="pandas")
+
+
+# --------------------------------------------- grouped percent rank
+#
+# PERCENT_RANK within a group: (rank - 1) / (n - 1) with SQL RANK tie
+# semantics. One group-hash bucket shuffle, vectorized rank per
+# bucket. Partitioning assumption (documented per the brief): one
+# GROUP fits a task; for groups beyond that, compose the global-order
+# machinery in functions/windows.py (t-digest bucket_edges +
+# distributed prefix sums) per group instead.
+
+
+def grouped_percent_rank_ds(ds, key: str, value_col: str,
+                            out_col: str = "pct_rank",
+                            num_buckets: int = 32):
+    """Add ``out_col``; single-row groups get 0.0 (SQL convention)."""
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t[key]))
+        return t.append_column(
+            "__gb", pa.array((h % num_buckets).astype(np.int64)))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__gb")
+        r = g.groupby(key, sort=False)[value_col].rank(method="min")
+        n = g.groupby(key, sort=False)[value_col].transform("size") \
+            .to_numpy(np.float64)
+        g = g.copy()
+        g[out_col] = np.where(n > 1,
+                              (r.to_numpy() - 1) / np.maximum(n - 1,
+                                                              1), 0.0)
+        return g
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__gb").map_groups(rank, batch_format="pandas"))
+
+
+def events_value_pct_rank(sf_dir: str) -> pd.DataFrame:
+    """Driver form: percent rank of value within event_type."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    out = grouped_percent_rank_ds(ds, "event_type",
+                                  "value").to_pandas()
+    out["pct_rank"] = out["pct_rank"].round(6)
+    return (out.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "event_type", "pct_rank"]])
+
+
+EVENTS_PCT_RANK_SQL = """
+SELECT event_id, event_type,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                  ORDER BY value), 6) AS pct_rank
+FROM events ORDER BY event_id
+"""

@@ -441,3 +441,49 @@ WHERE df.t = tf.t AND dl.doc_id = tf.doc_id
 GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id LIMIT 10
 """
+
+
+# ------------------------------------------- reciprocal rank fusion
+#
+# RRF (Cormack/Clarke/Buettcher SIGIR'09): fuse N ranked lists with
+# score = sum_i 1 / (k0 + rank_i); documents absent from a list
+# contribute nothing. The lists are already top-k (the distributed
+# work happened in the legs); fusion itself is O(sum of list lengths)
+# driver arithmetic — deliberately NOT a Ray stage.
+
+
+def rrf_fuse(ranked: list[pd.DataFrame], id_col: str = "doc_id",
+             k0: int = 60, k: int = 10) -> pd.DataFrame:
+    """(id_col, rrf_score) for the top-k fused documents. Each input
+    frame must be ordered best-first; ranks are 1-based positions."""
+    scores: dict = {}
+    for df in ranked:
+        for rank, doc in enumerate(df[id_col].tolist(), start=1):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (k0 + rank)
+    out = pd.DataFrame({id_col: list(scores.keys()),
+                        "rrf_score": np.round(
+                            np.fromiter(scores.values(), float), 6)})
+    return (out.sort_values(["rrf_score", id_col],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def hybrid_search_rrf(sf_dir: str, terms: list[str] | None = None,
+                      k: int = 10, num_buckets: int = 32,
+                      index_dir: str | None = None) -> pd.DataFrame:
+    """Two-leg retrieval fused with RRF: a BM25 lexical leg over the
+    inverted index and a cosine vector leg over the embeddings (both
+    distributed), fused on the driver. Returns (doc_id, rrf_score)."""
+    import tempfile
+
+    if terms is None:
+        terms = ["join", "scan"]
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="rrfx_")
+        build_index_for_sf(sf_dir, index_dir, num_buckets=num_buckets)
+    lexical = bm25_search(index_dir, terms, k=k,
+                          num_buckets=num_buckets)
+    vector = hybrid_search(sf_dir, terms, k=k,
+                           num_buckets=num_buckets,
+                           index_dir=index_dir)
+    return rrf_fuse([lexical, vector], k=k)

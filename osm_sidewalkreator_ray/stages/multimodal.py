@@ -741,3 +741,60 @@ def audio_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
                              "hamming": pd.Series([], dtype="int64")})
     return df.sort_values(["media_a", "media_b"]) \
         .reset_index(drop=True)
+
+
+class VideoFingerprinter:
+    """map_batches stage: Y4M payload -> 64-bit clip fingerprint.
+    Temporal dHash: luma frames resize to 8x8, the clip collapses to
+    a fixed 4-keyframe grid, bits = horizontal gradients of the mean
+    keyframe (48) + keyframe-to-keyframe mean-luma gradients over an
+    8-slot cyclic layout (16); same int64 bit-view contract as
+    ImagePHasher / AudioFingerprinter."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(dtype=np.int64)
+        payloads = batch["payload"].tolist()
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        hashes = np.empty(len(ids), dtype=np.uint64)
+        for i, payload in enumerate(payloads):
+            frames, _fps = _decode_y4m(payload)
+            nf = len(frames)
+            pick = (np.arange(4) * nf) // 4
+            keys = np.stack([resize_bilinear(frames[p], 8, 8)
+                             .astype(np.float64) for p in pick])
+            mean_key = keys.mean(axis=0)  # (8, 8)
+            bits = np.empty(64, dtype=bool)
+            # 56 bits: spatial gradients of the mean keyframe
+            bits[:56] = (mean_key[:, 1:] > mean_key[:, :-1]).ravel()
+            # 8 bits: temporal mean-luma gradients, cyclic over the
+            # 4 keyframes duplicated to fill the byte
+            lum = keys.mean(axis=(1, 2))
+            tbits = lum[np.arange(1, 5) % 4] > lum
+            bits[56:] = np.concatenate([tbits, tbits])
+            hashes[i] = np.uint64(np.sum(weights[bits]))
+        return pd.DataFrame({"media_id": ids,
+                             "vfp": hashes.view(np.int64)})
+
+
+def video_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
+                    coarse_buckets: int = 64) -> pd.DataFrame:
+    """Near-duplicate video pairs by temporal dHash: (media_a,
+    media_b, hamming); exact pigeonhole recall within max_hamming."""
+    from ..functions.hamming import banded_hamming_pairs
+
+    vids = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow")
+    sigs = vids.map_batches(VideoFingerprinter(),
+                            batch_format="pandas", batch_size=64)
+    df = banded_hamming_pairs(sigs, "media_id", "vfp",
+                              max_hamming=max_hamming, bands=bands,
+                              coarse_buckets=coarse_buckets,
+                              out_a="media_a",
+                              out_b="media_b").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"media_a": pd.Series([], dtype="int64"),
+                             "media_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return df.sort_values(["media_a", "media_b"]) \
+        .reset_index(drop=True)

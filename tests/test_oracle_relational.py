@@ -1531,3 +1531,57 @@ class TestCohortModeImpute:
         assert np.allclose(sorted(filled), [1.0, 2.0, 3.0, 3.0,
                                             3.0, 5.0])
         assert not np.isnan(filled).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPctRankVideoRRF:
+    def test_events_pct_rank(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_value_pct_rank(SF), R.EVENTS_PCT_RANK_SQL,
+              con)
+
+    def test_rrf_fuse_properties(self):
+        from osm_sidewalkreator_ray.pipelines.search import rrf_fuse
+        a = pd.DataFrame({"doc_id": [1, 2, 3]})
+        b = pd.DataFrame({"doc_id": [2, 4, 1]})
+        got = rrf_fuse([a, b], k0=60, k=4)
+        # doc 2 (ranks 2,1) beats doc 1 (ranks 1,3)
+        assert got["doc_id"].tolist()[0] == 2
+        exp2 = round(1 / 62 + 1 / 61, 6)
+        assert got.loc[got["doc_id"] == 2, "rrf_score"].iloc[0] \
+            == exp2
+        # one-leg docs present with single-leg scores
+        assert 4 in set(got["doc_id"])
+
+    def test_hybrid_search_rrf(self):
+        from osm_sidewalkreator_ray.pipelines.search import \
+            hybrid_search_rrf
+        got = hybrid_search_rrf(SF, ["join", "scan"], k=5)
+        assert len(got) == 5
+        assert got["rrf_score"].is_monotonic_decreasing
+        got2 = hybrid_search_rrf(SF, ["join", "scan"], k=5)
+        pd.testing.assert_frame_equal(got, got2)
+
+    def test_video_near_dups_planted(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.stages import multimodal as M
+        t = M.synthetic_media(45, seed=9).to_pandas()
+        vids = t[t["kind"] == "video"].reset_index(drop=True)
+        # planted: re-encode of clip 0 with one frame of tiny noise
+        frames, fps = M._decode_y4m(vids.loc[0, "payload"])
+        rng = np.random.RandomState(0)
+        noisy = frames.copy()
+        noisy[0] = np.clip(noisy[0].astype(np.int16)
+                           + rng.randint(-2, 3, noisy[0].shape),
+                           0, 255).astype(np.uint8)
+        dup = pd.DataFrame({
+            "media_id": [777], "kind": ["video"],
+            "width": [frames.shape[2]], "height": [frames.shape[1]],
+            "sample_rate": [0], "fps": [fps],
+            "payload": [M.encode_y4m(noisy, fps)]})
+        all_v = pd.concat([vids, dup], ignore_index=True)
+        pairs = M.video_near_dups(rd.from_pandas(all_v)
+                                  .repartition(3), max_hamming=6)
+        found = set(map(tuple,
+                        pairs[["media_a", "media_b"]].to_numpy()))
+        assert (int(vids.loc[0, "media_id"]), 777) in found
