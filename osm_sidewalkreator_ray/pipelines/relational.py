@@ -3623,3 +3623,115 @@ SELECT event_id, event_type,
                                   ORDER BY value), 6) AS pct_rank
 FROM events ORDER BY event_id
 """
+
+
+# ------------------------------------------- event Markov transitions
+#
+# First-order behavior model: counts and probabilities of event_type
+# -> next event_type transitions within a user's exact (ts, event_id)
+# order — the input to next-action prediction and to funnel-drop
+# diagnostics. One user-bucket shuffle; per bucket a vectorized shift
+# compare emits slim (prev, next, n) partials that fold through the
+# grouped_agg combiner.
+
+
+def events_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """(prev_type, next_type, n, p) with p normalized per prev_type."""
+    from ..functions.aggregates import grouped_agg
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"]))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = uid[:-1] == uid[1:]
+        df = pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same]})
+        return (df.groupby(["prev_type", "next_type"], sort=False)
+                .size().reset_index(name="n"))
+
+    part = (ds.groupby("__ubucket")
+            .map_groups(lambda g: pairs(g.drop(columns="__ubucket")),
+                        batch_format="pandas"))
+    out = grouped_agg(part, ["prev_type", "next_type"],
+                      {"n": ("n", "sum")}).to_pandas()
+    tot = out.groupby("prev_type")["n"].transform("sum")
+    out["p"] = (out["n"] / tot).round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
+EVENTS_MARKOV_SQL = """
+WITH w AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM w WHERE next_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c ORDER BY prev_type, next_type
+"""
+
+
+# --------------------------------------------- per-user event entropy
+#
+# Behavioral diversity score: Shannon entropy (bits) of each user's
+# event_type distribution — bot/spam triage (near-zero entropy) and
+# engagement profiling. Slim (user, type, n) combiner rows, then one
+# vectorized per-user entropy inside the user-hash bucket.
+
+
+def user_event_entropy(sf_dir: str) -> pd.DataFrame:
+    """(user_id, entropy_bits, n_events) per user."""
+    from ..functions.aggregates import grouped_agg
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cnt = grouped_agg(ds, ["user_id", "event_type"],
+                      {"n": (None, "count")})
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__ub"] = (pd.util.hash_array(b["user_id"].to_numpy())
+                     % 32).astype(np.int64)
+        return b
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("user_id", sort=False)["n"].transform("sum") \
+            .to_numpy(np.float64)
+        p = g["n"].to_numpy(np.float64) / tot
+        h = pd.Series(-p * np.log2(p)).groupby(
+            g["user_id"].to_numpy()).sum()
+        nn = g.groupby("user_id", sort=False)["n"].sum()
+        return pd.DataFrame({
+            "user_id": h.index.to_numpy(np.int64),
+            "entropy_bits": np.round(h.to_numpy(), 6),
+            "n_events": nn.reindex(h.index).to_numpy(np.int64)})
+
+    out = (cnt.map_batches(bucket, batch_format="pandas")
+           .groupby("__ub")
+           .map_groups(lambda g: ent(g.drop(columns="__ub")),
+                       batch_format="pandas").to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       ROUND(-SUM((n / tot) * LOG2(n / tot)), 6) AS entropy_bits,
+       CAST(ANY_VALUE(tot) AS BIGINT) AS n_events
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id ORDER BY c.user_id
+"""

@@ -1585,3 +1585,15 @@ class TestPctRankVideoRRF:
         found = set(map(tuple,
                         pairs[["media_a", "media_b"]].to_numpy()))
         assert (int(vids.loc[0, "media_id"]), 777) in found
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMarkovEntropy:
+    def test_events_markov(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_markov_transitions(SF), R.EVENTS_MARKOV_SQL,
+              con)
+
+    def test_user_entropy(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.user_event_entropy(SF), R.USER_ENTROPY_SQL, con)
