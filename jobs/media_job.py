@@ -1,0 +1,71 @@
+"""Cluster job entrypoint for multimodal near-duplicate detection:
+
+    # image perceptual-hash pairs over a media parquet dataset
+    python jobs/media_job.py image --data /data/media --out /tmp/imgdups
+
+    # audio spectral-fingerprint pairs
+    python jobs/media_job.py audio --data /data/media --out /tmp/auddups
+
+    # video temporal-dHash pairs
+    python jobs/media_job.py video --data /data/media --out /tmp/viddups
+
+The input is a MEDIA_SCHEMA parquet dataset (media_id, kind, width,
+height, sample_rate, fps, payload). Each mode fingerprints ONLY its
+modality (payloads drop at the hashing stage; slim (media_id, hash)
+rows enter the exact-pigeonhole banded hamming search), writes the
+pair table as parquet to --out, and prints one JSON report line —
+the machine-readable artifact a dedup scheduler gates on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["image", "audio", "video"])
+    ap.add_argument("--data", required=True,
+                    help="MEDIA_SCHEMA parquet file/dir")
+    ap.add_argument("--out", required=True,
+                    help="output directory for the pair parquet")
+    ap.add_argument("--max-hamming", type=int, default=6)
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+    import ray.data as rd
+    from osm_sidewalkreator_ray.stages.multimodal import (
+        audio_near_dups, phash_near_dups, video_near_dups)
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.data)
+    fn = {"image": phash_near_dups, "audio": audio_near_dups,
+          "video": video_near_dups}[args.mode]
+    pairs = fn(ds, max_hamming=args.max_hamming)
+    os.makedirs(args.out, exist_ok=True)
+    # explicit schema: from_pandas on an EMPTY frame loses dtypes
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    table = pa.table({c: pa.array(pairs[c].to_numpy(), pa.int64())
+                      for c in pairs.columns})
+    pq.write_table(table, os.path.join(args.out, "pairs.parquet"))
+    print(json.dumps({"mode": args.mode, "pairs": int(len(pairs)),
+                      "max_hamming": args.max_hamming,
+                      "out": args.out,
+                      "sec": round(time.time() - t0, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

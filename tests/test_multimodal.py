@@ -409,3 +409,23 @@ class TestAudioFingerprint:
             rd.from_pandas(media).repartition(4), max_hamming=6)
         assert set(map(tuple, got[["media_a",
                                    "media_b"]].to_numpy())) == ref
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_job_cli(tmp_path):
+    import json
+    import pyarrow.parquet as pq
+    from jobs.media_job import main
+    from osm_sidewalkreator_ray.stages import multimodal as M
+    data = str(tmp_path / "media.parquet")
+    pq.write_table(M.synthetic_media(60, seed=11), data)
+    out = str(tmp_path / "dups")
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["audio", "--data", data, "--out", out])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = pq.read_table(f"{out}/pairs.parquet").to_pandas()
+    assert rep["pairs"] == len(got)
+    assert list(got.columns) == ["media_a", "media_b", "hamming"]
