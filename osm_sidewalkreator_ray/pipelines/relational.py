@@ -3735,3 +3735,65 @@ SELECT c.user_id,
 FROM c JOIN t USING (user_id)
 GROUP BY c.user_id ORDER BY c.user_id
 """
+
+
+# --------------------------------------------- rolling active users
+#
+# Trailing-7-day distinct active users per observed day (the DAU/WAU
+# engagement series). Exact distinct over a sliding window without
+# any windowed-distinct machinery: distinct (user, day) rows (slim
+# combiner) explode to their <= 7 window-end days, a second slim
+# dedup-and-count combiner collapses (user, window_day); output is
+# restricted to days that actually occur. Shuffled rows are bounded
+# by 7 x |distinct (user, day)| — never event-proportional.
+
+
+def events_rolling_active_users(sf_dir: str, window: int = 7
+                                ) -> pd.DataFrame:
+    """(day, n_users) — distinct users active in [day-6, day]."""
+    from ..functions.aggregates import grouped_agg
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].to_numpy("datetime64[D]")
+            .astype(np.int64)}).drop_duplicates()
+
+    ud = grouped_agg(ds.map_batches(to_day, batch_format="pandas"),
+                     ["user_id", "day"], {"one": (None, "count")})
+    obs_days = np.sort(
+        grouped_agg(ud, ["day"], {"n": (None, "count")})
+        .to_pandas()["day"].to_numpy(np.int64))
+    days_ref = ray.put(obs_days)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(days_ref)
+        u = np.repeat(b["user_id"].to_numpy(np.int64), window)
+        w = (b["day"].to_numpy(np.int64)[:, None]
+             + np.arange(window)[None, :]).ravel()
+        keep = np.isin(w, od)  # only observed window-end days
+        return pd.DataFrame({"user_id": u[keep],
+                             "day": w[keep]}).drop_duplicates()
+
+    uw = grouped_agg(ud.map_batches(explode, batch_format="pandas"),
+                     ["user_id", "day"], {"one": (None, "count")})
+    out = grouped_agg(uw, ["day"],
+                      {"n_users": ("one", "count")}).to_pandas()
+    out["date"] = pd.to_datetime(out["day"] * 86400 * 10 ** 9) \
+        .dt.date.astype(str)
+    out = out[["date", "n_users"]].astype({"n_users": np.int64})
+    return out.sort_values("date").reset_index(drop=True)
+
+
+EVENTS_ROLLING_ACTIVE_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT CAST(days.d AS VARCHAR) AS date,
+       COUNT(DISTINCT ud.user_id) AS n_users
+FROM days JOIN ud
+  ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d ORDER BY date
+"""

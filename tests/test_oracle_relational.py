@@ -1597,3 +1597,11 @@ class TestMarkovEntropy:
     def test_user_entropy(self, con):
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.user_event_entropy(SF), R.USER_ENTROPY_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingActiveUsers:
+    def test_rolling_active(self, con):
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_rolling_active_users(SF),
+              R.EVENTS_ROLLING_ACTIVE_SQL, con)
