@@ -1,0 +1,116 @@
+"""Incremental corpus refresh — the continuous-ingestion composition.
+
+A production corpus is not rebuilt per crawl; each new batch is folded
+in. This module composes the repo's incremental primitives into the
+standard refresh recipe, each stage delta-proportional by
+construction:
+
+1. **exact dedup vs corpus** — `textops.incremental_exact_dedup`
+   (Bloom short-circuit; shuffle ~ |new dups| + FPR·|new|),
+2. **near-dup vs corpus and within the batch** —
+   `textops.incremental_minhash_pairs` (candidates scale with |new|),
+   resolved greedily: a new doc is dropped iff it pairs with ANY
+   existing doc, or with a smaller-id new doc that itself survives
+   (the SemDeDup keep-first rule). Pair resolution runs on the
+   driver — pair cardinality is O(dup rate · |new|), the distributed
+   work produced the pairs,
+3. **benchmark decontamination** — `textops.decontaminate_ds`
+   (broadcast sorted n-gram hashes) when bench hashes are supplied,
+4. **index + stats maintenance** — `search.update_inverted_index`
+   (only touched term buckets rewritten) and
+   `functions.aggregates.merge_agg_states` (per-lang doc counts fold
+   state-vs-state), both optional.
+
+The acceptance decision equals the from-scratch computation on the
+union (tested): exact-dedup survivors match the corpus-wide rule and
+the greedy near-dup rule is partition-invariant because the pair set
+is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+LANG_STATS_SPEC = {"n_docs": (None, "count")}
+
+
+def refresh_corpus(existing, new, threshold: float = 0.5,
+                   bench_hashes=None, index_dir: str | None = None,
+                   lang_state: pd.DataFrame | None = None):
+    """Fold a new crawl batch into a corpus.
+
+    ``existing`` / ``new``: Datasets with (doc_id, text [, lang]);
+    doc_ids globally unique, existing assumed internally deduped.
+    Returns a dict: accepted (pd.DataFrame of surviving new rows),
+    dropped (doc_id, reason), lang_state (merged, when input state
+    given), touched_buckets (when index_dir given).
+    """
+    from ..functions.aggregates import agg_state_ds, merge_agg_states
+    from . import textops as T
+
+    new_pd = new.to_pandas()
+
+    # 1. exact dedup vs corpus (+ within-batch exact dups)
+    kept_exact = T.incremental_exact_dedup(existing, new)
+    exact_ids = set(kept_exact["doc_id"].tolist())
+    dropped = [(int(d), "exact_dup")
+               for d in new_pd["doc_id"] if d not in exact_ids]
+
+    # 2. near-dup pairs touching a new doc, greedy keep-first
+    new_ids = set(new_pd["doc_id"].tolist())
+    pairs = T.incremental_minhash_pairs(existing, new,
+                                        threshold=threshold)
+    neigh: dict[int, list[int]] = {}
+    for a, b in pairs[["doc_a", "doc_b"]].itertuples(index=False):
+        neigh.setdefault(int(a), []).append(int(b))
+        neigh.setdefault(int(b), []).append(int(a))
+    kept_near: set[int] = set()
+    for d in sorted(exact_ids):
+        ns = neigh.get(d, ())
+        if any(n not in new_ids for n in ns):  # pairs an existing doc
+            dropped.append((d, "near_dup_existing"))
+            continue
+        if any(n in kept_near and n < d for n in ns):
+            dropped.append((d, "near_dup_batch"))
+            continue
+        kept_near.add(d)
+
+    accepted = new_pd[new_pd["doc_id"].isin(kept_near)] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # 3. decontamination (optional)
+    if bench_hashes is not None and len(accepted):
+        ds = rd.from_pandas(accepted[["doc_id", "text"]])
+        clean = T.decontaminate_ds(ds, bench_hashes).to_pandas()
+        keep = set(clean.loc[clean["contaminated"] == 0, "doc_id"]
+                   .tolist()) if len(clean) else set()
+        for d in accepted["doc_id"]:
+            if int(d) not in keep:
+                dropped.append((int(d), "contaminated"))
+        accepted = accepted[accepted["doc_id"].isin(keep)] \
+            .reset_index(drop=True)
+
+    out = {"accepted": accepted,
+           "dropped": pd.DataFrame(dropped,
+                                   columns=["doc_id", "reason"])
+           .sort_values("doc_id").reset_index(drop=True)}
+
+    # 4. maintenance (optional)
+    if index_dir is not None and len(accepted):
+        from .search import update_inverted_index
+        out["touched_buckets"] = update_inverted_index(
+            rd.from_pandas(accepted[["doc_id", "text"]]), index_dir)
+    if lang_state is not None and len(accepted) \
+            and "lang" in accepted.columns:
+        if isinstance(lang_state, pd.DataFrame):
+            lang_state = rd.from_pandas(lang_state)
+        delta = agg_state_ds(rd.from_pandas(accepted), ["lang"],
+                             LANG_STATS_SPEC)
+        out["lang_state"] = (merge_agg_states(lang_state, delta,
+                                              ["lang"],
+                                              LANG_STATS_SPEC)
+                             .to_pandas().sort_values("lang")
+                             .reset_index(drop=True))
+    return out

@@ -391,3 +391,82 @@ class TestUrlNormalizeDedup:
         merged = out.merge(ref, on=["norm_url", "warc_ts"],
                            suffixes=("", "_ref"))
         assert (merged["payload"] == merged["payload_ref"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRefreshCorpus:
+    def _data(self):
+        import ray.data as rd
+        corpus = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma delta epsilon zeta",
+                     "one two three four five six seven",
+                     "red green blue cyan magenta yellow"],
+            "lang": ["en", "en", "de"]})
+        new = pd.DataFrame({
+            "doc_id": [10, 11, 12, 13, 14],
+            "text": [
+                # exact dup of corpus doc 1
+                "alpha beta gamma delta epsilon zeta",
+                # near-dup of corpus doc 2 (one word changed)
+                "one two three four five six eight",
+                # near-dup PAIR within the batch: 12 kept, 13 dropped
+                "lorem ipsum dolor sit amet consectetur adipiscing",
+                "lorem ipsum dolor sit amet consectetur elit",
+                # fresh
+                "totally fresh unrelated content words here now"],
+            "lang": ["en", "en", "la", "la", "en"]})
+        return rd.from_pandas(corpus), rd.from_pandas(new), corpus, new
+
+    def test_refresh_decisions(self):
+        from osm_sidewalkreator_ray.pipelines.refresh import \
+            refresh_corpus
+        ex, nw, _, _ = self._data()
+        out = refresh_corpus(ex, nw, threshold=0.5)
+        assert out["accepted"]["doc_id"].tolist() == [11, 12, 14] or \
+            out["accepted"]["doc_id"].tolist() == [12, 14], \
+            out["accepted"]["doc_id"].tolist()
+        reasons = dict(out["dropped"][["doc_id", "reason"]]
+                       .to_numpy())
+        assert reasons[10] == "exact_dup"
+        assert reasons[13] == "near_dup_batch"
+
+    def test_refresh_near_dup_threshold(self):
+        from osm_sidewalkreator_ray.pipelines.refresh import \
+            refresh_corpus
+        ex, nw, _, _ = self._data()
+        # doc 11 shares 6/8 words with corpus doc 2 -> at a LOW
+        # threshold it must be dropped as near_dup_existing
+        out = refresh_corpus(ex, nw, threshold=0.2)
+        assert 11 not in set(out["accepted"]["doc_id"])
+        reasons = dict(out["dropped"][["doc_id", "reason"]]
+                       .to_numpy())
+        assert reasons[11] == "near_dup_existing"
+
+    def test_refresh_index_and_state(self, tmp_path):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.refresh import (
+            LANG_STATS_SPEC, refresh_corpus)
+        from osm_sidewalkreator_ray.pipelines.search import (
+            build_inverted_index, search_index)
+        from osm_sidewalkreator_ray.functions.aggregates import \
+            agg_state_ds, finalize_agg_state
+        ex, nw, corpus, _ = self._data()
+        idx = str(tmp_path / "idx")
+        build_inverted_index(ex, idx)
+        state = agg_state_ds(ex, ["lang"], LANG_STATS_SPEC) \
+            .to_pandas()
+        out = refresh_corpus(ex, nw, threshold=0.5, index_dir=idx,
+                             lang_state=state)
+        # the fresh doc is searchable post-refresh
+        hits = search_index(idx, ["unrelated"], mode="and")
+        assert 14 in set(hits["doc_id"])
+        # merged lang counts equal a full recount over corpus+accepted
+        merged = finalize_agg_state(
+            rd.from_pandas(out["lang_state"]), ["lang"],
+            LANG_STATS_SPEC).set_index("lang")["n_docs"]
+        full = pd.concat([corpus[["lang"]],
+                          out["accepted"][["lang"]]])
+        ref = full.value_counts("lang")
+        assert merged.sort_index().tolist() \
+            == ref.sort_index().tolist()
