@@ -470,3 +470,57 @@ class TestRefreshCorpus:
         ref = full.value_counts("lang")
         assert merged.sort_index().tolist() \
             == ref.sort_index().tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarcSource:
+    def _records(self, n=6):
+        return [{"url": f"https://ex{i}.org/p{i}",
+                 "warc_ts": f"2024-01-0{i % 9 + 1}T00:00:00Z",
+                 "record_id": f"<urn:uuid:{i:08d}>",
+                 "status": 200 if i % 3 else 404,
+                 "html": (f"<html><body><p>page {i} text "
+                          f"content</p></body></html>"
+                          ).encode()}
+                for i in range(n)]
+
+    def test_warc_roundtrip_plain_and_gz(self, tmp_path):
+        from osm_sidewalkreator_ray.sources.warc import (
+            warc_records_ds, write_warc)
+        recs = self._records()
+        p1 = str(tmp_path / "a.warc")
+        p2 = str(tmp_path / "b.warc.gz")
+        write_warc(recs[:3], p1, compress=False)
+        write_warc(recs[3:], p2, compress=True)
+        got = (warc_records_ds([p1, p2]).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        exp = (pd.DataFrame(recs).sort_values("url")
+               .reset_index(drop=True))
+        for c in ["url", "warc_ts", "record_id"]:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert [bytes(h) for h in got["html"]] \
+            == exp["html"].tolist()
+        assert got["status"].tolist() == exp["status"].tolist()
+
+    def test_warc_non_response_skipped_and_html_pipeline(
+            self, tmp_path):
+        from osm_sidewalkreator_ray.sources.warc import (
+            parse_warc, warc_records_ds, write_warc)
+        # hand-build a request record + a response record
+        req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+               b"WARC-Target-URI: https://x.org/\r\n"
+               b"Content-Length: 4\r\n\r\nGET /\r\n\r\n")
+        assert parse_warc(req[:req.index(b"GET /") + 4]
+                          + b"\r\n\r\n") == []
+        p = str(tmp_path / "c.warc")
+        write_warc(self._records(2), p)
+        # end-to-end: WARC -> HtmlExtractor text
+        from osm_sidewalkreator_ray.stages.html_text import \
+            HtmlExtractor
+        ds = warc_records_ds([p])
+        txt = (ds.map_batches(HtmlExtractor(),
+                              batch_format="pandas").to_pandas())
+        assert len(txt) == 2
+        assert any("page 0 text content" in t
+                   for t in txt.filter(like="text", axis=1)
+                   .iloc[:, 0])
