@@ -649,3 +649,28 @@ def merge_into(base, updates, on: str, delete_col: str | None = None,
 
     return tagged.groupby("__b").map_groups(fold,
                                             batch_format="pandas")
+
+
+def broadcast_join(big, small: pd.DataFrame, on, how: str = "inner",
+                   max_small_rows: int = 2_000_000):
+    """Explicit broadcast hash join: the SMALL side (a driver
+    DataFrame) ships to the object store ONCE (``ray.put``, zero-copy
+    reads per task) and every big-side batch merges against it —
+    no shuffle of the big side at all. The right plan whenever one
+    side is dimension-sized; RAISES beyond ``max_small_rows`` instead
+    of silently shipping a multi-GB table into every worker (use
+    ``hash_partition_join`` there — the same gate q3 applies).
+    ``how``: inner or left (right/outer need the partitioned join)."""
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_join supports inner/left only")
+    if len(small) > max_small_rows:
+        raise ValueError(
+            f"small side has {len(small)} rows > max_small_rows="
+            f"{max_small_rows}; use hash_partition_join")
+    import ray as _ray
+    ref = _ray.put(small)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(_ray.get(ref), on=on, how=how)
+
+    return big.map_batches(merge, batch_format="pandas")

@@ -434,3 +434,53 @@ def url_dedup_ds(pages, url_col: str = "url", id_col: str = "warc_ts"):
         batch_format="pandas")
     return hash_partition_join(normed, keyed,
                                on=["norm_url", id_col], how="inner")
+
+
+# ------------------------------------------------ robots.txt filter
+#
+# Crawl-politeness compliance: drop pages whose URL a host's
+# robots.txt disallows for the given user agent. The ruleset (host ->
+# robots.txt TEXT) broadcasts once via ray.put; each worker parses a
+# host's rules at most once (process-level memo keyed by (host, text
+# hash) — stateful setup, not per-batch), and the per-batch check is
+# one memoized-parser call per DISTINCT (host, path) pair. Hosts with
+# no robots entry are allowed (the crawl-world default).
+
+_ROBOTS_MEMO: dict = {}
+
+
+def _robots_parser(host: str, text: str):
+    import urllib.robotparser
+    key = (host, hash(text))
+    rp = _ROBOTS_MEMO.get(key)
+    if rp is None:
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(text.splitlines())
+        _ROBOTS_MEMO[key] = rp
+    return rp
+
+
+def robots_filter_ds(pages, robots_map, url_col: str = "url",
+                     agent: str = "*"):
+    """Filter a pages Dataset to robots.txt-allowed rows.
+    ``robots_map``: dict host -> robots.txt text, or an ObjectRef to
+    one."""
+    import ray as _ray
+    from urllib.parse import urlsplit
+    ref = (robots_map if isinstance(robots_map, _ray.ObjectRef)
+           else _ray.put(robots_map))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        rules = _ray.get(ref)
+        urls = b[url_col].to_numpy()
+        uniq, inv = np.unique(urls, return_inverse=True)
+        ok_u = np.ones(len(uniq), dtype=bool)
+        for i, u in enumerate(uniq):
+            host = urlsplit(u).netloc.lower()
+            text = rules.get(host)
+            if text is not None:
+                ok_u[i] = _robots_parser(host, text).can_fetch(
+                    agent, u)
+        return b[ok_u[inv]]
+
+    return pages.map_batches(keep, batch_format="pandas")

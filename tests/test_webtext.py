@@ -524,3 +524,44 @@ class TestWarcSource:
         assert any("page 0 text content" in t
                    for t in txt.filter(like="text", axis=1)
                    .iloc[:, 0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobotsAndBroadcastJoin:
+    def test_robots_filter(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.webtext import \
+            robots_filter_ds
+        pages = pd.DataFrame({"url": [
+            "https://a.org/public/1", "https://a.org/private/2",
+            "https://b.org/anything", "https://c.org/x"],
+            "v": [1, 2, 3, 4]})
+        robots = {"a.org": "User-agent: *\nDisallow: /private/\n",
+                  "b.org": "User-agent: *\nDisallow: /\n"}
+        got = (robots_filter_ds(rd.from_pandas(pages)
+                                .repartition(2), robots)
+               .to_pandas().sort_values("v"))
+        # a.org/private blocked, b.org fully blocked, c.org no rules
+        assert got["v"].tolist() == [1, 4]
+
+    def test_broadcast_join_matches_pandas_and_gates(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.joins import \
+            broadcast_join
+        rng = np.random.RandomState(0)
+        big = pd.DataFrame({"k": rng.randint(0, 20, 5000),
+                            "v": rng.uniform(size=5000)})
+        small = pd.DataFrame({"k": np.arange(10),
+                              "name": [f"n{i}" for i in range(10)]})
+        got = (broadcast_join(rd.from_pandas(big).repartition(4),
+                              small, on="k").to_pandas()
+               .sort_values(["k", "v"]).reset_index(drop=True))
+        ref = (big.merge(small, on="k")
+               .sort_values(["k", "v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref)
+        left = (broadcast_join(rd.from_pandas(big), small, on="k",
+                               how="left").to_pandas())
+        assert len(left) == len(big)
+        with pytest.raises(ValueError):
+            broadcast_join(rd.from_pandas(big), big, on="k",
+                           max_small_rows=100)
