@@ -57,3 +57,98 @@ def read_csv_ds(path: str, schema: pa.Schema | None = None):
 def write_csv(ds, out_dir: str) -> None:
     """Export as CSV with header, one file per block."""
     ds.write_csv(out_dir)
+
+
+# ------------------------------------------- ORC / Arrow IPC (Feather)
+#
+# Columnar interchange beyond parquet: ORC (the Hive/Trino ecosystem
+# format) and Arrow IPC/Feather (zero-copy hand-off to other Arrow
+# runtimes). Ray ships no ORC/IPC reader, so reads go through
+# ``read_binary_files`` (one decode task per file — both formats are
+# splittable only along their own stripe/batch structure, and a file
+# is the natural shard unit the writers below emit). Writes happen
+# INSIDE map_batches tasks, one file per block, named by content hash
+# so a re-run overwrites identically instead of duplicating
+# (resumable-output rule).
+
+
+def _read_files_via(paths, decode, schema: pa.Schema | None = None):
+    import pandas as pd
+
+    files = rd.read_binary_files(paths)
+    cast = _cast_to(schema)
+
+    def parse(b: pd.DataFrame):
+        tables = [decode(bytes(data)) for data in b["bytes"]]
+        t = pa.concat_tables(tables)
+        return cast(t) if cast else t
+
+    return files.map_batches(parse, batch_format="pandas",
+                             batch_size=1)
+
+
+def read_orc_ds(paths, schema: pa.Schema | None = None):
+    """Dataset from ORC file(s); same schema-cast contract as
+    read_jsonl_ds (ORC round-trips dates at a different Arrow
+    granularity than parquet — pass the schema to pin types)."""
+    import io
+
+    import pyarrow.orc as orc
+
+    return _read_files_via(paths,
+                           lambda d: orc.ORCFile(io.BytesIO(d)).read(),
+                           schema)
+
+
+def read_ipc_ds(paths, schema: pa.Schema | None = None):
+    """Dataset from Arrow IPC / Feather file(s)."""
+    import io
+
+    import pyarrow.feather as feather
+
+    return _read_files_via(paths,
+                           lambda d: feather.read_table(io.BytesIO(d)),
+                           schema)
+
+
+def _write_files_via(ds, out_dir: str, ext: str, encode) -> None:
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"path": pd.Series(dtype=object),
+                                 "rows": pd.Series(dtype="int64")})
+        tag = hashlib.sha1(
+            b"".join(c.combine_chunks().buffers()[-1] or b""
+                     for c in t.columns if t.num_rows)).hexdigest()[:16]
+        path = os.path.join(out_dir, f"block-{tag}.{ext}")
+        tmp = path + ".tmp"
+        encode(t, tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "rows": [t.num_rows]})
+
+    # consume the manifest rows to drive execution
+    ds.map_batches(write, batch_format="pyarrow",
+                   batch_size=None).materialize()
+
+
+def write_orc(ds, out_dir: str) -> None:
+    """Export as ORC, one file per block (atomic rename, content-hash
+    names: re-runs converge instead of duplicating)."""
+    import pyarrow.orc as orc
+
+    _write_files_via(ds, out_dir, "orc",
+                     lambda t, p: orc.write_table(t, p))
+
+
+def write_ipc(ds, out_dir: str) -> None:
+    """Export as Arrow IPC / Feather, one file per block."""
+    import pyarrow.feather as feather
+
+    _write_files_via(ds, out_dir, "arrow",
+                     lambda t, p: feather.write_feather(t, p))
