@@ -1335,3 +1335,94 @@ def embedding_logreg(sf_dir: str, iters: int = 50,
                         "y", iters=iters, lr=lr)
     out = logreg_predict_ds(ds, fit["w"], fit["b"]).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ------------------------------------------------- model evaluation
+#
+# Classifier calibration table: bin predicted probabilities into
+# fixed-width bins, per-bin mean prediction vs observed positive rate
+# (the reliability-diagram input). One slim grouped_agg pass; O(bins)
+# driver rows.
+
+
+def calibration_table_ds(ds, proba_col: str, label_col: str,
+                         n_bins: int = 10) -> pd.DataFrame:
+    """(bin, mean_proba, frac_pos, n) per non-empty probability bin;
+    bin = floor(p * n_bins) clipped to the last bin at p = 1.0."""
+    from ..functions.aggregates import grouped_agg
+
+    def binned(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[proba_col].to_numpy(np.float64)
+        return pd.DataFrame({
+            "bin": np.minimum((p * n_bins).astype(np.int64),
+                              n_bins - 1),
+            "__p": p,
+            "__y": b[label_col].to_numpy(np.float64)})
+
+    g = grouped_agg(ds.map_batches(binned, batch_format="pandas"),
+                    ["bin"],
+                    {"sp": ("__p", "sum"), "sy": ("__y", "sum"),
+                     "n": ("__p", "count")}).to_pandas()
+    g = g.sort_values("bin").reset_index(drop=True)
+    return pd.DataFrame({
+        "bin": g["bin"].astype(np.int64),
+        "mean_proba": np.round(g["sp"] / g["n"], 6),
+        "frac_pos": np.round(g["sy"] / g["n"], 6),
+        "n": g["n"].astype(np.int64)})
+
+
+# NDCG@k over a (query, doc, score, relevance) table — the standard
+# graded ranking metric. One query-hash bucket shuffle; per bucket a
+# vectorized lexsort ranks every query at once; per-query DCG/IDCG
+# fold to one slim row each; the driver averages O(queries) numbers.
+
+
+def ndcg_at_k_ds(ds, query_col: str, score_col: str, rel_col: str,
+                 k: int = 10, num_buckets: int = 32) -> pd.DataFrame:
+    """One row: (ndcg, n_queries). Ties in score break by descending
+    relevance (the optimistic convention), then stable input order."""
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__qb"] = (pd.util.hash_array(np.asarray(b[query_col]))
+                     % num_buckets).astype(np.int64)
+        return b
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        q = np.asarray(g[query_col])
+        s = g[score_col].to_numpy(np.float64)
+        r = g[rel_col].to_numpy(np.float64)
+        # rank within query by descending score (rel breaks ties)
+        order = np.lexsort((-r, -s, q))
+        qs, ss, rs = q[order], s[order], r[order]
+        new_q = np.empty(len(qs), dtype=bool)
+        new_q[0] = True
+        new_q[1:] = qs[1:] != qs[:-1]
+        pos = np.arange(len(qs)) - np.repeat(
+            np.flatnonzero(new_q),
+            np.diff(np.append(np.flatnonzero(new_q), len(qs))))
+        disc = 1.0 / np.log2(pos + 2.0)
+        gain = (2.0 ** rs - 1.0) * disc * (pos < k)
+        dcg = pd.Series(gain).groupby(qs).sum()
+        # ideal ordering: by descending relevance
+        iorder = np.lexsort((-r, q))
+        qi, ri = q[iorder], r[iorder]
+        new_i = np.empty(len(qi), dtype=bool)
+        new_i[0] = True
+        new_i[1:] = qi[1:] != qi[:-1]
+        ipos = np.arange(len(qi)) - np.repeat(
+            np.flatnonzero(new_i),
+            np.diff(np.append(np.flatnonzero(new_i), len(qi))))
+        igain = (2.0 ** ri - 1.0) / np.log2(ipos + 2.0) * (ipos < k)
+        idcg = pd.Series(igain).groupby(qi).sum()
+        nd = (dcg / idcg.replace(0.0, np.nan)).dropna()
+        return pd.DataFrame({"ndcg_sum": [float(nd.sum())],
+                             "n": [int(len(nd))]})
+
+    p = (ds.map_batches(bucket, batch_format="pandas")
+         .groupby("__qb")
+         .map_groups(lambda g: per_query(g.drop(columns="__qb")),
+                     batch_format="pandas").to_pandas())
+    n = int(p["n"].sum())
+    return pd.DataFrame({
+        "ndcg": [round(float(p["ndcg_sum"].sum()) / max(n, 1), 6)],
+        "n_queries": [n]})

@@ -548,3 +548,71 @@ class TestLogReg:
         acc = float((out["pred"].to_numpy() == y).mean())
         # label-0 cluster embeddings are linearly separable enough
         assert acc > 0.8, acc
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEvalMetrics:
+    def test_calibration_table(self):
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.vectors import \
+            calibration_table_ds
+        rng = np.random.RandomState(3)
+        p = rng.uniform(size=20000)
+        y = (rng.uniform(size=20000) < p).astype(np.int64)  # calibrated
+        got = calibration_table_ds(
+            rd.from_pandas(pd.DataFrame({"p": p, "y": y}))
+            .repartition(6), "p", "y")
+        assert len(got) == 10
+        assert got["n"].sum() == 20000
+        # calibrated scores: per-bin frac_pos tracks mean_proba
+        assert np.allclose(got["frac_pos"], got["mean_proba"],
+                           atol=0.03)
+        # boundary p=1.0 lands in the last bin
+        got2 = calibration_table_ds(
+            rd.from_pandas(pd.DataFrame({"p": [1.0, 0.0],
+                                         "y": [1, 0]})), "p", "y")
+        assert got2["bin"].tolist() == [0, 9]
+
+    def test_ndcg_known_and_reference(self):
+        import pandas as pd
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.vectors import \
+            ndcg_at_k_ds
+        # perfect ranking -> ndcg 1; worst-of-two -> analytic value
+        df = pd.DataFrame({"q": [1, 1, 2, 2],
+                           "s": [0.9, 0.1, 0.1, 0.9],
+                           "r": [1.0, 0.0, 1.0, 0.0]})
+        got = ndcg_at_k_ds(rd.from_pandas(df), "q", "s", "r", k=10)
+        # q1 perfect (1.0); q2 reversed: dcg = 1/log2(3), idcg = 1
+        exp = (1.0 + 1.0 / np.log2(3)) / 2
+        assert np.isclose(got["ndcg"][0], round(exp, 6))
+        assert got["n_queries"][0] == 2
+        # random larger instance equals a local reference
+        rng = np.random.RandomState(8)
+        big = pd.DataFrame({
+            "q": rng.randint(0, 40, 4000),
+            "s": rng.uniform(size=4000).round(3),
+            "r": rng.randint(0, 4, 4000).astype(float)})
+        got2 = ndcg_at_k_ds(rd.from_pandas(big).repartition(5),
+                            "q", "s", "r", k=5)
+
+        def local_ndcg(g):
+            g = g.sort_values(["s", "r"], ascending=False,
+                              kind="mergesort").head(5)
+            dcg = ((2 ** g["r"] - 1)
+                   / np.log2(np.arange(len(g)) + 2)).sum()
+            i = g2.sort_values("r", ascending=False,
+                               kind="mergesort").head(5)
+            idcg = ((2 ** i["r"] - 1)
+                    / np.log2(np.arange(len(i)) + 2)).sum()
+            return dcg / idcg if idcg > 0 else np.nan
+
+        vals = []
+        for _, g2 in big.groupby("q"):
+            v = local_ndcg(g2)
+            if not np.isnan(v):
+                vals.append(v)
+        assert np.isclose(got2["ndcg"][0], round(np.mean(vals), 6),
+                          atol=1e-6)
+        assert got2["n_queries"][0] == len(vals)
