@@ -955,3 +955,109 @@ def random_walks(edges, walk_len: int = 5, walks_per_vertex: int = 1,
     out = pd.concat(frames, ignore_index=True)
     return (out.sort_values(["walk_id", "step"])
             .reset_index(drop=True))
+
+
+# ------------------------------------- label propagation communities
+#
+# Synchronous LPA (Raghavan et al. 2007, Phys. Rev. E 76): every
+# vertex simultaneously adopts the most frequent label among its
+# neighbors, ties to the SMALLEST label — fully deterministic, so the
+# distributed run equals a local reference under any partitioning
+# (async scan-order LPA is not reproducible; fixed synchronous rounds
+# are the distributed convention). Each round is the pagerank shuffle
+# shape: labels co-group into hash(src)-bucketed adjacency, per-bucket
+# PRE-COUNTED (dst, label, n) partials, one grouped argmax by dst.
+# Isolated vertices keep their own id as label.
+
+
+def label_propagation(edges, iters: int = 5,
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """(vertex, community) after ``iters`` synchronous rounds over the
+    UNDIRECTED view of (src, dst) edges.
+
+    Known synchronous-LPA property (Raghavan §IV): bipartite-ish
+    structures — e.g. an isolated edge pair — oscillate (the two
+    endpoints swap labels each round) and never merge; that is the
+    correct fixed-round synchronous semantics, pinned by the
+    local-reference equality test. For pure merge-connected semantics
+    use ``connected_components``; LPA's value is density-based
+    community splits inside connected structures."""
+    edges = _to_edge_ds(edges)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(src) % num_buckets)
+            .astype(np.int64),
+            "src": src, "dst": dst,
+            "label": np.zeros(len(src), dtype=np.int64),
+            "is_edge": np.ones(len(src), dtype=bool)})
+
+    edge_rows = edges.map_batches(both_dirs,
+                                  batch_format="pandas").materialize()
+    verts = (edge_rows.map_batches(
+        lambda b: pd.DataFrame(
+            {"vertex": np.unique(np.concatenate(
+                [b["src"].to_numpy(np.int64),
+                 b["dst"].to_numpy(np.int64)]))}),
+        batch_format="pandas").groupby("vertex").count().to_pandas()
+        ["vertex"].to_numpy(np.int64))
+    labels = pd.DataFrame({"vertex": verts,
+                           "label": verts.copy()})
+
+    for _ in range(iters):
+        lab_rows = rd.from_pandas(pd.DataFrame({
+            "bucket": (pd.util.hash_array(labels["vertex"]
+                                          .to_numpy(np.int64))
+                       % num_buckets).astype(np.int64),
+            "src": labels["vertex"].to_numpy(np.int64),
+            "dst": np.zeros(len(labels), dtype=np.int64),
+            "label": labels["label"].to_numpy(np.int64),
+            "is_edge": np.zeros(len(labels), dtype=bool)}))
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["is_edge"]]
+            l = g[~g["is_edge"]]
+            m = e.merge(l[["src", "label"]], on="src",
+                        suffixes=("", "_cur"))
+            out = (m.groupby(["dst", "label_cur"], sort=False)
+                   .size().reset_index(name="n"))
+            return out.rename(columns={"label_cur": "label"})
+
+        cnt = (edge_rows.union(lab_rows).groupby("bucket")
+               .map_groups(contribs, batch_format="pandas"))
+
+        def fold(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__vb"] = (pd.util.hash_array(
+                b["dst"].to_numpy(np.int64))
+                % num_buckets).astype(np.int64)
+            return b
+
+        def argmax(g: pd.DataFrame) -> pd.DataFrame:
+            s = (g.groupby(["dst", "label"], sort=False)["n"].sum()
+                 .reset_index())
+            s = s.sort_values(["dst", "n", "label"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            top = s.groupby("dst", sort=False).head(1)
+            return pd.DataFrame({
+                "vertex": top["dst"].to_numpy(np.int64),
+                "label": top["label"].to_numpy(np.int64)})
+
+        new = (cnt.map_batches(fold, batch_format="pandas")
+               .groupby("__vb")
+               .map_groups(lambda g: argmax(g.drop(columns="__vb")),
+                           batch_format="pandas").to_pandas())
+        labels = (labels[["vertex"]].merge(new, on="vertex",
+                                           how="left"))
+        # isolated / no-neighbor vertices keep their own id
+        labels["label"] = labels["label"].fillna(
+            pd.Series(labels["vertex"].to_numpy(),
+                      index=labels.index)).astype(np.int64)
+
+    out = labels.rename(columns={"label": "community"})
+    return out.sort_values("vertex").reset_index(drop=True)

@@ -750,3 +750,52 @@ class TestRandomWalks:
         pd.testing.assert_frame_equal(a, b)
         n_starts = a[a["step"] == 0]["walk_id"].nunique()
         assert n_starts == edges["src"].nunique() * 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLabelPropagation:
+    def _local_lpa(self, edges, iters):
+        import collections
+        adj = collections.defaultdict(list)
+        for s, d in edges:
+            adj[s].append(d)
+            adj[d].append(s)
+        labels = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v in adj:
+                cnt = collections.Counter(labels[u] for u in adj[v])
+                best = max(cnt.items(), key=lambda kv: (kv[1],
+                                                        -kv[0]))
+                new[v] = best[0]
+            labels = new
+        return labels
+
+    def test_two_cliques_with_bridge(self):
+        from osm_sidewalkreator_ray.functions.graph import \
+            label_propagation
+        edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        edges += [(a, b) for a in range(10, 15)
+                  for b in range(a + 1, 15)]
+        edges += [(4, 10)]
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        got = label_propagation(df, iters=5).set_index("vertex")
+        comms = got["community"]
+        assert len(set(comms.iloc[:5])) == 1
+        assert len(set(comms.iloc[5:])) == 1
+        assert comms.iloc[0] != comms.iloc[-1]
+
+    def test_equals_local_reference(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.graph import \
+            label_propagation
+        rng = np.random.RandomState(4)
+        edges = list({(int(a), int(b)) for a, b in
+                      zip(rng.randint(0, 60, 150),
+                          rng.randint(0, 60, 150)) if a != b})
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        for it in (1, 3):
+            got = label_propagation(
+                rd.from_pandas(df).repartition(4), iters=it)
+            ref = self._local_lpa(edges, it)
+            assert dict(zip(got["vertex"], got["community"])) == ref
