@@ -52,13 +52,21 @@ def _resolve_small(ref) -> pd.DataFrame:
 def broadcast_join(big, small_df: pd.DataFrame, left_on: str,
                    right_on: str | None = None, how: str = "inner",
                    concurrency=None, batch_size: int = 65536,
-                   suffix: str = "_r"):
+                   suffix: str = "_r",
+                   max_small_rows: int | None = 2_000_000):
     """Join a Dataset against a small pandas table without a shuffle.
 
     Runs as stateless tasks; the broadcast ref resolves through a
     process-level cache (``concurrency`` is accepted for backward
     compatibility and caps the task parallelism if given).
+    ``max_small_rows`` RAISES when the "small" side is too big to
+    ship to every worker (use ``hash_partition_join`` there — the
+    same gate q3 applies); pass None to disable.
     """
+    if max_small_rows is not None and len(small_df) > max_small_rows:
+        raise ValueError(
+            f"small side has {len(small_df)} rows > max_small_rows="
+            f"{max_small_rows}; use hash_partition_join")
     ref = ray.put(small_df)
     r_on = right_on or left_on
 
@@ -649,28 +657,3 @@ def merge_into(base, updates, on: str, delete_col: str | None = None,
 
     return tagged.groupby("__b").map_groups(fold,
                                             batch_format="pandas")
-
-
-def broadcast_join(big, small: pd.DataFrame, on, how: str = "inner",
-                   max_small_rows: int = 2_000_000):
-    """Explicit broadcast hash join: the SMALL side (a driver
-    DataFrame) ships to the object store ONCE (``ray.put``, zero-copy
-    reads per task) and every big-side batch merges against it —
-    no shuffle of the big side at all. The right plan whenever one
-    side is dimension-sized; RAISES beyond ``max_small_rows`` instead
-    of silently shipping a multi-GB table into every worker (use
-    ``hash_partition_join`` there — the same gate q3 applies).
-    ``how``: inner or left (right/outer need the partitioned join)."""
-    if how not in ("inner", "left"):
-        raise ValueError("broadcast_join supports inner/left only")
-    if len(small) > max_small_rows:
-        raise ValueError(
-            f"small side has {len(small)} rows > max_small_rows="
-            f"{max_small_rows}; use hash_partition_join")
-    import ray as _ray
-    ref = _ray.put(small)
-
-    def merge(b: pd.DataFrame) -> pd.DataFrame:
-        return b.merge(_ray.get(ref), on=on, how=how)
-
-    return big.map_batches(merge, batch_format="pandas")

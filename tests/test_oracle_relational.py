@@ -719,19 +719,30 @@ def test_no_shadowed_module_constants():
     clobbered by a same-named ROLLUP-by-dow constant)."""
     import ast
     import inspect
-    from osm_sidewalkreator_ray.pipelines import relational, textops, \
-        vectors, geospatial
-    for mod in (relational, textops, vectors, geospatial):
+    from osm_sidewalkreator_ray.functions import (aggregates, graph,
+                                                  joins, sketches)
+    from osm_sidewalkreator_ray.pipelines import (geospatial,
+                                                  relational, search,
+                                                  textops, vectors,
+                                                  webtext)
+    for mod in (relational, textops, vectors, geospatial, search,
+                webtext, joins, aggregates, graph, sketches):
         tree = ast.parse(inspect.getsource(mod))
         seen: dict[str, int] = {}
         for node in tree.body:
+            names = []
             if isinstance(node, ast.Assign):
-                for t in node.targets:
-                    if isinstance(t, ast.Name) and t.id.isupper():
-                        assert t.id not in seen, (
-                            f"{mod.__name__}.{t.id} defined at lines "
-                            f"{seen[t.id]} and {node.lineno}")
-                        seen[t.id] = node.lineno
+                names = [t.id for t in node.targets
+                         if isinstance(t, ast.Name) and t.id.isupper()]
+            elif isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                # a later same-named def silently shadows the earlier
+                # one (broadcast_join was once clobbered this way)
+                names = [node.name]
+            for name in names:
+                assert name not in seen, (
+                    f"{mod.__name__}.{name} defined at lines "
+                    f"{seen[name]} and {node.lineno}")
+                seen[name] = node.lineno
 
 
 @pytest.mark.usefixtures("ray_session")

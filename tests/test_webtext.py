@@ -554,14 +554,14 @@ class TestRobotsAndBroadcastJoin:
         small = pd.DataFrame({"k": np.arange(10),
                               "name": [f"n{i}" for i in range(10)]})
         got = (broadcast_join(rd.from_pandas(big).repartition(4),
-                              small, on="k").to_pandas()
+                              small, left_on="k").to_pandas()
                .sort_values(["k", "v"]).reset_index(drop=True))
         ref = (big.merge(small, on="k")
                .sort_values(["k", "v"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, ref)
-        left = (broadcast_join(rd.from_pandas(big), small, on="k",
-                               how="left").to_pandas())
+        left = (broadcast_join(rd.from_pandas(big), small,
+                               left_on="k", how="left").to_pandas())
         assert len(left) == len(big)
         with pytest.raises(ValueError):
-            broadcast_join(rd.from_pandas(big), big, on="k",
+            broadcast_join(rd.from_pandas(big), big, left_on="k",
                            max_small_rows=100)
