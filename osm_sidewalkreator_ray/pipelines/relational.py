@@ -3797,3 +3797,54 @@ FROM days JOIN ud
   ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
 GROUP BY days.d ORDER BY date
 """
+
+
+# ----------------------------------------- robust outlier screening
+#
+# MAD-based robust z-score flags (|x - median| / (1.4826 * MAD) above
+# a cutoff) — the outlier screen that survives heavy tails where
+# mean/stddev z-scores drown. Reuses the two exact-quantile
+# selections from mad_ds; the flag pass is one zero-shuffle map.
+
+
+def mad_outlier_summary(sf_dir: str, cutoff: float = 3.5
+                        ) -> pd.DataFrame:
+    """One row: (n_outliers, n_rows, out_min) — count of
+    l_extendedprice rows beyond the robust-z cutoff and the smallest
+    flagged value."""
+    stats = lineitem_price_mad(sf_dir)
+    med = float(stats["median"][0])
+    sigma = float(stats["mad_sigma"][0])
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy(np.float64)
+        z = np.abs(v - med) / sigma
+        out = v[z > cutoff]
+        return pd.DataFrame({
+            "n_out": [len(out)], "n": [len(v)],
+            "mn": [float(out.min()) if len(out) else np.inf]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    mn = float(p["mn"].min())
+    return pd.DataFrame({
+        "n_outliers": [int(p["n_out"].sum())],
+        "n_rows": [int(p["n"].sum())],
+        "out_min": [round(mn, 4) if np.isfinite(mn) else None]})
+
+
+MAD_OUTLIER_SQL = """
+WITH m AS (SELECT MEDIAN(l_extendedprice) AS med FROM lineitem),
+s AS (
+  SELECT ANY_VALUE(med) AS med,
+         1.4826 * MEDIAN(ABS(l_extendedprice - med)) AS sig
+  FROM lineitem, m
+)
+SELECT COUNT(*) FILTER (ABS(l_extendedprice - med) / sig > 3.5)
+         AS n_outliers,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(l_extendedprice)
+             FILTER (ABS(l_extendedprice - med) / sig > 3.5), 4)
+         AS out_min
+FROM lineitem, s
+"""

@@ -1616,3 +1616,33 @@ class TestRollingActiveUsers:
         from osm_sidewalkreator_ray.pipelines import relational as R
         check(R.events_rolling_active_users(SF),
               R.EVENTS_ROLLING_ACTIVE_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mad_outlier_summary(con):
+    from osm_sidewalkreator_ray.pipelines import relational as R
+    got = R.mad_outlier_summary(SF)
+    want = con.sql(R.MAD_OUTLIER_SQL).df()
+    assert got["n_outliers"][0] == want["n_outliers"][0]
+    assert got["n_rows"][0] == want["n_rows"][0]
+    a, b = got["out_min"][0], want["out_min"][0]
+    assert (pd.isna(a) and pd.isna(b)) or np.isclose(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mad_outlier_planted(tmp_path):
+    import os
+    from osm_sidewalkreator_ray.pipelines import relational as R
+    rng = np.random.RandomState(0)
+    v = np.concatenate([rng.normal(100, 5, 5000),
+                        [1000.0, -500.0, 990.0]])
+    pd.DataFrame({"l_extendedprice": v}).to_parquet(
+        os.path.join(tmp_path, "lineitem.parquet"))
+    got = R.mad_outlier_summary(str(tmp_path))
+    med = np.median(v)
+    sig = 1.4826 * np.median(np.abs(v - med))
+    exp_n = int((np.abs(v - med) / sig > 3.5).sum())
+    assert exp_n >= 3  # the planted points must be flaggable
+    assert got["n_outliers"][0] == exp_n
+    assert got["n_rows"][0] == 5003
+    assert np.isclose(got["out_min"][0], -500.0)
