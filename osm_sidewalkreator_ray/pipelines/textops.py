@@ -3768,3 +3768,92 @@ SELECT doc_id, CAST(g - 1 AS BIGINT) AS match_idx, arr[g] AS match
 FROM a, UNNEST(generate_series(1, len(arr))) AS t(g)
 ORDER BY doc_id, match_idx
 """
+
+
+def grouped_auc_ds(ds, group_col: str, score_col: str,
+                   label_col: str, num_buckets: int = 32
+                   ) -> pd.DataFrame:
+    """Per-group Mann-Whitney AUC: (group, auc, n_pos, n_neg) —
+    groups with an empty class are omitted (AUC undefined). Same
+    distinct-score reduction as binary_auc_ds, keyed by (group,
+    score); the driver fold is O(groups x distinct scores), sorted
+    once and prefix-summed per group vectorized."""
+    from ..functions.aggregates import grouped_agg
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        y = b[label_col].to_numpy(np.int64)
+        return pd.DataFrame({group_col: b[group_col].to_numpy(),
+                             score_col: b[score_col].to_numpy(),
+                             "__pos": y, "__neg": 1 - y})
+
+    g = (grouped_agg(ds.map_batches(tag, batch_format="pandas"),
+                     [group_col, score_col],
+                     {"pos": ("__pos", "sum"),
+                      "neg": ("__neg", "sum")},
+                     num_buckets=num_buckets)
+         .to_pandas().sort_values([group_col, score_col])
+         .reset_index(drop=True))
+    grp = np.asarray(g[group_col])
+    pos = g["pos"].to_numpy(np.float64)
+    neg = g["neg"].to_numpy(np.float64)
+    new_g = np.empty(len(g), dtype=bool)
+    new_g[0] = True
+    new_g[1:] = grp[1:] != grp[:-1]
+    cum = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
+    # per-group prefix: subtract the cumsum value at each group start
+    start_cum = np.repeat(cum[new_g],
+                          np.diff(np.append(np.flatnonzero(new_g),
+                                            len(g))))
+    cneg = cum - start_cum
+    u = pd.Series(pos * (cneg + neg / 2.0)).groupby(grp).sum()
+    p_tot = pd.Series(pos).groupby(grp).sum()
+    n_tot = pd.Series(neg).groupby(grp).sum()
+    ok = (p_tot > 0) & (n_tot > 0)
+    return pd.DataFrame({
+        group_col: u.index.to_numpy()[ok],
+        "auc": np.round((u / (p_tot * n_tot)).to_numpy()[ok], 6),
+        "n_pos": p_tot.to_numpy(np.int64)[ok],
+        "n_neg": n_tot.to_numpy(np.int64)[ok]})
+
+
+def source_length_auc(sf_dir: str) -> pd.DataFrame:
+    """Driver form: per-source AUC of n_chars ranking lang == 'en'."""
+    docs = _read_docs(sf_dir, ["source", "n_chars", "lang"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(),
+            "n_chars": b["n_chars"].to_numpy(),
+            "y": (b["lang"].to_numpy() == "en").astype(np.int64)})
+
+    out = grouped_auc_ds(docs.map_batches(lab, batch_format="pandas"),
+                         "source", "n_chars", "y")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_LENGTH_AUC_SQL = """
+WITH s AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT source, score, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM s GROUP BY source, score
+),
+o AS (
+  SELECT source, pos, neg,
+         COALESCE(SUM(neg) OVER (PARTITION BY source ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cneg
+  FROM g
+),
+t AS (
+  SELECT source, SUM(pos * (cneg + neg / 2.0)) AS u,
+         SUM(pos) AS p, SUM(neg) AS n
+  FROM o GROUP BY source
+)
+SELECT source, ROUND(u / (p * n), 6) AS auc,
+       CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+FROM t WHERE p > 0 AND n > 0 ORDER BY source
+"""

@@ -1646,3 +1646,33 @@ def test_mad_outlier_planted(tmp_path):
     assert got["n_outliers"][0] == exp_n
     assert got["n_rows"][0] == 5003
     assert np.isclose(got["out_min"][0], -500.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_length_auc(con):
+    from osm_sidewalkreator_ray.pipelines import textops as T
+    check(T.source_length_auc(SF), T.SOURCE_LENGTH_AUC_SQL, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_auc_consistency():
+    import ray.data as rd
+    from osm_sidewalkreator_ray.pipelines.textops import (
+        binary_auc_ds, grouped_auc_ds)
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 5000),
+                       "s": rng.uniform(size=10000).round(3),
+                       "y": rng.randint(0, 2, 10000)})
+    got = grouped_auc_ds(rd.from_pandas(df).repartition(5),
+                         "g", "s", "y").set_index("g")
+    for gname in ("a", "b"):
+        sub = df[df["g"] == gname]
+        single = binary_auc_ds(rd.from_pandas(sub), "s", "y")
+        assert np.isclose(got.loc[gname, "auc"],
+                          single["auc"][0], atol=1e-6)
+    # one-class group omitted
+    df2 = pd.concat([df, pd.DataFrame(
+        {"g": ["c"] * 10, "s": rng.uniform(size=10),
+         "y": np.ones(10, dtype=np.int64)})])
+    got2 = grouped_auc_ds(rd.from_pandas(df2), "g", "s", "y")
+    assert "c" not in set(got2["g"])
