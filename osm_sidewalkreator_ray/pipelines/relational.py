@@ -3848,3 +3848,66 @@ SELECT COUNT(*) FILTER (ABS(l_extendedprice - med) / sig > 3.5)
          AS out_min
 FROM lineitem, s
 """
+
+
+# --------------------------------------- population stability index
+#
+# PSI between two slices of a numeric column — the standard
+# model-monitoring drift score (sum over bins of (p_a - p_b) *
+# ln(p_a / p_b), equi-width bins over the COMBINED observed range).
+# Two scalar aggregates for the range, then ONE bincount-partial pass
+# per slice (zero shuffles, O(bins) driver rows) — the numeric
+# complement of the token-level JS divergence in textops.
+
+
+def psi_ds(ds_a, ds_b, col: str, n_bins: int = 10,
+           eps: float = 1e-6) -> pd.DataFrame:
+    """One row: (psi, n_a, n_b). Empty bins are smoothed with eps."""
+    def rng_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.float64)
+        return pd.DataFrame({"mn": [v.min() if len(v) else np.inf],
+                             "mx": [v.max() if len(v) else -np.inf]})
+
+    r = pd.concat([ds_a.map_batches(rng_partial,
+                                    batch_format="pandas")
+                   .to_pandas(),
+                   ds_b.map_batches(rng_partial,
+                                    batch_format="pandas")
+                   .to_pandas()])
+    lo, hi = float(r["mn"].min()), float(r["mx"].max())
+    width = (hi - lo) / n_bins or 1.0
+
+    def hist(ds):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[col].to_numpy(np.float64)
+            bins = np.minimum(((v - lo) / width).astype(np.int64),
+                              n_bins - 1)
+            return pd.DataFrame({
+                "h": [np.bincount(bins, minlength=n_bins)
+                      .astype(np.int64)]})
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        return np.sum(np.stack(p["h"].map(np.asarray).to_list()),
+                      axis=0)
+
+    ha, hb = hist(ds_a), hist(ds_b)
+    pa = np.maximum(ha / max(ha.sum(), 1), eps)
+    pb = np.maximum(hb / max(hb.sum(), 1), eps)
+    psi = float(np.sum((pa - pb) * np.log(pa / pb)))
+    return pd.DataFrame({"psi": [round(psi, 6)],
+                         "n_a": [int(ha.sum())],
+                         "n_b": [int(hb.sum())]})
+
+
+def events_value_psi(sf_dir: str) -> pd.DataFrame:
+    """Driver form: drift of `value` between click and purchase
+    events."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def side(which: str):
+        return ev.map_batches(
+            lambda b, w=which: b.loc[b["event_type"] == w,
+                                     ["value"]],
+            batch_format="pandas")
+
+    return psi_ds(side("click"), side("purchase"), "value")

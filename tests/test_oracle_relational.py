@@ -1676,3 +1676,43 @@ def test_grouped_auc_consistency():
          "y": np.ones(10, dtype=np.int64)})])
     got2 = grouped_auc_ds(rd.from_pandas(df2), "g", "s", "y")
     assert "c" not in set(got2["g"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPSI:
+    def test_events_psi_matches_local(self):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        got = R.events_value_psi(SF)
+        df = duckdb.sql(f"SELECT event_type, value FROM "
+                        f"'{SF}/events.parquet' WHERE event_type "
+                        f"IN ('click','purchase')").df()
+        a = df.loc[df["event_type"] == "click", "value"].to_numpy()
+        b = df.loc[df["event_type"] == "purchase",
+                   "value"].to_numpy()
+        lo = min(a.min(), b.min())
+        hi = max(a.max(), b.max())
+        w = (hi - lo) / 10 or 1.0
+        ha = np.bincount(np.minimum(((a - lo) / w).astype(int), 9),
+                         minlength=10)
+        hb = np.bincount(np.minimum(((b - lo) / w).astype(int), 9),
+                         minlength=10)
+        pa = np.maximum(ha / ha.sum(), 1e-6)
+        pb = np.maximum(hb / hb.sum(), 1e-6)
+        ref = float(np.sum((pa - pb) * np.log(pa / pb)))
+        assert np.isclose(got["psi"][0], round(ref, 6))
+        assert got["n_a"][0] == len(a)
+        assert got["n_b"][0] == len(b)
+
+    def test_psi_identical_and_shifted(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.relational import \
+            psi_ds
+        rng = np.random.RandomState(1)
+        x = pd.DataFrame({"v": rng.normal(0, 1, 20000)})
+        same = psi_ds(rd.from_pandas(x).repartition(4),
+                      rd.from_pandas(x), "v")
+        assert same["psi"][0] == 0.0
+        y = pd.DataFrame({"v": rng.normal(1.0, 1, 20000)})
+        shifted = psi_ds(rd.from_pandas(x), rd.from_pandas(y), "v")
+        assert shifted["psi"][0] > 0.25  # "significant drift" band
