@@ -416,3 +416,39 @@ def cm_estimate(sketch: np.ndarray, values: np.ndarray) -> np.ndarray:
     return np.min(np.stack([sketch[d, rows[d]]
                             for d in range(depth)]), axis=0) \
         .astype(np.int64)
+
+
+def exact_quantile_histogram(ds, column: str, qs: list[float],
+                             max_distinct: int = 2_000_000
+                             ) -> list[float]:
+    """EXACT ``quantile_cont`` for BOUNDED-DISTINCT numeric columns in
+    ONE streaming pass (vs exact_quantile's O(log) counting passes):
+    per-batch (value, count) partials fold through the bucketed
+    combiner, and the driver interpolates every requested q on the
+    O(distinct) cumulative histogram. NaNs are ignored (SQL
+    semantics). Raises ValueError when the distinct count exceeds
+    ``max_distinct`` — callers fall back to the selection path, which
+    is constant in driver memory."""
+    from .aggregates import grouped_agg
+
+    hist = grouped_agg(ds, [column], {"cnt": (None, "count")}) \
+        .to_pandas()
+    hist = hist[~hist[column].isna()]
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"{len(hist)} distinct values > max_distinct="
+            f"{max_distinct}; use exact_quantile")
+    hist = hist.sort_values(column).reset_index(drop=True)
+    v = hist[column].to_numpy(np.float64)
+    cum = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        x_lo = v[np.searchsorted(cum, lo + 1)]
+        x_hi = v[np.searchsorted(cum, hi + 1)]
+        return float(x_lo + (h - lo) * (x_hi - x_lo))
+
+    return [q_cont(float(q)) for q in qs]

@@ -3255,19 +3255,31 @@ FROM events GROUP BY user_id ORDER BY user_id
 # the driver.
 
 
+def _median_fast(ds, col: str) -> float:
+    """Median via the one-pass value-histogram when the column's
+    distinct count is bounded (most real metric columns), else the
+    O(log)-pass distributed selection."""
+    from ..functions.sketches import (exact_quantile,
+                                      exact_quantile_histogram)
+    try:
+        return exact_quantile_histogram(ds, col, [0.5])[0]
+    except ValueError:
+        return exact_quantile(ds, col, 0.5)
+
+
 def mad_ds(ds, col: str) -> pd.DataFrame:
     """One row: (median, mad, mad_sigma) with mad_sigma = 1.4826*mad
-    (the normal-consistent scale estimate)."""
-    from ..functions.sketches import exact_quantile
-    med = exact_quantile(ds, col, 0.5)
+    (the normal-consistent scale estimate). Two passes total on
+    bounded-distinct columns (histogram median each), falling back to
+    the selection path beyond the distinct cap."""
+    med = _median_fast(ds, col)
 
     def absdev(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"__d": np.abs(b[col].to_numpy(np.float64) - med)})
 
-    mad = exact_quantile(ds.map_batches(absdev,
-                                        batch_format="pandas"),
-                         "__d", 0.5)
+    mad = _median_fast(ds.map_batches(absdev,
+                                      batch_format="pandas"), "__d")
     return pd.DataFrame({"median": [round(med, 6)],
                          "mad": [round(mad, 6)],
                          "mad_sigma": [round(1.4826 * mad, 6)]})

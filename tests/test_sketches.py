@@ -265,3 +265,33 @@ class TestCorpusJSDivergence:
         df = pd.DataFrame({"text": ["a b"], "lang": ["en"]})
         with pytest.raises(ValueError):
             corpus_js_divergence_ds(rd.from_pandas(df))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileHistogram:
+    def test_equals_selection_path(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import (
+            exact_quantile, exact_quantile_histogram)
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            columns=["l_extendedprice"])
+        for q in (0.1, 0.5, 0.9):
+            a = exact_quantile_histogram(ds, "l_extendedprice",
+                                         [q])[0]
+            b = exact_quantile(ds, "l_extendedprice", q)
+            assert np.isclose(a, b), (q, a, b)
+
+    def test_nan_and_cap(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.sketches import \
+            exact_quantile_histogram
+        df = pd.DataFrame({"v": [1.0, np.nan, 2.0, 3.0, np.nan]})
+        got = exact_quantile_histogram(rd.from_pandas(df), "v",
+                                       [0.5])[0]
+        assert got == 2.0
+        with pytest.raises(ValueError):
+            exact_quantile_histogram(
+                rd.from_pandas(pd.DataFrame(
+                    {"v": np.arange(100.0)})), "v", [0.5],
+                max_distinct=10)
