@@ -2683,10 +2683,16 @@ SELECT l_orderkey, l_linenumber, variable, value FROM (
 def winsorize_ds(ds, col: str, p_lo: float = 0.01, p_hi: float = 0.99,
                  out_col: str | None = None):
     """Clamp ``col`` into its [p_lo, p_hi] exact-quantile range
-    (winsorization). Returns (dataset, lo, hi)."""
-    from ..functions.sketches import exact_quantile
-    lo = exact_quantile(ds, col, p_lo)
-    hi = exact_quantile(ds, col, p_hi)
+    (winsorization). Returns (dataset, lo, hi). Both quantiles come
+    from ONE histogram pass on bounded-distinct columns (fallback:
+    two distributed selections)."""
+    from ..functions.sketches import (exact_quantile,
+                                      exact_quantile_histogram)
+    try:
+        lo, hi = exact_quantile_histogram(ds, col, [p_lo, p_hi])
+    except ValueError:
+        lo = exact_quantile(ds, col, p_lo)
+        hi = exact_quantile(ds, col, p_hi)
     oc = out_col or col
 
     def clip(b: pd.DataFrame) -> pd.DataFrame:
@@ -2902,13 +2908,20 @@ def lineitem_price_equidepth(sf_dir: str, n_bins: int = 8
                              ) -> pd.DataFrame:
     """(bin, n_rows) equi-depth histogram of l_extendedprice; bin i
     holds values in (edge_{i-1}, edge_i] with edges at the exact
-    i/n_bins quantiles (quantile_cont interpolation)."""
-    from ..functions.sketches import exact_quantile
+    i/n_bins quantiles (quantile_cont interpolation). All n_bins-1
+    edges come from ONE histogram pass (fallback: one distributed
+    selection per edge)."""
+    from ..functions.sketches import (exact_quantile,
+                                      exact_quantile_histogram)
 
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
-    edges = np.array([exact_quantile(ds, "l_extendedprice",
-                                     i / n_bins)
-                      for i in range(1, n_bins)])
+    qs = [i / n_bins for i in range(1, n_bins)]
+    try:
+        edges = np.array(exact_quantile_histogram(
+            ds, "l_extendedprice", qs))
+    except ValueError:
+        edges = np.array([exact_quantile(ds, "l_extendedprice", q)
+                          for q in qs])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b["l_extendedprice"].to_numpy(np.float64)
