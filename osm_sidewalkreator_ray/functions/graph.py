@@ -998,25 +998,30 @@ def label_propagation(edges, iters: int = 5,
 
     edge_rows = edges.map_batches(both_dirs,
                                   batch_format="pandas").materialize()
-    verts = (edge_rows.map_batches(
-        lambda b: pd.DataFrame(
-            {"vertex": np.unique(np.concatenate(
+    labels = edge_rows.map_batches(
+        lambda b: (lambda v: pd.DataFrame({"vertex": v, "label": v}))(
+            np.unique(np.concatenate(
                 [b["src"].to_numpy(np.int64),
-                 b["dst"].to_numpy(np.int64)]))}),
-        batch_format="pandas").groupby("vertex").count().to_pandas()
-        ["vertex"].to_numpy(np.int64))
-    labels = pd.DataFrame({"vertex": verts,
-                           "label": verts.copy()})
+                 b["dst"].to_numpy(np.int64)]))),
+        batch_format="pandas").groupby("vertex").min("label")
+    labels = labels.map_batches(
+        lambda b: pd.DataFrame({"vertex": b["vertex"].to_numpy(np.int64),
+                                "label": b["min(label)"]
+                                .to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
 
     for _ in range(iters):
-        lab_rows = rd.from_pandas(pd.DataFrame({
-            "bucket": (pd.util.hash_array(labels["vertex"]
-                                          .to_numpy(np.int64))
-                       % num_buckets).astype(np.int64),
-            "src": labels["vertex"].to_numpy(np.int64),
-            "dst": np.zeros(len(labels), dtype=np.int64),
-            "label": labels["label"].to_numpy(np.int64),
-            "is_edge": np.zeros(len(labels), dtype=bool)}))
+        def lab_rows_of(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": (pd.util.hash_array(v) % num_buckets)
+                .astype(np.int64),
+                "src": v, "dst": np.zeros(len(v), dtype=np.int64),
+                "label": b["label"].to_numpy(np.int64),
+                "is_edge": np.zeros(len(v), dtype=bool)})
+
+        lab_rows = labels.map_batches(lab_rows_of,
+                                      batch_format="pandas")
 
         def contribs(g: pd.DataFrame) -> pd.DataFrame:
             e = g[g["is_edge"]]
@@ -1029,6 +1034,17 @@ def label_propagation(edges, iters: int = 5,
 
         cnt = (edge_rows.union(lab_rows).groupby("bucket")
                .map_groups(contribs, batch_format="pandas"))
+
+        # fallback n=0 rows: a vertex with no neighbor contribution
+        # (isolated / filtered) keeps its CURRENT label — loses every
+        # tie against a real neighbor count, so semantics unchanged.
+        # Driver state stays O(1): labels never leave the cluster.
+        fallback = labels.map_batches(
+            lambda b: pd.DataFrame({
+                "dst": b["vertex"].to_numpy(np.int64),
+                "label": b["label"].to_numpy(np.int64),
+                "n": np.zeros(len(b), dtype=np.int64)}),
+            batch_format="pandas")
 
         def fold(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
@@ -1048,16 +1064,12 @@ def label_propagation(edges, iters: int = 5,
                 "vertex": top["dst"].to_numpy(np.int64),
                 "label": top["label"].to_numpy(np.int64)})
 
-        new = (cnt.map_batches(fold, batch_format="pandas")
-               .groupby("__vb")
-               .map_groups(lambda g: argmax(g.drop(columns="__vb")),
-                           batch_format="pandas").to_pandas())
-        labels = (labels[["vertex"]].merge(new, on="vertex",
-                                           how="left"))
-        # isolated / no-neighbor vertices keep their own id
-        labels["label"] = labels["label"].fillna(
-            pd.Series(labels["vertex"].to_numpy(),
-                      index=labels.index)).astype(np.int64)
+        labels = (cnt.union(fallback)
+                  .map_batches(fold, batch_format="pandas")
+                  .groupby("__vb")
+                  .map_groups(lambda g: argmax(g.drop(columns="__vb")),
+                              batch_format="pandas").materialize())
 
+    labels = labels.to_pandas()
     out = labels.rename(columns={"label": "community"})
     return out.sort_values("vertex").reset_index(drop=True)
