@@ -43,71 +43,96 @@ def refresh_corpus(existing, new, threshold: float = 0.5,
 
     ``existing`` / ``new``: Datasets with (doc_id, text [, lang]);
     doc_ids globally unique, existing assumed internally deduped.
-    Returns a dict: accepted (pd.DataFrame of surviving new rows),
+    Returns a dict: accepted (a lazy DATASET of surviving new rows —
+    text never collects to the driver), accepted_ids (sorted list),
     dropped (doc_id, reason), lang_state (merged, when input state
-    given), touched_buckets (when index_dir given).
+    given), touched_buckets (when index_dir given). Driver state is
+    O(|new ids| + |pairs|) slim values.
     """
+    import ray as _ray
+
     from ..functions.aggregates import agg_state_ds, merge_agg_states
     from . import textops as T
 
-    new_pd = new.to_pandas()
+    # driver state throughout is SLIM: new-batch ids, near-dup pairs
+    # and drop reasons — never document text (the accepted rows stream
+    # through a broadcast id-set filter and are returned as a lazy
+    # Dataset).
+    new_ids_arr = np.sort(
+        new.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        .to_numpy(np.int64))
+    new_ids = set(new_ids_arr.tolist())
 
     # 1. exact dedup vs corpus (+ within-batch exact dups)
     kept_exact = T.incremental_exact_dedup(existing, new)
     exact_ids = set(kept_exact["doc_id"].tolist())
     dropped = [(int(d), "exact_dup")
-               for d in new_pd["doc_id"] if d not in exact_ids]
+               for d in new_ids_arr if d not in exact_ids]
 
     # 2. near-dup pairs touching a new doc, greedy keep-first
-    new_ids = set(new_pd["doc_id"].tolist())
     pairs = T.incremental_minhash_pairs(existing, new,
                                         threshold=threshold)
     neigh: dict[int, list[int]] = {}
     for a, b in pairs[["doc_a", "doc_b"]].itertuples(index=False):
         neigh.setdefault(int(a), []).append(int(b))
         neigh.setdefault(int(b), []).append(int(a))
-    kept_near: set[int] = set()
+    kept: set[int] = set()
     for d in sorted(exact_ids):
         ns = neigh.get(d, ())
         if any(n not in new_ids for n in ns):  # pairs an existing doc
             dropped.append((d, "near_dup_existing"))
             continue
-        if any(n in kept_near and n < d for n in ns):
+        if any(n in kept and n < d for n in ns):
             dropped.append((d, "near_dup_batch"))
             continue
-        kept_near.add(d)
+        kept.add(d)
 
-    accepted = new_pd[new_pd["doc_id"].isin(kept_near)] \
-        .sort_values("doc_id").reset_index(drop=True)
+    def id_filter(ids: set):
+        ref = _ray.put(np.sort(np.fromiter(ids, dtype=np.int64,
+                                           count=len(ids))))
 
-    # 3. decontamination (optional)
-    if bench_hashes is not None and len(accepted):
-        ds = rd.from_pandas(accepted[["doc_id", "text"]])
-        clean = T.decontaminate_ds(ds, bench_hashes).to_pandas()
-        keep = set(clean.loc[clean["contaminated"] == 0, "doc_id"]
-                   .tolist()) if len(clean) else set()
-        for d in accepted["doc_id"]:
-            if int(d) not in keep:
-                dropped.append((int(d), "contaminated"))
-        accepted = accepted[accepted["doc_id"].isin(keep)] \
-            .reset_index(drop=True)
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            keep_arr = _ray.get(ref)
+            v = b["doc_id"].to_numpy(np.int64)
+            idx = np.searchsorted(keep_arr, v)
+            idx[idx == len(keep_arr)] = 0
+            m = (keep_arr[idx] == v) if len(keep_arr) else \
+                np.zeros(len(v), dtype=bool)
+            return b[m]
 
-    out = {"accepted": accepted,
+        return f
+
+    # 3. decontamination (optional) — streaming over the survivors,
+    # only (doc_id, contaminated) flags reach the driver
+    if bench_hashes is not None and kept:
+        flagged = T.decontaminate_ds(
+            new.map_batches(id_filter(kept), batch_format="pandas"),
+            bench_hashes).to_pandas()
+        bad = set(flagged.loc[flagged["contaminated"] != 0,
+                              "doc_id"].astype(int).tolist())
+        for d in sorted(bad):
+            dropped.append((d, "contaminated"))
+        kept -= bad
+
+    accepted_ds = new.map_batches(id_filter(kept),
+                                  batch_format="pandas")
+    out = {"accepted": accepted_ds,
+           "accepted_ids": sorted(kept),
            "dropped": pd.DataFrame(dropped,
                                    columns=["doc_id", "reason"])
            .sort_values("doc_id").reset_index(drop=True)}
 
     # 4. maintenance (optional)
-    if index_dir is not None and len(accepted):
+    if index_dir is not None and kept:
         from .search import update_inverted_index
         out["touched_buckets"] = update_inverted_index(
-            rd.from_pandas(accepted[["doc_id", "text"]]), index_dir)
-    if lang_state is not None and len(accepted) \
-            and "lang" in accepted.columns:
+            accepted_ds.select_columns(["doc_id", "text"]),
+            index_dir)
+    if lang_state is not None and kept:
         if isinstance(lang_state, pd.DataFrame):
             lang_state = rd.from_pandas(lang_state)
-        delta = agg_state_ds(rd.from_pandas(accepted), ["lang"],
-                             LANG_STATS_SPEC)
+        delta = agg_state_ds(accepted_ds.select_columns(["lang"]),
+                             ["lang"], LANG_STATS_SPEC)
         out["lang_state"] = (merge_agg_states(lang_state, delta,
                                               ["lang"],
                                               LANG_STATS_SPEC)

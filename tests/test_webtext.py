@@ -423,9 +423,11 @@ class TestRefreshCorpus:
             refresh_corpus
         ex, nw, _, _ = self._data()
         out = refresh_corpus(ex, nw, threshold=0.5)
-        assert out["accepted"]["doc_id"].tolist() == [11, 12, 14] or \
-            out["accepted"]["doc_id"].tolist() == [12, 14], \
-            out["accepted"]["doc_id"].tolist()
+        acc = (out["accepted"].to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert acc["doc_id"].tolist() == out["accepted_ids"]
+        assert acc["doc_id"].tolist() in ([11, 12, 14], [12, 14]), \
+            acc["doc_id"].tolist()
         reasons = dict(out["dropped"][["doc_id", "reason"]]
                        .to_numpy())
         assert reasons[10] == "exact_dup"
@@ -438,7 +440,7 @@ class TestRefreshCorpus:
         # doc 11 shares 6/8 words with corpus doc 2 -> at a LOW
         # threshold it must be dropped as near_dup_existing
         out = refresh_corpus(ex, nw, threshold=0.2)
-        assert 11 not in set(out["accepted"]["doc_id"])
+        assert 11 not in set(out["accepted_ids"])
         reasons = dict(out["dropped"][["doc_id", "reason"]]
                        .to_numpy())
         assert reasons[11] == "near_dup_existing"
@@ -466,7 +468,7 @@ class TestRefreshCorpus:
             rd.from_pandas(out["lang_state"]), ["lang"],
             LANG_STATS_SPEC).set_index("lang")["n_docs"]
         full = pd.concat([corpus[["lang"]],
-                          out["accepted"][["lang"]]])
+                          out["accepted"].to_pandas()[["lang"]]])
         ref = full.value_counts("lang")
         assert merged.sort_index().tolist() \
             == ref.sort_index().tolist()
