@@ -3572,7 +3572,12 @@ def impute_group_mean_ds(ds, key: str, value_col: str,
                          out_col: str | None = None,
                          num_buckets: int = 32):
     """Add ``out_col`` (default: value_col + '_filled') — value_col
-    with NULLs replaced by the key's mean, else the global mean."""
+    with NULLs replaced by the key's mean, else the global mean.
+
+    The per-key mean table broadcasts (``ray.put`` once, zero-copy
+    per task) — right while keys are dimension-scale; beyond that,
+    attach means with ``hash_partition_join`` instead (the same
+    size-gate contract as q3 / broadcast_join)."""
     from ..functions.aggregates import grouped_agg
     oc = out_col or f"{value_col}_filled"
     stats = grouped_agg(ds, [key],

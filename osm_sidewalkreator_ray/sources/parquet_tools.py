@@ -100,40 +100,61 @@ def read_parquet_harmonized(paths: list[str],
 # optional residual row filter finishes the job.
 
 
+def _file_zones(path: str, columns: list[str]) -> list[dict]:
+    """Footer-only (file, column) zone rows for one parquet file."""
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    rows = []
+    for col in columns:
+        if col not in idx:
+            continue
+        mins, maxs, nulls = [], [], 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+            nulls += st.null_count or 0
+        rows.append({
+            "path": path, "column": col,
+            "vmin": min(mins) if ok else None,
+            "vmax": max(maxs) if ok else None,
+            "nulls": nulls if ok else -1,
+            "rows": md.num_rows})
+    return rows
+
+
 def build_zone_map(in_dir: str, columns: list[str],
                    manifest_path: str | None = None) -> pd.DataFrame:
     """One row per (file, column): (path, column, vmin, vmax, nulls,
-    rows) with NATIVE stat values (object dtype). Rebuilding is
-    footer-only and cheap; the optional persisted manifest stringifies
-    values for inspection and is NOT the pruning input."""
-    rows = []
+    rows) with NATIVE stat values (object dtype). Footer reads fan
+    out as Ray tasks (one per file batch) — a million-file dataset's
+    zone map builds at cluster width, not driver speed. The optional
+    persisted manifest stringifies values for inspection and is NOT
+    the pruning input (rebuilds are footer-only and cheap)."""
     names = sorted(f for f in os.listdir(in_dir)
                    if f.endswith(".parquet"))
-    for name in names:
-        path = os.path.join(in_dir, name)
-        md = pq.ParquetFile(path).metadata
-        idx = {md.schema.column(i).name: i
-               for i in range(md.num_columns)}
-        for col in columns:
-            if col not in idx:
-                continue
-            mins, maxs, nulls = [], [], 0
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[col]).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-                nulls += st.null_count or 0
-            rows.append({
-                "path": path, "column": col,
-                "vmin": min(mins) if ok else None,
-                "vmax": max(maxs) if ok else None,
-                "nulls": nulls if ok else -1,
-                "rows": md.num_rows})
-    mf = pd.DataFrame(rows)
+    paths = [os.path.join(in_dir, n) for n in names]
+
+    def zones(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in b["path"]:
+            rows.extend(_file_zones(path, columns))
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"path": pd.Series(dtype=object),
+             "column": pd.Series(dtype=object),
+             "vmin": pd.Series(dtype=object),
+             "vmax": pd.Series(dtype=object),
+             "nulls": pd.Series(dtype="int64"),
+             "rows": pd.Series(dtype="int64")})
+
+    mf = (rd.from_pandas(pd.DataFrame({"path": paths}))
+          .map_batches(zones, batch_format="pandas", batch_size=64)
+          .to_pandas().sort_values(["path", "column"])
+          .reset_index(drop=True))
     if manifest_path:
         disp = mf.copy()
         disp["vmin"] = disp["vmin"].map(repr)
