@@ -191,3 +191,39 @@ class TestOrcIpcFormats:
         from osm_sidewalkreator_ray.sources.text_formats import (
             read_ipc_ds, write_ipc)
         self._roundtrip(read_ipc_ds, write_ipc, tmp_path, "ipc")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangePartitionedWrite:
+    def test_write_prune_roundtrip(self, tmp_path):
+        import os
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            read_range_partitioned, write_range_partitioned)
+        src = "/root/testdata/sf0.001/lineitem.parquet"
+        ds = rd.read_parquet(src)
+        out = str(tmp_path / "ranged")
+        edges = write_range_partitioned(ds, "l_extendedprice", out,
+                                        n_parts=8)
+        assert len(edges) == 7
+        dirs = [d for d in os.listdir(out) if d.startswith("__range=")]
+        assert len(dirs) >= 6  # equi-depth: most partitions populated
+        # full read equals source
+        full = read_range_partitioned(out, "l_extendedprice", edges)
+        assert full.count() == ds.count()
+        # narrow band: prunes directories AND matches a full filter
+        lo, hi = float(edges[2]), float(edges[3])
+        got = (read_range_partitioned(out, "l_extendedprice", edges,
+                                      lo, hi).to_pandas())
+        ref = ds.to_pandas()
+        ref = ref[(ref["l_extendedprice"] >= lo)
+                  & (ref["l_extendedprice"] <= hi)]
+        assert len(got) == len(ref)
+        assert np.isclose(got["l_extendedprice"].sum(),
+                          ref["l_extendedprice"].sum())
+        # out-of-range -> None (no partitions opened)
+        assert read_range_partitioned(
+            out, "l_extendedprice", edges, 10 ** 9, None) is None \
+            or read_range_partitioned(
+                out, "l_extendedprice", edges,
+                10 ** 9, None).count() == 0
