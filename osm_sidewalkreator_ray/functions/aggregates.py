@@ -142,6 +142,42 @@ def hll_distinct(ds, column: str, b: int = 12) -> float:
     return _hll_estimate(regs)
 
 
+def hll_sketch(ds, column: str, b: int = 12) -> np.ndarray:
+    """The register array itself (2^b uint8) — a mergeable, storable
+    set sketch. Same plan as hll_distinct; use with hll_union_count /
+    hll_intersection_count for cross-dataset set arithmetic without
+    re-reading either side."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "regs": [_hll_registers(batch[column].to_numpy(),
+                                    b).tobytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    regs = np.zeros(1 << b, dtype=np.uint8)
+    for blob in rows["regs"]:
+        regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+    return regs
+
+
+def hll_union_count(*sketches: np.ndarray) -> float:
+    """|A ∪ B ∪ ...| estimate: register-wise max is EXACTLY the
+    sketch of the union (no extra error beyond the base sketch)."""
+    regs = sketches[0]
+    for r in sketches[1:]:
+        regs = np.maximum(regs, r)
+    return _hll_estimate(regs)
+
+
+def hll_intersection_count(a: np.ndarray, b: np.ndarray) -> float:
+    """|A ∩ B| estimate by inclusion-exclusion:
+    |A| + |B| - |A ∪ B|. Unlike union this COMPOUNDS the sketch
+    error (difference of same-scale estimates), so the relative error
+    blows up when the intersection is much smaller than either side —
+    use for overlap RATIOS of comparable sets, clamped at >= 0."""
+    return max(_hll_estimate(a) + _hll_estimate(b)
+               - hll_union_count(a, b), 0.0)
+
+
 def hll_distinct_by(ds, key: str, column: str, b: int = 12,
                     num_buckets: int = 32) -> pd.DataFrame:
     """Per-``key`` approximate COUNT(DISTINCT column): the grouped form

@@ -295,3 +295,25 @@ class TestQuantileHistogram:
                 rd.from_pandas(pd.DataFrame(
                     {"v": np.arange(100.0)})), "v", [0.5],
                 max_distinct=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLLSetOps:
+    def test_union_intersection_estimates(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.aggregates import (
+            hll_intersection_count, hll_sketch, hll_union_count)
+        a_vals = np.arange(0, 60000, dtype=np.int64)
+        b_vals = np.arange(40000, 100000, dtype=np.int64)
+        sa = hll_sketch(rd.from_pandas(pd.DataFrame({"v": a_vals}))
+                        .repartition(4), "v")
+        sb = hll_sketch(rd.from_pandas(pd.DataFrame({"v": b_vals})),
+                        "v")
+        u = hll_union_count(sa, sb)
+        i = hll_intersection_count(sa, sb)
+        assert abs(u - 100000) / 100000 < 0.05
+        assert abs(i - 20000) / 20000 < 0.25  # compounded error band
+        # disjoint sets: intersection clamps near zero
+        sc = hll_sketch(rd.from_pandas(pd.DataFrame(
+            {"v": np.arange(200000, 260000, dtype=np.int64)})), "v")
+        assert hll_intersection_count(sa, sc) < 6000
