@@ -3857,3 +3857,64 @@ SELECT source, ROUND(u / (p * n), 6) AS auc,
        CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
 FROM t WHERE p > 0 AND n > 0 ORDER BY source
 """
+
+
+# ------------------------------------------------ document chunking
+#
+# RAG-style retrieval chunks: split each document into sliding
+# token windows of ``chunk_tokens`` with ``overlap`` tokens of
+# context carry-over — the indexing unit for embedding/retrieval
+# stores (pack_sequences is the TRAINING feed; this is the SEARCH
+# feed). Zero shuffles: one vectorized pass per batch; chunk ids are
+# (doc_id, chunk_idx) so re-chunking is idempotent and chunk rows
+# carry exact token offsets for provenance.
+
+
+def chunk_documents_ds(ds, chunk_tokens: int = 64,
+                       overlap: int = 16,
+                       text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Dataset of (doc_id, chunk_idx, tok_start, tok_end, n_tokens,
+    chunk_text). Stride = chunk_tokens - overlap; the last window is
+    the remainder (>= 1 token); empty docs yield no rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, starts, ends, texts = [], [], [], [], []
+        for did, t in zip(b[id_col].to_numpy(np.int64),
+                          b[text_col]):
+            toks = _tokens(t)
+            n = len(toks)
+            if n == 0:
+                continue
+            s = np.arange(0, max(n - overlap, 1), stride)
+            for ci, st in enumerate(s):
+                en = min(st + chunk_tokens, n)
+                ids.append(did)
+                idxs.append(ci)
+                starts.append(st)
+                ends.append(en)
+                texts.append(" ".join(toks[st:en]))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=np.int64),
+            "chunk_idx": pd.Series(idxs, dtype=np.int64),
+            "tok_start": pd.Series(starts, dtype=np.int64),
+            "tok_end": pd.Series(ends, dtype=np.int64),
+            "n_tokens": pd.Series(np.asarray(ends, dtype=np.int64)
+                                  - np.asarray(starts,
+                                               dtype=np.int64),
+                                  dtype=np.int64),
+            "chunk_text": pd.Series(texts, dtype=object)})
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+def doc_chunks(sf_dir: str, chunk_tokens: int = 64,
+               overlap: int = 16) -> pd.DataFrame:
+    """Collecting form over the documents table."""
+    out = chunk_documents_ds(_read_docs(sf_dir, ["doc_id", "text"]),
+                             chunk_tokens, overlap).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))

@@ -1716,3 +1716,57 @@ class TestPSI:
         y = pd.DataFrame({"v": rng.normal(1.0, 1, 20000)})
         shifted = psi_ds(rd.from_pandas(x), rd.from_pandas(y), "v")
         assert shifted["psi"][0] > 0.25  # "significant drift" band
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunking:
+    def test_chunk_coverage_and_overlap(self):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.textops import (
+            _tokens, chunk_documents_ds)
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(f"w{i}" for i in range(150)),
+                     "a b c",  # shorter than one chunk
+                     ""]})     # empty -> no rows
+        got = (chunk_documents_ds(rd.from_pandas(docs)
+                                  .repartition(2),
+                                  chunk_tokens=64, overlap=16)
+               .to_pandas().sort_values(["doc_id", "chunk_idx"])
+               .reset_index(drop=True))
+        d1 = got[got["doc_id"] == 1]
+        # stride 48: windows at 0, 48, 96 -> 3 chunks for 150 tokens
+        assert d1["tok_start"].tolist() == [0, 48, 96]
+        assert d1["tok_end"].tolist() == [64, 112, 150]
+        # every token index covered; adjacent chunks overlap 16
+        toks = _tokens(docs["text"][0])
+        covered = set()
+        for _, r in d1.iterrows():
+            covered |= set(range(r["tok_start"], r["tok_end"]))
+            assert (r["chunk_text"]
+                    == " ".join(toks[r["tok_start"]:r["tok_end"]]))
+        assert covered == set(range(150))
+        assert got[got["doc_id"] == 2]["chunk_text"].tolist() \
+            == ["a b c"]
+        assert 3 not in set(got["doc_id"])
+
+    def test_chunks_sf_counts(self):
+        import duckdb
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            doc_chunks
+        got = doc_chunks(SF, chunk_tokens=32, overlap=8)
+        n_docs = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+            f"WHERE trim(text) <> ''").df().iloc[0, 0]
+        assert got["doc_id"].nunique() == n_docs
+        # reconstruction: stripping overlaps rebuilds each doc's
+        # token stream exactly
+        one = got[got["doc_id"] == got["doc_id"].iloc[0]]
+        rebuilt = []
+        for _, r in one.iterrows():
+            toks = r["chunk_text"].split(" ")
+            rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[8:])
+        src = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet' WHERE "
+            f"doc_id = {int(one['doc_id'].iloc[0])}").df()["text"][0]
+        assert rebuilt == src.strip().split()
