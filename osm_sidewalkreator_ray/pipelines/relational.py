@@ -3941,3 +3941,59 @@ def events_value_psi(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
 
     return psi_ds(side("click"), side("purchase"), "value")
+
+
+# ------------------------------------------- frequent event paths
+#
+# Sequential pattern counts: the top event-type TRIGRAM paths
+# (a -> b -> c over consecutive events per user, exact (ts, event_id)
+# order) — the path-mining step behind funnel discovery. One
+# user-bucket shuffle; per bucket a vectorized double-shift builds
+# all trigrams at once; slim (a, b, c, n) partials fold through the
+# combiner.
+
+
+def events_top_paths(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(step1, step2, step3, n) for the k most frequent 3-step
+    paths, ties broken lexicographically."""
+    from ..functions.aggregates import grouped_agg
+    ds = _bucket_by_user(_read(sf_dir, "events",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"]))
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same2 = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        df = pd.DataFrame({"step1": et[:-2][same2],
+                           "step2": et[1:-1][same2],
+                           "step3": et[2:][same2]})
+        return (df.groupby(["step1", "step2", "step3"], sort=False)
+                .size().reset_index(name="n"))
+
+    part = (ds.groupby("__ubucket")
+            .map_groups(lambda g: trigrams(g.drop(columns="__ubucket")),
+                        batch_format="pandas"))
+    out = grouped_agg(part, ["step1", "step2", "step3"],
+                      {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["n", "step1", "step2", "step3"],
+                            ascending=[False, True, True, True])
+            .head(k).reset_index(drop=True))
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH w AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER u AS step2,
+         LEAD(event_type, 2) OVER u AS step3
+  FROM events
+  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, COUNT(*) AS n
+FROM w WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n DESC, step1, step2, step3 LIMIT 10
+"""

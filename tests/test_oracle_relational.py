@@ -1770,3 +1770,9 @@ class TestChunking:
             f"SELECT text FROM '{SF}/documents.parquet' WHERE "
             f"doc_id = {int(one['doc_id'].iloc[0])}").df()["text"][0]
         assert rebuilt == src.strip().split()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_top_paths(con):
+    from osm_sidewalkreator_ray.pipelines import relational as R
+    check(R.events_top_paths(SF), R.EVENTS_TOP_PATHS_SQL, con)
