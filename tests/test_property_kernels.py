@@ -156,3 +156,48 @@ def test_ntile_partition_invariants(n, k):
     assert sizes.max() - sizes.min() <= 1
     # larger tiles come first (SQL NTILE places remainders up front)
     assert (np.diff(sizes) <= 0).all()
+
+
+# ---------------------------------------- hamming / quantile kernels
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2 ** 64 - 1), min_size=2,
+                max_size=40, unique=True),
+       st.integers(0, 7))
+def test_popcount_and_pigeonhole_recall(sigs, max_h):
+    """popcount64 equals Python bit_count; banding with
+    bands > max_hamming can NEVER miss a qualifying pair (pigeonhole)
+    — checked structurally: every pair within max_h shares at least
+    one of 8 8-bit bands."""
+    from osm_sidewalkreator_ray.functions.hamming import popcount64
+    u = np.array(sigs, dtype=np.uint64)
+    for i in range(len(u)):
+        d = popcount64(u ^ u[i])
+        for j in range(len(u)):
+            assert d[j] == int(sigs[i] ^ sigs[j]).bit_count()
+            if i < j and d[j] <= max_h:
+                shares = any(
+                    ((sigs[i] >> (8 * b)) & 0xFF)
+                    == ((sigs[j] >> (8 * b)) & 0xFF)
+                    for b in range(8))
+                assert shares  # bands=8 > max_h <= 7
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=300),
+       st.floats(0.0, 1.0, allow_nan=False))
+def test_histogram_quantile_matches_numpy(vals, q):
+    """The cumulative-histogram interpolation equals numpy's 'linear'
+    quantile on any multiset, ties included."""
+    v = np.array(vals, dtype=np.float64)
+    uniq, cnt = np.unique(v, return_counts=True)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    h = (n - 1) * q
+    lo = int(np.floor(h))
+    hi = min(lo + 1, n - 1)
+    x_lo = uniq[np.searchsorted(cum, lo + 1)]
+    x_hi = uniq[np.searchsorted(cum, hi + 1)]
+    got = x_lo + (h - lo) * (x_hi - x_lo)
+    assert np.isclose(got, np.quantile(v, q, method="linear"))
