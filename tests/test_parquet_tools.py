@@ -227,3 +227,53 @@ class TestRangePartitionedWrite:
             or read_range_partitioned(
                 out, "l_extendedprice", edges,
                 10 ** 9, None).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVersionedTable:
+    def test_append_time_travel_replace(self, tmp_path):
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            commit_append, commit_replace, read_table_version,
+            table_versions)
+        t = str(tmp_path / "tbl")
+        df1 = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                            "v": np.ones(100)})
+        df2 = pd.DataFrame({"k": np.arange(100, 150,
+                                           dtype=np.int64),
+                            "v": np.zeros(50)})
+        v1 = commit_append(rd.from_pandas(df1).repartition(2), t)
+        v2 = commit_append(rd.from_pandas(df2), t)
+        assert (v1, v2) == (1, 2)
+        assert read_table_version(t, 1).count() == 100
+        assert read_table_version(t).count() == 150  # latest
+        # replace (compaction): new version, old still readable
+        latest = read_table_version(t)
+        v3 = commit_replace(latest, t)
+        assert v3 == 3
+        assert read_table_version(t, 3).count() == 150
+        assert read_table_version(t, 1).count() == 100
+        assert table_versions(t) == [1, 2, 3]
+        # values preserved through the replace
+        got = (read_table_version(t, 3).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        ref = (pd.concat([df1, df2]).sort_values("k")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_crash_before_publish_is_invisible(self, tmp_path):
+        import os
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            commit_append, read_table_version, table_versions)
+        t = str(tmp_path / "tbl")
+        commit_append(rd.from_pandas(
+            pd.DataFrame({"k": np.arange(10, dtype=np.int64)})), t)
+        # simulate a writer that died after data files, before
+        # manifest publish: orphan parquet in data/
+        orphan = os.path.join(t, "data", "block-deadbeef.parquet")
+        pd.DataFrame({"k": np.arange(999, 1009,
+                                     dtype=np.int64)}).to_parquet(
+            orphan)
+        assert table_versions(t) == [1]
+        assert read_table_version(t).count() == 10  # orphan unseen
