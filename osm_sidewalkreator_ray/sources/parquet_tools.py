@@ -389,3 +389,43 @@ def _write_parquet_blocks(ds, out_dir: str) -> list[str]:
     rows = (ds.map_batches(write, batch_format="pyarrow",
                            batch_size=None).to_pandas())
     return [] if rows.empty else rows["path"].tolist()
+
+
+def commit_merge(table_dir: str, changeset, on: str,
+                 delete_col: str | None = None) -> int:
+    """CDC commit: apply a changeset (Dataset; one row per key,
+    optional truthy ``delete_col`` marker) to the LATEST version via
+    ``functions.joins.merge_into`` and publish the result as a new
+    version — upsert+delete with snapshot isolation; concurrent
+    readers of older versions are untouched."""
+    from ..functions.joins import merge_into
+
+    base = read_table_version(table_dir)
+    merged = merge_into(base, changeset, on=on,
+                        delete_col=delete_col)
+    return commit_replace(merged, table_dir)
+
+
+def vacuum_table(table_dir: str, keep_versions: int = 1) -> dict:
+    """Drop all but the newest ``keep_versions`` manifests and delete
+    data files no kept version references. Returns {files_deleted,
+    versions_dropped}. Time travel to dropped versions ends here —
+    the explicit lifecycle boundary."""
+    vs = table_versions(table_dir)
+    keep = vs[-keep_versions:] if keep_versions > 0 else []
+    drop = [v for v in vs if v not in keep]
+    referenced = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_dir, v))
+    data_dir = os.path.join(table_dir, "data")
+    deleted = 0
+    if os.path.isdir(data_dir):
+        for f in sorted(os.listdir(data_dir)):
+            rel = os.path.join("data", f)
+            if rel not in referenced and f.endswith(".parquet"):
+                os.remove(os.path.join(data_dir, f))
+                deleted += 1
+    for v in drop:
+        os.remove(os.path.join(_versions_dir(table_dir),
+                               f"v{v}.json"))
+    return {"files_deleted": deleted, "versions_dropped": len(drop)}

@@ -277,3 +277,39 @@ class TestVersionedTable:
             orphan)
         assert table_versions(t) == [1]
         assert read_table_version(t).count() == 10  # orphan unseen
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVersionedMergeVacuum:
+    def test_commit_merge_and_vacuum(self, tmp_path):
+        import os
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            commit_append, commit_merge, read_table_version,
+            table_versions, vacuum_table)
+        t = str(tmp_path / "tbl")
+        base = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                             "v": np.arange(20, dtype=np.float64)})
+        commit_append(rd.from_pandas(base).repartition(2), t)
+        # changeset: update k=3, insert k=100, delete k=7
+        ch = pd.DataFrame({"k": [3, 100, 7],
+                           "v": [99.0, 1.0, 0.0],
+                           "is_del": [False, False, True]})
+        v2 = commit_merge(t, rd.from_pandas(ch), on="k",
+                          delete_col="is_del")
+        assert v2 == 2
+        got = (read_table_version(t).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        assert 7 not in set(got["k"])
+        assert got.loc[got["k"] == 3, "v"].iloc[0] == 99.0
+        assert got.loc[got["k"] == 100, "v"].iloc[0] == 1.0
+        assert len(got) == 20  # 20 - 1 delete + 1 insert
+        # old version still intact pre-vacuum
+        assert read_table_version(t, 1).count() == 20
+        rep = vacuum_table(t, keep_versions=1)
+        assert rep["versions_dropped"] == 1
+        assert rep["files_deleted"] >= 1
+        assert table_versions(t) == [2]
+        got2 = (read_table_version(t).to_pandas()
+                .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got2, got)
