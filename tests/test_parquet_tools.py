@@ -313,3 +313,35 @@ class TestVersionedMergeVacuum:
         got2 = (read_table_version(t).to_pandas()
                 .sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(got2, got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_job_cli(tmp_path):
+    import io
+    import contextlib
+    import json
+    from jobs.table_job import main
+    base = str(tmp_path / "base.parquet")
+    pd.DataFrame({"k": np.arange(30, dtype=np.int64),
+                  "v": np.ones(30)}).to_parquet(base)
+    ch = str(tmp_path / "ch.parquet")
+    pd.DataFrame({"k": [1, 999], "v": [5.0, 7.0],
+                  "is_del": [False, False]}).to_parquet(ch)
+    t = str(tmp_path / "tbl")
+
+    def run(args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(args)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    assert run(["append", "--table", t, "--data", base])["version"] \
+        == 1
+    r = run(["merge", "--table", t, "--data", ch, "--on", "k",
+             "--delete-col", "is_del"])
+    assert r["version"] == 2
+    info = run(["info", "--table", t])
+    assert info["rows"] == 31 and info["versions"] == [1, 2]
+    vac = run(["vacuum", "--table", t, "--keep", "1"])
+    assert vac["versions"] == [2]
