@@ -52,6 +52,36 @@ def cell_ixy(cell):
     return ix, iy
 
 
+def cell_parent(cell, parent_res: int):
+    """Vectorized ancestor cell at ``parent_res`` (quadtree containment).
+
+    Parent indices are exact integer shifts of the child's (ix, iy) —
+    NOT a re-quantization of the centroid — so parent/child containment
+    is exact even where a float re-division of the coordinate would
+    round across a cell boundary.
+    """
+    cell = np.asarray(cell, dtype=np.int64)
+    k = cell_res(cell) - np.int64(parent_res)
+    if np.any(k < 0):
+        raise ValueError("parent_res must be <= the cell's resolution")
+    ix, iy = cell_ixy(cell)
+    out = (np.int64(parent_res) << 58) | ((ix >> k) << 29) | (iy >> k)
+    return out if out.shape else np.int64(out)
+
+
+def cell_children(cell: int) -> np.ndarray:
+    """The four child cells one resolution finer (quadtree split)."""
+    cell = int(cell)
+    res = int(cell_res(cell)) + 1
+    if res > MAX_RES:
+        raise ValueError("cell is already at MAX_RES")
+    ix, iy = (int(v) for v in cell_ixy(cell))
+    jx, jy = np.meshgrid(np.arange(2), np.arange(2))
+    return ((np.int64(res) << 58)
+            | ((2 * ix + jx.ravel().astype(np.int64)) << 29)
+            | (2 * iy + jy.ravel().astype(np.int64)))
+
+
 def cell_bounds(cell):
     """cell -> (min_lon, min_lat, max_lon, max_lat), vectorized."""
     cell = np.asarray(cell, dtype=np.int64)

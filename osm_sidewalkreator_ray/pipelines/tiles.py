@@ -1,0 +1,163 @@
+"""Multi-resolution tile-pyramid rollup — the map-tile aggregation half
+of the tiling engine (cells.py is the index half).
+
+Reference parity: the reference renders its sidewalk/crossing layers as
+per-neighborhood summaries (osm_sidewalkreator generic_functions
+`get_from_aoi` + per-AOI statistics); a web-scale deployment serves the
+same numbers as a zoom pyramid — every map tile at every zoom carries
+the aggregate of the points inside it. This module computes the WHOLE
+pyramid in ONE shuffle:
+
+1. ``map_batches`` partial: quantize each row to the FINEST cell and
+   pre-aggregate in-batch (count/sum/min/max are all algebraic), so
+   only one slim row per (cell, batch) survives;
+2. replicate each slim partial row to its ancestors with pure integer
+   arithmetic (``cells.cell_parent`` — an ``ix >> k`` shift, exact);
+   levels is small (<= ~15) and input shrinks 4x per level, so the
+   explode is ~1.33x the finest-level partials, not L x raw rows;
+3. one bucketed hash combine keyed by cell id (which encodes its
+   resolution), identical to functions/aggregates.grouped_agg's merge.
+
+At 100 TB the only all-to-all is over per-batch partials — for a
+10^12-row corpus at res 13 that is bounded by (distinct cells x
+batches), orders of magnitude below the row count — and the pyramid's
+coarser levels ride in the same exchange instead of L separate
+groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..cells import cell_ixy, cell_parent, cell_res, latlng_to_cell
+
+_BUCKET = "__tbucket"
+
+
+def tile_pyramid(ds, lat_col: str, lon_col: str, res: int,
+                 min_res: int = 0, value_col: str | None = None,
+                 batch_size: int = 65536, num_buckets: int = 32):
+    """Aggregate points into every tile at resolutions min_res..res.
+
+    Returns a Dataset with one row per non-empty tile per level:
+    ``res, cell, ix, iy, n`` plus ``sum_v/min_v/max_v/mean_v`` when
+    ``value_col`` is given. Cell ids follow cells.py's
+    ``(r << 58) | (ix << 29) | iy`` layout.
+    """
+    if not 0 <= min_res <= res:
+        raise ValueError("need 0 <= min_res <= res")
+    parent_resolutions = list(range(min_res, res))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell", "n"] + (
+            ["sum_v", "min_v", "max_v"] if value_col else [])
+        if len(batch) == 0:
+            p = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                              if c in ("cell", "n")
+                              else pd.Series(dtype=np.float64)
+                              for c in cols})
+            p[_BUCKET] = pd.Series(dtype=np.int64)
+            return p
+        cell = latlng_to_cell(batch[lat_col].to_numpy(np.float64),
+                              batch[lon_col].to_numpy(np.float64), res)
+        df = pd.DataFrame({"cell": cell})
+        if value_col:
+            df["v"] = batch[value_col].to_numpy(np.float64)
+            g = df.groupby("cell", sort=False)["v"]
+            p = g.agg(n="size", sum_v="sum", min_v="min", max_v="max")
+            p = p.reset_index()
+        else:
+            p = df.groupby("cell", sort=False).size().rename("n")
+            p = p.reset_index()
+        # replicate slim partials up the pyramid (exact integer shifts)
+        frames = [p]
+        for r in parent_resolutions:
+            q = p.copy()
+            q["cell"] = cell_parent(p["cell"].to_numpy(), r)
+            frames.append(q)
+        out = pd.concat(frames, ignore_index=True)
+        h = pd.util.hash_array(out["cell"].to_numpy())
+        out[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return out[cols + [_BUCKET]]
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("cell", sort=False)
+        cols = {"n": g["n"].sum()}
+        if value_col:
+            cols.update(sum_v=g["sum_v"].sum(), min_v=g["min_v"].min(),
+                        max_v=g["max_v"].max())
+        out = pd.DataFrame(cols).reset_index()
+        cells = out["cell"].to_numpy()
+        out.insert(0, "res", cell_res(cells))
+        ix, iy = cell_ixy(cells)
+        out["ix"] = ix
+        out["iy"] = iy
+        if value_col:
+            out["mean_v"] = out["sum_v"] / out["n"]
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return partials.groupby(_BUCKET).map_groups(combine,
+                                                batch_format="pandas")
+
+
+# --- deterministic pytest-oracle wrapper -------------------------------
+
+_PYR_RES, _PYR_MIN_RES = 9, 5
+
+
+def _events_points(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic (lat, lon) from user_id — int64 arithmetic only,
+    reproducible verbatim in DuckDB (see tests/test_tiles.py)."""
+    uid = batch["user_id"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "lat": ((uid * 48271) % 18000) / 100.0 - 90.0,
+        "lon": ((uid * 69621) % 36000) / 100.0 - 180.0,
+        "v": batch["value"].to_numpy(np.float64),
+    })
+
+
+def tile_pyramid_query(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    pyr = tile_pyramid(ds.map_batches(_events_points,
+                                      batch_format="pandas"),
+                       "lat", "lon", res=_PYR_RES, min_res=_PYR_MIN_RES,
+                       value_col="v")
+    out = pyr.to_pandas()
+    return (out.sort_values(["res", "cell"])
+            .reset_index(drop=True)
+            [["res", "cell", "ix", "iy", "n",
+              "sum_v", "min_v", "max_v", "mean_v"]])
+
+
+TILE_PYRAMID_SQL = f"""
+WITH pts AS (
+    SELECT ((user_id * 48271) % 18000) / 100.0 - 90.0 AS lat,
+           ((user_id * 69621) % 36000) / 100.0 - 180.0 AS lon,
+           value AS v
+    FROM events
+), fine AS (
+    SELECT CAST(floor((lon + 180.0) / (180.0 / {1 << _PYR_RES})) AS BIGINT) AS ix,
+           CAST(floor((lat + 90.0) / (180.0 / {1 << _PYR_RES})) AS BIGINT) AS iy,
+           v
+    FROM pts
+), lv AS (
+    SELECT unnest(generate_series({_PYR_MIN_RES}, {_PYR_RES})) AS r
+), cells AS (
+    SELECT r, ix >> ({_PYR_RES} - r) AS ix, iy >> ({_PYR_RES} - r) AS iy, v
+    FROM fine, lv
+)
+SELECT CAST(r AS BIGINT) AS res,
+       (CAST(r AS BIGINT) << 58) | (ix << 29) | iy AS cell,
+       ix, iy,
+       count(*) AS n, sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+       sum(v) / count(*) AS mean_v
+FROM cells
+GROUP BY 1, 2, 3, 4
+ORDER BY res, cell
+"""
