@@ -128,3 +128,76 @@ def clip_polyline(line: np.ndarray, coords: np.ndarray,
                 flush()
     flush()
     return out
+
+
+def clip_lines_rect(lcoords: np.ndarray, offsets: np.ndarray,
+                    line_idx: np.ndarray, boxes: np.ndarray):
+    """Vectorized Liang-Barsky clip of many (polyline, rectangle) pairs.
+
+    The tile-slicing kernel: each pair ``p`` clips line ``line_idx[p]``
+    (rows ``offsets[l]:offsets[l+1]`` of ``lcoords``) against the
+    axis-aligned box ``boxes[p] = (x0, y0, x1, y1)``. One pair-axis
+    pass over ALL segments of ALL pairs — no Python per pair.
+
+    Returns ``(pcoords, poffsets, piece_pair)``: ragged piece
+    coordinates plus, per piece, the input pair it came from. Pieces
+    are maximal runs of consecutive clipped segments that stay joined
+    (an interior cut starts a new piece). Zero-length touches are
+    dropped.
+    """
+    line_idx = np.asarray(line_idx, dtype=np.int64)
+    boxes = np.asarray(boxes, dtype=np.float64)
+    nseg_all = np.diff(offsets) - 1
+    nseg = nseg_all[line_idx]
+    P = len(line_idx)
+    empty = (np.zeros((0, 2)), np.zeros(1, dtype=np.int64),
+             np.zeros(0, dtype=np.int64))
+    if P == 0 or nseg.sum() == 0:
+        return empty
+    pair_of = np.repeat(np.arange(P, dtype=np.int64), nseg)
+    starts = np.concatenate(([0], np.cumsum(nseg)[:-1]))
+    rank = np.arange(nseg.sum(), dtype=np.int64) - np.repeat(starts, nseg)
+    row = offsets[line_idx][pair_of] + rank
+    a = lcoords[row]
+    b = lcoords[row + 1]
+    dx = b[:, 0] - a[:, 0]
+    dy = b[:, 1] - a[:, 1]
+    bx = boxes[pair_of]
+    t0 = np.zeros(len(row))
+    t1 = np.ones(len(row))
+    keep = np.ones(len(row), dtype=bool)
+    for p, q in ((-dx, a[:, 0] - bx[:, 0]), (dx, bx[:, 2] - a[:, 0]),
+                 (-dy, a[:, 1] - bx[:, 1]), (dy, bx[:, 3] - a[:, 1])):
+        para = p == 0.0
+        keep &= ~(para & (q < 0.0))
+        r = np.divide(q, p, out=np.zeros_like(q), where=~para)
+        t0 = np.where(~para & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~para & (p > 0), np.minimum(t1, r), t1)
+    keep &= t0 < t1  # strict: zero-length touches dropped
+    if not keep.any():
+        return empty
+    pair_k = pair_of[keep]
+    rank_k = rank[keep]
+    t0k, t1k = t0[keep], t1[keep]
+    ax, ay = a[keep, 0], a[keep, 1]
+    dxk, dyk = dx[keep], dy[keep]
+    p0 = np.column_stack((ax + t0k * dxk, ay + t0k * dyk))
+    p1 = np.column_stack((ax + t1k * dxk, ay + t1k * dyk))
+    # piece breaks: pair change, segment-index gap, or an interior cut
+    new_piece = np.ones(len(pair_k), dtype=bool)
+    if len(pair_k) > 1:
+        new_piece[1:] = ((pair_k[1:] != pair_k[:-1])
+                         | (rank_k[1:] != rank_k[:-1] + 1)
+                         | (t1k[:-1] < 1.0) | (t0k[1:] > 0.0))
+    piece_id = np.cumsum(new_piece) - 1
+    n_pieces = piece_id[-1] + 1
+    # each kept segment contributes its end point; piece heads also
+    # contribute their start point
+    n_out = len(pair_k) + n_pieces
+    pcoords = np.empty((n_out, 2))
+    dst = np.arange(len(pair_k), dtype=np.int64) + piece_id + 1
+    pcoords[dst] = p1
+    pcoords[dst[new_piece] - 1] = p0[new_piece]
+    poffsets = np.concatenate(([0], np.cumsum(
+        np.bincount(piece_id, minlength=n_pieces) + 1)))
+    return pcoords, poffsets.astype(np.int64), pair_k[new_piece]

@@ -30,7 +30,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..cells import cell_ixy, cell_parent, cell_res, latlng_to_cell
+from ..cells import (cell_bounds, cell_ixy, cell_parent, cell_res,
+                     cover_bboxes, latlng_to_cell)
 
 _BUCKET = "__tbucket"
 
@@ -161,3 +162,111 @@ FROM cells
 GROUP BY 1, 2, 3, 4
 ORDER BY res, cell
 """
+
+
+# --- vector tiles: geometry sliced per cell -----------------------------
+
+def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
+                         res: int) -> pd.DataFrame:
+    """One batch of LineString/MultiLineString rows -> per-tile slices.
+
+    Pure numpy: decode once, bbox-cover each line (cells.cover_bboxes),
+    Liang-Barsky clip every (line, cell) pair in one pair-axis pass
+    (geom/clip.clip_lines_rect), re-encode pieces. Emits one row per
+    piece: (cell, id, piece_idx, wkb). Boundary-covering cells whose
+    intersection is empty (bbox overlap but no geometry inside) emit
+    nothing.
+    """
+    from ..geom.clip import clip_lines_rect
+    from ..geom.wkb import bbox_of_lines, decode_lines, encode_lines
+
+    empty = pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                          id_col: pd.Series(dtype=batch[id_col].dtype
+                                            if len(batch)
+                                            else np.int64),
+                          "piece_idx": pd.Series(dtype=np.int64),
+                          "wkb": pd.Series(dtype=object)})
+    if len(batch) == 0:
+        return empty
+    coords, offsets, part_of = decode_lines(batch[wkb_col].tolist())
+    mnx, mny, mxx, mxy = bbox_of_lines(coords, offsets)
+    line_idx, cell = cover_bboxes(mnx, mny, mxx, mxy, res)
+    lo_x, lo_y, hi_x, hi_y = cell_bounds(cell)
+    boxes = np.column_stack((lo_x, lo_y, hi_x, hi_y))
+    pcoords, poffsets, piece_pair = clip_lines_rect(
+        coords, offsets, line_idx, boxes)
+    if len(piece_pair) == 0:
+        return empty
+    ids = batch[id_col].to_numpy()[part_of[line_idx[piece_pair]]]
+    pc = cell[piece_pair]
+    # piece_idx: rank within (id, cell); pieces of one pair are
+    # contiguous in clip output order
+    first = np.ones(len(piece_pair), dtype=bool)
+    first[1:] = piece_pair[1:] != piece_pair[:-1]
+    head = np.maximum.accumulate(
+        np.where(first, np.arange(len(piece_pair)), 0))
+    piece_idx = np.arange(len(piece_pair)) - head
+    return pd.DataFrame({"cell": pc, id_col: ids,
+                         "piece_idx": piece_idx,
+                         "wkb": encode_lines(pcoords, poffsets)})
+
+
+def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
+                        id_col: str = "feature_id", res: int = 13,
+                        dir_res: int = 5, batch_size: int = 4096):
+    """Write line features as a hive-partitioned vector-tile layout.
+
+    Partition dirs are the DIR_RES ancestor of each tile cell
+    (`tile_group=<cell>/`), so a map viewport read opens only the
+    partitions its bbox covers — spatially-local, bounded dir count
+    (4**dir_res worst case), and resumable per partition. The slice
+    stage is embarrassingly parallel (no shuffle); the only data
+    movement is the partitioned write.
+    """
+    if dir_res > res:
+        raise ValueError("dir_res must be <= res")
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        out = slice_lines_to_tiles(batch, wkb_col, id_col, res)
+        out["tile_group"] = cell_parent(out["cell"].to_numpy(np.int64),
+                                        dir_res)
+        return out
+
+    sliced = ds.map_batches(stage, batch_format="pandas",
+                            batch_size=batch_size)
+    sliced.write_parquet(out_dir, partition_cols=["tile_group"])
+    return out_dir
+
+
+def read_vector_tiles(out_dir: str, min_lon: float, min_lat: float,
+                      max_lon: float, max_lat: float, dir_res: int = 5):
+    """Viewport read: open only partitions whose dir-cell intersects
+    the bbox (directory selection, same idiom as
+    sources/parquet_tools.read_range_partitioned — no data or footer
+    byte is touched for pruned partitions), then exact cell-level
+    filter inside them."""
+    import os
+
+    import ray.data as rd
+
+    from ..cells import cover_bbox
+    groups = set(cover_bbox(min_lon, min_lat, max_lon, max_lat,
+                            dir_res).tolist())
+    files = [os.path.join(out_dir, d, f)
+             for d in sorted(os.listdir(out_dir))
+             if d.startswith("tile_group=")
+             and int(d.split("=", 1)[1]) in groups
+             for f in sorted(os.listdir(os.path.join(out_dir, d)))
+             if f.endswith(".parquet")]
+    if not files:
+        return rd.from_items([])
+    ds = rd.read_parquet(files)
+
+    def exact(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_x, lo_y, hi_x, hi_y = cell_bounds(
+            batch["cell"].to_numpy(np.int64))
+        keep = ((lo_x < max_lon) & (hi_x > min_lon)
+                & (lo_y < max_lat) & (hi_y > min_lat))
+        return batch[keep]
+
+    return ds.map_batches(exact, batch_format="pandas")

@@ -83,3 +83,112 @@ class TestTilePyramidOracle:
             rd.from_pandas(df).filter(lambda r: False),
             "lat", "lon", res=6, min_res=5)
         assert empty.count() == 0
+
+
+def _line_len(c: np.ndarray) -> float:
+    return float(np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1)).sum())
+
+
+class TestClipLinesRect:
+    def test_matches_general_polygon_clipper(self):
+        from osm_sidewalkreator_ray.geom.clip import (clip_lines_rect,
+                                                      clip_polyline)
+        rng = np.random.default_rng(11)
+        box = np.array([0.2, 0.3, 0.8, 0.9])
+        ring = np.array([[box[0], box[1]], [box[2], box[1]],
+                         [box[2], box[3]], [box[0], box[3]],
+                         [box[0], box[1]]])
+        ring_offsets = np.array([0, 5])
+        for _ in range(20):
+            line = rng.uniform(0, 1.1, size=(6, 2))
+            off = np.array([0, 6])
+            pc, po, pp = clip_lines_rect(line, off, np.array([0]),
+                                         box[None, :])
+            got = sorted(_line_len(pc[po[i]:po[i + 1]])
+                         for i in range(len(po) - 1))
+            want = sorted(_line_len(p) for p in
+                          clip_polyline(line, ring, ring_offsets, 0, 1))
+            np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_outside_and_touch(self):
+        from osm_sidewalkreator_ray.geom.clip import clip_lines_rect
+        lc = np.array([[2.0, 2.0], [3.0, 3.0],   # fully outside
+                       [1.0, 0.0], [1.0, 1.0]])  # along the x=1 edge
+        off = np.array([0, 2, 4])
+        boxes = np.array([[0.0, 0, 1, 1], [0.0, 0, 1, 1]])
+        pc, po, pp = clip_lines_rect(lc, off, np.array([0, 1]), boxes)
+        assert len(pp) == 1 and pp[0] == 1  # edge-run kept, outside not
+        np.testing.assert_allclose(pc, [[1, 0], [1, 1]])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVectorTiles:
+    RES = 7  # ~1.4 deg tiles
+
+    def _lines(self, n=40, seed=3):
+        from osm_sidewalkreator_ray.geom.wkb import encode_line
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            start = rng.uniform([-20, -20], [20, 20])
+            steps = rng.uniform(-2.5, 2.5, size=(rng.integers(2, 8), 2))
+            coords = np.vstack([start, start + np.cumsum(steps, axis=0)])
+            rows.append({"feature_id": i, "wkb": encode_line(coords),
+                         "length": _line_len(coords)})
+        return pd.DataFrame(rows)
+
+    def test_slice_conserves_length_and_containment(self):
+        from osm_sidewalkreator_ray.cells import cell_bounds
+        from osm_sidewalkreator_ray.geom.wkb import decode_lines
+        from osm_sidewalkreator_ray.pipelines.tiles import (
+            slice_lines_to_tiles)
+        df = self._lines()
+        out = slice_lines_to_tiles(df, "wkb", "feature_id", self.RES)
+        assert out["cell"].nunique() > 10  # really spans many tiles
+        coords, offs, part_of = decode_lines(out["wkb"].tolist())
+        piece_len = np.array([_line_len(coords[offs[i]:offs[i + 1]])
+                              for i in range(len(offs) - 1)])
+        got = (pd.DataFrame({"feature_id":
+                             out["feature_id"].to_numpy()[part_of],
+                             "len": piece_len})
+               .groupby("feature_id")["len"].sum())
+        want = df.set_index("feature_id")["length"]
+        np.testing.assert_allclose(got.reindex(want.index), want,
+                                   rtol=1e-9)
+        # every piece stays inside its tile
+        lo_x, lo_y, hi_x, hi_y = cell_bounds(
+            out["cell"].to_numpy()[part_of])
+        for i in range(len(offs) - 1):
+            seg = coords[offs[i]:offs[i + 1]]
+            eps = 1e-9
+            assert (seg[:, 0] >= lo_x[i] - eps).all()
+            assert (seg[:, 0] <= hi_x[i] + eps).all()
+            assert (seg[:, 1] >= lo_y[i] - eps).all()
+            assert (seg[:, 1] <= hi_y[i] + eps).all()
+        # piece_idx is 0..k-1 within each (feature, cell)
+        grp = out.groupby(["feature_id", "cell"])["piece_idx"]
+        assert (grp.min() == 0).all()
+        assert (grp.max() + 1 == grp.count()).all()
+
+    def test_export_and_viewport_read(self, tmp_path):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.cells import cell_bounds
+        from osm_sidewalkreator_ray.pipelines.tiles import (
+            export_vector_tiles, read_vector_tiles)
+        df = self._lines()
+        out_dir = str(tmp_path / "vtiles")
+        export_vector_tiles(rd.from_pandas(df[["feature_id", "wkb"]]),
+                            out_dir, res=self.RES, dir_res=3)
+        full = rd.read_parquet(out_dir).to_pandas()
+        vp = (-5.0, -5.0, 5.0, 5.0)
+        got = read_vector_tiles(out_dir, *vp, dir_res=3).to_pandas()
+        lo_x, lo_y, hi_x, hi_y = cell_bounds(full["cell"].to_numpy())
+        m = ((lo_x < vp[2]) & (hi_x > vp[0])
+             & (lo_y < vp[3]) & (hi_y > vp[1]))
+        want = full[m]
+        assert len(got) == m.sum() > 0
+        assert (set(map(tuple, got[["feature_id", "cell",
+                                    "piece_idx"]].to_numpy()))
+                == set(map(tuple, want[["feature_id", "cell",
+                                        "piece_idx"]].to_numpy())))
