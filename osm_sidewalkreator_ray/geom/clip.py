@@ -201,3 +201,91 @@ def clip_lines_rect(lcoords: np.ndarray, offsets: np.ndarray,
     poffsets = np.concatenate(([0], np.cumsum(
         np.bincount(piece_id, minlength=n_pieces) + 1)))
     return pcoords, poffsets.astype(np.int64), pair_k[new_piece]
+
+
+def _sh_pass(pts: np.ndarray, offs: np.ndarray, pair: np.ndarray,
+             boxes: np.ndarray, axis: int, side: int):
+    """One Sutherland-Hodgman half-plane pass over ALL open rings.
+
+    ``side`` 0 keeps coord >= lo bound, 1 keeps coord <= hi bound
+    (boxes laid out (x0, y0, x1, y1)). Rings that collapse below 3
+    vertices are dropped.
+    """
+    counts = np.diff(offs)
+    vp = np.repeat(pair, counts)
+    bound = boxes[vp, axis + 2 * side]
+    coord = pts[:, axis]
+    inside = coord >= bound if side == 0 else coord <= bound
+    nxt = np.arange(len(pts)) + 1
+    nxt[offs[1:] - 1] = offs[:-1]  # wrap each ring
+    ins_n = inside[nxt]
+    cross = inside != ins_n
+    out_cnt = cross.astype(np.int64) + ins_n
+    pos = np.concatenate(([0], np.cumsum(out_cnt)))
+    out = np.empty((pos[-1], 2))
+    ci = np.nonzero(cross)[0]
+    if len(ci):
+        a, b = pts[ci], pts[nxt[ci]]
+        t = (bound[ci] - a[:, axis]) / (b[:, axis] - a[:, axis])
+        ip = a + (b - a) * t[:, None]
+        ip[:, axis] = bound[ci]  # land exactly on the boundary
+        out[pos[ci]] = ip
+    ni = np.nonzero(ins_n)[0]
+    out[pos[ni] + cross[ni]] = pts[nxt[ni]]
+    ring_cnt = np.add.reduceat(out_cnt, np.asarray(offs[:-1],
+                                                   dtype=np.intp))
+    keep = ring_cnt >= 3
+    if keep.all():
+        return out, pos[np.concatenate(([0], np.cumsum(counts)))], pair
+    out = out[np.repeat(keep, ring_cnt)]
+    offs2 = np.concatenate(([0], np.cumsum(ring_cnt[keep])))
+    return out, offs2.astype(np.int64), pair[keep]
+
+
+def clip_rings_rect(coords: np.ndarray, ring_offsets: np.ndarray,
+                    ring_idx: np.ndarray, boxes: np.ndarray):
+    """Batched Sutherland-Hodgman: ring ``ring_idx[p]`` vs the
+    axis-aligned box ``boxes[p]``, all pairs in four vectorized
+    half-plane passes (no Python per pair).
+
+    Input rings must be closed (first == last). Returns
+    ``(out_coords, out_offsets, out_pair)`` of CLOSED clipped rings —
+    at most one per pair (a concave ring whose window intersection is
+    disconnected comes back as one ring with zero-width bridges, the
+    standard SH/MVT behavior: area and even-odd containment off the
+    bridge line are unaffected).
+    """
+    ring_idx = np.asarray(ring_idx, dtype=np.int64)
+    boxes = np.asarray(boxes, dtype=np.float64)
+    P = len(ring_idx)
+    empty = (np.zeros((0, 2)), np.zeros(1, dtype=np.int64),
+             np.zeros(0, dtype=np.int64))
+    if P == 0:
+        return empty
+    n_open = (np.diff(ring_offsets))[ring_idx] - 1
+    if np.any(n_open < 3):
+        raise ValueError("rings must be closed with >= 4 stored points")
+    pair_of = np.repeat(np.arange(P, dtype=np.int64), n_open)
+    starts = np.concatenate(([0], np.cumsum(n_open)[:-1]))
+    rank = (np.arange(n_open.sum(), dtype=np.int64)
+            - np.repeat(starts, n_open))
+    pts = coords[np.asarray(ring_offsets)[ring_idx][pair_of] + rank]
+    offs = np.concatenate(([0], np.cumsum(n_open))).astype(np.int64)
+    pair = np.arange(P, dtype=np.int64)
+    for axis, side in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        if len(pair) == 0:
+            return empty
+        pts, offs, keep_local = _sh_pass(pts, offs, pair, boxes, axis,
+                                         side)
+        pair = keep_local
+    if len(pair) == 0:
+        return empty
+    # close rings: append each ring's first point
+    counts = np.diff(offs)
+    out = np.empty((len(pts) + len(pair), 2))
+    dst = np.arange(len(pts), dtype=np.int64) + np.repeat(
+        np.arange(len(pair), dtype=np.int64), counts)
+    out[dst] = pts
+    closed_offs = np.concatenate(([0], np.cumsum(counts + 1)))
+    out[closed_offs[1:] - 1] = pts[np.asarray(offs[:-1], dtype=np.intp)]
+    return out, closed_offs.astype(np.int64), pair

@@ -213,7 +213,8 @@ def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
 
 def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
                         id_col: str = "feature_id", res: int = 13,
-                        dir_res: int = 5, batch_size: int = 4096):
+                        dir_res: int = 5, batch_size: int = 4096,
+                        geometry: str = "line"):
     """Write line features as a hive-partitioned vector-tile layout.
 
     Partition dirs are the DIR_RES ancestor of each tile cell
@@ -225,9 +226,13 @@ def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
     """
     if dir_res > res:
         raise ValueError("dir_res must be <= res")
+    if geometry not in ("line", "polygon"):
+        raise ValueError("geometry must be 'line' or 'polygon'")
+    slicer = (slice_lines_to_tiles if geometry == "line"
+              else slice_polygons_to_tiles)
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
-        out = slice_lines_to_tiles(batch, wkb_col, id_col, res)
+        out = slicer(batch, wkb_col, id_col, res)
         out["tile_group"] = cell_parent(out["cell"].to_numpy(np.int64),
                                         dir_res)
         return out
@@ -270,3 +275,78 @@ def read_vector_tiles(out_dir: str, min_lon: float, min_lat: float,
         return batch[keep]
 
     return ds.map_batches(exact, batch_format="pandas")
+
+
+def slice_polygons_to_tiles(batch: pd.DataFrame, wkb_col: str,
+                            id_col: str, res: int) -> pd.DataFrame:
+    """Polygon/MultiPolygon rows -> per-tile clipped polygons.
+
+    Batched Sutherland-Hodgman (geom/clip.clip_rings_rect): every
+    (ring, covering-cell) pair clips in four vectorized half-plane
+    passes. Shells and holes clip independently against the same cell
+    (valid under even-odd fill for a convex window); a polygon whose
+    shell misses a cell emits nothing there.
+    """
+    from ..geom.clip import clip_rings_rect
+    from ..geom.wkb import decode_polygons, encode_polygons
+
+    empty = pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                          id_col: pd.Series(dtype=batch[id_col].dtype
+                                            if len(batch)
+                                            else np.int64),
+                          "piece_idx": pd.Series(dtype=np.int64),
+                          "wkb": pd.Series(dtype=object)})
+    if len(batch) == 0:
+        return empty
+    coords, ring_offsets, poly_offsets, part_of = decode_polygons(
+        batch[wkb_col].tolist())
+    n_poly = len(poly_offsets) - 1
+    # per-polygon bbox: polygon vertex spans are contiguous, so one
+    # reduceat at each span start covers exactly that polygon
+    s = np.asarray(ring_offsets[poly_offsets[:-1]], dtype=np.intp)
+    mnx = np.minimum.reduceat(coords[:, 0], s)
+    mny = np.minimum.reduceat(coords[:, 1], s)
+    mxx = np.maximum.reduceat(coords[:, 0], s)
+    mxy = np.maximum.reduceat(coords[:, 1], s)
+    poly_idx, cell = cover_bboxes(mnx, mny, mxx, mxy, res)
+    if len(poly_idx) == 0:
+        return empty
+    lo_x, lo_y, hi_x, hi_y = cell_bounds(cell)
+    boxes_pair = np.column_stack((lo_x, lo_y, hi_x, hi_y))
+    # ring-level pairs: every ring of the polygon vs the pair's box
+    rings_per_poly = np.diff(poly_offsets)
+    rp = rings_per_poly[poly_idx]
+    pair_of_ring = np.repeat(np.arange(len(poly_idx), dtype=np.int64),
+                             rp)
+    starts = np.concatenate(([0], np.cumsum(rp)[:-1]))
+    rrank = (np.arange(rp.sum(), dtype=np.int64)
+             - np.repeat(starts, rp))
+    ring_idx = (np.asarray(poly_offsets)[poly_idx][pair_of_ring]
+                + rrank)
+    oc, oo, okept = clip_rings_rect(coords, ring_offsets, ring_idx,
+                                    boxes_pair[pair_of_ring])
+    if len(okept) == 0:
+        return empty
+    kept_pair = pair_of_ring[okept]
+    kept_rank = rrank[okept]
+    # a hole can only survive if its shell does (hole subset of shell);
+    # polys whose shell (rank 0) was dropped emit nothing
+    ok = np.isin(kept_pair, kept_pair[kept_rank == 0])
+    if not ok.all():
+        keep_rows = np.nonzero(ok)[0]
+        sel = np.repeat(ok, np.diff(oo))
+        oc = oc[sel]
+        oo = np.concatenate(([0], np.cumsum(np.diff(oo)[keep_rows])))
+        kept_pair = kept_pair[keep_rows]
+    # group consecutive rings of one pair into a polygon
+    new_poly = np.ones(len(kept_pair), dtype=bool)
+    new_poly[1:] = kept_pair[1:] != kept_pair[:-1]
+    out_poly_offsets = np.concatenate(
+        (np.nonzero(new_poly)[0], [len(kept_pair)])).astype(np.int64)
+    pair_of_poly = kept_pair[new_poly]
+    wkbs = encode_polygons(oc, oo, out_poly_offsets)
+    return pd.DataFrame({
+        "cell": cell[pair_of_poly],
+        id_col: batch[id_col].to_numpy()[part_of[poly_idx[pair_of_poly]]],
+        "piece_idx": np.zeros(len(wkbs), dtype=np.int64),
+        "wkb": wkbs})

@@ -192,3 +192,107 @@ class TestVectorTiles:
                                     "piece_idx"]].to_numpy()))
                 == set(map(tuple, want[["feature_id", "cell",
                                         "piece_idx"]].to_numpy())))
+
+
+class TestPolygonTiles:
+    RES = 6  # ~2.8 deg tiles
+
+    @staticmethod
+    def _star(cx, cy, r_out, r_in, n=7, rot=0.0):
+        ang = rot + np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+        rad = np.where(np.arange(2 * n) % 2 == 0, r_out, r_in)
+        ring = np.column_stack((cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)))
+        return np.vstack([ring, ring[:1]])
+
+    def _polys(self, n=25, seed=9):
+        from osm_sidewalkreator_ray.geom.core import polygon_areas
+        from osm_sidewalkreator_ray.geom.wkb import (decode_polygons,
+                                                     encode_polygon)
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            cx, cy = rng.uniform(-30, 30, 2)
+            shell = self._star(cx, cy, rng.uniform(2, 8),
+                               rng.uniform(0.8, 1.8),
+                               n=int(rng.integers(5, 9)),
+                               rot=rng.uniform(0, 3))
+            rings = [shell]
+            if i % 3 == 0:  # add a hole
+                rings.append(self._star(cx, cy, 0.5, 0.25, n=4)[::-1])
+            rows.append({"feature_id": i,
+                         "wkb": encode_polygon(rings)})
+        df = pd.DataFrame(rows)
+        c, ro, po, _ = decode_polygons(df["wkb"].tolist())
+        df["area"] = polygon_areas(c, ro, po)
+        return df
+
+    def test_area_conservation_and_pip_equivalence(self):
+        from osm_sidewalkreator_ray.cells import cell_bounds
+        from osm_sidewalkreator_ray.geom.core import (points_in_polygon,
+                                                      polygon_areas)
+        from osm_sidewalkreator_ray.geom.wkb import decode_polygons
+        from osm_sidewalkreator_ray.pipelines.tiles import (
+            slice_polygons_to_tiles)
+        df = self._polys()
+        out = slice_polygons_to_tiles(df, "wkb", "feature_id", self.RES)
+        assert out["cell"].nunique() > 8
+        c, ro, po, part_of = decode_polygons(out["wkb"].tolist())
+        piece_area = polygon_areas(c, ro, po)
+        got = (pd.DataFrame({"feature_id":
+                             out["feature_id"].to_numpy()[part_of],
+                             "a": piece_area})
+               .groupby("feature_id")["a"].sum())
+        want = df.set_index("feature_id")["area"]
+        np.testing.assert_allclose(got.reindex(want.index), want,
+                                   rtol=1e-9)
+        # random-point even-odd equivalence on the densest feature
+        fid = int(out.groupby("feature_id").size().idxmax())
+        rng = np.random.default_rng(1)
+        oc, oro, opo, _ = decode_polygons(
+            df.loc[df.feature_id == fid, "wkb"].tolist())
+        span = oc.min(axis=0), oc.max(axis=0)
+        pts = rng.uniform(span[0], span[1], size=(3000, 2))
+        in_orig = points_in_polygon(pts[:, 0], pts[:, 1], oc, oro,
+                                    int(opo[0]), int(opo[1]))
+        pieces = out[out.feature_id == fid]
+        in_clip = np.zeros(len(pts), dtype=bool)
+        for _, row in pieces.iterrows():
+            lo_x, lo_y, hi_x, hi_y = cell_bounds(np.int64(row["cell"]))
+            m = ((pts[:, 0] > lo_x) & (pts[:, 0] < hi_x)
+                 & (pts[:, 1] > lo_y) & (pts[:, 1] < hi_y))
+            cc, cro, cpo, _ = decode_polygons([row["wkb"]])
+            hit = points_in_polygon(pts[m, 0], pts[m, 1], cc, cro,
+                                    int(cpo[0]), int(cpo[1]))
+            in_clip[np.nonzero(m)[0][hit]] = True
+        # exclude points within eps of any cell boundary (bridge lines)
+        d = 180.0 / (1 << self.RES)
+        fx = np.abs((pts[:, 0] + 180) / d
+                    - np.round((pts[:, 0] + 180) / d))
+        fy = np.abs((pts[:, 1] + 90) / d
+                    - np.round((pts[:, 1] + 90) / d))
+        interior = (fx > 1e-6) & (fy > 1e-6)
+        np.testing.assert_array_equal(in_clip[interior],
+                                      in_orig[interior])
+
+    def test_polygon_export_roundtrip(self, tmp_path):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.geom.core import polygon_areas
+        from osm_sidewalkreator_ray.geom.wkb import decode_polygons
+        from osm_sidewalkreator_ray.pipelines.tiles import (
+            export_vector_tiles)
+        df = self._polys(n=10, seed=4)
+        out_dir = str(tmp_path / "ptiles")
+        export_vector_tiles(rd.from_pandas(df[["feature_id", "wkb"]]),
+                            out_dir, res=self.RES, dir_res=2,
+                            geometry="polygon")
+        back = rd.read_parquet(out_dir).to_pandas()
+        c, ro, po, part_of = decode_polygons(back["wkb"].tolist())
+        got = (pd.DataFrame({"feature_id":
+                             back["feature_id"].to_numpy()[part_of],
+                             "a": polygon_areas(c, ro, po)})
+               .groupby("feature_id")["a"].sum())
+        np.testing.assert_allclose(
+            got.reindex(df["feature_id"]).to_numpy(),
+            df["area"].to_numpy(), rtol=1e-9)
