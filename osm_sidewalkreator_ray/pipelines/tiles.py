@@ -350,3 +350,116 @@ def slice_polygons_to_tiles(batch: pd.DataFrame, wkb_col: str,
         id_col: batch[id_col].to_numpy()[part_of[poly_idx[pair_of_poly]]],
         "piece_idx": np.zeros(len(wkbs), dtype=np.int64),
         "wkb": wkbs})
+
+
+# --- raster tiles: density grids + raster->vector contours --------------
+
+def rasterize_tiles(ds, lat_col: str, lon_col: str, res: int,
+                    px: int = 256, value_col: str | None = None,
+                    batch_size: int = 65536, num_buckets: int = 32):
+    """Per-tile density raster (the heatmap tile-server shape).
+
+    One row per non-empty tile: ``cell, res, px, n, grid`` where
+    ``grid`` is a little-endian float64[px*px] binary payload (row
+    y*px + x, y up from the tile's south edge). The exchange carries
+    SPARSE per-batch (cell, pixel, weight) partials — a dense px*px
+    grid is only materialized once per tile in the combiner, so object
+    sizes are O(occupied pixels) until the very last stage.
+    """
+    pix_n = px * px
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                                 "pix": pd.Series(dtype=np.int64),
+                                 "w": pd.Series(dtype=np.float64),
+                                 _BUCKET: pd.Series(dtype=np.int64)})
+        lat = batch[lat_col].to_numpy(np.float64)
+        lon = batch[lon_col].to_numpy(np.float64)
+        cell = latlng_to_cell(lat, lon, res)
+        lo_x, lo_y, hi_x, hi_y = cell_bounds(cell)
+        d = hi_x - lo_x
+        cx = np.clip(((lon - lo_x) / d * px).astype(np.int64), 0, px - 1)
+        cy = np.clip(((lat - lo_y) / d * px).astype(np.int64), 0, px - 1)
+        df = pd.DataFrame({"cell": cell, "pix": cy * px + cx,
+                           "w": (batch[value_col].to_numpy(np.float64)
+                                 if value_col else 1.0)})
+        p = (df.groupby(["cell", "pix"], sort=False)["w"].sum()
+             .reset_index())
+        h = pd.util.hash_array(p["cell"].to_numpy())
+        p[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return p
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (bucket.groupby(["cell", "pix"], sort=True)["w"].sum()
+             .reset_index())
+        rows = []
+        for cell, sub in g.groupby("cell", sort=True):
+            grid = np.zeros(pix_n, dtype=np.float64)
+            grid[sub["pix"].to_numpy()] = sub["w"].to_numpy()
+            rows.append({"cell": int(cell), "res": res, "px": px,
+                         "n": float(sub["w"].sum()),
+                         "grid": grid.astype("<f8").tobytes()})
+        if not rows:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                                 "res": pd.Series(dtype=np.int64),
+                                 "px": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.float64),
+                                 "grid": pd.Series(dtype=object)})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    return partials.groupby(_BUCKET).map_groups(combine,
+                                                batch_format="pandas")
+
+
+def density_contours(tiles_ds, threshold: float):
+    """Raster -> vector: iso-region polygons of ``grid >= threshold``
+    per tile (geom/raster.trace_contours — exact pixel boundaries,
+    4-connectivity). Holes are assigned to the shell that contains
+    them. Embarrassingly parallel: each tile's raster is local.
+    """
+    from ..geom.core import points_in_ring
+    from ..geom.raster import trace_contours
+    from ..geom.wkb import encode_polygon
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"cell": [], "poly_idx": [], "area": [], "wkb": []}
+        # per-TILE loop (each row carries a whole raster), not per-point
+        for row in batch.itertuples(index=False):
+            px = int(row.px)
+            grid = np.frombuffer(row.grid, dtype="<f8").reshape(px, px)
+            lo_x, lo_y, hi_x, _ = cell_bounds(np.int64(row.cell))
+            step = (hi_x - lo_x) / px
+            rings = trace_contours(grid >= threshold,
+                                   (float(lo_x), float(lo_y)), step)
+            shells = [(r, a) for r, a in rings if a > 0]
+            holes = [(r, a) for r, a in rings if a < 0]
+            polys = [[s] for s, _ in shells]
+            for h, _ in holes:
+                for j, (s, _) in enumerate(shells):
+                    if points_in_ring(h[:1, 0], h[:1, 1], s)[0]:
+                        polys[j].append(h)
+                        break
+            for j, rings_j in enumerate(polys):
+                area = (abs(_ring_area(rings_j[0]))
+                        - sum(abs(_ring_area(r)) for r in rings_j[1:]))
+                out["cell"].append(int(row.cell))
+                out["poly_idx"].append(j)
+                out["area"].append(area)
+                out["wkb"].append(encode_polygon(rings_j))
+        if not out["cell"]:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                                 "poly_idx": pd.Series(dtype=np.int64),
+                                 "area": pd.Series(dtype=np.float64),
+                                 "wkb": pd.Series(dtype=object)})
+        return pd.DataFrame(out)
+
+    return tiles_ds.map_batches(stage, batch_format="pandas",
+                                batch_size=16)
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    from ..geom.core import ring_signed_area
+    return ring_signed_area(ring)

@@ -296,3 +296,66 @@ class TestPolygonTiles:
         np.testing.assert_allclose(
             got.reindex(df["feature_id"]).to_numpy(),
             df["area"].to_numpy(), rtol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRasterTiles:
+    def test_rasterize_exact_pixels_and_totals(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.cells import (cell_bounds,
+                                                  latlng_to_cell)
+        from osm_sidewalkreator_ray.pipelines.tiles import rasterize_tiles
+        res, px = 6, 16
+        cell = int(latlng_to_cell(10.0, 20.0, res))
+        lo_x, lo_y, hi_x, hi_y = (float(v) for v in cell_bounds(cell))
+        d = (hi_x - lo_x) / px
+        # 3 points in pixel (2,5), 1 point in pixel (9,12), weighted
+        pts = pd.DataFrame({
+            "lat": [lo_y + 5.5 * d] * 3 + [lo_y + 12.5 * d],
+            "lon": [lo_x + 2.5 * d] * 3 + [lo_x + 9.5 * d],
+            "w": [1.0, 2.0, 4.0, 10.0]})
+        out = rasterize_tiles(rd.from_pandas(pts), "lat", "lon", res,
+                              px=px, value_col="w").to_pandas()
+        assert len(out) == 1 and out["cell"].iloc[0] == cell
+        grid = np.frombuffer(out["grid"].iloc[0],
+                             dtype="<f8").reshape(px, px)
+        assert grid[5, 2] == 7.0 and grid[12, 9] == 10.0
+        assert grid.sum() == 17.0 == out["n"].iloc[0]
+
+    def test_contours_reconstruct_mask(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.cells import (cell_bounds,
+                                                  latlng_to_cell)
+        from osm_sidewalkreator_ray.geom.core import points_in_polygon
+        from osm_sidewalkreator_ray.geom.wkb import decode_polygons
+        from osm_sidewalkreator_ray.pipelines.tiles import (
+            density_contours, rasterize_tiles)
+        res, px = 6, 20
+        cell = int(latlng_to_cell(-5.0, -5.0, res))
+        lo_x, lo_y, hi_x, _ = (float(v) for v in cell_bounds(cell))
+        d = (hi_x - lo_x) / px
+        # donut pattern: ring of pixels with a hole in the middle
+        yy, xx = np.mgrid[0:px, 0:px]
+        rad = np.sqrt((xx - 9.5) ** 2 + (yy - 9.5) ** 2)
+        mask = (rad < 8) & (rad > 3)
+        ys, xs = np.nonzero(mask)
+        pts = pd.DataFrame({"lat": lo_y + (ys + 0.5) * d,
+                            "lon": lo_x + (xs + 0.5) * d})
+        tiles = rasterize_tiles(rd.from_pandas(pts), "lat", "lon", res,
+                                px=px)
+        polys = density_contours(tiles, threshold=1.0).to_pandas()
+        assert len(polys) >= 1
+        # area equals pixel count x pixel area
+        np.testing.assert_allclose(polys["area"].sum(),
+                                   mask.sum() * d * d, rtol=1e-9)
+        # even-odd containment of every pixel center == mask
+        cc, cro, cpo, part_of = decode_polygons(polys["wkb"].tolist())
+        centers_x = lo_x + (xx.ravel() + 0.5) * d
+        centers_y = lo_y + (yy.ravel() + 0.5) * d
+        got = np.zeros(px * px, dtype=bool)
+        for i in range(len(cpo) - 1):
+            got |= points_in_polygon(centers_x, centers_y, cc, cro,
+                                     int(cpo[i]), int(cpo[i + 1]))
+        np.testing.assert_array_equal(got.reshape(px, px), mask)
