@@ -128,6 +128,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("corpus_clean", lambda: T.corpus_clean(sf_dir))
     timed("token_topk", lambda: T.token_topk(sf_dir))
     timed("ann_topk", lambda: V.ann_topk(sf_dir))
+    from osm_sidewalkreator_ray.pipelines import tiles as TL
+    timed("tile_pyramid", lambda: TL.tile_pyramid_query(sf_dir))
 
     headline = timings["page_tile_join"]
     return {

@@ -359,3 +359,52 @@ class TestRasterTiles:
             got |= points_in_polygon(centers_x, centers_y, cc, cro,
                                      int(cpo[i]), int(cpo[i + 1]))
         np.testing.assert_array_equal(got.reshape(px, px), mask)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tiles_job_cli(tmp_path):
+    import contextlib
+    import io
+    import json
+
+    from osm_sidewalkreator_ray.geom.wkb import encode_line
+
+    from jobs.tiles_job import main
+    rng = np.random.default_rng(5)
+    pts = str(tmp_path / "pts.parquet")
+    pd.DataFrame({"lat": rng.uniform(-60, 60, 500),
+                  "lon": rng.uniform(-120, 120, 500),
+                  "v": np.ones(500)}).to_parquet(pts)
+    feats = str(tmp_path / "feats.parquet")
+    rows = []
+    for i in range(10):
+        start = rng.uniform([-20, -20], [20, 20])
+        coords = np.vstack([start,
+                            start + np.cumsum(rng.uniform(-2, 2, (4, 2)),
+                                              axis=0)])
+        rows.append({"feature_id": i, "wkb": encode_line(coords)})
+    pd.DataFrame(rows).to_parquet(feats)
+
+    def run(args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(args)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    pyr = run(["pyramid", "--data", pts, "--out",
+               str(tmp_path / "pyr"), "--res", "6", "--min-res", "4",
+               "--value", "v"])
+    assert pyr["rows"] > 0
+    vt = run(["vector", "--data", feats, "--out",
+              str(tmp_path / "vt"), "--res", "7", "--dir-res", "3"])
+    assert vt["pieces"] >= 10
+    view = run(["view", "--out", str(tmp_path / "vt"),
+                "--bbox=-20,-20,20,20", "--dir-res", "3"])
+    assert 0 < view["pieces"] <= vt["pieces"]
+    rt = run(["raster", "--data", pts, "--out", str(tmp_path / "rt"),
+              "--res", "4", "--px", "32"])
+    assert rt["tiles"] > 0
+    ct = run(["raster", "--data", pts, "--out", str(tmp_path / "ct"),
+              "--res", "2", "--px", "16", "--contour-threshold", "1"])
+    assert ct["polygons"] > 0
