@@ -166,6 +166,27 @@ ORDER BY res, cell
 
 # --- vector tiles: geometry sliced per cell -----------------------------
 
+MAX_COVER_CELLS = 4096  # per feature; same policy as range_join's cap
+
+
+def _check_cover(mnx, mny, mxx, mxy, res: int) -> None:
+    """Raise (never silently explode) when one feature's bbox covers
+    more than MAX_COVER_CELLS tiles — a continent-sized geometry at a
+    street-level res multiplies output by its cover count; the caller
+    should slice at a coarser res or split the feature first."""
+    d = 180.0 / (1 << res)
+    nx = np.floor((np.asarray(mxx) + 180.0) / d) - np.floor(
+        (np.asarray(mnx) + 180.0) / d) + 1
+    ny = np.floor((np.asarray(mxy) + 90.0) / d) - np.floor(
+        (np.asarray(mny) + 90.0) / d) + 1
+    worst = (nx * ny).max() if len(np.atleast_1d(nx)) else 0
+    if worst > MAX_COVER_CELLS:
+        raise ValueError(
+            f"a feature covers {int(worst)} cells at res {res} "
+            f"(cap {MAX_COVER_CELLS}); slice at a coarser res or "
+            f"split the feature")
+
+
 def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
                          res: int) -> pd.DataFrame:
     """One batch of LineString/MultiLineString rows -> per-tile slices.
@@ -190,6 +211,7 @@ def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
         return empty
     coords, offsets, part_of = decode_lines(batch[wkb_col].tolist())
     mnx, mny, mxx, mxy = bbox_of_lines(coords, offsets)
+    _check_cover(mnx, mny, mxx, mxy, res)
     line_idx, cell = cover_bboxes(mnx, mny, mxx, mxy, res)
     lo_x, lo_y, hi_x, hi_y = cell_bounds(cell)
     boxes = np.column_stack((lo_x, lo_y, hi_x, hi_y))
@@ -308,6 +330,7 @@ def slice_polygons_to_tiles(batch: pd.DataFrame, wkb_col: str,
     mny = np.minimum.reduceat(coords[:, 1], s)
     mxx = np.maximum.reduceat(coords[:, 0], s)
     mxy = np.maximum.reduceat(coords[:, 1], s)
+    _check_cover(mnx, mny, mxx, mxy, res)
     poly_idx, cell = cover_bboxes(mnx, mny, mxx, mxy, res)
     if len(poly_idx) == 0:
         return empty

@@ -408,3 +408,16 @@ def test_tiles_job_cli(tmp_path):
     ct = run(["raster", "--data", pts, "--out", str(tmp_path / "ct"),
               "--res", "2", "--px", "16", "--contour-threshold", "1"])
     assert ct["polygons"] > 0
+
+
+def test_cover_cap_raises():
+    from osm_sidewalkreator_ray.geom.wkb import encode_line
+    from osm_sidewalkreator_ray.pipelines.tiles import (
+        slice_lines_to_tiles)
+    # a transcontinental line at street res would cover millions of
+    # cells -> explicit raise, never a silent explosion
+    df = pd.DataFrame({"feature_id": [0],
+                       "wkb": [encode_line(np.array([[-170.0, -80.0],
+                                                     [170.0, 80.0]]))]})
+    with pytest.raises(ValueError, match="covers"):
+        slice_lines_to_tiles(df, "wkb", "feature_id", 13)
