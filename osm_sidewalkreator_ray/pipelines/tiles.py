@@ -486,3 +486,133 @@ def density_contours(tiles_ds, threshold: float):
 def _ring_area(ring: np.ndarray) -> float:
     from ..geom.core import ring_signed_area
     return ring_signed_area(ring)
+
+
+# --- zonal statistics: per-polygon aggregation of a point stream --------
+
+def build_zone_index(zones_df: pd.DataFrame, wkb_col: str,
+                     zone_id_col: str, res: int) -> dict:
+    """Cell -> candidate-zone index for a (small) polygon layer.
+
+    Built once on the driver and broadcast via ``ray.put``; candidate
+    lookup is bbox-cover at ``res``, the exact PIP runs streaming in
+    the tasks. For zone layers too large to broadcast, use the sharded
+    index path (`page_join._prepare_index`) instead.
+    """
+    from ..geom.wkb import decode_polygons
+
+    coords, ring_offsets, poly_offsets, part_of = decode_polygons(
+        zones_df[wkb_col].tolist())
+    s = np.asarray(ring_offsets[poly_offsets[:-1]], dtype=np.intp)
+    mnx = np.minimum.reduceat(coords[:, 0], s)
+    mny = np.minimum.reduceat(coords[:, 1], s)
+    mxx = np.maximum.reduceat(coords[:, 0], s)
+    mxy = np.maximum.reduceat(coords[:, 1], s)
+    _check_cover(mnx, mny, mxx, mxy, res)
+    poly_idx, cell = cover_bboxes(mnx, mny, mxx, mxy, res)
+    order = np.argsort(cell, kind="stable")
+    cells_sorted = cell[order]
+    polys_sorted = poly_idx[order]
+    uq, starts = np.unique(cells_sorted, return_index=True)
+    by_cell = {int(c): polys_sorted[starts[i]:
+                                    (starts[i + 1] if i + 1 < len(starts)
+                                     else len(polys_sorted))]
+               for i, c in enumerate(uq)}
+    return {"by_cell": by_cell, "coords": coords,
+            "ring_offsets": np.asarray(ring_offsets),
+            "poly_offsets": np.asarray(poly_offsets),
+            "zone_ids": zones_df[zone_id_col].to_numpy()[part_of]}
+
+
+def zonal_stats(points_ds, zones_df: pd.DataFrame, lat_col: str,
+                lon_col: str, res: int = 10,
+                zone_id_col: str = "zone_id", wkb_col: str = "wkb",
+                value_col: str | None = None, batch_size: int = 65536,
+                num_buckets: int = 32):
+    """Per-zone aggregates of a streaming point table (raster-free
+    zonal statistics). The zone layer is broadcast ONCE (`ray.put`);
+    points never shuffle — each batch quantizes to cells, PIP-tests
+    only the zones whose bbox covers that cell, and emits slim
+    (zone, n, sum/min/max) partials into the standard bucketed
+    combine. A point inside k overlapping zones counts in each.
+    """
+    import ray
+
+    from ..geom.core import points_in_polygon
+
+    index_ref = ray.put(build_zone_index(zones_df, wkb_col,
+                                         zone_id_col, res))
+    use_value = value_col is not None
+    cols = ["zone_id", "n"] + (["sum_v", "min_v", "max_v"]
+                               if use_value else [])
+
+    def _empty() -> pd.DataFrame:
+        p = pd.DataFrame({c: pd.Series(dtype=np.float64)
+                          for c in cols})
+        p["zone_id"] = p["zone_id"].astype(object)
+        p["n"] = p["n"].astype(np.int64)
+        p[_BUCKET] = pd.Series(dtype=np.int64)
+        return p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty()
+        idx = ray.get(index_ref)  # plasma-cached per worker
+        lat = batch[lat_col].to_numpy(np.float64)
+        lon = batch[lon_col].to_numpy(np.float64)
+        w = (batch[value_col].to_numpy(np.float64) if use_value
+             else None)
+        cell = latlng_to_cell(lat, lon, res)
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        uq, starts = np.unique(cs, return_index=True)
+        starts = np.append(starts, len(cs))
+        zid_out, n_out, s_out, mn_out, mx_out = [], [], [], [], []
+        po = idx["poly_offsets"]
+        for i, c in enumerate(uq):
+            cands = idx["by_cell"].get(int(c))
+            if cands is None:
+                continue
+            rows = order[starts[i]:starts[i + 1]]
+            px, py = lon[rows], lat[rows]
+            for z in cands:
+                hit = points_in_polygon(px, py, idx["coords"],
+                                        idx["ring_offsets"],
+                                        int(po[z]), int(po[z + 1]))
+                k = int(hit.sum())
+                if not k:
+                    continue
+                zid_out.append(idx["zone_ids"][z])
+                n_out.append(k)
+                if use_value:
+                    wv = w[rows[hit]]
+                    s_out.append(wv.sum())
+                    mn_out.append(wv.min())
+                    mx_out.append(wv.max())
+        if not zid_out:
+            return _empty()
+        p = pd.DataFrame({"zone_id": zid_out,
+                          "n": np.asarray(n_out, dtype=np.int64)})
+        if use_value:
+            p["sum_v"] = s_out
+            p["min_v"] = mn_out
+            p["max_v"] = mx_out
+        h = pd.util.hash_array(p["zone_id"].to_numpy())
+        p[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return p
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("zone_id", sort=False)
+        agg = {"n": g["n"].sum()}
+        if use_value:
+            agg.update(sum_v=g["sum_v"].sum(), min_v=g["min_v"].min(),
+                       max_v=g["max_v"].max())
+        out = pd.DataFrame(agg).reset_index()
+        if use_value:
+            out["mean_v"] = out["sum_v"] / out["n"]
+        return out
+
+    partials = points_ds.map_batches(partial, batch_format="pandas",
+                                     batch_size=batch_size)
+    return partials.groupby(_BUCKET).map_groups(combine,
+                                                batch_format="pandas")

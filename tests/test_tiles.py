@@ -421,3 +421,68 @@ def test_cover_cap_raises():
                                                      [170.0, 80.0]]))]})
     with pytest.raises(ValueError, match="covers"):
         slice_lines_to_tiles(df, "wkb", "feature_id", 13)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZonalStats:
+    def test_matches_bruteforce_pip(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.geom.core import points_in_polygon
+        from osm_sidewalkreator_ray.geom.wkb import (decode_polygons,
+                                                     encode_polygon)
+        from osm_sidewalkreator_ray.pipelines.tiles import zonal_stats
+        rng = np.random.default_rng(21)
+        zones = []
+        for i in range(12):
+            cx, cy = rng.uniform(-15, 15, 2)
+            ang = np.linspace(0, 2 * np.pi, 9, endpoint=False)
+            rad = rng.uniform(2, 7, 9)
+            ring = np.column_stack((cx + rad * np.cos(ang),
+                                    cy + rad * np.sin(ang)))
+            zones.append({"zone_id": f"z{i}",
+                          "wkb": encode_polygon(
+                              [np.vstack([ring, ring[:1]])])})
+        zones_df = pd.DataFrame(zones)
+        pts = pd.DataFrame({"lat": rng.uniform(-25, 25, 5000),
+                            "lon": rng.uniform(-25, 25, 5000),
+                            "v": rng.normal(0, 2, 5000)})
+        got = (zonal_stats(rd.from_pandas(pts), zones_df, "lat", "lon",
+                           res=6, value_col="v").to_pandas()
+               .set_index("zone_id").sort_index())
+        c, ro, po, _ = decode_polygons(zones_df["wkb"].tolist())
+        hits_any = 0
+        for i, zid in enumerate(zones_df["zone_id"]):
+            hit = points_in_polygon(pts["lon"].to_numpy(),
+                                    pts["lat"].to_numpy(),
+                                    c, ro, int(po[i]), int(po[i + 1]))
+            k = int(hit.sum())
+            if k == 0:
+                assert zid not in got.index
+                continue
+            hits_any += 1
+            row = got.loc[zid]
+            assert row["n"] == k
+            wv = pts["v"].to_numpy()[hit]
+            np.testing.assert_allclose(
+                [row["sum_v"], row["min_v"], row["max_v"],
+                 row["mean_v"]],
+                [wv.sum(), wv.min(), wv.max(), wv.mean()], atol=1e-9)
+        assert hits_any >= 8 and len(got) == hits_any
+
+    def test_overlapping_zones_count_in_each(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.geom.wkb import encode_polygon
+        from osm_sidewalkreator_ray.pipelines.tiles import zonal_stats
+        sq = np.array([[0.0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+        zones_df = pd.DataFrame({
+            "zone_id": ["a", "b"],
+            "wkb": [encode_polygon([sq]),
+                    encode_polygon([sq + 2.0])]})  # overlap [2,4]^2
+        pts = pd.DataFrame({"lat": [3.0, 1.0, 5.0, 9.0],
+                            "lon": [3.0, 1.0, 5.0, 9.0]})
+        got = (zonal_stats(rd.from_pandas(pts), zones_df, "lat", "lon",
+                           res=5).to_pandas()
+               .set_index("zone_id")["n"].sort_index())
+        assert got.to_dict() == {"a": 2, "b": 2}
