@@ -616,3 +616,75 @@ def zonal_stats(points_ds, zones_df: pd.DataFrame, lat_col: str,
                                      batch_size=batch_size)
     return partials.groupby(_BUCKET).map_groups(combine,
                                                 batch_format="pandas")
+
+
+# --- origin-destination tile flows ---------------------------------------
+
+_OD_RES = 7
+
+
+def events_od_matrix(sf_dir: str, res: int = _OD_RES):
+    """Tile-to-tile flow matrix: per-user consecutive event transitions
+    counted between the cells of the two event locations (the OD
+    aggregation a mobility tile service serves).
+
+    Event locations derive deterministically from event_id (same
+    int64-only recipe as the pyramid oracle). Plan: one user-hash
+    bucket shuffle, ONE sorted vectorized pandas pass per bucket
+    (consecutive-pair shift, no per-user Python), slim
+    (cell_from, cell_to, n) partials folded by grouped_agg.
+    """
+    import ray.data as rd
+
+    from ..functions.aggregates import grouped_agg
+    from .relational import _bucket_by_user
+
+    ds = _bucket_by_user(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"]))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        lat = ((eid * 48271) % 18000) / 100.0 - 90.0
+        lon = ((eid * 69621) % 36000) / 100.0 - 180.0
+        cell = latlng_to_cell(lat, lon, res)
+        same = uid[:-1] == uid[1:]
+        df = pd.DataFrame({"cell_from": cell[:-1][same],
+                           "cell_to": cell[1:][same]})
+        return (df.groupby(["cell_from", "cell_to"], sort=False)
+                .size().reset_index(name="n"))
+
+    part = (ds.groupby("__ubucket")
+            .map_groups(lambda g: pairs(g.drop(columns="__ubucket")),
+                        batch_format="pandas"))
+    out = grouped_agg(part, ["cell_from", "cell_to"],
+                      {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["cell_from", "cell_to"])
+            .reset_index(drop=True))
+
+
+EVENTS_OD_MATRIX_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(((((event_id * 69621) % 36000) / 100.0 - 180.0)
+              + 180.0) / (180.0 / {1 << _OD_RES})) AS BIGINT) AS ix,
+         CAST(floor(((((event_id * 48271) % 18000) / 100.0 - 90.0)
+              + 90.0) / (180.0 / {1 << _OD_RES})) AS BIGINT) AS iy
+  FROM events
+), w AS (
+  SELECT (CAST({_OD_RES} AS BIGINT) << 58) | (ix << 29) | iy
+             AS cell_from,
+         LEAD((CAST({_OD_RES} AS BIGINT) << 58) | (ix << 29) | iy)
+             OVER u AS cell_to
+  FROM pts
+  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT cell_from, cell_to, COUNT(*) AS n
+FROM w WHERE cell_to IS NOT NULL
+GROUP BY cell_from, cell_to
+ORDER BY cell_from, cell_to
+"""

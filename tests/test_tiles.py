@@ -486,3 +486,23 @@ class TestZonalStats:
                            res=5).to_pandas()
                .set_index("zone_id")["n"].sort_index())
         assert got.to_dict() == {"a": 2, "b": 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_od_matrix_oracle():
+    from osm_sidewalkreator_ray.pipelines import tiles as T
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = T.events_od_matrix(sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf}/events.parquet'")
+        want = con.sql(T.EVENTS_OD_MATRIX_SQL).df()
+        assert len(got) == len(want) > 0
+        for c in ("cell_from", "cell_to", "n"):
+            np.testing.assert_array_equal(got[c].to_numpy(np.int64),
+                                          want[c].to_numpy(np.int64), c)
+        # flow conservation: total transitions = sum over users of
+        # (events - 1)
+        per_user = con.sql(
+            "SELECT count(*) AS c FROM events GROUP BY user_id").df()
+        assert got["n"].sum() == (per_user["c"] - 1).sum()
