@@ -688,3 +688,144 @@ FROM w WHERE cell_to IS NOT NULL
 GROUP BY cell_from, cell_to
 ORDER BY cell_from, cell_to
 """
+
+
+# --- spatial autocorrelation over tile aggregates ------------------------
+
+def _tile_neighbor_sums(cells_ds, num_buckets: int = 32):
+    """(cell, x) -> (cell, x, nbr_sum, nbr_cnt) with queen (8-way)
+    adjacency over OBSERVED cells. One exchange: every cell's value
+    replicates to its 8 neighbor ids (pure ix/iy integer shifts, no
+    wraparound), a bucketed combine sums per target, and the original
+    rows ride the SAME exchange (side tag) so the join back costs no
+    second shuffle. Cells whose neighbor doesn't exist contribute
+    nothing there — binary weights on the observed lattice.
+    """
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                                 "x": pd.Series(dtype=np.float64),
+                                 "side": pd.Series(dtype=np.int8),
+                                 _BUCKET: pd.Series(dtype=np.int64)})
+        cell = batch["cell"].to_numpy(np.int64)
+        x = batch["x"].to_numpy(np.float64)
+        res = cell_res(cell)
+        ix, iy = cell_ixy(cell)
+        nx = (np.int64(2) << res)
+        ny = (np.int64(1) << res)
+        frames = [pd.DataFrame({"cell": cell, "x": x,
+                                "side": np.int8(0)})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+                tgt = (res[ok] << 58) | (jx[ok] << 29) | jy[ok]
+                frames.append(pd.DataFrame({"cell": tgt, "x": x[ok],
+                                            "side": np.int8(1)}))
+        out = pd.concat(frames, ignore_index=True)
+        h = pd.util.hash_array(out["cell"].to_numpy())
+        out[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        own = bucket[bucket["side"] == 0]
+        nbr = (bucket[bucket["side"] == 1]
+               .groupby("cell")["x"].agg(nbr_sum="sum", nbr_cnt="size"))
+        out = pd.DataFrame({
+            "cell": own["cell"].to_numpy(),
+            "x": own["x"].to_numpy()}).join(nbr, on="cell")
+        out["nbr_sum"] = out["nbr_sum"].fillna(0.0)
+        out["nbr_cnt"] = (out["nbr_cnt"].fillna(0)
+                          .astype(np.int64))
+        return out
+
+    return (cells_ds.map_batches(explode, batch_format="pandas")
+            .groupby(_BUCKET)
+            .map_groups(combine, batch_format="pandas"))
+
+
+def morans_i(cells_ds) -> pd.DataFrame:
+    """Global Moran's I of value ``x`` over a (cell, x) tile table with
+    queen adjacency (binary weights, observed cells only). Returns one
+    row (i, w, n_cells). All reductions are algebraic — two streaming
+    aggregates plus the single neighbor exchange."""
+    enriched = _tile_neighbor_sums(cells_ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "n": [len(b)], "sx": [x.sum()], "sxx": [(x * x).sum()],
+            "w": [b["nbr_cnt"].to_numpy(np.int64).sum()],
+            "sxnb": [(x * b["nbr_sum"].to_numpy(np.float64)).sum()],
+            "sxnc": [(x * b["nbr_cnt"].to_numpy(np.float64)).sum()],
+            "snb": [b["nbr_sum"].to_numpy(np.float64).sum()],
+            "snc": [b["nbr_cnt"].to_numpy(np.float64).sum()]})
+
+    agg = (enriched.map_batches(partial, batch_format="pandas")
+           .to_pandas().sum())
+    n, w = float(agg["n"]), float(agg["w"])
+    if n < 2 or w == 0:
+        return pd.DataFrame({"i": [np.nan], "w": [w], "n_cells": [n]})
+    mean = agg["sx"] / n
+    # sum_i (x_i - m)(nbr_sum_i - cnt_i m)
+    num = (agg["sxnb"] - mean * agg["sxnc"] - mean * agg["snb"]
+           + mean * mean * agg["snc"])
+    den = agg["sxx"] - n * mean * mean
+    return pd.DataFrame({"i": [(n / w) * num / den], "w": [w],
+                         "n_cells": [int(n)]})
+
+
+def getis_gi_star(cells_ds) -> "object":
+    """Per-cell Getis-Ord Gi* hotspot z-score (star = self included)
+    over a (cell, x) tile table, queen adjacency on observed cells.
+    Returns a Dataset (cell, x, gi_star)."""
+    enriched = _tile_neighbor_sums(cells_ds)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.float64)
+        return pd.DataFrame({"n": [len(b)], "sx": [x.sum()],
+                             "sxx": [(x * x).sum()]})
+
+    m = enriched.map_batches(moments, batch_format="pandas").to_pandas()
+    m = m.sum()
+    n = float(m["n"])
+    mean = m["sx"] / n
+    s = np.sqrt(m["sxx"] / n - mean * mean)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.float64)
+        wsum = b["nbr_sum"].to_numpy(np.float64) + x   # star: + self
+        wi = b["nbr_cnt"].to_numpy(np.float64) + 1.0
+        denom = s * np.sqrt((n * wi - wi * wi) / (n - 1.0))
+        return pd.DataFrame({"cell": b["cell"].to_numpy(np.int64),
+                             "x": x,
+                             "gi_star": (wsum - mean * wi) / denom})
+
+    return enriched.map_batches(score, batch_format="pandas")
+
+
+_MORAN_RES = 4
+
+
+def events_cells_ds(sf_dir: str, res: int = _MORAN_RES):
+    """(cell, x=count) tile table of deterministic EVENT-level points
+    (event_id-derived, like events_od_matrix — one location per event,
+    dense enough at res 4 for a connected adjacency lattice)."""
+    import ray.data as rd
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lat": ((eid * 48271) % 18000) / 100.0 - 90.0,
+            "lon": ((eid * 69621) % 36000) / 100.0 - 180.0})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id"])
+    pyr = tile_pyramid(ds.map_batches(pts, batch_format="pandas"),
+                       "lat", "lon", res=res, min_res=res)
+    return pyr.map_batches(
+        lambda b: pd.DataFrame({"cell": b["cell"].to_numpy(np.int64),
+                                "x": b["n"].to_numpy(np.float64)}),
+        batch_format="pandas")

@@ -506,3 +506,78 @@ def test_events_od_matrix_oracle():
         per_user = con.sql(
             "SELECT count(*) AS c FROM events GROUP BY user_id").df()
         assert got["n"].sum() == (per_user["c"] - 1).sum()
+
+
+_CELLS_SQL = """
+WITH pts AS (
+  SELECT CAST(floor(((((event_id * 69621) % 36000) / 100.0 - 180.0)
+         + 180.0) / (180.0 / 16)) AS BIGINT) AS ix,
+         CAST(floor(((((event_id * 48271) % 18000) / 100.0 - 90.0)
+         + 90.0) / (180.0 / 16)) AS BIGINT) AS iy
+  FROM events
+), c AS (
+  SELECT ix, iy, CAST(count(*) AS DOUBLE) AS x FROM pts GROUP BY ix, iy
+), nbr AS (
+  SELECT a.ix, a.iy, a.x,
+         COALESCE(sum(b.x), 0.0) AS nbr_sum,
+         count(b.x) AS nbr_cnt
+  FROM c a LEFT JOIN c b
+    ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+       AND NOT (a.ix = b.ix AND a.iy = b.iy)
+  GROUP BY a.ix, a.iy, a.x
+)
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpatialAutocorrelation:
+    SF = "/root/testdata/sf0.001"
+
+    def _con(self):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{self.SF}/events.parquet'")
+        return con
+
+    def test_morans_i_oracle(self):
+        from osm_sidewalkreator_ray.pipelines import tiles as T
+        got = T.morans_i(T.events_cells_ds(self.SF))
+        con = self._con()
+        want = con.sql(_CELLS_SQL + """
+        , s AS (SELECT count(*) AS n, avg(x) AS m FROM c)
+        SELECT (s.n / sum(nbr.nbr_cnt))
+               * sum((nbr.x - s.m) * (nbr.nbr_sum - nbr.nbr_cnt * s.m))
+               / sum((nbr.x - s.m) * (nbr.x - s.m)) AS i,
+               CAST(sum(nbr.nbr_cnt) AS DOUBLE) AS w,
+               s.n AS n_cells
+        FROM nbr, s GROUP BY s.n
+        """).df()
+        assert int(got["n_cells"].iloc[0]) == int(want["n_cells"].iloc[0])
+        np.testing.assert_allclose(got["w"], want["w"])
+        np.testing.assert_allclose(got["i"], want["i"], rtol=1e-9)
+        assert np.isfinite(got["i"].iloc[0])
+
+    def test_gi_star_oracle(self):
+        from osm_sidewalkreator_ray.pipelines import tiles as T
+        got = (T.getis_gi_star(T.events_cells_ds(self.SF)).to_pandas()
+               .sort_values("cell").reset_index(drop=True))
+        con = self._con()
+        want = con.sql(_CELLS_SQL + """
+        , s AS (SELECT count(*) AS n, avg(x) AS m,
+                       sqrt(sum(x * x) / count(*)
+                            - avg(x) * avg(x)) AS sd
+                FROM c)
+        SELECT (CAST(4 AS BIGINT) << 58) | (ix << 29) | iy AS cell, x,
+               ((nbr_sum + x) - s.m * (nbr_cnt + 1))
+               / (s.sd * sqrt((s.n * (nbr_cnt + 1.0)
+                  - (nbr_cnt + 1.0) * (nbr_cnt + 1.0)) / (s.n - 1)))
+               AS gi_star
+        FROM nbr, s ORDER BY cell
+        """).df()
+        assert len(got) == len(want)
+        np.testing.assert_array_equal(got["cell"].to_numpy(np.int64),
+                                      want["cell"].to_numpy(np.int64))
+        np.testing.assert_allclose(got["gi_star"], want["gi_star"],
+                                   rtol=1e-9)
+        # hotspots exist and z-scores are centered-ish
+        assert (np.abs(got["gi_star"]) > 1.96).any()
