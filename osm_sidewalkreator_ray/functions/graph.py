@@ -1073,3 +1073,117 @@ def label_propagation(edges, iters: int = 5,
     labels = labels.to_pandas()
     out = labels.rename(columns={"label": "community"})
     return out.sort_values("vertex").reset_index(drop=True)
+
+
+def sssp_weighted(edges, sources, weight_col: str = "w",
+                  num_buckets: int = 32, max_iters: int = 60,
+                  directed: bool = False) -> pd.DataFrame:
+    """Weighted single-source(-set) shortest paths — road-network
+    routing over an edge Dataset (src, dst, w >= 0). Distributed
+    Bellman-Ford with the same bucketed relaxation machinery as
+    ``bfs_hops``: each round is one slim (vertex, dist) shuffle with
+    ``dist[v] = min(dist[v], min_u dist[u] + w(u, v))``; rounds needed
+    = the hop length of the longest shortest path, and convergence is
+    the exact fixpoint (distances only decrease, so the
+    (n_finite, sum) pair is stable iff no relaxation fired).
+    Unreachable vertices return inf.
+    """
+    edges = _to_edge_ds(edges)
+    src_set = frozenset(int(s) for s in sources)
+    if not src_set:
+        raise ValueError("sssp_weighted requires at least one source")
+    inf = np.float64(np.inf)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        w = b[weight_col].to_numpy(np.float64)
+        if np.any(w < 0):
+            raise ValueError("negative edge weights are not supported")
+        if not directed:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            w = np.concatenate([w, w])
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(s) % num_buckets)
+            .astype(np.int64),
+            "src": s, "dst": d, "label": w,
+            "is_edge": np.ones(len(s), dtype=bool)})
+
+    edge_rows = edges.map_batches(prep,
+                                  batch_format="pandas").materialize()
+    if edge_rows.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="float64")})
+    src_arr = np.fromiter(src_set, dtype=np.int64)
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([b["src"].to_numpy(),
+                                      b["dst"].to_numpy()]))
+        return pd.DataFrame({"vertex": v,
+                             "label": np.where(np.isin(v, src_arr),
+                                               0.0, inf)})
+
+    def _as_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vertex": b["vertex"].to_numpy().astype(np.int64),
+            "label": b["min(label)"].to_numpy(np.float64)})
+
+    labels = (edge_rows.map_batches(init_labels, batch_format="pandas")
+              .groupby("vertex").min("label")
+              .map_batches(_as_labels, batch_format="pandas")
+              .materialize())
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(b["vertex"].to_numpy())
+                       % num_buckets).astype(np.int64),
+            "src": b["vertex"].to_numpy(),
+            "dst": np.full(len(b), -1, dtype=np.int64),
+            "label": b["label"].to_numpy(np.float64),
+            "is_edge": np.zeros(len(b), dtype=bool)})
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[~g["is_edge"], ["src", "label"]] \
+            .rename(columns={"src": "vertex"})
+        reach = lab.loc[np.isfinite(lab["label"].to_numpy())]
+        e = g.loc[g["is_edge"], ["src", "dst", "label"]] \
+            .rename(columns={"label": "w"})
+        prop = e.merge(reach, left_on="src", right_on="vertex")
+        if len(prop):
+            cand = (prop.assign(label=prop["label"] + prop["w"])
+                    .groupby("dst", as_index=False)["label"].min()
+                    .rename(columns={"dst": "vertex"}))
+            return pd.concat([lab[["vertex", "label"]], cand],
+                             ignore_index=True)
+        return lab[["vertex", "label"]]
+
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_labels, batch_format="pandas")
+        merged = (edge_rows.union(tagged).groupby("bucket")
+                  .map_groups(relax, batch_format="pandas"))
+        labels = (merged.groupby("vertex").min("label")
+                  .map_batches(_as_labels, batch_format="pandas")
+                  .materialize())
+
+        def stat(b: pd.DataFrame) -> pd.DataFrame:
+            lab = b["label"].to_numpy(np.float64)
+            fin = lab[np.isfinite(lab)]
+            return pd.DataFrame({"n": [len(fin)], "s": [fin.sum()]})
+
+        st = labels.map_batches(stat, batch_format="pandas").to_pandas()
+        cur = (int(st["n"].sum()), float(st["s"].sum()))
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"sssp_weighted did not converge in {max_iters} rounds "
+            "(longest shortest path exceeds max_iters hops); "
+            "raise max_iters")
+    df = labels.to_pandas()
+    return (pd.DataFrame({"vertex": df["vertex"].to_numpy(np.int64),
+                          "dist": df["label"].to_numpy(np.float64)})
+            .sort_values("vertex").reset_index(drop=True))

@@ -799,3 +799,73 @@ class TestLabelPropagation:
                 rd.from_pandas(df).repartition(4), iters=it)
             ref = self._local_lpa(edges, it)
             assert dict(zip(got["vertex"], got["community"])) == ref
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSSSPWeighted:
+    @staticmethod
+    def _dijkstra(edges_df, sources, directed=False):
+        import heapq
+        adj = {}
+        for s, d, w in edges_df[["src", "dst", "w"]].itertuples(
+                index=False):
+            adj.setdefault(s, []).append((d, w))
+            if not directed:
+                adj.setdefault(d, []).append((s, w))
+        dist = {v: np.inf for v in
+                set(edges_df["src"]) | set(edges_df["dst"])}
+        heap = []
+        for s in sources:
+            dist[s] = 0.0
+            heapq.heappush(heap, (0.0, s))
+        while heap:
+            dcur, u = heapq.heappop(heap)
+            if dcur > dist[u]:
+                continue
+            for v, w in adj.get(u, []):
+                nd = dcur + w
+                if nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        return dist
+
+    def _random_graph(self, n=200, m=700, seed=13):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep],
+                             "w": rng.uniform(0.5, 5.0, keep.sum())})
+
+    def test_matches_dijkstra(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.functions.graph import sssp_weighted
+        e = self._random_graph()
+        got = sssp_weighted(rd.from_pandas(e), sources=[0, 17])
+        want = self._dijkstra(e, [0, 17])
+        assert len(got) == len(want)
+        for v, d in zip(got["vertex"], got["dist"]):
+            if np.isinf(want[v]):
+                assert np.isinf(d)
+            else:
+                assert abs(d - want[v]) < 1e-9, v
+
+    def test_directed_and_unreachable(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.functions.graph import sssp_weighted
+        e = pd.DataFrame({"src": [0, 1, 3], "dst": [1, 2, 0],
+                          "w": [2.0, 3.0, 1.0]})
+        got = sssp_weighted(rd.from_pandas(e), sources=[0],
+                            directed=True).set_index("vertex")["dist"]
+        assert got[0] == 0 and got[1] == 2.0 and got[2] == 5.0
+        assert np.isinf(got[3])  # 3 -> 0 edge is directed away
+
+    def test_negative_weight_raises(self):
+        import ray.data as rd
+
+        from osm_sidewalkreator_ray.functions.graph import sssp_weighted
+        e = pd.DataFrame({"src": [0], "dst": [1], "w": [-1.0]})
+        with pytest.raises(Exception, match="negative"):
+            sssp_weighted(rd.from_pandas(e), sources=[0]).to_string()
