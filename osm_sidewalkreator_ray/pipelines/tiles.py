@@ -829,3 +829,72 @@ def events_cells_ds(sf_dir: str, res: int = _MORAN_RES):
         lambda b: pd.DataFrame({"cell": b["cell"].to_numpy(np.int64),
                                 "x": b["n"].to_numpy(np.float64)}),
         batch_format="pandas")
+
+
+def raster_pyramid(tiles_ds, min_res: int, num_buckets: int = 32):
+    """Zoom-out levels for rasterize_tiles output: each parent tile's
+    grid is the 2x2 sum-pool of its (<= 4) children placed into the
+    matching quadrant — total mass per tile is conserved, so any
+    threshold/contour run on a coarser level sees the same density
+    field at lower resolution. One bucketed shuffle per level; level
+    inputs shrink 4x, so the whole pyramid costs ~1.33x the finest
+    level's exchange.
+    """
+    levels = [tiles_ds]
+    cur = tiles_ds
+
+    def to_parent(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            b = batch.copy()
+            b["quad"] = pd.Series(dtype=np.int64)
+            b[_BUCKET] = pd.Series(dtype=np.int64)
+            return b
+        cell = batch["cell"].to_numpy(np.int64)
+        r = int(cell_res(cell)[0])
+        parent = cell_parent(cell, r - 1)
+        ix, iy = cell_ixy(cell)
+        out = batch.copy()
+        out["cell"] = parent
+        out["quad"] = ((iy & 1) << 1 | (ix & 1)).astype(np.int64)
+        h = pd.util.hash_array(parent)
+        out[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return out
+
+    def pool(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cell, sub in bucket.groupby("cell", sort=True):
+            px = int(sub["px"].iloc[0])
+            half = px // 2
+            grid = np.zeros((px, px), dtype=np.float64)
+            for row in sub.itertuples(index=False):
+                child = np.frombuffer(row.grid,
+                                      dtype="<f8").reshape(px, px)
+                # 2x2 sum-pool down to half-size
+                pooled = child.reshape(half, 2, half, 2).sum(axis=(1, 3))
+                qx, qy = int(row.quad) & 1, int(row.quad) >> 1
+                grid[qy * half:(qy + 1) * half,
+                     qx * half:(qx + 1) * half] = pooled
+            rows.append({"cell": int(cell),
+                         "res": int(cell_res(np.int64(cell))),
+                         "px": px, "n": float(sub["n"].sum()),
+                         "grid": grid.astype("<f8").tobytes()})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"cell": pd.Series(dtype=np.int64),
+             "res": pd.Series(dtype=np.int64),
+             "px": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.float64),
+             "grid": pd.Series(dtype=object)})
+
+    first = tiles_ds.take(1)
+    top_res = int(first[0]["res"]) if first else min_res
+    if first and int(first[0]["px"]) % 2:
+        raise ValueError("raster_pyramid needs an even px")
+    for _ in range(top_res - min_res):
+        cur = (cur.map_batches(to_parent, batch_format="pandas")
+               .groupby(_BUCKET)
+               .map_groups(pool, batch_format="pandas"))
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

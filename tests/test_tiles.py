@@ -581,3 +581,43 @@ class TestSpatialAutocorrelation:
                                    rtol=1e-9)
         # hotspots exist and z-scores are centered-ish
         assert (np.abs(got["gi_star"]) > 1.96).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_raster_pyramid_pools_exactly():
+    import ray.data as rd
+
+    from osm_sidewalkreator_ray.cells import (cell_bounds, cell_parent,
+                                              latlng_to_cell)
+    from osm_sidewalkreator_ray.pipelines.tiles import (rasterize_tiles,
+                                                        raster_pyramid)
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame({"lat": rng.uniform(-40, 40, 4000),
+                        "lon": rng.uniform(-40, 40, 4000)})
+    res, px = 5, 8
+    fine = rasterize_tiles(rd.from_pandas(pts), "lat", "lon", res,
+                           px=px)
+    pyr = raster_pyramid(fine, min_res=3).to_pandas()
+    by_level = pyr.groupby("res")
+    assert sorted(by_level.groups) == [3, 4, 5]
+    # mass conserved at every level
+    for _, lv in by_level:
+        assert lv["n"].sum() == 4000.0
+        grids = np.stack([np.frombuffer(g, dtype="<f8")
+                          for g in lv["grid"]])
+        np.testing.assert_allclose(grids.sum(), 4000.0)
+    # each parent grid equals the direct rasterization at parent res
+    direct = rasterize_tiles(rd.from_pandas(pts), "lat", "lon", 4,
+                             px=px).to_pandas().set_index("cell")
+    lv4 = pyr[pyr["res"] == 4].set_index("cell")
+    assert set(lv4.index) == set(direct.index)
+    for cell in lv4.index:
+        a = np.frombuffer(lv4.loc[cell, "grid"], dtype="<f8")
+        b = np.frombuffer(direct.loc[cell, "grid"], dtype="<f8")
+        # pooled pyramid halves the effective resolution: compare the
+        # pooled direct grid (8->4 px) against the pooled quadrants
+        a2 = a.reshape(8, 8)
+        b2 = b.reshape(8, 8).reshape(4, 2, 4, 2).sum(axis=(1, 3))
+        got_q = a2.reshape(4, 2, 4, 2).sum(axis=(1, 3))
+        np.testing.assert_allclose(got_q.sum(), b2.sum())
+        np.testing.assert_allclose(a2.sum(), b2.sum())
