@@ -255,3 +255,12 @@ def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
             stack.append((i, m))
             stack.append((m, j))
     return np.nonzero(keep)[0]
+
+
+def simplify_line(line: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker on an OPEN polyline — endpoints always kept, max
+    perpendicular deviation of dropped points <= tol."""
+    if len(line) <= 2:
+        return line
+    return line[_douglas_peucker(np.asarray(line, dtype=np.float64),
+                                 tol)]

@@ -188,7 +188,8 @@ def _check_cover(mnx, mny, mxx, mxy, res: int) -> None:
 
 
 def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
-                         res: int) -> pd.DataFrame:
+                         res: int, simplify_tol: float = 0.0
+                         ) -> pd.DataFrame:
     """One batch of LineString/MultiLineString rows -> per-tile slices.
 
     Pure numpy: decode once, bbox-cover each line (cells.cover_bboxes),
@@ -228,6 +229,17 @@ def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
     head = np.maximum.accumulate(
         np.where(first, np.arange(len(piece_pair)), 0))
     piece_idx = np.arange(len(piece_pair)) - head
+    if simplify_tol > 0.0:
+        # per-zoom generalization (every tile server ships simplified
+        # geometry at coarse zooms): DP per piece, endpoints kept so
+        # pieces still meet at tile boundaries
+        from ..geom.raster import simplify_line
+        pieces = [simplify_line(pcoords[poffsets[i]:poffsets[i + 1]],
+                                simplify_tol)
+                  for i in range(len(poffsets) - 1)]
+        pcoords = np.concatenate(pieces)
+        poffsets = np.concatenate(
+            ([0], np.cumsum([len(s) for s in pieces]))).astype(np.int64)
     return pd.DataFrame({"cell": pc, id_col: ids,
                          "piece_idx": piece_idx,
                          "wkb": encode_lines(pcoords, poffsets)})
@@ -236,7 +248,8 @@ def slice_lines_to_tiles(batch: pd.DataFrame, wkb_col: str, id_col: str,
 def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
                         id_col: str = "feature_id", res: int = 13,
                         dir_res: int = 5, batch_size: int = 4096,
-                        geometry: str = "line"):
+                        geometry: str = "line",
+                        simplify_tol: float = 0.0):
     """Write line features as a hive-partitioned vector-tile layout.
 
     Partition dirs are the DIR_RES ancestor of each tile cell
@@ -250,11 +263,21 @@ def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
         raise ValueError("dir_res must be <= res")
     if geometry not in ("line", "polygon"):
         raise ValueError("geometry must be 'line' or 'polygon'")
-    slicer = (slice_lines_to_tiles if geometry == "line"
-              else slice_polygons_to_tiles)
+    if geometry == "line":
+        def slicer(b):
+            return slice_lines_to_tiles(b, wkb_col, id_col, res,
+                                        simplify_tol=simplify_tol)
+    else:
+        if simplify_tol:
+            raise ValueError("simplify_tol is line-only (polygon "
+                             "simplification would break shared "
+                             "boundaries)")
+
+        def slicer(b):
+            return slice_polygons_to_tiles(b, wkb_col, id_col, res)
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
-        out = slicer(batch, wkb_col, id_col, res)
+        out = slicer(batch)
         out["tile_group"] = cell_parent(out["cell"].to_numpy(np.int64),
                                         dir_res)
         return out

@@ -621,3 +621,36 @@ def test_raster_pyramid_pools_exactly():
         got_q = a2.reshape(4, 2, 4, 2).sum(axis=(1, 3))
         np.testing.assert_allclose(got_q.sum(), b2.sum())
         np.testing.assert_allclose(a2.sum(), b2.sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vector_tile_simplification():
+    import ray.data as rd
+
+    from osm_sidewalkreator_ray.geom.wkb import decode_lines, encode_line
+    from osm_sidewalkreator_ray.pipelines.tiles import (
+        export_vector_tiles, slice_lines_to_tiles)
+    # a noisy near-straight line: DP at tol collapses the jitter
+    t = np.linspace(0, 8.0, 200)
+    rng = np.random.default_rng(2)
+    coords = np.column_stack((t,
+                              1.0 + 0.001 * rng.standard_normal(200)))
+    df = pd.DataFrame({"feature_id": [0], "wkb": [encode_line(coords)]})
+    plain = slice_lines_to_tiles(df, "wkb", "feature_id", 6)
+    simp = slice_lines_to_tiles(df, "wkb", "feature_id", 6,
+                                simplify_tol=0.01)
+    assert len(simp) == len(plain)  # piece structure unchanged
+    pc_p, off_p, _ = decode_lines(plain["wkb"].tolist())
+    pc_s, off_s, _ = decode_lines(simp["wkb"].tolist())
+    assert len(pc_s) < len(pc_p) / 3
+    # endpoints of every piece preserved exactly
+    for i in range(len(off_s) - 1):
+        np.testing.assert_array_equal(pc_s[off_s[i]], pc_p[off_p[i]])
+        np.testing.assert_array_equal(pc_s[off_s[i + 1] - 1],
+                                      pc_p[off_p[i + 1] - 1])
+    # max deviation from the simplified chord stays within tol
+    assert np.abs(pc_s[:, 1] - 1.0).max() <= 0.01 + 1e-12
+    # polygon mode rejects the knob
+    with pytest.raises(ValueError, match="line-only"):
+        export_vector_tiles(rd.from_pandas(df), "/tmp/never",
+                            geometry="polygon", simplify_tol=0.01)
