@@ -723,10 +723,10 @@ def test_no_shadowed_module_constants():
                                                   joins, sketches)
     from osm_sidewalkreator_ray.pipelines import (geospatial,
                                                   relational, search,
-                                                  textops, vectors,
-                                                  webtext)
+                                                  textops, tiles,
+                                                  vectors, webtext)
     for mod in (relational, textops, vectors, geospatial, search,
-                webtext, joins, aggregates, graph, sketches):
+                webtext, tiles, joins, aggregates, graph, sketches):
         tree = ast.parse(inspect.getsource(mod))
         seen: dict[str, int] = {}
         for node in tree.body:
