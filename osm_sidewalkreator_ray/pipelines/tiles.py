@@ -863,6 +863,11 @@ def raster_pyramid(tiles_ds, min_res: int, num_buckets: int = 32):
     inputs shrink 4x, so the whole pyramid costs ~1.33x the finest
     level's exchange.
     """
+    # materialize each level: the output union's branches would
+    # otherwise re-execute the shared upstream (finest level O(L)
+    # times); levels shrink 4x so the pinned footprint is ~1.33x the
+    # finest level
+    tiles_ds = tiles_ds.materialize()
     levels = [tiles_ds]
     cur = tiles_ds
 
@@ -915,7 +920,8 @@ def raster_pyramid(tiles_ds, min_res: int, num_buckets: int = 32):
     for _ in range(top_res - min_res):
         cur = (cur.map_batches(to_parent, batch_format="pandas")
                .groupby(_BUCKET)
-               .map_groups(pool, batch_format="pandas"))
+               .map_groups(pool, batch_format="pandas")
+               .materialize())
         levels.append(cur)
     out = levels[0]
     for lv in levels[1:]:
