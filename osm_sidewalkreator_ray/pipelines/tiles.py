@@ -927,3 +927,103 @@ def raster_pyramid(tiles_ds, min_res: int, num_buckets: int = 32):
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+# --- space-time cube ------------------------------------------------------
+
+_STC_RES = 5
+
+
+def spacetime_cube(ds, lat_col: str, lon_col: str, ts_col: str,
+                   res: int, freq: str = "W",
+                   value_col: str | None = None,
+                   batch_size: int = 65536, num_buckets: int = 32):
+    """(cell, period) rollup — the space-time cube under hotspot
+    trend analysis. Same single-exchange combiner as ``tile_pyramid``:
+    per-batch partials keyed by (cell, period_start), bucketed hash
+    combine. ``freq`` is a pandas offset alias ('D', 'W', 'M', ...);
+    periods are calendar-aligned via Period.start_time, so the SQL
+    oracle is date_trunc.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell", "period", "n"] + (
+            ["sum_v"] if value_col else [])
+        if len(batch) == 0:
+            p = pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                              "period":
+                              pd.Series(dtype="datetime64[us]"),
+                              "n": pd.Series(dtype=np.int64)})
+            if value_col:
+                p["sum_v"] = pd.Series(dtype=np.float64)
+            p[_BUCKET] = pd.Series(dtype=np.int64)
+            return p
+        cell = latlng_to_cell(batch[lat_col].to_numpy(np.float64),
+                              batch[lon_col].to_numpy(np.float64), res)
+        period = (pd.to_datetime(batch[ts_col])
+                  .dt.to_period(freq).dt.start_time)
+        df = pd.DataFrame({"cell": cell, "period": period.to_numpy()})
+        if value_col:
+            df["v"] = batch[value_col].to_numpy(np.float64)
+            p = (df.groupby(["cell", "period"], sort=False)["v"]
+                 .agg(n="size", sum_v="sum").reset_index())
+        else:
+            p = (df.groupby(["cell", "period"], sort=False).size()
+                 .reset_index(name="n"))
+        h = (pd.util.hash_array(p["cell"].to_numpy())
+             ^ pd.util.hash_array(p["period"].to_numpy()))
+        p[_BUCKET] = (h % num_buckets).astype(np.int64)
+        return p[cols + [_BUCKET]]
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["cell", "period"], sort=False)
+        agg = {"n": g["n"].sum()}
+        if value_col:
+            agg["sum_v"] = g["sum_v"].sum()
+        return pd.DataFrame(agg).reset_index()
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby(_BUCKET).map_groups(combine,
+                                         batch_format="pandas"))
+
+
+def events_spacetime_cube(sf_dir: str) -> pd.DataFrame:
+    """Weekly (cell, period) event counts + value sums at res 5,
+    event-id-derived locations — green DuckDB oracle below."""
+    import ray.data as rd
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        eid = batch["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lat": ((eid * 48271) % 18000) / 100.0 - 90.0,
+            "lon": ((eid * 69621) % 36000) / 100.0 - 180.0,
+            "ts": batch["ts"].to_numpy(),
+            "v": batch["value"].to_numpy(np.float64)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    cube = spacetime_cube(ds.map_batches(pts, batch_format="pandas"),
+                          "lat", "lon", "ts", res=_STC_RES, freq="W",
+                          value_col="v")
+    out = cube.to_pandas()
+    return (out.sort_values(["cell", "period"])
+            .reset_index(drop=True))
+
+
+EVENTS_SPACETIME_CUBE_SQL = f"""
+WITH pts AS (
+  SELECT CAST(floor(((((event_id * 69621) % 36000) / 100.0 - 180.0)
+         + 180.0) / (180.0 / {1 << _STC_RES})) AS BIGINT) AS ix,
+         CAST(floor(((((event_id * 48271) % 18000) / 100.0 - 90.0)
+         + 90.0) / (180.0 / {1 << _STC_RES})) AS BIGINT) AS iy,
+         -- pandas 'W' periods are MON-anchored: date_trunc('week')
+         ts, value
+  FROM events
+)
+SELECT (CAST({_STC_RES} AS BIGINT) << 58) | (ix << 29) | iy AS cell,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS period,
+       count(*) AS n, sum(value) AS sum_v
+FROM pts
+GROUP BY 1, 2
+ORDER BY cell, period
+"""

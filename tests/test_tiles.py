@@ -654,3 +654,24 @@ def test_vector_tile_simplification():
     with pytest.raises(ValueError, match="line-only"):
         export_vector_tiles(rd.from_pandas(df), "/tmp/never",
                             geometry="polygon", simplify_tol=0.01)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_spacetime_cube_oracle():
+    from osm_sidewalkreator_ray.pipelines import tiles as T
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = T.events_spacetime_cube(sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf}/events.parquet'")
+        want = con.sql(T.EVENTS_SPACETIME_CUBE_SQL).df()
+        assert len(got) == len(want) > 0
+        np.testing.assert_array_equal(got["cell"].to_numpy(np.int64),
+                                      want["cell"].to_numpy(np.int64))
+        np.testing.assert_array_equal(
+            pd.to_datetime(got["period"]).to_numpy(),
+            pd.to_datetime(want["period"]).to_numpy())
+        np.testing.assert_array_equal(got["n"].to_numpy(np.int64),
+                                      want["n"].to_numpy(np.int64))
+        np.testing.assert_allclose(got["sum_v"], want["sum_v"],
+                                   atol=1e-6)
