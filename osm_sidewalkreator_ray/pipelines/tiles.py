@@ -1027,3 +1027,84 @@ FROM pts
 GROUP BY 1, 2
 ORDER BY cell, period
 """
+
+
+# --- isochrones -----------------------------------------------------------
+
+def isochrone_polygons(dists, threshold: float, dir_k: int = 6,
+                       num_buckets: int = 32):
+    """Reachability polygons from network distances: cells whose
+    shortest-path distance (functions/graph.sssp_weighted over a
+    cell-node street graph) is <= ``threshold`` become a binary mask,
+    contoured per DIR-tile (ancestor at res - dir_k) with exact
+    cell-boundary rings. Output rows: (tile, poly_idx, area, wkb).
+
+    The only exchange groups the SURVIVING cells by their dir-tile;
+    tracing is tile-local (2^dir_k square grid per task).
+    """
+    import ray.data as rd
+
+    from ..geom.core import points_in_ring
+    from ..geom.raster import trace_contours
+    from ..geom.wkb import encode_polygon
+
+    if isinstance(dists, pd.DataFrame):
+        dists = rd.from_pandas(dists)
+    side = 1 << dir_k
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["dist"].to_numpy(np.float64) <= threshold
+        cell = batch["vertex"].to_numpy(np.int64)[m]
+        if len(cell) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype=np.int64),
+                                 "tile": pd.Series(dtype=np.int64),
+                                 _BUCKET: pd.Series(dtype=np.int64)})
+        res = cell_res(cell)
+        if np.any(res < dir_k):
+            raise ValueError("cell res must be >= dir_k")
+        tile = cell_parent(cell, int(res[0]) - dir_k)
+        h = pd.util.hash_array(tile)
+        return pd.DataFrame({"cell": cell, "tile": tile,
+                             _BUCKET: (h % num_buckets)
+                             .astype(np.int64)})
+
+    def trace(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile": [], "poly_idx": [], "area": [], "wkb": []}
+        for tile, sub in bucket.groupby("tile", sort=True):
+            cells = sub["cell"].to_numpy(np.int64)
+            ix, iy = cell_ixy(cells)
+            mask = np.zeros((side, side), dtype=bool)
+            mask[iy & (side - 1), ix & (side - 1)] = True
+            lo_x, lo_y, hi_x, _ = cell_bounds(np.int64(tile))
+            step = (float(hi_x) - float(lo_x)) / side
+            rings = trace_contours(mask,
+                                   (float(lo_x), float(lo_y)), step)
+            shells = [(r, a) for r, a in rings if a > 0]
+            holes = [(r, a) for r, a in rings if a < 0]
+            polys = [[s] for s, _ in shells]
+            for h_ring, _ in holes:
+                for j, (s, _) in enumerate(shells):
+                    if points_in_ring(h_ring[:1, 0], h_ring[:1, 1],
+                                      s)[0]:
+                        polys[j].append(h_ring)
+                        break
+            for j, rings_j in enumerate(polys):
+                area = (abs(_ring_area(rings_j[0]))
+                        - sum(abs(_ring_area(r))
+                              for r in rings_j[1:]))
+                out["tile"].append(int(tile))
+                out["poly_idx"].append(j)
+                out["area"].append(area)
+                out["wkb"].append(encode_polygon(rings_j))
+        if not out["tile"]:
+            return pd.DataFrame({"tile": pd.Series(dtype=np.int64),
+                                 "poly_idx":
+                                 pd.Series(dtype=np.int64),
+                                 "area": pd.Series(dtype=np.float64),
+                                 "wkb": pd.Series(dtype=object)})
+        return pd.DataFrame(out)
+
+    return (dists.map_batches(keep, batch_format="pandas")
+            .groupby(_BUCKET)
+            .map_groups(lambda g: trace(g.drop(columns=_BUCKET)),
+                        batch_format="pandas"))

@@ -675,3 +675,52 @@ def test_events_spacetime_cube_oracle():
                                       want["n"].to_numpy(np.int64))
         np.testing.assert_allclose(got["sum_v"], want["sum_v"],
                                    atol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_isochrone_manhattan_diamond():
+    import ray.data as rd
+
+    from osm_sidewalkreator_ray.cells import cell_bounds, latlng_to_cell
+    from osm_sidewalkreator_ray.functions.graph import sssp_weighted
+    from osm_sidewalkreator_ray.geom.core import points_in_polygon
+    from osm_sidewalkreator_ray.geom.wkb import decode_polygons
+    from osm_sidewalkreator_ray.pipelines.tiles import isochrone_polygons
+    res = 8  # cell size 0.703 deg
+    # unit-weight 4-neighbor grid graph over a 15x15 cell patch
+    base = int(latlng_to_cell(10.0, 10.0, res))
+    from osm_sidewalkreator_ray.cells import cell_ixy
+    bx, by = (int(v) for v in cell_ixy(base))
+    def cid(dx, dy):
+        return (res << 58) | ((bx + dx) << 29) | (by + dy)
+    edges = []
+    for x in range(15):
+        for y in range(15):
+            if x + 1 < 15:
+                edges.append({"src": cid(x, y), "dst": cid(x + 1, y),
+                              "w": 1.0})
+            if y + 1 < 15:
+                edges.append({"src": cid(x, y), "dst": cid(x, y + 1),
+                              "w": 1.0})
+    dists = sssp_weighted(rd.from_pandas(pd.DataFrame(edges)),
+                          sources=[cid(7, 7)])
+    T = 3.0
+    iso = isochrone_polygons(dists, T, dir_k=5).to_pandas()
+    # Manhattan ball of radius 3: 1 + 4*(1+2+3) = 25 cells
+    lo_x, lo_y, hi_x, _ = (float(v) for v in cell_bounds(np.int64(
+        cid(0, 0))))
+    d = hi_x - lo_x
+    np.testing.assert_allclose(iso["area"].sum(), 25 * d * d,
+                               rtol=1e-9)
+    # the ball's cell centers are inside, radius-4 ring centers are not
+    c, ro, po, _ = decode_polygons(iso["wkb"].tolist())
+    def center_in(dx, dy):
+        lo_x2, lo_y2, hi_x2, hi_y2 = (float(v) for v in cell_bounds(
+            np.int64(cid(7 + dx, 7 + dy))))
+        px = np.array([(lo_x2 + hi_x2) / 2])
+        py = np.array([(lo_y2 + hi_y2) / 2])
+        return any(points_in_polygon(px, py, c, ro, int(po[i]),
+                                     int(po[i + 1]))[0]
+                   for i in range(len(po) - 1))
+    assert center_in(0, 0) and center_in(3, 0) and center_in(1, 2)
+    assert not center_in(4, 0) and not center_in(2, 3)
