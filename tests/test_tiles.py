@@ -724,3 +724,38 @@ def test_isochrone_manhattan_diamond():
                    for i in range(len(po) - 1))
     assert center_in(0, 0) and center_in(3, 0) and center_in(1, 2)
     assert not center_in(4, 0) and not center_in(2, 3)
+
+
+class TestGeohashAndCompaction:
+    def test_geohash_spec_vectors_and_roundtrip(self):
+        from osm_sidewalkreator_ray.cells import (geohash_decode,
+                                                  geohash_encode)
+        # public spec examples
+        assert geohash_encode([42.605], [-5.603], 5)[0] == "ezs42"
+        assert geohash_encode([57.64911], [10.40744], 11)[0] \
+            == "u4pruydqqvj"
+        rng = np.random.default_rng(3)
+        lat = rng.uniform(-90, 90, 300)
+        lon = rng.uniform(-180, 180, 300)
+        h = geohash_encode(lat, lon, 10)
+        dlat, dlon = geohash_decode(h)
+        # precision 10: lat cell 180/2^25, lon cell 360/2^25
+        assert np.abs(dlat - lat).max() < 180.0 / (1 << 25)
+        assert np.abs(dlon - lon).max() < 360.0 / (1 << 25)
+
+    def test_compact_uncompact_roundtrip(self):
+        from osm_sidewalkreator_ray.cells import (compact_cells,
+                                                  cover_bbox,
+                                                  uncompact_cells,
+                                                  cell_res)
+        cells = cover_bbox(0.4, 0.4, 19.3, 15.7, 8)
+        compacted = compact_cells(cells)
+        assert len(compacted) < len(cells) / 3
+        assert len(np.unique(cell_res(compacted))) > 1
+        back = uncompact_cells(compacted, 8)
+        np.testing.assert_array_equal(back, np.sort(cells))
+        # a sparse diagonal compacts to itself (no complete quads)
+        diag = np.array([(8 << 58) | (i << 29) | i
+                         for i in range(0, 40, 3)], dtype=np.int64)
+        np.testing.assert_array_equal(compact_cells(diag),
+                                      np.sort(diag))
