@@ -615,6 +615,145 @@ def distance_join(left, right, d: float, l_x: str = "x", l_y: str = "y",
                                             batch_format="pandas")
 
 
+_EARTH_R_M = 6371008.8  # IUGG mean Earth radius
+
+
+def _sphere_xyz(lat_deg: np.ndarray, lon_deg: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unit-sphere Cartesian coords scaled to meters (radius R)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    cl = np.cos(lat)
+    return (_EARTH_R_M * cl * np.cos(lon),
+            _EARTH_R_M * cl * np.sin(lon),
+            _EARTH_R_M * np.sin(lat))
+
+
+def haversine_m(lat_a, lon_a, lat_b, lon_b) -> np.ndarray:
+    """Great-circle distance in meters (vectorized haversine)."""
+    la, lb = np.radians(np.asarray(lat_a, np.float64)), \
+        np.radians(np.asarray(lat_b, np.float64))
+    dlat = lb - la
+    dlon = np.radians(np.asarray(lon_b, np.float64)) \
+        - np.radians(np.asarray(lon_a, np.float64))
+    a = (np.sin(dlat / 2) ** 2
+         + np.cos(la) * np.cos(lb) * np.sin(dlon / 2) ** 2)
+    return 2 * _EARTH_R_M * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
+def haversine_distance_join(left, right, d_m: float,
+                            l_lat: str = "lat", l_lon: str = "lon",
+                            r_lat: str = "lat2", r_lon: str = "lon2",
+                            num_buckets: int = 32,
+                            dist_col: str | None = "dist_m"):
+    """All (left, right) point pairs within GREAT-CIRCLE distance
+    ``d_m`` meters (closed; NULL coords never match) — the geodesic
+    ST_DWithin. Column names must be disjoint; lat/lon in degrees.
+
+    A lat/lon grid cannot give the planar join's ring guarantee (a
+    degree of longitude shrinks with latitude, and cells misalign
+    across latitude bands), so the plan grids the 3-D CHORD space
+    instead: points map to Cartesian coords on the sphere, and a
+    great-circle distance d corresponds exactly to chord
+    ``c = 2R sin(d/2R)`` — monotone in d — so "haversine <= d" IS
+    "Euclidean-in-3D <= c". With cell width c, a qualifying pair's
+    cells differ by at most 1 per axis: LEFT points sit in their home
+    (cx, cy, cz) cell, RIGHT points replicate to the 3x3x3 ring (27
+    copies — the 3-D price of pole/antimeridian exactness), and each
+    qualifying pair meets exactly once, no post-dedup. The exact
+    filter runs in-bucket on squared CHORD distance (no trig per
+    candidate); ``dist_col`` (optional) emits true haversine meters
+    for the survivors only."""
+    if not 0 < d_m < np.pi * _EARTH_R_M / 2:
+        raise ValueError("d_m must be in (0, pi*R/2) meters")
+    w = 2.0 * _EARTH_R_M * np.sin(d_m / (2.0 * _EARTH_R_M))  # chord
+    c2 = w * w
+
+    lcols = [f.name for f in _arrow_schema(left)]
+    rcols = [f.name for f in _arrow_schema(right)]
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[l_lat].notna() & b[l_lon].notna()].copy()
+        x, y, z = _sphere_xyz(b[l_lat].to_numpy(), b[l_lon].to_numpy())
+        b["__x"], b["__y"], b["__z"] = x, y, z
+        b["__cx"] = _cell_of(x, w)
+        b["__cy"] = _cell_of(y, w)
+        b["__cz"] = _cell_of(z, w)
+        b["__side"] = np.int8(0)
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[r_lat].notna() & b[r_lon].notna()]
+        x, y, z = _sphere_xyz(b[r_lat].to_numpy(), b[r_lon].to_numpy())
+        cx, cy, cz = _cell_of(x, w), _cell_of(y, w), _cell_of(z, w)
+        n = len(b)
+        rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
+        off = np.arange(-1, 2)
+        rep["__x"] = np.repeat(x, 27)
+        rep["__y"] = np.repeat(y, 27)
+        rep["__z"] = np.repeat(z, 27)
+        rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
+        rep["__cy"] = np.repeat(cy, 27) + np.tile(
+            np.tile(np.repeat(off, 3), 3), n)
+        rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
+        rep["__side"] = np.int8(1)
+        return rep
+
+    aux = ["__x", "__y", "__z", "__cx", "__cy", "__cz"]
+
+    def pad(missing):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in missing:
+                b[c] = None
+            b["__b"] = ((pd.util.hash_array(b["__cx"].to_numpy(np.int64))
+                         ^ pd.util.hash_array(
+                             b["__cy"].to_numpy(np.int64) * 3)
+                         ^ pd.util.hash_array(
+                             b["__cz"].to_numpy(np.int64) * 7))
+                        % num_buckets).astype(np.int64)
+            return b[lcols + rcols + aux + ["__b", "__side"]]
+        return f
+
+    tagged = (left.map_batches(tag_left, batch_format="pandas")
+              .map_batches(pad(rcols), batch_format="pandas")
+              .union(right.map_batches(tag_right, batch_format="pandas")
+                     .map_batches(pad(lcols), batch_format="pandas")))
+
+    la, lo = l_lat, l_lon
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["__side"] == 0, lcols + aux]
+        b = g.loc[g["__side"] == 1, rcols + aux]
+        out = a.merge(b, on=["__cx", "__cy", "__cz"],
+                      suffixes=("", "__r"))
+        drop = aux + ["__x__r", "__y__r", "__z__r"]
+        if out.empty:
+            out = out.drop(columns=[c for c in drop
+                                    if c in out.columns])
+            if dist_col is not None:
+                out[dist_col] = pd.Series([], dtype=np.float64)
+            return out
+        dx = out["__x"].to_numpy(np.float64) \
+            - out["__x__r"].to_numpy(np.float64)
+        dy = out["__y"].to_numpy(np.float64) \
+            - out["__y__r"].to_numpy(np.float64)
+        dz = out["__z"].to_numpy(np.float64) \
+            - out["__z__r"].to_numpy(np.float64)
+        keep = dx * dx + dy * dy + dz * dz <= c2
+        out = out.loc[keep].drop(columns=drop)
+        if dist_col is not None:
+            out[dist_col] = haversine_m(
+                out[la].to_numpy(np.float64),
+                out[lo].to_numpy(np.float64),
+                out[r_lat].to_numpy(np.float64),
+                out[r_lon].to_numpy(np.float64))
+        return out
+
+    return tagged.groupby("__b").map_groups(merge,
+                                            batch_format="pandas")
+
+
 def merge_into(base, updates, on: str, delete_col: str | None = None,
                num_buckets: int = 32):
     """Lakehouse MERGE INTO / CDC apply: fold a changeset into a
