@@ -300,3 +300,84 @@ def test_map_match_gap_restarts_chain():
     assert int(out["matched_seg"].iloc[8]) == -1
     assert np.isnan(out["match_dist_m"].iloc[8])
     assert (out["matched_seg"].drop(index=8) >= 0).all()
+
+
+# ------------------------------------------------ trips
+
+
+def test_trips_between_planted_stays():
+    from osm_sidewalkreator_ray.pipelines.trajectory import (
+        trips_from_stays_ds)
+    rng = np.random.RandomState(42)
+
+    def dwell(u, t0, lat_c, lon_c, n=10):
+        return pd.DataFrame({
+            "user_id": np.int64(u),
+            "ts": t0 + (1 + np.arange(n)) * np.timedelta64(150, "s"),
+            "lat": lat_c + rng.uniform(-5e-5, 5e-5, n),
+            "lon": lon_c + rng.uniform(-5e-5, 5e-5, n)})
+
+    t0 = np.datetime64("2026-01-01")
+    a = dwell(1, t0, -25.44, -49.28)
+    # fast transit: 6 points marching 0.02 deg away
+    mid = pd.DataFrame({
+        "user_id": np.int64(1),
+        "ts": a["ts"].iloc[-1] + (1 + np.arange(6))
+        * np.timedelta64(60, "s"),
+        "lat": -25.44 + np.linspace(0.004, 0.02, 6),
+        "lon": -49.28 + np.linspace(0.004, 0.02, 6)})
+    b = dwell(1, mid["ts"].iloc[-1], -25.44 + 0.024, -49.28 + 0.024)
+    df = pd.concat([a, mid, b], ignore_index=True)
+
+    trips = trips_from_stays_ds(
+        rd.from_pandas(df), radius_m=200.0, min_duration_s=900.0,
+        num_buckets=2).to_pandas()
+    assert len(trips) == 1
+    t = trips.iloc[0]
+    assert t["n_points"] == 6
+    assert t["t_start"] == a["ts"].iloc[-1]
+    assert t["t_end"] == b["ts"].iloc[0]
+    np.testing.assert_allclose(t["o_lat"], a["lat"].mean(), rtol=1e-12)
+    np.testing.assert_allclose(t["d_lon"], b["lon"].mean(), rtol=1e-12)
+    # path length ~ straight-line origin->dest over the diagonal walk
+    straight = haversine_m(t["o_lat"], t["o_lon"], t["d_lat"],
+                           t["d_lon"])
+    assert straight <= t["length_m"] <= 1.2 * straight
+
+
+# ------------------------------------------------ geofence
+
+
+def test_geofence_enter_exit_sequence():
+    from osm_sidewalkreator_ray.geom.wkb import encode_polygon
+    from osm_sidewalkreator_ray.pipelines.trajectory import (
+        geofence_events_ds)
+
+    def square(lon_c, lat_c, half=0.002):
+        ring = np.array([
+            [lon_c - half, lat_c - half], [lon_c + half, lat_c - half],
+            [lon_c + half, lat_c + half], [lon_c - half, lat_c + half],
+            [lon_c - half, lat_c - half]])
+        return encode_polygon([ring])
+
+    zones = pd.DataFrame({
+        "zone_id": np.array([10, 20], dtype=np.int64),
+        "wkb": [square(-49.28, -25.44), square(-49.27, -25.44)]})
+
+    # path: outside -> zone 10 -> outside -> zone 20 -> ends inside
+    lons = np.array([-49.292, -49.281, -49.279, -49.2745,
+                     -49.2712, -49.2695])
+    df = pd.DataFrame({
+        "user_id": np.int64(3),
+        "ts": np.datetime64("2026-01-01")
+        + np.arange(len(lons)) * np.timedelta64(60, "s"),
+        "lat": np.full(len(lons), -25.44), "lon": lons})
+
+    ev = geofence_events_ds(rd.from_pandas(df), zones,
+                            num_buckets=2).to_pandas()
+    ev = ev.sort_values(["ts", "kind"]).reset_index(drop=True)
+    got = list(zip(ev["kind"], ev["zone_id"]))
+    assert got == [("enter", 10), ("exit", 10), ("enter", 20)]
+    # exit of 10 fires at the first OUTSIDE point's ts
+    assert ev.loc[ev["kind"] == "exit", "ts"].iloc[0] \
+        == df["ts"].iloc[3]
