@@ -754,6 +754,125 @@ def haversine_distance_join(left, right, d_m: float,
                                             batch_format="pandas")
 
 
+def haversine_knn_join(left, right, k: int, max_dist_m: float,
+                       l_lat: str = "lat", l_lon: str = "lon",
+                       r_lat: str = "lat2", r_lon: str = "lon2",
+                       num_buckets: int = 32,
+                       dist_col: str = "dist_m",
+                       rank_col: str = "knn_rank"):
+    """For each left point: its ``k`` nearest right points BY
+    GREAT-CIRCLE DISTANCE among those within ``max_dist_m`` (bounded
+    kNN — the radius is what makes the single-shuffle grid plan exact:
+    a true neighbor beyond it is out of contract by definition).
+    Inner semantics: left points with zero right points in range emit
+    nothing. Output adds ``dist_col`` (meters) and ``rank_col``
+    (1 = nearest; ties broken by right-side coordinates, then column
+    order — deterministic).
+
+    Same 3-D chord grid as ``haversine_distance_join`` (left in its
+    home cell, right replicated to the 3x3x3 ring), so EVERY right
+    point within ``max_dist_m`` of a left point shares its bucket and
+    the per-left top-k inside the bucket is globally exact — the
+    generic-API form of the flagship's ring-1 kNN spill
+    (`page_join.py`). Top-k is one vectorized sort + groupby-head per
+    bucket, no per-point loop."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 < max_dist_m < np.pi * _EARTH_R_M / 2:
+        raise ValueError("max_dist_m must be in (0, pi*R/2) meters")
+    w = 2.0 * _EARTH_R_M * np.sin(max_dist_m / (2.0 * _EARTH_R_M))
+    c2 = w * w
+
+    lcols = [f.name for f in _arrow_schema(left)]
+    rcols = [f.name for f in _arrow_schema(right)]
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[l_lat].notna() & b[l_lon].notna()].copy()
+        x, y, z = _sphere_xyz(b[l_lat].to_numpy(), b[l_lon].to_numpy())
+        b["__x"], b["__y"], b["__z"] = x, y, z
+        b["__cx"] = _cell_of(x, w)
+        b["__cy"] = _cell_of(y, w)
+        b["__cz"] = _cell_of(z, w)
+        b["__side"] = np.int8(0)
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[r_lat].notna() & b[r_lon].notna()]
+        x, y, z = _sphere_xyz(b[r_lat].to_numpy(), b[r_lon].to_numpy())
+        cx, cy, cz = _cell_of(x, w), _cell_of(y, w), _cell_of(z, w)
+        n = len(b)
+        rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
+        off = np.arange(-1, 2)
+        rep["__x"] = np.repeat(x, 27)
+        rep["__y"] = np.repeat(y, 27)
+        rep["__z"] = np.repeat(z, 27)
+        rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
+        rep["__cy"] = np.repeat(cy, 27) + np.tile(
+            np.tile(np.repeat(off, 3), 3), n)
+        rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
+        rep["__side"] = np.int8(1)
+        return rep
+
+    aux = ["__x", "__y", "__z", "__cx", "__cy", "__cz"]
+
+    def pad(missing):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in missing:
+                b[c] = None
+            b["__b"] = ((pd.util.hash_array(b["__cx"].to_numpy(np.int64))
+                         ^ pd.util.hash_array(
+                             b["__cy"].to_numpy(np.int64) * 3)
+                         ^ pd.util.hash_array(
+                             b["__cz"].to_numpy(np.int64) * 7))
+                        % num_buckets).astype(np.int64)
+            return b[lcols + rcols + aux + ["__b", "__side"]]
+        return f
+
+    tagged = (left.map_batches(tag_left, batch_format="pandas")
+              .map_batches(pad(rcols), batch_format="pandas")
+              .union(right.map_batches(tag_right, batch_format="pandas")
+                     .map_batches(pad(lcols), batch_format="pandas")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["__side"] == 0, lcols + aux].reset_index(drop=True)
+        a["__lrow"] = np.arange(len(a), dtype=np.int64)
+        b = g.loc[g["__side"] == 1, rcols + aux]
+        out = a.merge(b, on=["__cx", "__cy", "__cz"],
+                      suffixes=("", "__r"))
+        drop = aux + ["__x__r", "__y__r", "__z__r", "__lrow"]
+        if not out.empty:
+            dx = out["__x"].to_numpy(np.float64) \
+                - out["__x__r"].to_numpy(np.float64)
+            dy = out["__y"].to_numpy(np.float64) \
+                - out["__y__r"].to_numpy(np.float64)
+            dz = out["__z"].to_numpy(np.float64) \
+                - out["__z__r"].to_numpy(np.float64)
+            out["__d2"] = dx * dx + dy * dy + dz * dz
+            out = out.loc[out["__d2"] <= c2]
+        if out.empty:
+            out = out.drop(columns=[c for c in drop + ["__d2"]
+                                    if c in out.columns])
+            out[dist_col] = pd.Series([], dtype=np.float64)
+            out[rank_col] = pd.Series([], dtype=np.int64)
+            return out
+        # deterministic per-left top-k: sort by (left row, chord²,
+        # right coords) then keep the first k of each left row
+        out = out.sort_values(["__lrow", "__d2", r_lat, r_lon],
+                              kind="stable")
+        out[rank_col] = out.groupby("__lrow", sort=False).cumcount() + 1
+        out = out.loc[out[rank_col] <= k]
+        out[dist_col] = haversine_m(
+            out[l_lat].to_numpy(np.float64),
+            out[l_lon].to_numpy(np.float64),
+            out[r_lat].to_numpy(np.float64),
+            out[r_lon].to_numpy(np.float64))
+        return out.drop(columns=drop + ["__d2"])
+
+    return tagged.groupby("__b").map_groups(merge,
+                                            batch_format="pandas")
+
+
 def merge_into(base, updates, on: str, delete_col: str | None = None,
                num_buckets: int = 32):
     """Lakehouse MERGE INTO / CDC apply: fold a changeset into a

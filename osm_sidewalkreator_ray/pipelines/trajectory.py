@@ -185,6 +185,73 @@ def stay_points_ds(points, user_col: str = "user_id",
             .groupby(_BUCKET).map_groups(detect, batch_format="pandas"))
 
 
+# ------------------------------------------------------------ resample
+
+
+def resample_trajectory_ds(points, interval_s: float,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts", lat_col: str = "lat",
+                           lon_col: str = "lon",
+                           max_gap_s: float | None = None,
+                           num_buckets: int = 32):
+    """Fixed-interval resampling: per user, linear lat/lon
+    interpolation at ``interval_s`` ticks from the user's first point
+    to the last (the uniform grid HMM map-matching and OD rollups
+    want). Ticks inside a gap longer than ``max_gap_s`` (default: no
+    limit) are DROPPED rather than interpolated across an outage.
+    Output: (user, ts, lat, lon, interpolated). City-scale linear
+    lat/lon interpolation is the standard approximation (exact
+    great-circle slerp differs by <1e-6 at step lengths under a km).
+    Vectorized per user with ``np.interp``; one bucketed shuffle."""
+    if interval_s <= 0:
+        raise ValueError("interval_s must be positive")
+    step = np.timedelta64(int(interval_s * 1_000_000), "us")
+
+    def resample(g: pd.DataFrame) -> pd.DataFrame:
+        g, starts = _sorted_runs(g, user_col, ts_col)
+        lat = g[lat_col].to_numpy(np.float64)
+        lon = g[lon_col].to_numpy(np.float64)
+        ts = g[ts_col].to_numpy()
+        users = g[user_col].to_numpy()
+        out = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            t = ts[s:e]
+            # dedup equal timestamps (np.interp needs increasing x)
+            keep = np.r_[True, t[1:] > t[:-1]]
+            t, la, lo = t[keep], lat[s:e][keep], lon[s:e][keep]
+            ticks = np.arange(t[0], t[-1] + step, step)
+            ticks = ticks[ticks <= t[-1]]
+            tf = (ticks - t[0]) / np.timedelta64(1, "s")
+            xf = (t - t[0]) / np.timedelta64(1, "s")
+            ila = np.interp(tf, xf, la)
+            ilo = np.interp(tf, xf, lo)
+            on_input = np.isin(ticks, t)
+            if max_gap_s is not None and len(t) > 1:
+                gap_ok_hi = np.searchsorted(xf, tf, "left")
+                gap_ok_hi = np.clip(gap_ok_hi, 1, len(xf) - 1)
+                gap = xf[gap_ok_hi] - xf[gap_ok_hi - 1]
+                inside = (gap <= max_gap_s) | on_input
+                ticks, ila, ilo, on_input = (ticks[inside],
+                                             ila[inside], ilo[inside],
+                                             on_input[inside])
+            out.append(pd.DataFrame({
+                user_col: users[s], ts_col: ticks, lat_col: ila,
+                lon_col: ilo, "interpolated": ~on_input}))
+        if not out:
+            return pd.DataFrame({
+                user_col: pd.Series([], dtype=g[user_col].dtype),
+                ts_col: pd.Series([], dtype=ts.dtype),
+                lat_col: pd.Series([], dtype=np.float64),
+                lon_col: pd.Series([], dtype=np.float64),
+                "interpolated": pd.Series([], dtype=bool)})
+        return pd.concat(out, ignore_index=True)
+
+    return (points.map_batches(_tag_bucket(user_col, num_buckets),
+                               batch_format="pandas")
+            .groupby(_BUCKET).map_groups(resample,
+                                         batch_format="pandas"))
+
+
 # -------------------------------------------------------------- trips
 
 

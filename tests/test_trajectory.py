@@ -381,3 +381,88 @@ def test_geofence_enter_exit_sequence():
     # exit of 10 fires at the first OUTSIDE point's ts
     assert ev.loc[ev["kind"] == "exit", "ts"].iloc[0] \
         == df["ts"].iloc[3]
+
+
+# ------------------------------------------------ geodesic kNN join
+
+
+def test_haversine_knn_join_matches_duckdb_window_oracle():
+    from osm_sidewalkreator_ray.functions.joins import (
+        haversine_knn_join)
+    left = _rand_points(60, 11)
+    left["lid"] = np.arange(60, dtype=np.int64)
+    right = _rand_points(200, 12).rename(
+        columns={"lat": "lat2", "lon": "lon2"})
+    right["rid"] = np.arange(200, dtype=np.int64)
+    k, d = 3, 900.0
+
+    out = haversine_knn_join(
+        rd.from_pandas(left), rd.from_pandas(right), k, d,
+        num_buckets=8).to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = con.sql(f"""
+        SELECT * FROM (
+            SELECT lid, rid, dist_m,
+                   row_number() OVER (PARTITION BY lid
+                       ORDER BY dist_m, lat2, lon2) AS knn_rank
+            FROM (
+                SELECT lid, rid, lat2, lon2,
+                       2 * {_EARTH_R_M} * asin(least(1.0, sqrt(
+                           pow(sin(radians(lat2 - lat) / 2), 2)
+                           + cos(radians(lat)) * cos(radians(lat2))
+                           * pow(sin(radians(lon2 - lon) / 2), 2))))
+                       AS dist_m
+                FROM l CROSS JOIN r)
+            WHERE dist_m <= {d})
+        WHERE knn_rank <= {k}
+    """).df()
+    got = out.sort_values(["lid", "knn_rank"]).reset_index(drop=True)
+    want = ref.sort_values(["lid", "knn_rank"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    assert (got["knn_rank"].to_numpy()
+            == want["knn_rank"].to_numpy()).all()
+    np.testing.assert_allclose(got["dist_m"], want["dist_m"],
+                               rtol=1e-9, atol=1e-6)
+
+
+# ------------------------------------------------ resample
+
+
+def test_resample_linear_interp_and_gap_policy():
+    from osm_sidewalkreator_ray.pipelines.trajectory import (
+        resample_trajectory_ds)
+    t0 = np.datetime64("2026-01-01T00:00:00")
+    # 0 s, 60 s, then a 540 s gap to 600 s
+    df = pd.DataFrame({
+        "user_id": np.int64(1),
+        "ts": [t0, t0 + np.timedelta64(60, "s"),
+               t0 + np.timedelta64(600, "s")],
+        "lat": [0.0, 0.006, 0.06],
+        "lon": [0.0, 0.012, 0.12]})
+
+    out = resample_trajectory_ds(rd.from_pandas(df), 30.0,
+                                 num_buckets=2).to_pandas()
+    out = out.sort_values("ts").reset_index(drop=True)
+    assert len(out) == 21  # 0..600 s step 30
+    np.testing.assert_allclose(
+        out["lat"].iloc[1], 0.003)          # midpoint of leg 1
+    np.testing.assert_allclose(
+        out["lat"].iloc[3], 0.006 + 0.054 * (30 / 540))
+    assert not out["interpolated"].iloc[0]
+    assert not out["interpolated"].iloc[2]
+    assert out["interpolated"].iloc[1]
+    assert out["interpolated"].iloc[10]
+
+    # with max_gap_s=120 the ticks inside the 540 s outage disappear
+    capped = resample_trajectory_ds(rd.from_pandas(df), 30.0,
+                                    max_gap_s=120.0,
+                                    num_buckets=2).to_pandas()
+    capped = capped.sort_values("ts").reset_index(drop=True)
+    assert len(capped) == 4  # 0, 30, 60 (+ the real 600 s point)
+    assert capped["ts"].iloc[-1] == df["ts"].iloc[-1]
+    assert not capped["interpolated"].iloc[-1]
