@@ -873,6 +873,148 @@ def haversine_knn_join(left, right, k: int, max_dist_m: float,
                                             batch_format="pandas")
 
 
+def spacetime_join(left, right, d_m: float, dt_s: float,
+                   l_lat: str = "lat", l_lon: str = "lon",
+                   l_ts: str = "ts",
+                   r_lat: str = "lat2", r_lon: str = "lon2",
+                   r_ts: str = "ts2",
+                   num_buckets: int = 32,
+                   dist_col: str | None = "dist_m",
+                   dt_col: str | None = "dt_s"):
+    """Spatio-temporal co-location join: all (left, right) pairs
+    within GREAT-CIRCLE distance ``d_m`` meters AND ``dt_s`` seconds
+    of each other (both closed; NULLs never match) — the
+    contact-tracing / co-occurrence primitive. Column names disjoint;
+    timestamps must be datetime64-comparable.
+
+    4-axis grid = the haversine join's 3-D chord cells x a time cell
+    of width ``dt_s``. Replication is ASYMMETRIC so each qualifying
+    pair meets exactly once with only 3+27 copies (not 81): LEFT rows
+    replicate along the TIME ring only (home space cell, ct-1/ct/ct+1)
+    while RIGHT rows replicate along the 3x3x3 SPACE ring only (home
+    time cell). A qualifying pair differs by <=1 cell per axis, so it
+    meets at exactly ONE grid point — (left's home space cell, right's
+    home time cell) — and needs no post-dedup. The exact filter runs
+    in-bucket on squared chord + time delta."""
+    if not 0 < d_m < np.pi * _EARTH_R_M / 2:
+        raise ValueError("d_m must be in (0, pi*R/2) meters")
+    if dt_s <= 0:
+        raise ValueError("dt_s must be positive")
+    w = 2.0 * _EARTH_R_M * np.sin(d_m / (2.0 * _EARTH_R_M))
+    c2 = w * w
+    epoch = np.datetime64(0, "us")
+
+    lcols = [f.name for f in _arrow_schema(left)]
+    rcols = [f.name for f in _arrow_schema(right)]
+
+    def _tsec(v: pd.Series) -> np.ndarray:
+        return ((v.to_numpy().astype("datetime64[us]") - epoch)
+                / np.timedelta64(1, "s"))
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[l_lat].notna() & b[l_lon].notna()
+              & b[l_ts].notna()].copy()
+        x, y, z = _sphere_xyz(b[l_lat].to_numpy(), b[l_lon].to_numpy())
+        t = _tsec(b[l_ts])
+        ct = _cell_of(t, dt_s)
+        n = len(b)
+        rep = b.iloc[np.repeat(np.arange(n), 3)].copy()
+        rep["__x"] = np.repeat(x, 3)
+        rep["__y"] = np.repeat(y, 3)
+        rep["__z"] = np.repeat(z, 3)
+        rep["__t"] = np.repeat(t, 3)
+        rep["__cx"] = np.repeat(_cell_of(x, w), 3)
+        rep["__cy"] = np.repeat(_cell_of(y, w), 3)
+        rep["__cz"] = np.repeat(_cell_of(z, w), 3)
+        rep["__ct"] = np.repeat(ct, 3) + np.tile(
+            np.arange(-1, 2), n)
+        rep["__side"] = np.int8(0)
+        return rep
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[r_lat].notna() & b[r_lon].notna()
+              & b[r_ts].notna()]
+        x, y, z = _sphere_xyz(b[r_lat].to_numpy(), b[r_lon].to_numpy())
+        t = _tsec(b[r_ts])
+        cx, cy, cz = _cell_of(x, w), _cell_of(y, w), _cell_of(z, w)
+        n = len(b)
+        rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
+        off = np.arange(-1, 2)
+        rep["__x"] = np.repeat(x, 27)
+        rep["__y"] = np.repeat(y, 27)
+        rep["__z"] = np.repeat(z, 27)
+        rep["__t"] = np.repeat(t, 27)
+        rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
+        rep["__cy"] = np.repeat(cy, 27) + np.tile(
+            np.tile(np.repeat(off, 3), 3), n)
+        rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
+        rep["__ct"] = np.repeat(_cell_of(t, dt_s), 27)
+        rep["__side"] = np.int8(1)
+        return rep
+
+    aux = ["__x", "__y", "__z", "__t", "__cx", "__cy", "__cz", "__ct"]
+    cell_cols = ["__cx", "__cy", "__cz", "__ct"]
+
+    def pad(missing):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in missing:
+                b[c] = None
+            b["__b"] = ((pd.util.hash_array(b["__cx"].to_numpy(np.int64))
+                         ^ pd.util.hash_array(
+                             b["__cy"].to_numpy(np.int64) * 3)
+                         ^ pd.util.hash_array(
+                             b["__cz"].to_numpy(np.int64) * 7)
+                         ^ pd.util.hash_array(
+                             b["__ct"].to_numpy(np.int64) * 13))
+                        % num_buckets).astype(np.int64)
+            return b[lcols + rcols + aux + ["__b", "__side"]]
+        return f
+
+    tagged = (left.map_batches(tag_left, batch_format="pandas")
+              .map_batches(pad(rcols), batch_format="pandas")
+              .union(right.map_batches(tag_right, batch_format="pandas")
+                     .map_batches(pad(lcols), batch_format="pandas")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["__side"] == 0, lcols + aux]
+        b = g.loc[g["__side"] == 1, rcols + aux]
+        out = a.merge(b, on=cell_cols, suffixes=("", "__r"))
+        drop = aux + ["__x__r", "__y__r", "__z__r", "__t__r"]
+        if out.empty:
+            out = out.drop(columns=[c for c in drop
+                                    if c in out.columns])
+            if dist_col is not None:
+                out[dist_col] = pd.Series([], dtype=np.float64)
+            if dt_col is not None:
+                out[dt_col] = pd.Series([], dtype=np.float64)
+            return out
+        dx = out["__x"].to_numpy(np.float64) \
+            - out["__x__r"].to_numpy(np.float64)
+        dy = out["__y"].to_numpy(np.float64) \
+            - out["__y__r"].to_numpy(np.float64)
+        dz = out["__z"].to_numpy(np.float64) \
+            - out["__z__r"].to_numpy(np.float64)
+        dt = np.abs(out["__t"].to_numpy(np.float64)
+                    - out["__t__r"].to_numpy(np.float64))
+        keep = (dx * dx + dy * dy + dz * dz <= c2) & (dt <= dt_s)
+        out = out.loc[keep]
+        dtk = dt[keep]
+        out = out.drop(columns=drop)
+        if dist_col is not None:
+            out[dist_col] = haversine_m(
+                out[l_lat].to_numpy(np.float64),
+                out[l_lon].to_numpy(np.float64),
+                out[r_lat].to_numpy(np.float64),
+                out[r_lon].to_numpy(np.float64))
+        if dt_col is not None:
+            out[dt_col] = dtk
+        return out
+
+    return tagged.groupby("__b").map_groups(merge,
+                                            batch_format="pandas")
+
+
 def merge_into(base, updates, on: str, delete_col: str | None = None,
                num_buckets: int = 32):
     """Lakehouse MERGE INTO / CDC apply: fold a changeset into a

@@ -252,6 +252,45 @@ def resample_trajectory_ds(points, interval_s: float,
                                          batch_format="pandas"))
 
 
+# ------------------------------------------------------------ simplify
+
+
+def simplify_trajectory_ds(points, tol_m: float,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts", lat_col: str = "lat",
+                           lon_col: str = "lon",
+                           num_buckets: int = 32):
+    """Douglas-Peucker trajectory thinning: keep the subset of each
+    user's ordered points whose removal would displace the polyline by
+    more than ``tol_m`` meters (endpoints always kept) — the standard
+    pre-storage compaction for GPS traces. Rows are FILTERED, never
+    rewritten, so every surviving row keeps its original timestamp and
+    payload columns. Reuses the raster engine's DP kernel
+    (`geom.raster._douglas_peucker`) in the per-user local
+    equirectangular frame (meters), same approximation contract as
+    ``map_match_ds``."""
+    from ..geom.raster import _douglas_peucker
+
+    def thin(g: pd.DataFrame) -> pd.DataFrame:
+        g, starts = _sorted_runs(g, user_col, ts_col)
+        lat = g[lat_col].to_numpy(np.float64)
+        lon = g[lon_col].to_numpy(np.float64)
+        keep = np.zeros(len(g), dtype=bool)
+        for s, e in zip(starts[:-1], starts[1:]):
+            ky = np.radians(1.0) * _EARTH_R_M
+            kx = ky * np.cos(np.radians(lat[s:e].mean()))
+            pts = np.column_stack([lon[s:e] * kx, lat[s:e] * ky])
+            if len(pts) <= 2:
+                keep[s:e] = True
+            else:
+                keep[s + _douglas_peucker(pts, tol_m)] = True
+        return g.loc[keep].drop(columns=[_BUCKET])
+
+    return (points.map_batches(_tag_bucket(user_col, num_buckets),
+                               batch_format="pandas")
+            .groupby(_BUCKET).map_groups(thin, batch_format="pandas"))
+
+
 # -------------------------------------------------------------- trips
 
 

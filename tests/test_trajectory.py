@@ -466,3 +466,112 @@ def test_resample_linear_interp_and_gap_policy():
     assert len(capped) == 4  # 0, 30, 60 (+ the real 600 s point)
     assert capped["ts"].iloc[-1] == df["ts"].iloc[-1]
     assert not capped["interpolated"].iloc[-1]
+
+
+# ------------------------------------------------ spacetime join
+
+
+def test_spacetime_join_matches_duckdb_cross_join():
+    from osm_sidewalkreator_ray.functions.joins import spacetime_join
+    rng = np.random.RandomState(21)
+    t0 = np.datetime64("2026-03-01T12:00:00")
+
+    def frame(n, seed, prefix):
+        r = np.random.RandomState(seed)
+        return pd.DataFrame({
+            f"{prefix}lat" if prefix else "lat":
+                -25.45 + r.uniform(-0.01, 0.01, n),
+            f"{prefix}lon" if prefix else "lon":
+                -49.25 + r.uniform(-0.01, 0.01, n),
+            f"{prefix}ts" if prefix else "ts":
+                t0 + r.randint(0, 7200, n) * np.timedelta64(1, "s")})
+
+    left = frame(150, 1, "")
+    left["lid"] = np.arange(150, dtype=np.int64)
+    right = frame(160, 2, "x").rename(columns={
+        "xlat": "lat2", "xlon": "lon2", "xts": "ts2"})
+    right["rid"] = np.arange(160, dtype=np.int64)
+    d, dt = 400.0, 300.0
+
+    out = spacetime_join(rd.from_pandas(left), rd.from_pandas(right),
+                         d, dt, num_buckets=8).to_pandas()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = con.sql(f"""
+        SELECT * FROM (
+            SELECT lid, rid,
+                   2 * {_EARTH_R_M} * asin(least(1.0, sqrt(
+                       pow(sin(radians(lat2 - lat) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(lat2))
+                       * pow(sin(radians(lon2 - lon) / 2), 2))))
+                   AS dist_m,
+                   abs(epoch(ts2) - epoch(ts)) AS dt_s
+            FROM l CROSS JOIN r)
+        WHERE dist_m <= {d} AND dt_s <= {dt}
+    """).df()
+    got = out.sort_values(["lid", "rid"]).reset_index(drop=True)
+    want = ref.sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    np.testing.assert_allclose(got["dist_m"], want["dist_m"],
+                               rtol=1e-9, atol=1e-6)
+    np.testing.assert_allclose(got["dt_s"], want["dt_s"], atol=1e-6)
+
+
+# ------------------------------------------------ simplify
+
+
+def test_simplify_trajectory_keeps_rows_within_tolerance():
+    from osm_sidewalkreator_ray.pipelines.trajectory import (
+        simplify_trajectory_ds)
+    from osm_sidewalkreator_ray.functions.joins import _EARTH_R_M
+    # an L: straight east leg with sub-meter jitter, right-angle turn,
+    # straight north leg — DP at 5 m must keep the 3 corner-defining
+    # points and drop the jitter
+    n = 15
+    lat0, lon0 = -25.44, -49.28
+    rng = np.random.RandomState(5)
+    east = pd.DataFrame({
+        "user_id": np.int64(1),
+        "lat": lat0 + rng.uniform(-4e-6, 4e-6, n),  # ~0.4 m jitter
+        "lon": lon0 + np.linspace(0, 0.01, n)})
+    north = pd.DataFrame({
+        "user_id": np.int64(1),
+        "lat": lat0 + np.linspace(0.0008, 0.01, n),
+        "lon": lon0 + 0.01 + rng.uniform(-4e-6, 4e-6, n)})
+    df = pd.concat([east, north], ignore_index=True)
+    df["ts"] = np.datetime64("2026-01-01") \
+        + np.arange(len(df)) * np.timedelta64(10, "s")
+
+    out = simplify_trajectory_ds(rd.from_pandas(df), 5.0,
+                                 num_buckets=2).to_pandas()
+    out = out.sort_values("ts").reset_index(drop=True)
+    assert 3 <= len(out) <= 6          # corner + endpoints survive
+    assert out["ts"].iloc[0] == df["ts"].iloc[0]
+    assert out["ts"].iloc[-1] == df["ts"].iloc[-1]
+    # surviving rows are a SUBSET of input rows (filter, not rewrite)
+    merged = out.merge(df, on=["user_id", "ts", "lat", "lon"])
+    assert len(merged) == len(out)
+
+    # the simplified polyline stays within tol of every input point
+    ky = np.radians(1.0) * _EARTH_R_M
+    kx = ky * np.cos(np.radians(df["lat"].mean()))
+    px = df["lon"].to_numpy() * kx
+    py = df["lat"].to_numpy() * ky
+    sx = out["lon"].to_numpy() * kx
+    sy = out["lat"].to_numpy() * ky
+    worst = 0.0
+    for x, y in zip(px, py):
+        best = np.inf
+        for i in range(len(sx) - 1):
+            ax, ay, bx, by = sx[i], sy[i], sx[i + 1], sy[i + 1]
+            dx, dy = bx - ax, by - ay
+            t = np.clip(((x - ax) * dx + (y - ay) * dy)
+                        / max(dx * dx + dy * dy, 1e-12), 0, 1)
+            best = min(best, np.hypot(x - (ax + t * dx),
+                                      y - (ay + t * dy)))
+        worst = max(worst, best)
+    assert worst <= 5.0 + 1e-6
