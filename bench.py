@@ -130,6 +130,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ann_topk", lambda: V.ann_topk(sf_dir))
     from osm_sidewalkreator_ray.pipelines import tiles as TL
     timed("tile_pyramid", lambda: TL.tile_pyramid_query(sf_dir))
+    from osm_sidewalkreator_ray.pipelines import trajectory as TJ
+    timed("trajectory_stats",
+          lambda: TJ.trajectory_stats_query(sf_dir))
 
     headline = timings["page_tile_join"]
     return {

@@ -638,3 +638,66 @@ def map_match_ds(points, segments: pd.DataFrame,
     return (points.map_batches(_tag_bucket(user_col, num_buckets),
                                batch_format="pandas")
             .groupby(_BUCKET).map_groups(match, batch_format="pandas"))
+
+
+# --- deterministic events->points feed + bench wrapper -----------------
+#
+# The testdata has no GPS table; derive one from `events` the same way
+# tiles.py's pyramid oracle does — row-local int64 arithmetic only, so
+# the feed is reproducible verbatim in DuckDB and identical across
+# batch boundaries / parallelism levels. Each user gets a stable home
+# cell from user_id and each event jitters around it from event_id, so
+# per-user traces are dense enough (~200 points/user at sf0.1) to
+# exercise stay-point runs and step stats.
+
+
+def events_trajectory_points(sf_dir: str, num_buckets: int = 32):
+    """(user_id, ts, lat, lon) Dataset derived deterministically from
+    ``events.parquet`` — columns pruned at the read."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def to_points(b: pd.DataFrame) -> pd.DataFrame:
+        uid = b["user_id"].to_numpy(np.int64)
+        eid = b["event_id"].to_numpy(np.int64)
+        home_lat = ((uid * 48271) % 12000) / 100.0 - 60.0
+        home_lon = ((uid * 69621) % 36000) / 100.0 - 180.0
+        return pd.DataFrame({
+            "user_id": uid,
+            "ts": b["ts"].to_numpy(),
+            "lat": home_lat + ((eid * 7919) % 2001 - 1000) * 1e-5,
+            "lon": home_lon + ((eid * 104729) % 2001 - 1000) * 1e-5,
+        })
+
+    return ds.map_batches(to_points, batch_format="pandas")
+
+
+def trajectory_stats_query(sf_dir: str) -> pd.DataFrame:
+    """Bench/driver wrapper: step stats over the events-derived point
+    stream, reduced to one per-user summary row (driver-sized output;
+    the full per-point stream is the library form above)."""
+    stats = trajectory_stats_ds(events_trajectory_points(sf_dir))
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "user_id": np.asarray(list(g.groups), dtype=np.int64),
+            "n_points": g.size().to_numpy(np.int64),
+            "sum_step_m": g["step_m"].sum().to_numpy(np.float64),
+            "max_speed_mps": g["speed_mps"].max().to_numpy(np.float64),
+        })
+
+    # stats is already user-bucketed (a user never spans groups), so a
+    # per-group summary is exact with no further shuffle
+    out = (stats.map_batches(summarize, batch_size=None,
+                             batch_format="pandas")
+           .to_pandas())
+    agg = out.groupby("user_id", as_index=False).agg(
+        n_points=("n_points", "sum"), sum_step_m=("sum_step_m", "sum"),
+        max_speed_mps=("max_speed_mps", "max"))
+    agg["sum_step_m"] = agg["sum_step_m"].round(3)
+    return agg.sort_values("user_id", ignore_index=True)

@@ -14,7 +14,7 @@ from osm_sidewalkreator_ray.functions.joins import (
     haversine_distance_join, haversine_m, _EARTH_R_M)
 from osm_sidewalkreator_ray.pipelines.trajectory import (
     trajectory_stats_ds, stay_points_ds, map_match_ds,
-    _SegmentIndex)
+    trajectory_stats_query, _SegmentIndex)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -575,3 +575,80 @@ def test_simplify_trajectory_keeps_rows_within_tolerance():
                                       y - (ay + t * dy)))
         worst = max(worst, best)
     assert worst <= 5.0 + 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trajectory_stats_query_matches_duckdb():
+    """The events-derived per-user summary is SQL-expressible: the
+    deterministic point feed is row-local int64 arithmetic, and
+    step_m is LAG + haversine within each user ordered by ts."""
+    sf = "/root/testdata/sf0.001"
+    got = trajectory_stats_query(sf)
+
+    con = duckdb.connect()
+    ref = con.sql(f"""
+        WITH pts AS (
+            SELECT user_id, ts,
+                   ((user_id * 48271) % 12000) / 100.0 - 60.0
+                     + ((event_id * 7919) % 2001 - 1000) * 1e-5 AS lat,
+                   ((user_id * 69621) % 36000) / 100.0 - 180.0
+                     + ((event_id * 104729) % 2001 - 1000) * 1e-5 AS lon
+            FROM read_parquet('{sf}/events.parquet')),
+        steps AS (
+            SELECT user_id, ts, lat, lon,
+                   LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+                   epoch(ts - LAG(ts) OVER w) AS dt_s
+            FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        metr AS (
+            -- explicit NULL guard: DuckDB's least() SKIPS NULLs, so
+            -- least(1.0, sqrt(NULL)) = 1.0 and a user's first row
+            -- would otherwise score asin(1) = half a circumference
+            SELECT user_id,
+                   CASE WHEN plat IS NULL THEN NULL ELSE
+                   2 * {_EARTH_R_M} * asin(least(1.0, sqrt(
+                       pow(sin(radians(lat - plat) / 2), 2)
+                       + cos(radians(plat)) * cos(radians(lat))
+                       * pow(sin(radians(lon - plon) / 2), 2)))) END
+                   AS step_m,
+                   dt_s
+            FROM steps)
+        SELECT user_id, count(*) AS n_points,
+               sum(step_m) AS sum_step_m,
+               max(step_m / nullif(dt_s, 0)) AS max_speed_mps
+        FROM metr GROUP BY user_id ORDER BY user_id
+    """).df()
+    assert len(got) == len(ref) > 0
+    assert (got["user_id"].to_numpy()
+            == ref["user_id"].to_numpy(np.int64)).all()
+    assert (got["n_points"].to_numpy()
+            == ref["n_points"].to_numpy(np.int64)).all()
+    np.testing.assert_allclose(got["sum_step_m"], ref["sum_step_m"],
+                               rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(got["max_speed_mps"],
+                               ref["max_speed_mps"], rtol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trajectory_job_cli(tmp_path, capsys):
+    """Job entrypoint: stats and stays modes write parquet + report."""
+    import json as _json
+
+    from jobs.trajectory_job import main as tj_main
+
+    pts = pd.concat([_walk(u, 40, seed=u) for u in range(4)],
+                    ignore_index=True)
+    src = str(tmp_path / "pts.parquet")
+    pts.to_parquet(src)
+
+    out1 = str(tmp_path / "stats")
+    assert tj_main(["stats", "--data", src, "--out", out1]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["metric"] == "trajectory_job" and rep["rows"] == len(pts)
+    got = pd.read_parquet(out1)
+    assert {"step_m", "speed_mps", "bearing_deg"} <= set(got.columns)
+
+    out2 = str(tmp_path / "stays")
+    assert tj_main(["stays", "--data", src, "--out", out2,
+                    "--radius-m", "500", "--min-duration-s", "1"]) == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rows"] == len(pd.read_parquet(out2))
