@@ -363,6 +363,134 @@ def hash_partition_join(left, right, on: str | list[str],
     return unioned.groupby(_BUCKET).map_groups(merge, batch_format="pyarrow")
 
 
+def join(left, right, on: str | list[str], how: str = "inner",
+         num_buckets: int = 32, broadcast_max_rows: int = 2_000_000,
+         runtime_filter: str = "auto", hot_keys=None, n_salts: int = 8,
+         group_fn=None, plan_out: dict | None = None):
+    """Unified equi-join facade: picks the physical plan from input
+    SHAPE METADATA only — it never executes, collects, or pins a lazy
+    Dataset to decide (the q3 lesson: a driver-side collect that is
+    fine at sf0.1 is a multi-GB broadcast at 100x).
+
+    Decision table, checked in order (``plan_out['strategy']`` records
+    the choice for tests/EXPLAIN):
+
+    1. ``broadcast`` — one side is a pandas DataFrame, or a
+       MaterializedDataset whose row count (free metadata on a
+       materialized input) is <= ``broadcast_max_rows``: ship it once
+       via ``ray.put`` and merge per batch, zero shuffle. Taken only
+       when ``how`` keeps the small side on the non-preserved side of
+       the merge ('inner' always; 'left' needs the small side on the
+       right, 'right' the mirror; 'semi'/'anti' need a small RIGHT
+       side — they become an in-batch ``isin`` mask). A LAZY Dataset
+       is never counted (count() would execute it) and so never
+       broadcasts — at scale an un-materialized input is presumed big.
+    2. ``bloom + hash_partition`` — ``runtime_filter='auto'``, ``how``
+       'inner' or 'semi', single-column key, and exactly one side is
+       already materialized: the lazy side streams through a
+       fixed-128-KiB Bloom of the materialized side's keys before the
+       shuffle, so rows that cannot match never enter the all-to-all
+       (FPR only lets extra rows THROUGH to the exact join — output
+       identical). ``runtime_filter='off'`` disables; ``'force'``
+       requires it (raises if shape doesn't allow).
+    3. ``hash_partition`` — everything else: the explicit bucketed
+       shuffle join, streaming on both sides. ``hot_keys`` passes
+       through (or the caller runs ``detect_hot_keys`` first — an
+       extra bounded-memory pass this facade won't spend implicitly).
+
+    pandas inputs are converted with ``ray.data.from_pandas`` when a
+    shuffle plan is chosen, so every (left, right) type combination
+    accepts every ``how`` of ``hash_partition_join``.
+    """
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    if runtime_filter not in ("auto", "off", "force"):
+        raise ValueError(f"runtime_filter={runtime_filter!r}")
+    plan = plan_out if plan_out is not None else {}
+    single_key = isinstance(on, str)
+
+    def _small_df(side):
+        """The side as a pandas frame if provably small, else None."""
+        if isinstance(side, pd.DataFrame):
+            return side if len(side) <= broadcast_max_rows else None
+        if isinstance(side, MaterializedDataset) \
+                and side.count() <= broadcast_max_rows:
+            return side.to_pandas()
+        return None
+
+    # 1. broadcast (small side must sit opposite the preserved side)
+    if single_key and hot_keys is None and group_fn is None:
+        r_small = _small_df(right)
+        if r_small is not None and how in ("inner", "left",
+                                           "semi", "anti"):
+            plan["strategy"] = "broadcast_right"
+            if how in ("semi", "anti"):
+                keys = pd.unique(r_small[on].dropna())
+                ref = ray.put(keys)
+                big = left if not isinstance(left, pd.DataFrame) \
+                    else rd.from_pandas(left)
+
+                def mask(b: pd.DataFrame) -> pd.DataFrame:
+                    hit = b[on].isin(_resolve_small(ref)) \
+                        & b[on].notna()
+                    return b[hit if how == "semi" else ~hit]
+
+                return big.map_batches(mask, batch_format="pandas")
+            big = left if not isinstance(left, pd.DataFrame) \
+                else rd.from_pandas(left)
+            return broadcast_join(big, r_small, on, how=how,
+                                  max_small_rows=None)
+        l_small = _small_df(left)
+        if l_small is not None and how in ("inner", "right"):
+            # mirror: broadcast the left frame into the right stream;
+            # 'right' preserves every right row, which a per-batch
+            # merge with how='left' from the right side's view does
+            plan["strategy"] = "broadcast_left"
+            big = right if not isinstance(right, pd.DataFrame) \
+                else rd.from_pandas(right)
+            ref = ray.put(l_small)
+
+            def merge(b: pd.DataFrame) -> pd.DataFrame:
+                # per-batch merge FROM the small left side keeps left
+                # columns first (same layout as hash_partition_join);
+                # how='right' preserves every right-batch row
+                return _resolve_small(ref).merge(b, how=how, on=on)
+
+            return big.map_batches(merge, batch_format="pandas")
+
+    ldset = left if not isinstance(left, pd.DataFrame) \
+        else rd.from_pandas(left)
+    rdset = right if not isinstance(right, pd.DataFrame) \
+        else rd.from_pandas(right)
+
+    # 2. Bloom runtime filter ahead of the shuffle
+    if runtime_filter != "off" and single_key and how in ("inner",
+                                                          "semi"):
+        l_mat = isinstance(ldset, MaterializedDataset)
+        r_mat = isinstance(rdset, MaterializedDataset)
+        if r_mat and not l_mat:
+            plan["strategy"] = "bloom+hash_partition"
+            ldset = bloom_prefilter(ldset, rdset, on)
+        elif l_mat and not r_mat and how == "inner":
+            plan["strategy"] = "bloom+hash_partition"
+            rdset = bloom_prefilter(rdset, ldset, on)
+        elif runtime_filter == "force":
+            raise ValueError(
+                "runtime_filter='force' needs exactly one materialized "
+                f"side, single-column key, how in inner/semi (got "
+                f"how={how!r})")
+    elif runtime_filter == "force":
+        raise ValueError("runtime_filter='force' incompatible with "
+                         f"how={how!r} or composite key")
+    plan.setdefault("strategy", "hash_partition")
+
+    return hash_partition_join(ldset, rdset, on,
+                               num_buckets=num_buckets, how=how,
+                               group_fn=group_fn, hot_keys=hot_keys,
+                               n_salts=n_salts)
+
+
 # ------------------------------------------------- interval/range join
 #
 # The non-equi join Ray Data lacks (the brief's named example): points

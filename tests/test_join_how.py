@@ -8,7 +8,8 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from osm_sidewalkreator_ray.functions.joins import hash_partition_join
+from osm_sidewalkreator_ray.functions.joins import (hash_partition_join,
+                                                     join)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -151,3 +152,98 @@ class TestCompositeKeyJoin:
             hash_partition_join(l, r, on=["k1", "k2"], how="semi")
         with pytest.raises(ValueError):
             hash_partition_join(l, r, on=["k1", "k2"], hot_keys={1})
+
+
+# ------------------------------------------------ unified join facade
+
+
+class TestJoinFacade:
+    """`join()` picks the physical plan from shape metadata and every
+    plan produces the same rows as the DuckDB oracle."""
+
+    def _frames(self):
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame({
+            "k": rng.randint(0, 40, 600).astype(np.int64),
+            "lv": np.arange(600, dtype=np.int64)})
+        right = pd.DataFrame({
+            "k": np.arange(0, 50, 2, dtype=np.int64),
+            "rv": np.arange(25, dtype=np.int64) * 10})
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_broadcast_right_matches_duckdb(self, how):
+        left, right = self._frames()
+        plan = {}
+        out = join(rd.from_pandas(left), right, on="k", how=how,
+                   plan_out=plan).to_pandas()
+        assert plan["strategy"] == "broadcast_right"
+        got = _norm(out)
+        want = _norm(_duck(left, right, how))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    @pytest.mark.parametrize("how", ["inner", "right"])
+    def test_broadcast_left_matches_duckdb(self, how):
+        left, right = self._frames()
+        plan = {}
+        # lazy right side: only the pandas left can broadcast
+        rds = rd.from_pandas(right).map_batches(lambda b: b,
+                                                batch_format="pandas")
+        out = join(left, rds, on="k", how=how,
+                   plan_out=plan).to_pandas()
+        assert plan["strategy"] == "broadcast_left"
+        got = _norm(out)
+        want = _norm(_duck(left, right, how))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_lazy_sides_choose_hash_partition(self):
+        left, right = self._frames()
+        # lazy (non-materialized) datasets must NEVER be counted or
+        # broadcast — presumed big
+        lds = rd.from_pandas(left).map_batches(lambda b: b,
+                                               batch_format="pandas")
+        rds = rd.from_pandas(right).map_batches(lambda b: b,
+                                                batch_format="pandas")
+        plan = {}
+        out = join(lds, rds, on="k", how="outer", plan_out=plan)
+        assert plan["strategy"] == "hash_partition"
+        got = _norm(out.to_pandas())
+        want = _norm(_duck(left, right, "outer"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_bloom_path_when_one_side_materialized(self):
+        left, right = self._frames()
+        lds = rd.from_pandas(left).map_batches(
+            lambda b: b, batch_format="pandas")  # lazy big side
+        rds = rd.from_pandas(right).materialize()
+        # force it over the broadcast gate so the bloom branch decides
+        plan = {}
+        out = join(lds, rds, on="k", how="inner",
+                   broadcast_max_rows=0, runtime_filter="force",
+                   plan_out=plan)
+        assert plan["strategy"] == "bloom+hash_partition"
+        got = _norm(out.to_pandas())
+        want = _norm(_duck(left, right, "inner"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_force_raises_when_shape_disallows(self):
+        left, right = self._frames()
+        lds = rd.from_pandas(left).map_batches(lambda b: b,
+                                               batch_format="pandas")
+        rds = rd.from_pandas(right).map_batches(lambda b: b,
+                                                batch_format="pandas")
+        with pytest.raises(ValueError):
+            join(lds, rds, on="k", how="inner", broadcast_max_rows=0,
+                 runtime_filter="force")
+
+    def test_materialized_small_side_broadcasts(self):
+        left, right = self._frames()
+        lds = rd.from_pandas(left).map_batches(lambda b: b,
+                                               batch_format="pandas")
+        rds = rd.from_pandas(right).materialize()
+        plan = {}
+        out = join(lds, rds, on="k", how="inner", plan_out=plan)
+        assert plan["strategy"] == "broadcast_right"
+        got = _norm(out.to_pandas())
+        want = _norm(_duck(left, right, "inner"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
