@@ -199,8 +199,29 @@ def detect_hot_keys(ds, on: str, frac: float = 0.05,
             if total and c > frac * total}
 
 
+def _auto_buckets(left, right, target_bytes: int = 256 << 20) -> int:
+    """Metadata-only bucket count for a partitioned join: a FIXED
+    bucket count is the quiet 100 TB bug — 32 buckets over 100 TB is
+    ~3 TB per reduce group (must fit one worker's heap) and caps
+    reduce parallelism at 32 regardless of cluster size. Scale with
+    the cluster (2 buckets/CPU floor, so a 256-node cluster fans out
+    natively) and with any side whose byte size is FREE to read
+    (materialized inputs only — a lazy Dataset is never executed to
+    ask; callers who know their size pass ``num_buckets``
+    explicitly). Clamped to [8, 4096]: below 8 loses salting headroom,
+    above 4096 the per-bucket scheduler overhead dominates."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = cpus * 2
+    from ray.data.dataset import MaterializedDataset
+    known = sum((s.size_bytes() or 0) for s in (left, right)
+                if isinstance(s, MaterializedDataset))
+    if known:
+        n = max(n, (known + target_bytes - 1) // target_bytes)
+    return int(min(4096, max(8, n)))
+
+
 def hash_partition_join(left, right, on: str | list[str],
-                        num_buckets: int = 32,
+                        num_buckets: int | None = 32,
                         how: str = "inner", group_fn=None,
                         hot_keys: set | None = None, n_salts: int = 8):
     """Large-large equi-join via an explicit partitioned hash join.
@@ -242,6 +263,8 @@ def hash_partition_join(left, right, on: str | list[str],
     """
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left, right)
     if hot_keys and how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
             "salted join supports how='inner'/'left'/'semi'/'anti' only")
@@ -364,7 +387,8 @@ def hash_partition_join(left, right, on: str | list[str],
 
 
 def join(left, right, on: str | list[str], how: str = "inner",
-         num_buckets: int = 32, broadcast_max_rows: int = 2_000_000,
+         num_buckets: int | None = None,
+         broadcast_max_rows: int = 2_000_000,
          runtime_filter: str = "auto", hot_keys=None, n_salts: int = 8,
          group_fn=None, plan_out: dict | None = None):
     """Unified equi-join facade: picks the physical plan from input
@@ -394,9 +418,14 @@ def join(left, right, on: str | list[str], how: str = "inner",
        identical). ``runtime_filter='off'`` disables; ``'force'``
        requires it (raises if shape doesn't allow).
     3. ``hash_partition`` — everything else: the explicit bucketed
-       shuffle join, streaming on both sides. ``hot_keys`` passes
-       through (or the caller runs ``detect_hot_keys`` first — an
-       extra bounded-memory pass this facade won't spend implicitly).
+       shuffle join, streaming on both sides, ``num_buckets=None`` =
+       metadata-auto (scales with cluster CPUs and any materialized
+       side's byte size — see ``_auto_buckets``). ``hot_keys`` passes
+       through; ``hot_keys='detect'`` runs the bounded-memory
+       Misra-Gries pass over the LEFT side's key column first — an
+       explicit opt-in because it costs one extra read of the left
+       input (fine on a materialized side, a second scan on a lazy
+       one).
 
     pandas inputs are converted with ``ray.data.from_pandas`` when a
     shuffle plan is chosen, so every (left, right) type combination
@@ -419,8 +448,11 @@ def join(left, right, on: str | list[str], how: str = "inner",
             return side.to_pandas()
         return None
 
-    # 1. broadcast (small side must sit opposite the preserved side)
-    if single_key and hot_keys is None and group_fn is None:
+    # 1. broadcast (small side must sit opposite the preserved side;
+    # a broadcastable side also means skew is moot, so 'detect' is
+    # satisfied trivially here)
+    if single_key and (hot_keys is None or hot_keys == "detect") \
+            and group_fn is None:
         r_small = _small_df(right)
         if r_small is not None and how in ("inner", "left",
                                            "semi", "anti"):
@@ -484,6 +516,18 @@ def join(left, right, on: str | list[str], how: str = "inner",
         raise ValueError("runtime_filter='force' incompatible with "
                          f"how={how!r} or composite key")
     plan.setdefault("strategy", "hash_partition")
+
+    if hot_keys == "detect":
+        if not single_key or how not in ("inner", "left",
+                                         "semi", "anti"):
+            raise ValueError("hot_keys='detect' needs a single-column "
+                             "key and a salt-safe how")
+        hot_keys = detect_hot_keys(ldset, on) or None
+        plan["hot_keys"] = sorted(hot_keys) if hot_keys else []
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(ldset, rdset)
+    plan["num_buckets"] = num_buckets
 
     return hash_partition_join(ldset, rdset, on,
                                num_buckets=num_buckets, how=how,

@@ -247,3 +247,48 @@ class TestJoinFacade:
         got = _norm(out.to_pandas())
         want = _norm(_duck(left, right, "inner"))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_auto_buckets_scale_with_metadata(self):
+        import ray
+        from osm_sidewalkreator_ray.functions.joins import _auto_buckets
+        left, right = self._frames()
+        lds = rd.from_pandas(left).materialize()
+        rds = rd.from_pandas(right).materialize()
+        n = _auto_buckets(lds, rds)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        assert n == max(8, cpus * 2)  # tiny inputs -> CPU floor
+        # a known-big materialized side raises the count: 10 GiB at
+        # 256 MiB/bucket = 40 > the CPU floor on the test session
+        class FakeMat(rd.dataset.MaterializedDataset):
+            def __init__(self):  # bypass Dataset construction
+                pass
+
+            def size_bytes(self):
+                return 10 << 30
+        assert _auto_buckets(FakeMat(), rds) >= 40
+        # lazy sides are never asked: CPU floor only
+        lazy = rd.from_pandas(left).map_batches(lambda b: b,
+                                                batch_format="pandas")
+        assert _auto_buckets(lazy, lazy) == max(8, cpus * 2)
+
+    def test_hot_key_detect_path_matches_plain(self):
+        rng = np.random.RandomState(5)
+        # one zipf-head key carrying >20% of rows
+        lk = np.where(rng.random(800) < 0.4, 7,
+                      rng.randint(0, 50, 800)).astype(np.int64)
+        left = pd.DataFrame({"k": lk,
+                             "lv": np.arange(800, dtype=np.int64)})
+        right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                              "rv": np.arange(50, dtype=np.int64)})
+        lds = rd.from_pandas(left).map_batches(lambda b: b,
+                                               batch_format="pandas")
+        rds = rd.from_pandas(right).map_batches(lambda b: b,
+                                                batch_format="pandas")
+        plan = {}
+        out = join(lds, rds, on="k", how="inner", hot_keys="detect",
+                   runtime_filter="off", plan_out=plan).to_pandas()
+        assert plan["strategy"] == "hash_partition"
+        assert 7 in plan["hot_keys"]
+        want = _norm(_duck(left, right, "inner"))
+        pd.testing.assert_frame_equal(_norm(out), want,
+                                      check_dtype=False)
