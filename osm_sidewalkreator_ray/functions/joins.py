@@ -496,6 +496,16 @@ def join(left, right, on: str | list[str], how: str = "inner",
     rdset = right if not isinstance(right, pd.DataFrame) \
         else rd.from_pandas(right)
 
+    # hot-key detection runs BEFORE any bloom wrapping so the MG pass
+    # scans the raw left input once, not the prefiltered chain twice
+    if hot_keys == "detect":
+        if not single_key or how not in ("inner", "left",
+                                         "semi", "anti"):
+            raise ValueError("hot_keys='detect' needs a single-column "
+                             "key and a salt-safe how")
+        hot_keys = detect_hot_keys(ldset, on) or None
+        plan["hot_keys"] = sorted(hot_keys) if hot_keys else []
+
     # 2. Bloom runtime filter ahead of the shuffle
     if runtime_filter != "off" and single_key and how in ("inner",
                                                           "semi"):
@@ -516,14 +526,6 @@ def join(left, right, on: str | list[str], how: str = "inner",
         raise ValueError("runtime_filter='force' incompatible with "
                          f"how={how!r} or composite key")
     plan.setdefault("strategy", "hash_partition")
-
-    if hot_keys == "detect":
-        if not single_key or how not in ("inner", "left",
-                                         "semi", "anti"):
-            raise ValueError("hot_keys='detect' needs a single-column "
-                             "key and a salt-safe how")
-        hot_keys = detect_hot_keys(ldset, on) or None
-        plan["hot_keys"] = sorted(hot_keys) if hot_keys else []
 
     if num_buckets is None:
         num_buckets = _auto_buckets(ldset, rdset)
