@@ -459,3 +459,102 @@ def finalize_agg_state(state, keys: list[str], spec: dict
             df = df.drop(columns=[f"__{name}_s", f"__{name}_c"])
     df = df[keys + list(spec.keys())]
     return df.sort_values(keys).reset_index(drop=True)
+
+
+def _local_skyline_keep(vals: np.ndarray, chunk: int = 512) -> np.ndarray:
+    """Boolean keep-mask of the Pareto frontier of ``vals`` (n, d),
+    maximizing every dimension. A row is dominated iff some other row
+    is >= on ALL dims and > on at least one; exact duplicates dominate
+    nothing and are all kept. Chunked pairwise numpy — no Python loop
+    over rows."""
+    n = len(vals)
+    keep = np.ones(n, dtype=bool)
+    for s in range(0, n, chunk):
+        blk = vals[s:s + chunk]
+        ge = (vals[:, None, :] >= blk[None, :, :]).all(axis=-1)
+        gt = (vals[:, None, :] > blk[None, :, :]).any(axis=-1)
+        keep[s:s + chunk] &= ~(ge & gt).any(axis=0)
+    return keep
+
+
+def skyline(ds, cols: list[str], maximize: list[bool] | None = None,
+            batch_size: int = 4096,
+            max_collect: int = 200_000) -> pd.DataFrame:
+    """Pareto frontier (skyline) of a Dataset over ``cols``: rows not
+    dominated by any other row. ``maximize[i]`` flips dimension i to
+    a minimize objective when False (default: maximize everything).
+    NULL in any skyline column drops the row (SQL NOT EXISTS oracle
+    semantics with >= comparisons).
+
+    Physical plan: the local skyline is a COMBINER — a row dominated
+    within its batch is dominated globally, so each batch forwards
+    only its own frontier. The surviving candidates (typically
+    O(log^d n) for independent dims) collect to the driver for the
+    final exact pass; if the corpus is adversarially frontier-heavy
+    and candidates exceed ``max_collect``, this raises loud rather
+    than silently truncating."""
+    if maximize is None:
+        maximize = [True] * len(cols)
+    if len(maximize) != len(cols):
+        raise ValueError("maximize must align with cols")
+    sign = np.array([1.0 if m else -1.0 for m in maximize])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[cols].notna().all(axis=1)]
+        if not len(b):
+            return b
+        vals = b[cols].to_numpy(np.float64) * sign
+        return b[_local_skyline_keep(vals)]
+
+    cand = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .to_pandas())
+    if len(cand) > max_collect:
+        raise RuntimeError(
+            f"skyline candidate set ({len(cand)} rows) exceeds "
+            f"max_collect={max_collect}; the frontier itself is "
+            "corpus-sized — raise max_collect or reduce dimensions")
+    if not len(cand):
+        return cand.reset_index(drop=True)
+    vals = cand[cols].to_numpy(np.float64) * sign
+    return (cand[_local_skyline_keep(vals)]
+            .sort_values(cols).reset_index(drop=True))
+
+
+def corr_by(ds, by: str, x_col: str, y_col: str,
+            num_buckets: int = 32) -> pd.DataFrame:
+    """Per-group Pearson correlation of two numeric columns —
+    SQL ``corr(x, y) GROUP BY key`` as an ALGEBRAIC aggregate: six
+    sufficient statistics per (group, batch) ride the slim
+    ``grouped_agg`` shuffle, the division happens once per group.
+    Rows with NULL in either column are excluded pairwise (SQL corr
+    semantics); groups with < 2 rows or zero variance yield NaN."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[x_col].notna() & b[y_col].notna()]
+        x = b[x_col].to_numpy(np.float64)
+        y = b[y_col].to_numpy(np.float64)
+        return pd.DataFrame({by: b[by].to_numpy(),
+                             "x": x, "y": y, "xx": x * x,
+                             "yy": y * y, "xy": x * y})
+
+    g = grouped_agg(ds.map_batches(prep, batch_format="pandas"), [by],
+                    {"n": (None, "count"), "sx": ("x", "sum"),
+                     "sy": ("y", "sum"), "sxx": ("xx", "sum"),
+                     "syy": ("yy", "sum"), "sxy": ("xy", "sum")},
+                    num_buckets=num_buckets)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        sx, sy = b["sx"].to_numpy(), b["sy"].to_numpy()
+        num = n * b["sxy"].to_numpy() - sx * sy
+        vx = n * b["sxx"].to_numpy() - sx * sx
+        vy = n * b["syy"].to_numpy() - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((vx > 0) & (vy > 0) & (n > 1),
+                         num / np.sqrt(vx * vy), np.nan)
+        return pd.DataFrame({by: b[by].to_numpy(), "corr": r,
+                             "n_rows": b["n"].to_numpy(np.int64)})
+
+    return (g.map_batches(fin, batch_format="pandas").to_pandas()
+            .sort_values(by).reset_index(drop=True))
