@@ -1187,3 +1187,152 @@ def sssp_weighted(edges, sources, weight_col: str = "w",
     return (pd.DataFrame({"vertex": df["vertex"].to_numpy(np.int64),
                           "dist": df["label"].to_numpy(np.float64)})
             .sort_values("vertex").reset_index(drop=True))
+
+
+def coreness(edges, num_buckets: int = 32,
+             max_iters: int = 100) -> pd.DataFrame:
+    """k-core decomposition: the CORENESS of every vertex of an
+    undirected simple graph (self-loops dropped, parallel edges
+    deduped) — core(v) = the largest k such that v belongs to a
+    subgraph where every vertex has degree >= k.
+
+    Distributed as the h-index fixpoint (Lu, Chen, Zhou, Zhang,
+    "The H-index of a network node and its relation to degree and
+    coreness", Nature Communications 2016): c_0(v) = deg(v), then
+    c_{t+1}(v) = H({c_t(u) : u in N(v)}) — the largest h such that
+    >= h neighbors currently hold value >= h. The sequence is
+    pointwise non-increasing and converges exactly to the coreness,
+    so the fixpoint test is one scalar (the value sum) per round.
+
+    Physical plan mirrors ``pagerank``: the directed both-ways edge
+    list is bucketed by hash(src) ONCE; each round is exactly two
+    slim shuffles — (a) co-group current values into the edge buckets
+    and emit (dst, c_src) int pairs, (b) one hash(dst) co-group
+    computing the h-index per vertex with a sort-free prefix-count
+    (values sorted desc within the group; h = #positions with
+    c_i >= rank_i). Static zero rows keep self-loop-only vertices in
+    the output (an extra 0 never changes an h-index >= 1). Driver
+    state per round is O(1); vertex values stay a Dataset.
+    """
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.concatenate([np.minimum(s, d), np.maximum(s, d)])
+        v = np.concatenate([np.maximum(s, d), np.minimum(s, d)])
+        df = pd.DataFrame({"src": u, "dst": v}).drop_duplicates()
+        df["__b"] = (pd.util.hash_array(df["src"].to_numpy(np.int64))
+                     % num_buckets).astype(np.int64)
+        df["__kind"] = np.int8(0)
+        return df
+
+    # block-local dedup above; exact dedup happens inside the first
+    # bucketed co-group below (all copies of an edge share hash(src))
+    edir = edges.map_batches(canon, batch_format="pandas").materialize()
+
+    all_verts = (edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"vertex": np.unique(np.concatenate(
+                [b["src"].to_numpy(np.int64),
+                 b["dst"].to_numpy(np.int64)]))}),
+        batch_format="pandas")
+        .groupby("vertex").count()
+        .map_batches(lambda b: pd.DataFrame(
+            {"vertex": b["vertex"].to_numpy(np.int64)}),
+            batch_format="pandas").materialize())
+
+    if all_verts.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "coreness": pd.Series([], dtype="int64")})
+
+    def dedup_and_degree(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.drop_duplicates(["src", "dst"])
+        deg = e.groupby("src").size()
+        return pd.DataFrame({"vertex": deg.index.to_numpy(np.int64),
+                             "c": deg.to_numpy(np.int64)})
+
+    values = (edir.groupby("__b")
+              .map_groups(dedup_and_degree, batch_format="pandas")
+              .materialize())
+    if values.count() == 0:
+        # only self-loops survive canon: every vertex has coreness 0
+        av = all_verts.to_pandas().sort_values("vertex")
+        return pd.DataFrame({
+            "vertex": av["vertex"].to_numpy(np.int64),
+            "coreness": np.zeros(len(av), np.int64)})
+
+    # vertices with no surviving edge (self-loop-only) -> coreness 0
+    zeros = all_verts.map_batches(
+        lambda b: pd.DataFrame({"vertex": b["vertex"].to_numpy(np.int64),
+                                "c": np.zeros(len(b), np.int64)}),
+        batch_format="pandas")
+
+    def val_sum(ds) -> tuple:
+        st = ds.map_batches(
+            lambda b: pd.DataFrame({"n": [len(b)],
+                                    "s": [int(b["c"].sum())]}),
+            batch_format="pandas").to_pandas()
+        return int(st["n"].sum()), int(st["s"].sum())
+
+    def tag_values(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["src"] = b["vertex"].to_numpy(np.int64)
+        b["dst"] = np.int64(-1)
+        b["__b"] = (pd.util.hash_array(b["src"].to_numpy(np.int64))
+                    % num_buckets).astype(np.int64)
+        b["__kind"] = np.int8(1)
+        return b[["src", "dst", "__b", "__kind", "c"]]
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["__kind"] == 1]
+        mp = pd.Series(vals["c"].to_numpy(np.int64),
+                       index=vals["src"].to_numpy(np.int64))
+        e = g[g["__kind"] == 0].drop_duplicates(["src", "dst"])
+        c = mp.reindex(e["src"].to_numpy(np.int64)).to_numpy()
+        return pd.DataFrame({"dst": e["dst"].to_numpy(np.int64),
+                             "c": c.astype(np.int64)})
+
+    def hindex(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dst", "c"], ascending=[True, False])
+        rank = g.groupby("dst").cumcount().to_numpy() + 1
+        ok = g["c"].to_numpy(np.int64) >= rank
+        h = (pd.DataFrame({"dst": g["dst"].to_numpy(np.int64),
+                           "ok": ok})
+             .groupby("dst")["ok"].sum())
+        return pd.DataFrame({"vertex": h.index.to_numpy(np.int64),
+                             "c": h.to_numpy(np.int64)})
+
+    prev = val_sum(values)
+    converged = False
+    for _ in range(max_iters):
+        ec = (edir.union(values.map_batches(tag_values,
+                                            batch_format="pandas"))
+              .groupby("__b").map_groups(attach, batch_format="pandas"))
+        contrib = ec.union(zeros.map_batches(
+            lambda b: pd.DataFrame(
+                {"dst": b["vertex"].to_numpy(np.int64),
+                 "c": b["c"].to_numpy(np.int64)}),
+            batch_format="pandas"))
+        bucketed = contrib.map_batches(
+            lambda b: b.assign(
+                __b=(pd.util.hash_array(b["dst"].to_numpy(np.int64))
+                     % num_buckets).astype(np.int64)),
+            batch_format="pandas")
+        values = (bucketed.groupby("__b")
+                  .map_groups(lambda g: hindex(g.drop(columns="__b")),
+                              batch_format="pandas").materialize())
+        cur = val_sum(values)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"coreness did not converge in {max_iters} rounds")
+    df = values.to_pandas()
+    return (pd.DataFrame({"vertex": df["vertex"].to_numpy(np.int64),
+                          "coreness": df["c"].to_numpy(np.int64)})
+            .sort_values("vertex").reset_index(drop=True))
