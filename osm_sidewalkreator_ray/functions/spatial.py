@@ -308,3 +308,176 @@ def getis_ord_gstar(points, value_col: str, d: float,
                              "n_neighbors": wi.astype(np.int64)})
 
     return sums.map_batches(z, batch_format="pandas")
+
+
+def idw_interpolate(samples, queries, radius: float, power: float = 2.0,
+                    id_col: str = "id", x_col: str = "x",
+                    y_col: str = "y", value_col: str = "v",
+                    num_buckets: int = 32) -> "rd.Dataset":
+    """Inverse-distance-weighted interpolation (Shepard 1968): for
+    every query point, the weighted mean of sample values within
+    ``radius`` with weights 1/d^power — one row per query
+    ``(id, est, n_samples)``. A query COINCIDENT with >= 1 sample
+    (d == 0) takes the mean of the coincident sample values (the
+    standard singularity convention); a query with no sample in range
+    reports est = NaN, n_samples = 0 (never silently dropped).
+
+    Physical plan: one gridded ``distance_join`` (queries in home
+    cells, samples ring-replicated), per-pair weights vectorized,
+    then a slim ``grouped_agg`` fold; zero-marker rows keep empty
+    queries in the output."""
+
+    def q_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"qid": b[id_col].to_numpy(np.int64),
+                             "qx": b[x_col].to_numpy(np.float64),
+                             "qy": b[y_col].to_numpy(np.float64)})
+
+    def s_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sx": b[x_col].to_numpy(np.float64),
+                             "sy": b[y_col].to_numpy(np.float64),
+                             "sv": b[value_col].to_numpy(np.float64)})
+
+    pairs = distance_join(
+        queries.map_batches(q_side, batch_format="pandas"),
+        samples.map_batches(s_side, batch_format="pandas"),
+        radius, l_x="qx", l_y="qy", r_x="sx", r_y="sy",
+        num_buckets=num_buckets)
+
+    def weights(b: pd.DataFrame) -> pd.DataFrame:
+        dx = b["qx"].to_numpy(np.float64) - b["sx"].to_numpy(np.float64)
+        dy = b["qy"].to_numpy(np.float64) - b["sy"].to_numpy(np.float64)
+        d = np.sqrt(dx * dx + dy * dy)
+        v = b["sv"].to_numpy(np.float64)
+        hit = d == 0.0
+        with np.errstate(divide="ignore"):
+            w = np.where(hit, 0.0, 1.0 / np.power(d, power))
+        return pd.DataFrame({
+            "qid": b["qid"].to_numpy(np.int64),
+            "num": w * np.where(hit, 0.0, v), "den": w,
+            "zn": hit.astype(np.int64),
+            "zs": np.where(hit, v, 0.0),
+            "cnt": np.ones(len(b), np.int64)})
+
+    markers = queries.map_batches(
+        lambda b: pd.DataFrame({
+            "qid": b[id_col].to_numpy(np.int64),
+            "num": np.zeros(len(b)), "den": np.zeros(len(b)),
+            "zn": np.zeros(len(b), np.int64),
+            "zs": np.zeros(len(b)),
+            "cnt": np.zeros(len(b), np.int64)}),
+        batch_format="pandas")
+
+    folded = grouped_agg(
+        pairs.map_batches(weights, batch_format="pandas").union(markers),
+        ["qid"],
+        {"num": ("num", "sum"), "den": ("den", "sum"),
+         "zn": ("zn", "sum"), "zs": ("zs", "sum"),
+         "n_samples": ("cnt", "sum")},
+        num_buckets=num_buckets)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        zn = b["zn"].to_numpy(np.float64)
+        den = b["den"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            est = np.where(zn > 0, b["zs"].to_numpy() / zn,
+                           np.where(den > 0,
+                                    b["num"].to_numpy() / den, np.nan))
+        return pd.DataFrame({"id": b["qid"].to_numpy(np.int64),
+                             "est": est,
+                             "n_samples": b["n_samples"]
+                             .to_numpy(np.int64)})
+
+    return folded.map_batches(fin, batch_format="pandas")
+
+
+def _monotone_chain(xy: np.ndarray) -> np.ndarray:
+    """Convex hull of (n, 2) points, CCW from the lexicographically
+    smallest vertex; collinear boundary points excluded. O(n log n)."""
+    pts = np.unique(xy, axis=0)  # sorts lexicographically
+    if len(pts) <= 2:
+        return pts
+
+    def half(p):
+        h = []
+        for q in p:
+            while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 2:  # all points identical-ish / collinear pairs
+        hull = [pts[0], pts[-1]]
+    return np.asarray(hull)
+
+
+def _octagon_filter(xy: np.ndarray) -> np.ndarray:
+    """Akl-Toussaint pre-filter: keep only points NOT strictly inside
+    the octagon of the 8 directional extremes — fully vectorized, the
+    survivors provably include every hull vertex."""
+    if len(xy) <= 16:
+        return xy
+    x, y = xy[:, 0], xy[:, 1]
+    proj = np.stack([x, -x, y, -y, x + y, x - y, -x + y, -x - y])
+    ex = proj.max(axis=1, keepdims=True)
+    on_or_out = (proj >= ex).any(axis=0)
+    # the octagon INTERIOR is where every projection is strictly
+    # below its max over the extreme point set; conservatively keep
+    # anything matching an extreme, plus run the exact hull on them
+    keep = xy[on_or_out]
+    hull = _monotone_chain(keep)
+    # exact inside-test of remaining points against that hull
+    rest = xy[~on_or_out]
+    if not len(rest):
+        return hull
+    inside = _inside_convex(hull, rest)
+    return np.vstack([hull, rest[~inside]])
+
+
+def _inside_convex(hull: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """True where pts are strictly inside the CCW hull polygon."""
+    if len(hull) < 3:
+        return np.zeros(len(pts), dtype=bool)
+    ok = np.ones(len(pts), dtype=bool)
+    for a, b in zip(hull, np.roll(hull, -1, axis=0)):
+        cross = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+                 - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+        ok &= cross > 0
+    return ok
+
+
+def convex_hull(points, x_col: str = "x", y_col: str = "y",
+                batch_size: int = 8192,
+                max_collect: int = 500_000) -> pd.DataFrame:
+    """Convex hull of a point Dataset: vertices CCW from the
+    lexicographically smallest, collinear boundary points excluded —
+    a distributed REDUCTION like ``skyline``: each batch forwards only
+    its own hull (an Akl-Toussaint octagon pre-filter keeps the
+    per-batch work vectorized; the exact chain runs on the few
+    survivors), the driver chains the collected candidates once.
+    Candidate overflow raises loud (``max_collect``)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        xy = np.column_stack([b[x_col].to_numpy(np.float64),
+                              b[y_col].to_numpy(np.float64)])
+        xy = xy[np.isfinite(xy).all(axis=1)]
+        if not len(xy):
+            return pd.DataFrame({x_col: pd.Series([], dtype="float64"),
+                                 y_col: pd.Series([], dtype="float64")})
+        h = _monotone_chain(_octagon_filter(xy))
+        return pd.DataFrame({x_col: h[:, 0], y_col: h[:, 1]})
+
+    cand = points.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size).to_pandas()
+    if len(cand) > max_collect:
+        raise RuntimeError(
+            f"convex_hull candidate set ({len(cand)}) exceeds "
+            f"max_collect={max_collect}")
+    if not len(cand):
+        return cand
+    hull = _monotone_chain(cand[[x_col, y_col]].to_numpy(np.float64))
+    return pd.DataFrame({x_col: hull[:, 0], y_col: hull[:, 1]})

@@ -240,3 +240,129 @@ class TestGetisOrdGstar:
         # hot half scores hot: max |z| point sits in the high-value half
         hot = got.loc[got["gi_star"].idxmax(), "id"]
         assert df.loc[df["id"] == hot, "x"].iloc[0] > 50
+
+
+class TestIDWInterpolate:
+    """IDW estimates vs an exact DuckDB oracle with the same
+    coincident-point and empty-neighborhood conventions."""
+
+    def _data(self, seed=3, n_s=300, n_q=60):
+        rng = np.random.RandomState(seed)
+        samp = pd.DataFrame({
+            "id": np.arange(n_s, dtype=np.int64),
+            "x": rng.uniform(0, 100, n_s),
+            "y": rng.uniform(0, 100, n_s),
+            "v": rng.uniform(-5, 10, n_s)})
+        qry = pd.DataFrame({
+            "id": np.arange(n_q, dtype=np.int64) * 7 + 1,
+            "x": rng.uniform(0, 100, n_q),
+            "y": rng.uniform(0, 100, n_q),
+            "v": np.zeros(n_q)})
+        # query 0 coincides with two samples (duplicate sample site)
+        samp.loc[1, ["x", "y"]] = samp.loc[0, ["x", "y"]].to_numpy()
+        qry.loc[0, ["x", "y"]] = samp.loc[0, ["x", "y"]].to_numpy()
+        # query 1 is out of everyone's reach
+        qry.loc[1, ["x", "y"]] = [1e4, 1e4]
+        return samp, qry
+
+    @pytest.mark.parametrize("radius,power", [(12.0, 2.0), (25.0, 1.0)])
+    def test_matches_duckdb_oracle(self, radius, power):
+        samp, qry = self._data()
+        got = (S.idw_interpolate(
+            rd.from_pandas(samp).repartition(4),
+            rd.from_pandas(qry).repartition(3),
+            radius=radius, power=power)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("samp", samp)
+        con.register("qry", qry)
+        want = con.execute(f"""
+            WITH pairs AS (
+              SELECT q.id,
+                     s.v,
+                     sqrt((q.x-s.x)*(q.x-s.x)
+                          + (q.y-s.y)*(q.y-s.y)) AS d
+              FROM qry q JOIN samp s
+                ON (q.x-s.x)*(q.x-s.x) + (q.y-s.y)*(q.y-s.y)
+                   <= {radius * radius})
+            SELECT q.id,
+                   CASE
+                     WHEN COUNT(p.d) = 0 THEN NULL
+                     WHEN SUM(CASE WHEN p.d = 0 THEN 1 ELSE 0 END) > 0
+                       THEN SUM(CASE WHEN p.d = 0 THEN p.v END)
+                            / SUM(CASE WHEN p.d = 0 THEN 1 ELSE 0 END)
+                     ELSE SUM(p.v / POWER(p.d, {power}))
+                          / SUM(1.0 / POWER(p.d, {power}))
+                   END AS est,
+                   COUNT(p.d) AS n_samples
+            FROM qry q LEFT JOIN pairs p ON p.id = q.id
+            GROUP BY q.id ORDER BY q.id
+        """).df()
+        assert got["id"].tolist() == want["id"].tolist()
+        assert got["n_samples"].tolist() == want["n_samples"].tolist()
+        np.testing.assert_allclose(got["est"].to_numpy(),
+                                   want["est"].to_numpy(), rtol=1e-9)
+
+    def test_coincident_and_empty_conventions(self):
+        samp, qry = self._data()
+        got = (S.idw_interpolate(rd.from_pandas(samp),
+                                 rd.from_pandas(qry), radius=12.0)
+               .to_pandas().set_index("id"))
+        assert len(got) == len(qry)  # nobody dropped
+        # coincident query: mean of the two stacked sample values
+        v0 = samp.loc[[0, 1], "v"].mean()
+        np.testing.assert_allclose(got.loc[1, "est"], v0)
+        # unreachable query: NaN est, zero neighbors
+        assert np.isnan(got.loc[8, "est"])
+        assert got.loc[8, "n_samples"] == 0
+
+
+class TestConvexHull:
+
+    def test_known_square(self):
+        rng = np.random.RandomState(5)
+        inner = rng.uniform(1, 9, (500, 2))
+        corners = np.array([[0., 0.], [10., 0.], [10., 10.], [0., 10.]])
+        # edge midpoints are collinear boundary points -> excluded
+        mids = np.array([[5., 0.], [10., 5.], [5., 10.], [0., 5.]])
+        df = pd.DataFrame(np.vstack([inner, corners, mids]),
+                          columns=["x", "y"])
+        hull = S.convex_hull(rd.from_pandas(df).repartition(6))
+        assert sorted(map(tuple, hull.to_numpy())) \
+            == sorted(map(tuple, corners))
+
+    def test_properties_random(self):
+        rng = np.random.RandomState(11)
+        pts = rng.normal(0, 30, (4000, 2))
+        df = pd.DataFrame(pts, columns=["x", "y"])
+        hull = S.convex_hull(rd.from_pandas(df).repartition(8),
+                             batch_size=512).to_numpy()
+        # vertices are input points
+        src = set(map(tuple, pts))
+        assert all(tuple(v) in src for v in hull)
+        # strictly convex, CCW
+        for a, b, c in zip(hull, np.roll(hull, -1, axis=0),
+                           np.roll(hull, -2, axis=0)):
+            assert (b[0] - a[0]) * (c[1] - a[1]) \
+                - (b[1] - a[1]) * (c[0] - a[0]) > 0
+        # contains every input point
+        for a, b in zip(hull, np.roll(hull, -1, axis=0)):
+            cr = (b[0] - a[0]) * (pts[:, 1] - a[1]) \
+                - (b[1] - a[1]) * (pts[:, 0] - a[0])
+            assert (cr >= -1e-9).all()
+        # starts at the lexicographically smallest vertex
+        assert tuple(hull[0]) == min(map(tuple, hull))
+
+    def test_degenerate_collinear_and_dupes(self):
+        df = pd.DataFrame({"x": [1., 1., 3., 5., 5., 2.],
+                           "y": [1., 1., 3., 5., 5., 2.]})
+        hull = S.convex_hull(rd.from_pandas(df))
+        assert sorted(map(tuple, hull.to_numpy())) \
+            == [(1., 1.), (5., 5.)]
+        one = S.convex_hull(rd.from_pandas(
+            pd.DataFrame({"x": [2.], "y": [3.]})))
+        assert one.to_numpy().tolist() == [[2., 3.]]
+        empty = S.convex_hull(rd.from_pandas(
+            pd.DataFrame({"x": pd.Series([], dtype="float64"),
+                          "y": pd.Series([], dtype="float64")})))
+        assert len(empty) == 0
