@@ -1336,3 +1336,194 @@ def coreness(edges, num_buckets: int = 32,
     return (pd.DataFrame({"vertex": df["vertex"].to_numpy(np.int64),
                           "coreness": df["c"].to_numpy(np.int64)})
             .sort_values("vertex").reset_index(drop=True))
+
+
+def link_prediction(edges, *, exclude_existing: bool = True,
+                    max_degree: int | None = None,
+                    num_buckets: int = 32) -> "rd.Dataset":
+    """Neighborhood link-prediction scores over the undirected simple
+    graph spanned by (src, dst): one row per vertex pair with >= 1
+    common neighbor — ``(u, v, common_neighbors, jaccard,
+    adamic_adar)``, u < v (Liben-Nowell & Kleinberg, CIKM'03;
+    Adamic & Adar, Social Networks 2003).
+
+    Plan: symmetrized adjacency grouped by the CENTER vertex w emits
+    every unordered neighbor pair with partial weights (1 for the
+    count, 1/ln(deg_w) for Adamic-Adar — deg_w is the group size, so
+    no degree shuffle is needed for the center); a slim (u, v)
+    `grouped_agg` folds the partials; full degrees attach to u then v
+    through bucketed co-groups (the `triangle_count` pattern) to
+    finalize Jaccard = cn / (deg_u + deg_v - cn); existing edges are
+    removed with a pair-bucketed anti co-group.
+
+    Skew: a center of degree D emits D*(D-1)/2 pairs — the classic
+    hub blowup. ``max_degree`` drops centers above the cap (their
+    contribution to every score, documented approximation at scale);
+    the default None is exact.
+    """
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        out = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        out["__b"] = (pd.util.hash_array(out["u"].to_numpy())
+                      ^ pd.util.hash_array(out["v"].to_numpy())) \
+            % num_buckets
+        return out
+
+    simple = (edges.map_batches(canon, batch_format="pandas")
+              .groupby("__b").map_groups(
+                  lambda g: g.drop_duplicates(["u", "v"]),
+                  batch_format="pandas").materialize())
+
+    # symmetrized adjacency keyed (and bucketed) by the center vertex
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        w = np.concatenate([u, v])
+        n = np.concatenate([v, u])
+        return pd.DataFrame({
+            "w": w, "n": n,
+            "__b": (pd.util.hash_array(w) % num_buckets)
+            .astype(np.int64)})
+
+    adj = simple.map_batches(sym, batch_format="pandas")
+
+    def wedge_scores(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("w", sort=False):
+            nbrs = np.unique(grp["n"].to_numpy(np.int64))
+            deg_w = len(nbrs)
+            if deg_w < 2 or (max_degree is not None
+                             and deg_w > max_degree):
+                continue
+            ii, jj = np.triu_indices(deg_w, k=1)
+            aa = 1.0 / np.log(deg_w)
+            outs.append(pd.DataFrame({
+                "u": nbrs[ii], "v": nbrs[jj],
+                "cn": np.ones(len(ii), np.int64),
+                "aa": np.full(len(ii), aa)}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "cn": pd.Series([], dtype="int64"),
+                                 "aa": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    from .aggregates import grouped_agg
+    scored = grouped_agg(
+        adj.groupby("__b").map_groups(wedge_scores,
+                                      batch_format="pandas"),
+        ["u", "v"], {"cn": ("cn", "sum"), "aa": ("aa", "sum")},
+        num_buckets=num_buckets)
+
+    if exclude_existing:
+        def tag(is_edge):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                if not len(b):
+                    return pd.DataFrame({
+                        "u": pd.Series([], dtype="int64"),
+                        "v": pd.Series([], dtype="int64"),
+                        "cn": pd.Series([], dtype="int64"),
+                        "aa": pd.Series([], dtype="float64"),
+                        "__e": pd.Series([], dtype=bool),
+                        "__b": pd.Series([], dtype="int64")})
+                out = pd.DataFrame({
+                    "u": b["u"].to_numpy(np.int64),
+                    "v": b["v"].to_numpy(np.int64),
+                    "cn": (b["cn"].to_numpy(np.int64) if not is_edge
+                           else np.zeros(len(b), np.int64)),
+                    "aa": (b["aa"].to_numpy(np.float64) if not is_edge
+                           else np.zeros(len(b))),
+                    "__e": np.full(len(b), is_edge)})
+                out["__b"] = ((pd.util.hash_array(out["u"].to_numpy())
+                               ^ pd.util.hash_array(out["v"].to_numpy()))
+                              % num_buckets).astype(np.int64)
+                return out
+            return f
+
+        def anti(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[g["__e"], ["u", "v"]].drop_duplicates()
+            s = g.loc[~g["__e"]].drop(columns=["__e", "__b"])
+            m = s.merge(e.assign(__hit=True), on=["u", "v"],
+                        how="left")
+            return m.loc[m["__hit"].isna()].drop(columns="__hit")
+
+        scored = (scored.map_batches(tag(False), batch_format="pandas")
+                  .union(simple.map_batches(tag(True),
+                                            batch_format="pandas"))
+                  .groupby("__b").map_groups(anti,
+                                             batch_format="pandas"))
+
+    # full degrees (vertex-sized), attached to u then v by co-group
+    def em_deg(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"vertex": np.concatenate(
+            [b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64)])})
+            .groupby("vertex", as_index=False).size())
+        return g.rename(columns={"size": "deg"})
+
+    degs = grouped_agg(simple.map_batches(em_deg, batch_format="pandas"),
+                       ["vertex"], {"deg": ("deg", "sum")},
+                       num_buckets=num_buckets).materialize()
+
+    def attach_deg(ds, key: str, out_name: str, carry: list[str]):
+        order = carry + ["vertex", "deg", "__b", "__d"]
+
+        def pad(is_deg):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.copy()
+                for c in order:
+                    if c not in b.columns:
+                        b[c] = 0.0 if c == "aa" else np.int64(0)
+                b["__d"] = is_deg
+                b["__b"] = (pd.util.hash_array(
+                    b[key if not is_deg else "vertex"]
+                    .to_numpy(np.int64)) % num_buckets).astype(np.int64)
+                return b[order]
+            return f
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.loc[g["__d"], ["vertex", "deg"]].rename(
+                columns={"vertex": key, "deg": out_name})
+            e = g.loc[~g["__d"], carry]
+            return e.merge(d, on=key)
+
+        return (ds.map_batches(pad(False), batch_format="pandas")
+                .union(degs.map_batches(pad(True),
+                                        batch_format="pandas"))
+                .groupby("__b").map_groups(attach,
+                                           batch_format="pandas"))
+
+    with_du = attach_deg(scored, "u", "deg_u", ["u", "v", "cn", "aa"])
+    with_dv = attach_deg(with_du, "v", "deg_v",
+                         ["u", "v", "cn", "aa", "deg_u"])
+
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("common_neighbors", pa.int64()),
+                            ("jaccard", pa.float64()),
+                            ("adamic_adar", pa.float64())])
+
+    def fin(b: pd.DataFrame) -> pa.Table:
+        # NOTE: a legitimately all-empty result (every center capped,
+        # or every candidate an existing edge) yields a ZERO-block
+        # dataset — Ray Data drops empty blocks during execution, so
+        # `.schema()` is None and `.to_pandas()` has no columns.
+        # Callers must treat a 0-row result as schema-less.
+        if not len(b):
+            return out_schema.empty_table()
+        cn = b["cn"].to_numpy(np.float64)
+        du_ = b["deg_u"].to_numpy(np.float64)
+        dv_ = b["deg_v"].to_numpy(np.float64)
+        return pa.Table.from_pydict({
+            "u": b["u"].to_numpy(np.int64),
+            "v": b["v"].to_numpy(np.int64),
+            "common_neighbors": b["cn"].to_numpy(np.int64),
+            "jaccard": cn / (du_ + dv_ - cn),
+            "adamic_adar": b["aa"].to_numpy(np.float64)},
+            schema=out_schema)
+
+    return with_dv.map_batches(fin, batch_format="pandas")
