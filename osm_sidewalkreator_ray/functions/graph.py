@@ -1527,3 +1527,131 @@ def link_prediction(edges, *, exclude_existing: bool = True,
             schema=out_schema)
 
     return with_dv.map_batches(fin, batch_format="pandas")
+
+
+def hits(edges, iters: int = 20, num_buckets: int = 32) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over a directed
+    edge Dataset/DataFrame (src, dst int64): power iteration of
+    a = normalize(A'h), h = normalize(A a) on the 0/1 adjacency
+    (parallel edges deduped; self-loops kept — they are legal in
+    the model). Returns (vertex, hub, authority) as a pandas
+    DataFrame, each column L1-normalized (sums to 1, the same
+    normalization applied every half-step, so scores are directly
+    comparable across graphs).
+
+    Physical plan (the `pagerank` matvec shape, twice per round):
+    the deduped edge set is bucketed ONCE in each direction —
+    hash(src) buckets drive the authority update a[dst] += h[src],
+    hash(dst) buckets drive the hub update h[src] += a[dst]. Each
+    half-step co-groups the current vertex-sized slim (vertex,
+    score) rows into the edge buckets, emits per-bucket PRE-SUMMED
+    (out, contrib) partials, folds them with one grouped sum (static
+    zero rows keep score-less vertices present), and L1-normalizes
+    with a scalar the driver reads from one tiny aggregate —
+    per-iteration driver state is O(1); shuffled rows are always
+    slim (id, float) pairs, never the edge payload."""
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": b["src"].to_numpy(np.int64),
+                            "dst": b["dst"].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        out["__b"] = ((pd.util.hash_array(out["src"].to_numpy())
+                       ^ pd.util.hash_array(out["dst"].to_numpy()))
+                      % num_buckets).astype(np.int64)
+        return out
+
+    simple = (edges.map_batches(canon, batch_format="pandas")
+              .groupby("__b").map_groups(
+                  lambda g: g.drop_duplicates(["src", "dst"]),
+                  batch_format="pandas").materialize())
+    if simple.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "hub": pd.Series([], dtype="float64"),
+                             "authority": pd.Series([], dtype="float64")})
+
+    def directed(key: str, out: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[key].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": (pd.util.hash_array(k) % num_buckets)
+                .astype(np.int64),
+                "key": k, "out": b[out].to_numpy(np.int64),
+                "s": np.ones(len(b), dtype=np.float64),
+                "is_edge": np.ones(len(b), dtype=bool)})
+        return f
+
+    e_fwd = simple.map_batches(directed("src", "dst"),
+                               batch_format="pandas").materialize()
+    e_rev = simple.map_batches(directed("dst", "src"),
+                               batch_format="pandas").materialize()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([b["src"].to_numpy(np.int64),
+                                      b["dst"].to_numpy(np.int64)]))
+        return pd.DataFrame({"vertex": v})
+
+    vertices = (simple.map_batches(endpoints, batch_format="pandas")
+                .groupby("vertex").count()
+                .map_batches(lambda b: pd.DataFrame(
+                    {"vertex": b["vertex"].to_numpy(np.int64)}),
+                    batch_format="pandas").materialize())
+    n = vertices.count()
+
+    zero_rows = vertices.map_batches(
+        lambda b: pd.DataFrame({
+            "out": b["vertex"].to_numpy(np.int64),
+            "c": np.zeros(len(b), dtype=np.float64)}),
+        batch_format="pandas").materialize()
+
+    def tag_scores(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["vertex"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(v) % num_buckets)
+            .astype(np.int64),
+            "key": v, "out": np.full(len(b), -1, dtype=np.int64),
+            "s": b["score"].to_numpy(np.float64),
+            "is_edge": np.zeros(len(b), dtype=bool)})
+
+    def contribute(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.loc[~g["is_edge"], ["key", "s"]] \
+            .rename(columns={"s": "r"})
+        e = g.loc[g["is_edge"], ["key", "out"]]
+        m = e.merge(r, on="key")
+        m["c"] = m["r"]
+        return m.groupby("out", as_index=False)["c"].sum()
+
+    from .aggregates import grouped_agg
+
+    def matvec(scores, edge_rows):
+        tagged = scores.map_batches(tag_scores, batch_format="pandas")
+        sums = grouped_agg(
+            edge_rows.union(tagged).groupby("bucket")
+            .map_groups(contribute, batch_format="pandas")
+            .union(zero_rows),
+            ["out"], {"c": ("c", "sum")}).materialize()
+        total = float(sums.sum("c"))
+        if total <= 0.0:  # unreachable on a nonempty edge set
+            raise RuntimeError("HITS mass vanished")
+        return sums.map_batches(
+            lambda b, _t=total: pd.DataFrame({
+                "vertex": b["out"].to_numpy(np.int64),
+                "score": b["c"].to_numpy(np.float64) / _t}),
+            batch_format="pandas")
+
+    hubs = vertices.map_batches(
+        lambda b: pd.DataFrame({
+            "vertex": b["vertex"].to_numpy(np.int64),
+            "score": np.full(len(b), 1.0 / n)}),
+        batch_format="pandas").materialize()
+
+    auths = hubs
+    for _ in range(iters):
+        auths = matvec(hubs, e_fwd)
+        hubs = matvec(auths, e_rev)
+
+    hd = hubs.to_pandas().rename(columns={"score": "hub"})
+    ad = auths.to_pandas().rename(columns={"score": "authority"})
+    df = hd.merge(ad, on="vertex")
+    df["vertex"] = df["vertex"].astype("int64")
+    return df.sort_values("vertex").reset_index(drop=True)
