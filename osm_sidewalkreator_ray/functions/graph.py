@@ -1655,3 +1655,232 @@ def hits(edges, iters: int = 20, num_buckets: int = 32) -> pd.DataFrame:
     df = hd.merge(ad, on="vertex")
     df["vertex"] = df["vertex"].astype("int64")
     return df.sort_values("vertex").reset_index(drop=True)
+
+
+def _mis_round_state(simple, num_buckets: int):
+    """Shared state for the Luby-family loops: both-direction edge
+    rows bucketed by hash of the ATTACH endpoint (so neighbor
+    attributes co-group without re-bucketing), plus the vertex set."""
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        a = np.concatenate([u, v])
+        bb = np.concatenate([v, u])
+        return pd.DataFrame({
+            "a": a, "b": bb,
+            "bucket": (pd.util.hash_array(bb) % num_buckets)
+            .astype(np.int64)})
+
+    adj = simple.map_batches(both, batch_format="pandas").materialize()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([b["u"].to_numpy(np.int64),
+                                      b["v"].to_numpy(np.int64)]))
+        return pd.DataFrame({"vertex": v})
+
+    vertices = (simple.map_batches(endpoints, batch_format="pandas")
+                .groupby("vertex").count()
+                .map_batches(lambda b: pd.DataFrame(
+                    {"vertex": b["vertex"].to_numpy(np.int64)}),
+                    batch_format="pandas").materialize())
+    return adj, vertices
+
+
+def _prio(v: np.ndarray, rnd: int, seed: int) -> np.ndarray:
+    """Deterministic per-(vertex, round) priority — identical on every
+    worker for the same inputs, fresh each round so a stalled hash
+    tie (neither endpoint joins under strict <) resolves next round."""
+    salt = np.uint64(((rnd + 1) * 0x9E3779B97F4A7C15 + seed)
+                     % (1 << 64))
+    return pd.util.hash_array(
+        np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+        ^ salt)
+
+
+def maximal_independent_set(edges, num_buckets: int = 32,
+                            max_iters: int = 100,
+                            seed: int = 0) -> pd.DataFrame:
+    """Maximal independent set of the undirected simple graph spanned
+    by (src, dst) — Luby's algorithm (SIAM J. Comput. 1986) with
+    deterministic hash priorities: each round, an undecided vertex
+    joins the MIS iff its priority is STRICTLY below every undecided
+    neighbor's (hash ties stall that edge one round and re-draw);
+    neighbors of joiners leave the graph. Self-loops are dropped (a
+    self-adjacent vertex has no consistent MIS semantics; this
+    matches computing the MIS of the underlying simple graph minus
+    loop vertices' loops). Returns (vertex, in_mis) for every vertex,
+    deterministic for a given seed regardless of partitioning.
+
+    Each round is a constant number of slim bucketed co-groups
+    (attach neighbor priorities + grouped min, winner test, dominate
+    neighbors, shrink the undecided set) — no step holds the vertex
+    or edge set in one process; O(log n) expected rounds."""
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        out = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        out["__b"] = ((pd.util.hash_array(out["u"].to_numpy())
+                       ^ pd.util.hash_array(out["v"].to_numpy()))
+                      % num_buckets).astype(np.int64)
+        return out
+
+    simple = (edges.map_batches(canon, batch_format="pandas")
+              .groupby("__b").map_groups(
+                  lambda g: g.drop_duplicates(["u", "v"]),
+                  batch_format="pandas").materialize())
+    if simple.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "in_mis": pd.Series([], dtype=bool)})
+
+    adj, vertices = _mis_round_state(simple, num_buckets)
+    undec = vertices
+    in_parts: list[pd.DataFrame] = []  # O(|MIS|) driver rows total
+
+    from .aggregates import grouped_agg
+
+    for rnd in range(max_iters):
+        n_undec = undec.count()
+        if n_undec == 0:
+            break
+
+        def tag_prio(b: pd.DataFrame, _r=rnd) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": (pd.util.hash_array(v) % num_buckets)
+                .astype(np.int64),
+                "b": v, "p": _prio(v, _r, seed)})
+
+        prio_rows = undec.map_batches(tag_prio,
+                                      batch_format="pandas") \
+            .materialize()
+
+        # min undecided-neighbor priority per vertex (matvec-min)
+        def nbr_min(g: pd.DataFrame) -> pd.DataFrame:
+            pr = g.loc[~g["is_edge"], ["b", "p"]]
+            e = g.loc[g["is_edge"], ["a", "b"]]
+            m = e.merge(pr, on="b")
+            if not len(m):
+                return pd.DataFrame({
+                    "vertex": pd.Series([], dtype="int64"),
+                    "mn": pd.Series([], dtype="uint64")})
+            r = m.groupby("a", as_index=False)["p"].min()
+            return pd.DataFrame({
+                "vertex": r["a"].to_numpy(np.int64),
+                "mn": r["p"].to_numpy(np.uint64)})
+
+        def pad_edge(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[["bucket", "a", "b"]].copy()
+            b["p"] = np.uint64(0)
+            b["is_edge"] = True
+            return b
+
+        def pad_prio(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"bucket": b["bucket"],
+                                 "a": np.int64(0),
+                                 "b": b["b"], "p": b["p"],
+                                 "is_edge": np.zeros(len(b),
+                                                     dtype=bool)})
+
+        mins = grouped_agg(
+            adj.map_batches(pad_edge, batch_format="pandas")
+            .union(prio_rows.map_batches(pad_prio,
+                                         batch_format="pandas"))
+            .groupby("bucket").map_groups(nbr_min,
+                                          batch_format="pandas"),
+            ["vertex"], {"mn": ("mn", "min")},
+            num_buckets=num_buckets)
+
+        # winner test: own prio strictly below the neighbor min;
+        # vertices with NO undecided neighbor join unconditionally
+        def tag_min(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": (pd.util.hash_array(v) % num_buckets)
+                .astype(np.int64),
+                "b": v, "p": b["mn"].to_numpy(np.uint64),
+                "is_min": np.ones(len(b), dtype=bool)})
+
+        def decide(g: pd.DataFrame, _r=rnd) -> pd.DataFrame:
+            own = g.loc[~g["is_min"], ["b", "p"]]
+            mn = g.loc[g["is_min"], ["b", "p"]] \
+                .rename(columns={"p": "mn"})
+            m = own.merge(mn, on="b", how="left")
+            win = m["mn"].isna() | (m["p"] < m["mn"])
+            return pd.DataFrame({
+                "vertex": m.loc[win, "b"].to_numpy(np.int64)})
+
+        winners = (prio_rows.map_batches(
+            lambda b: b.assign(is_min=False), batch_format="pandas")
+            .union(mins.map_batches(tag_min, batch_format="pandas"))
+            .groupby("bucket").map_groups(decide,
+                                          batch_format="pandas")
+            .materialize())
+        w_df = winners.to_pandas()  # per-round driver rows; the final
+        # return is vertex-sized pandas anyway (repo convention for
+        # per-vertex graph results)
+        if not len(w_df):
+            continue  # full-round hash-tie stall: re-draw next round
+        in_parts.append(w_df)
+
+        # dominate: neighbors of winners leave; winners leave too
+        def tag_w(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": (pd.util.hash_array(v) % num_buckets)
+                .astype(np.int64),
+                "a": np.int64(0), "b": v, "p": np.uint64(1),
+                "is_edge": np.zeros(len(b), dtype=bool)})
+
+        def dominated(g: pd.DataFrame) -> pd.DataFrame:
+            wv = g.loc[~g["is_edge"], ["b"]]
+            e = g.loc[g["is_edge"], ["a", "b"]]
+            m = e.merge(wv, on="b")
+            v = np.unique(m["a"].to_numpy(np.int64))
+            return pd.DataFrame({"vertex": v})
+
+        gone = (adj.map_batches(pad_edge, batch_format="pandas")
+                .union(winners.map_batches(tag_w,
+                                           batch_format="pandas"))
+                .groupby("bucket").map_groups(dominated,
+                                              batch_format="pandas")
+                .union(winners)
+                .map_batches(lambda b: pd.DataFrame({
+                    "vertex": b["vertex"].to_numpy(np.int64),
+                    "g": np.ones(len(b), dtype=bool),
+                    "bucket": (pd.util.hash_array(
+                        b["vertex"].to_numpy(np.int64)) % num_buckets)
+                    .astype(np.int64)}), batch_format="pandas"))
+
+        def shrink(g: pd.DataFrame) -> pd.DataFrame:
+            dead = g.loc[g["g"], "vertex"]
+            alive = g.loc[~g["g"], "vertex"]
+            keep = alive[~alive.isin(dead)]
+            return pd.DataFrame({
+                "vertex": keep.to_numpy(np.int64)})
+
+        undec = (undec.map_batches(lambda b: pd.DataFrame({
+            "vertex": b["vertex"].to_numpy(np.int64),
+            "g": np.zeros(len(b), dtype=bool),
+            "bucket": (pd.util.hash_array(
+                b["vertex"].to_numpy(np.int64)) % num_buckets)
+            .astype(np.int64)}), batch_format="pandas")
+            .union(gone)
+            .groupby("bucket").map_groups(shrink,
+                                          batch_format="pandas")
+            .materialize())
+    else:
+        if undec.count() > 0:
+            raise RuntimeError(
+                f"MIS did not converge in {max_iters} rounds")
+
+    mis = (pd.concat(in_parts)["vertex"].to_numpy(np.int64)
+           if in_parts else np.array([], dtype=np.int64))
+    vd = vertices.to_pandas()
+    vd["vertex"] = vd["vertex"].astype("int64")
+    vd["in_mis"] = vd["vertex"].isin(mis)
+    return vd.sort_values("vertex").reset_index(drop=True)
