@@ -1884,3 +1884,223 @@ def maximal_independent_set(edges, num_buckets: int = 32,
     vd["vertex"] = vd["vertex"].astype("int64")
     vd["in_mis"] = vd["vertex"].isin(mis)
     return vd.sort_values("vertex").reset_index(drop=True)
+
+
+def greedy_coloring(edges, num_buckets: int = 32,
+                    max_iters: int = 200, seed: int = 0) -> pd.DataFrame:
+    """Proper vertex coloring of the undirected simple graph spanned
+    by (src, dst) — Jones-Plassmann (SIAM J. Sci. Comput. 1993): with
+    ONE fixed deterministic hash priority per vertex, a vertex colors
+    itself the round its priority strictly exceeds every UNCOLORED
+    neighbor's, taking the smallest color its colored neighbors
+    don't use (mex). Equals sequential greedy processed in descending
+    priority order, so <= maxdeg+1 colors; O(log n / log log n)
+    expected rounds. Self-loops are dropped (no proper coloring
+    exists under a loop; matches coloring the simple graph).
+    Returns (vertex, color) for every vertex, deterministic for a
+    given seed regardless of partitioning.
+
+    Each round: one co-group over the edge buckets attaches neighbor
+    state (uncolored priorities -> per-vertex max partial; colored
+    colors -> deduped (vertex, color) rows), then one decide co-group
+    computes winners + their mex AND the surviving uncolored set in
+    the same group (all rows for a vertex share its hash bucket), so
+    a round is exactly TWO shuffles. Colored-neighbor rows re-ship
+    each round (bounded by edge count; an incremental used-color
+    sidecar is the at-scale refinement and would not change results).
+    Derived sets are re-bounded to ``num_buckets`` blocks whenever
+    their block count drifts past 2x that (a metadata-only check) —
+    without the bound, each round's groupby inherits the union of its
+    inputs' blocks and the block count grows EXPONENTIALLY with the
+    round number (measured: 3 -> 15 -> 63 -> 255 -> 1023 on a
+    5-clique), which stalls the scheduler long before data size
+    matters."""
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        out = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        out["__b"] = ((pd.util.hash_array(out["u"].to_numpy())
+                       ^ pd.util.hash_array(out["v"].to_numpy()))
+                      % num_buckets).astype(np.int64)
+        return out
+
+    simple = (edges.map_batches(canon, batch_format="pandas")
+              .groupby("__b").map_groups(
+                  lambda g: g.drop_duplicates(["u", "v"]),
+                  batch_format="pandas").materialize())
+    if simple.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "color": pd.Series([], dtype="int64")})
+
+    adj, vertices = _mis_round_state(simple, num_buckets)
+    uncolored = vertices
+    colored = None  # Dataset (vertex, color), grown by union
+    from .aggregates import grouped_agg
+
+    # neighbor-state rows share one layout:
+    #   kind 0 = edge (a, b) / 1 = uncolored prio on b / 2 = color on b
+    def pad_edge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": b["bucket"],
+                             "a": b["a"], "b": b["b"],
+                             "p": np.uint64(0),
+                             "c": np.int64(-1),
+                             "kind": np.int8(0)})
+
+    def tag_unc(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["vertex"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(v) % num_buckets)
+            .astype(np.int64),
+            "a": np.int64(0), "b": v, "p": _prio(v, 0, seed),
+            "c": np.int64(-1), "kind": np.int8(1)})
+
+    def tag_col(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["vertex"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(v) % num_buckets)
+            .astype(np.int64),
+            "a": np.int64(0), "b": v, "p": np.uint64(0),
+            "c": b["color"].to_numpy(np.int64),
+            "kind": np.int8(2)})
+
+    def nbr_state(g: pd.DataFrame) -> pd.DataFrame:
+        """Per ATTACH vertex a: max uncolored-neighbor prio partials
+        (is_col False) and deduped colored-neighbor colors (True)."""
+        e = g.loc[g["kind"] == 0, ["a", "b"]]
+        unc = g.loc[g["kind"] == 1, ["b", "p"]]
+        col = g.loc[g["kind"] == 2, ["b", "c"]]
+        outs = []
+        m = e.merge(unc, on="b")
+        if len(m):
+            r = m.groupby("a", as_index=False)["p"].max()
+            outs.append(pd.DataFrame({
+                "vertex": r["a"].to_numpy(np.int64),
+                "p": r["p"].to_numpy(np.uint64),
+                "c": np.int64(-1),
+                "is_col": np.zeros(len(r), dtype=bool)}))
+        mc = e.merge(col, on="b")[["a", "c"]].drop_duplicates()
+        if len(mc):
+            outs.append(pd.DataFrame({
+                "vertex": mc["a"].to_numpy(np.int64),
+                "p": np.uint64(0),
+                "c": mc["c"].to_numpy(np.int64),
+                "is_col": np.ones(len(mc), dtype=bool)}))
+        if not outs:
+            return pd.DataFrame({
+                "vertex": pd.Series([], dtype="int64"),
+                "p": pd.Series([], dtype="uint64"),
+                "c": pd.Series([], dtype="int64"),
+                "is_col": pd.Series([], dtype=bool)})
+        return pd.concat(outs, ignore_index=True)
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        """Winners = own prio strictly above the uncolored-neighbor
+        max (or no uncolored neighbor); color = mex of neighbor
+        colors, vectorized over the whole group. Emits EVERY own
+        vertex: winners with their color, survivors with color -1 —
+        the survivor rows ARE next round's uncolored set, so no
+        separate shrink shuffle is needed."""
+        own = g.loc[g["kind"] == 1, ["b", "p"]] \
+            .rename(columns={"b": "vertex"})
+        mx = g.loc[g["kind"] == 3, ["b", "p"]] \
+            .rename(columns={"b": "vertex", "p": "mx"})
+        if len(mx):
+            mx = mx.groupby("vertex", as_index=False)["mx"].max()
+        m = own.merge(mx, on="vertex", how="left")
+        win = (m["mx"].isna() | (m["p"] > m["mx"])).to_numpy()
+        w = m.loc[win, ["vertex"]]
+        if len(w):
+            nc = g.loc[g["kind"] == 4, ["b", "c"]] \
+                .rename(columns={"b": "vertex"}) \
+                .merge(w, on="vertex").drop_duplicates() \
+                .sort_values(["vertex", "c"])
+            if len(nc):
+                nc["k"] = nc.groupby("vertex").cumcount()
+                # mex = first k where the sorted distinct colors skip k
+                bad = nc.loc[nc["c"] != nc["k"]] \
+                    .groupby("vertex", as_index=False)["k"].min() \
+                    .rename(columns={"k": "mex"})
+                size = nc.groupby("vertex", as_index=False).size() \
+                    .rename(columns={"size": "n"})
+                mex = size.merge(bad, on="vertex", how="left")
+                mex["color"] = mex["mex"].fillna(mex["n"]) \
+                    .astype("int64")
+                w = w.merge(mex[["vertex", "color"]], on="vertex",
+                            how="left")
+                w["color"] = w["color"].fillna(0)
+            else:
+                w = w.assign(color=np.int64(0))
+        else:
+            w = w.assign(color=pd.Series([], dtype="int64"))
+        out = m[["vertex"]].merge(w, on="vertex", how="left")
+        return pd.DataFrame({
+            "vertex": out["vertex"].to_numpy(np.int64),
+            "color": out["color"].fillna(-1).to_numpy(np.int64)})
+
+    # re-bucket neighbor state by the OWNING vertex and co-group
+    # with own priorities: kind 3 = nbr prio max, 4 = nbr color
+    def tag_state(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["vertex"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(v) % num_buckets)
+            .astype(np.int64),
+            "a": np.int64(0), "b": v,
+            "p": b["p"].to_numpy(np.uint64),
+            "c": b["c"].to_numpy(np.int64),
+            "kind": np.where(b["is_col"], np.int8(4),
+                             np.int8(3))})
+
+    def _bound(ds):
+        """Metadata-only block-count guard (see docstring)."""
+        if ds.num_blocks() > 2 * num_buckets:
+            return ds.repartition(num_buckets).materialize()
+        return ds
+
+    for _ in range(max_iters):
+        if uncolored.count() == 0:
+            break
+
+        unc_rows = uncolored.map_batches(tag_unc,
+                                         batch_format="pandas") \
+            .materialize()
+        sides = adj.map_batches(pad_edge, batch_format="pandas") \
+            .union(unc_rows)
+        if colored is not None:
+            sides = sides.union(colored.map_batches(
+                tag_col, batch_format="pandas"))
+        state = sides.groupby("bucket") \
+            .map_groups(nbr_state, batch_format="pandas")
+
+        decided = (unc_rows.union(
+            state.map_batches(tag_state, batch_format="pandas"))
+            .groupby("bucket").map_groups(decide,
+                                          batch_format="pandas")
+            .materialize())
+
+        winners = _bound(decided.map_batches(
+            lambda b: b.loc[b["color"] >= 0],
+            batch_format="pandas").materialize())
+        uncolored = _bound(decided.map_batches(
+            lambda b: b.loc[b["color"] < 0, ["vertex"]],
+            batch_format="pandas").materialize())
+        if winners.count() == 0:
+            continue  # full-round hash-tie stall (re-draws don't
+            # apply here — fixed priorities — but distinct hash ties
+            # across an edge are ~impossible; bounded by max_iters)
+
+        colored = _bound(winners if colored is None
+                         else colored.union(winners).materialize())
+    else:
+        if uncolored.count() > 0:
+            raise RuntimeError(
+                f"coloring did not converge in {max_iters} rounds")
+
+    df = colored.to_pandas()
+    df["vertex"] = df["vertex"].astype("int64")
+    df["color"] = df["color"].astype("int64")
+    return df.sort_values("vertex").reset_index(drop=True)
