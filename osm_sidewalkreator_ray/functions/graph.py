@@ -26,6 +26,25 @@ def _to_edge_ds(edges) -> "rd.Dataset":
     return edges
 
 
+def _bound_blocks(ds, num_buckets: int):
+    """Re-bound a materialized per-round dataset to ``num_buckets``
+    blocks when its block count drifts past 2x that (metadata-only
+    check, so free when nothing is wrong).
+
+    Every iterative loop here rebuilds round state as
+    union(static edges, last round's state) -> groupby -> materialize,
+    and a groupby's output block count tracks its INPUT block count —
+    so state blocks grow by the edge block count every round (and
+    multiplicatively when a round unions several state-derived sets:
+    measured 3 -> 15 -> 63 -> 255 -> 1023 blocks across 5 coloring
+    rounds before this guard existed). Unbounded block counts stall
+    the scheduler on per-block fixed costs long before data volume
+    matters — at any scale, because the blocks are mostly empty."""
+    if ds.num_blocks() > 2 * num_buckets:
+        return ds.repartition(num_buckets).materialize()
+    return ds
+
+
 def connected_components(edges, num_buckets: int = 32,
                          max_iters: int = 50) -> pd.DataFrame:
     """Edges (src, dst int64 Dataset or DataFrame) -> components.
@@ -102,9 +121,10 @@ def connected_components(edges, num_buckets: int = 32,
                   .map_groups(propagate, batch_format="pandas"))
         # candidate labels for a vertex arrive from every bucket its
         # neighbors hash to — a second keyed min makes them global
-        labels = (merged.groupby("vertex").min("label")
-                  .map_batches(_as_labels, batch_format="pandas")
-                  .materialize())
+        labels = _bound_blocks(
+            merged.groupby("vertex").min("label")
+            .map_batches(_as_labels, batch_format="pandas")
+            .materialize(), num_buckets)
         s = labels.map_batches(
             lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
             batch_format="pandas").to_pandas()["s"].sum()
@@ -282,11 +302,11 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
 
     for _ in range(iters):
         tagged = ranks.map_batches(tag_ranks, batch_format="pandas")
-        insums = grouped_agg(
+        insums = _bound_blocks(grouped_agg(
             weighted.union(tagged).groupby("bucket")
             .map_groups(contribute, batch_format="pandas")
             .union(zero_rows),
-            ["dst"], {"c": ("c", "sum")}).materialize()
+            ["dst"], {"c": ("c", "sum")}).materialize(), num_buckets)
         total_in = insums.sum("c") if insums.count() else 0.0
         dangling = max(0.0, 1.0 - float(total_in))
 
@@ -803,9 +823,10 @@ def bfs_hops(edges, sources, num_buckets: int = 32,
         tagged = labels.map_batches(tag_labels, batch_format="pandas")
         merged = (edge_rows.union(tagged).groupby("bucket")
                   .map_groups(relax, batch_format="pandas"))
-        labels = (merged.groupby("vertex").min("label")
-                  .map_batches(_as_labels, batch_format="pandas")
-                  .materialize())
+        labels = _bound_blocks(
+            merged.groupby("vertex").min("label")
+            .map_batches(_as_labels, batch_format="pandas")
+            .materialize(), num_buckets)
 
         def stat(b: pd.DataFrame) -> pd.DataFrame:
             lab = b["label"].to_numpy()
@@ -938,11 +959,12 @@ def random_walks(edges, walk_len: int = 5, walks_per_vertex: int = 1,
                 "walk_id": w["walk_id"].to_numpy(np.int64),
                 "vertex": e["dst"].to_numpy()[pick]})
 
-        cur = (edge_rows.union(
+        cur = _bound_blocks(edge_rows.union(
             cur.map_batches(tag, batch_format="pandas"))
             .groupby("bucket")
             .map_groups(lambda g: advance(g.drop(columns="bucket")),
-                        batch_format="pandas").materialize())
+                        batch_format="pandas").materialize(),
+            num_buckets)
         if cur.count() == 0:
             break
         trail.append(cur)
@@ -1064,11 +1086,13 @@ def label_propagation(edges, iters: int = 5,
                 "vertex": top["dst"].to_numpy(np.int64),
                 "label": top["label"].to_numpy(np.int64)})
 
-        labels = (cnt.union(fallback)
-                  .map_batches(fold, batch_format="pandas")
-                  .groupby("__vb")
-                  .map_groups(lambda g: argmax(g.drop(columns="__vb")),
-                              batch_format="pandas").materialize())
+        labels = _bound_blocks(
+            cnt.union(fallback)
+            .map_batches(fold, batch_format="pandas")
+            .groupby("__vb")
+            .map_groups(lambda g: argmax(g.drop(columns="__vb")),
+                        batch_format="pandas").materialize(),
+            num_buckets)
 
     labels = labels.to_pandas()
     out = labels.rename(columns={"label": "community"})
@@ -1163,9 +1187,10 @@ def sssp_weighted(edges, sources, weight_col: str = "w",
         tagged = labels.map_batches(tag_labels, batch_format="pandas")
         merged = (edge_rows.union(tagged).groupby("bucket")
                   .map_groups(relax, batch_format="pandas"))
-        labels = (merged.groupby("vertex").min("label")
-                  .map_batches(_as_labels, batch_format="pandas")
-                  .materialize())
+        labels = _bound_blocks(
+            merged.groupby("vertex").min("label")
+            .map_batches(_as_labels, batch_format="pandas")
+            .materialize(), num_buckets)
 
         def stat(b: pd.DataFrame) -> pd.DataFrame:
             lab = b["label"].to_numpy(np.float64)
@@ -1321,9 +1346,11 @@ def coreness(edges, num_buckets: int = 32,
                 __b=(pd.util.hash_array(b["dst"].to_numpy(np.int64))
                      % num_buckets).astype(np.int64)),
             batch_format="pandas")
-        values = (bucketed.groupby("__b")
-                  .map_groups(lambda g: hindex(g.drop(columns="__b")),
-                              batch_format="pandas").materialize())
+        values = _bound_blocks(
+            bucketed.groupby("__b")
+            .map_groups(lambda g: hindex(g.drop(columns="__b")),
+                        batch_format="pandas").materialize(),
+            num_buckets)
         cur = val_sum(values)
         if cur == prev:
             converged = True
@@ -1625,11 +1652,11 @@ def hits(edges, iters: int = 20, num_buckets: int = 32) -> pd.DataFrame:
 
     def matvec(scores, edge_rows):
         tagged = scores.map_batches(tag_scores, batch_format="pandas")
-        sums = grouped_agg(
+        sums = _bound_blocks(grouped_agg(
             edge_rows.union(tagged).groupby("bucket")
             .map_groups(contribute, batch_format="pandas")
             .union(zero_rows),
-            ["out"], {"c": ("c", "sum")}).materialize()
+            ["out"], {"c": ("c", "sum")}).materialize(), num_buckets)
         total = float(sums.sum("c"))
         if total <= 0.0:  # unreachable on a nonempty edge set
             raise RuntimeError("HITS mass vanished")
@@ -1814,12 +1841,12 @@ def maximal_independent_set(edges, num_buckets: int = 32,
             return pd.DataFrame({
                 "vertex": m.loc[win, "b"].to_numpy(np.int64)})
 
-        winners = (prio_rows.map_batches(
+        winners = _bound_blocks(prio_rows.map_batches(
             lambda b: b.assign(is_min=False), batch_format="pandas")
             .union(mins.map_batches(tag_min, batch_format="pandas"))
             .groupby("bucket").map_groups(decide,
                                           batch_format="pandas")
-            .materialize())
+            .materialize(), num_buckets)
         w_df = winners.to_pandas()  # per-round driver rows; the final
         # return is vertex-sized pandas anyway (repo convention for
         # per-vertex graph results)
@@ -1863,7 +1890,7 @@ def maximal_independent_set(edges, num_buckets: int = 32,
             return pd.DataFrame({
                 "vertex": keep.to_numpy(np.int64)})
 
-        undec = (undec.map_batches(lambda b: pd.DataFrame({
+        undec = _bound_blocks(undec.map_batches(lambda b: pd.DataFrame({
             "vertex": b["vertex"].to_numpy(np.int64),
             "g": np.zeros(len(b), dtype=bool),
             "bucket": (pd.util.hash_array(
@@ -1872,7 +1899,7 @@ def maximal_independent_set(edges, num_buckets: int = 32,
             .union(gone)
             .groupby("bucket").map_groups(shrink,
                                           batch_format="pandas")
-            .materialize())
+            .materialize(), num_buckets)
     else:
         if undec.count() > 0:
             raise RuntimeError(
@@ -2056,10 +2083,7 @@ def greedy_coloring(edges, num_buckets: int = 32,
                              np.int8(3))})
 
     def _bound(ds):
-        """Metadata-only block-count guard (see docstring)."""
-        if ds.num_blocks() > 2 * num_buckets:
-            return ds.repartition(num_buckets).materialize()
-        return ds
+        return _bound_blocks(ds, num_buckets)
 
     for _ in range(max_iters):
         if uncolored.count() == 0:
