@@ -24,6 +24,12 @@ This is classical PCA (Pearson 1901 / Hotelling 1933) in the
 two-moment streaming formulation; for d too large to hold d^2 floats
 per task the randomized-sketch route (Halko, Martinsson, Tropp, SIAM
 Rev. 2011) is the follow-on, not needed at embedding widths.
+
+Relation to `vectors.embedding_covariance` / `embedding_top_component`:
+those expose the raw covariance aggregate and a single power-iteration
+component (the OPQ/whitening prep primitives); this module is the full
+fitted-model surface — all k components, explained variance, a
+broadcast transform stage, whitening, and reconstruction diagnostics.
 """
 
 from __future__ import annotations

@@ -30,6 +30,12 @@ Tokenization is the repo's whitespace convention (textops._tokens)
 with optional lowercasing; every document is one sequence, padded
 with n-1 ``<s>`` markers that are counted as context tokens but never
 scored.
+
+Relation to `textops.bigram_lm_train` / `bigram_lm_score`: that is
+the fixed-order-2, top-V, eps-backoff scorer kept for its
+searchsorted probe benchmark shape; this module is the general-order
+(n >= 1) model with principled stupid-backoff, count pruning, BOS
+context handling, perplexity output and a filter stage.
 """
 
 from __future__ import annotations

@@ -1,7 +1,16 @@
-"""Corpus term statistics: TF-IDF document vectors and PMI word
-associations — the feature-extraction ops a text-curation pipeline
-feeds into clustering/ANN (this repo's kmeans/PCA/IVF stages consume
-the output column directly).
+"""Corpus term statistics: TF-IDF document VECTORS and windowed PMI
+word associations — the feature-extraction ops a text-curation
+pipeline feeds into clustering/ANN (this repo's kmeans/PCA/IVF stages
+consume the output column directly).
+
+Relation to the textops siblings (different outputs, same corpus
+stats): `textops.tfidf_topk` extracts top-k KEYWORD ROWS per doc
+(open vocabulary, hash-join plan); `tfidf_vectors_ds` here produces
+the dense FEATURE COLUMN over a bounded top-df vocabulary.
+`textops.pmi_collocations` scores ADJACENT pairs with open-vocab
+count joins; `pmi_pairs` here generalizes to a +-window and uses a
+vocab-bounded broadcast for the unigram attach (valid because pairs
+are pre-restricted to the top vocabulary).
 
 TF-IDF (Sparck Jones 1972; the smoothed variant popularized by
 scikit-learn): two streaming passes.
