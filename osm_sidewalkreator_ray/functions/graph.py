@@ -13,6 +13,8 @@ clusters are shallow — 2-4 rounds in practice).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2128,3 +2130,875 @@ def greedy_coloring(edges, num_buckets: int = 32,
     df["vertex"] = df["vertex"].astype("int64")
     df["color"] = df["color"].astype("int64")
     return df.sort_values("vertex").reset_index(drop=True)
+
+
+# --------------------------------- strongly connected components
+#
+# The "coloring" SCC algorithm (Orzan 2004; the Pregel formulation
+# benchmarked in Salihoglu & Widom, VLDB 2014), with the standard
+# trim step from FW-BW-Trim (McLendon et al., J. Parallel Distrib.
+# Comput. 2005): per outer round over the still-unassigned subgraph,
+#   trim    vertices with no in- or no out-edge are singleton SCCs;
+#   color   forward min-id propagation to a fixpoint: color(v) =
+#           min active id that reaches v;
+#   mark    roots are vertices with color(v)==v; a backward sweep
+#           over ONLY the edges whose endpoints share a color marks
+#           every v that reaches its root — marked vertices form
+#           exactly SCC(root), for ALL roots simultaneously;
+#   shrink  assigned vertices and their edges leave the graph.
+# Every root's SCC is assigned each round, so progress is
+# guaranteed; a pure path graph still needs O(n) rounds (the family's
+# known worst case — same honesty note as connected_components).
+
+_SCC_INF = np.int64(2**62)
+
+
+def _dir_minlabel(edge_rows, labels0, num_buckets: int,
+                  max_iters: int, what: str):
+    """Min-label propagation along DIRECTED bucketed edge rows
+    (bucket, src, dst, label, is_edge) to a fixpoint; labels0 is a
+    (vertex, label) Dataset covering every active vertex. The
+    connected_components loop, minus the undirection."""
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(b["vertex"].to_numpy())
+                       % num_buckets).astype(np.int64),
+            "src": b["vertex"].to_numpy(np.int64),
+            "dst": np.full(len(b), -1, dtype=np.int64),
+            "label": b["label"].to_numpy(np.int64),
+            "is_edge": np.zeros(len(b), dtype=bool)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[~g["is_edge"], ["src", "label"]] \
+            .rename(columns={"src": "vertex"})
+        e = g.loc[g["is_edge"], ["src", "dst"]]
+        prop = e.merge(lab, left_on="src", right_on="vertex")
+        cand = (prop.groupby("dst", as_index=False)["label"].min()
+                .rename(columns={"dst": "vertex"}))
+        return pd.concat([lab[["vertex", "label"]],
+                          cand[["vertex", "label"]]],
+                         ignore_index=True)
+
+    def _as_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vertex": b["vertex"].to_numpy().astype(np.int64),
+            "label": b["min(label)"].to_numpy().astype(np.int64)})
+
+    labels = labels0.materialize()
+    prev = None
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_labels, batch_format="pandas")
+        labels = _bound_blocks(
+            edge_rows.union(tagged).groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("vertex").min("label")
+            .map_batches(_as_labels, batch_format="pandas")
+            .materialize(), num_buckets)
+        s = labels.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
+            batch_format="pandas").to_pandas()["s"].sum()
+        if s == prev:
+            return labels
+        prev = s
+    raise RuntimeError(
+        f"SCC {what} propagation did not converge in {max_iters} "
+        "rounds (active-subgraph diameter exceeds max_iters)")
+
+
+def strongly_connected_components(edges, num_buckets: int = 32,
+                                  max_outer: int = 50,
+                                  max_inner: int = 100
+                                  ) -> pd.DataFrame:
+    """SCCs of the directed graph of (src, dst) rows. Returns one row
+    per vertex: (vertex, scc) with ``scc = min vertex id of its
+    strongly connected component``; deterministic and
+    partitioning-invariant. Self-loops are irrelevant (a vertex is
+    always in its own SCC); parallel edges are deduped up front."""
+    edges = _to_edge_ds(edges)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64)}).drop_duplicates()
+        out = out.loc[out["src"] != out["dst"]]
+        out["__b"] = ((pd.util.hash_array(out["src"].to_numpy())
+                       ^ pd.util.hash_array(out["dst"].to_numpy()))
+                      % num_buckets).astype(np.int64)
+        return out
+
+    fe = (edges.map_batches(canon, batch_format="pandas")
+          .groupby("__b").map_groups(
+              lambda g: g.drop_duplicates(["src", "dst"]),
+              batch_format="pandas")
+          .map_batches(lambda b: b[["src", "dst"]],
+                       batch_format="pandas").materialize())
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([b["src"].to_numpy(np.int64),
+                                      b["dst"].to_numpy(np.int64)]))
+        return pd.DataFrame({"vertex": v})
+
+    act = (_to_edge_ds(edges).map_batches(
+        lambda b: endpoints(pd.DataFrame({
+            "src": b["src"].to_numpy(np.int64),
+            "dst": b["dst"].to_numpy(np.int64)})),
+        batch_format="pandas")
+        .groupby("vertex").count()
+        .map_batches(lambda b: pd.DataFrame(
+            {"vertex": b["vertex"].to_numpy(np.int64)}),
+            batch_format="pandas").materialize())
+    if act.count() == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "scc": pd.Series([], dtype="int64")})
+
+    def vb(v: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(np.ascontiguousarray(v, np.int64))
+                % num_buckets).astype(np.int64)
+
+    def edge_rows_of(fe_ds, reverse: bool):
+        def mk(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["dst" if reverse else "src"].to_numpy(np.int64)
+            d = b["src" if reverse else "dst"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": vb(s), "src": s, "dst": d,
+                "label": np.full(len(s), -1, dtype=np.int64),
+                "is_edge": np.ones(len(s), dtype=bool)})
+        return fe_ds.map_batches(mk, batch_format="pandas")
+
+    def drop_incident(fe_ds, gone_ds):
+        """Remove edges with either endpoint in gone — one cogroup
+        per endpoint."""
+        out = fe_ds
+        for col in ("src", "dst"):
+            def tag_e(b: pd.DataFrame, _c=col) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "bucket": vb(b[_c].to_numpy(np.int64)),
+                    "src": b["src"].to_numpy(np.int64),
+                    "dst": b["dst"].to_numpy(np.int64),
+                    "is_edge": np.ones(len(b), dtype=bool)})
+
+            def tag_g(b: pd.DataFrame) -> pd.DataFrame:
+                v = b["vertex"].to_numpy(np.int64)
+                return pd.DataFrame({
+                    "bucket": vb(v), "src": v,
+                    "dst": np.full(len(v), -1, dtype=np.int64),
+                    "is_edge": np.zeros(len(v), dtype=bool)})
+
+            def keep(g: pd.DataFrame, _c=col) -> pd.DataFrame:
+                dead = g.loc[~g["is_edge"], "src"]
+                e = g.loc[g["is_edge"], ["src", "dst"]]
+                return e.loc[~e[_c].isin(dead)]
+
+            out = _bound_blocks(
+                out.map_batches(tag_e, batch_format="pandas")
+                .union(gone_ds.map_batches(tag_g,
+                                           batch_format="pandas"))
+                .groupby("bucket").map_groups(keep,
+                                              batch_format="pandas")
+                .materialize(), num_buckets)
+        return out
+
+    assigned: list[pd.DataFrame] = []
+
+    for _ in range(max_outer):
+        if act.count() == 0:
+            break
+
+        # ---- trim: active vertices missing from src- or dst-side
+        def tag_v(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            return pd.DataFrame({"bucket": vb(v), "v": v,
+                                 "kind": np.int8(0)})
+
+        def tag_end(b: pd.DataFrame, col: str, k: int) -> pd.DataFrame:
+            v = b[col].to_numpy(np.int64)
+            return pd.DataFrame({"bucket": vb(v), "v": v,
+                                 "kind": np.int8(k)})
+
+        def trivial(g: pd.DataFrame) -> pd.DataFrame:
+            verts = g.loc[g["kind"] == 0, "v"]
+            has_out = set(g.loc[g["kind"] == 1, "v"].unique())
+            has_in = set(g.loc[g["kind"] == 2, "v"].unique())
+            t = verts[~verts.isin(has_out) | ~verts.isin(has_in)]
+            return pd.DataFrame({"vertex": t.to_numpy(np.int64)})
+
+        triv = (act.map_batches(tag_v, batch_format="pandas")
+                .union(fe.map_batches(
+                    functools.partial(tag_end, col="src", k=1),
+                    batch_format="pandas"))
+                .union(fe.map_batches(
+                    functools.partial(tag_end, col="dst", k=2),
+                    batch_format="pandas"))
+                .groupby("bucket").map_groups(trivial,
+                                              batch_format="pandas")
+                .materialize())
+        t_df = triv.to_pandas()
+        if len(t_df):
+            assigned.append(pd.DataFrame({
+                "vertex": t_df["vertex"].astype("int64"),
+                "scc": t_df["vertex"].astype("int64")}))
+            fe = drop_incident(fe, triv)
+            act = _shrink_vertices(act, triv, num_buckets)
+            continue  # re-trim until the periphery is gone
+
+        # ---- color: forward min-id propagation over active edges
+        labels0 = act.map_batches(
+            lambda b: pd.DataFrame({
+                "vertex": b["vertex"].to_numpy(np.int64),
+                "label": b["vertex"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        fwd_rows = edge_rows_of(fe, reverse=False).materialize()
+        colors = _dir_minlabel(fwd_rows, labels0, num_buckets,
+                               max_inner, "color")
+
+        # ---- mark: backward reachability of each root inside its
+        # color region; rev edges filtered to equal-color endpoints
+        # uniform row layout for the color-annotation cogroups:
+        # (bucket, src, dst, carry, label, is_edge) — carry holds
+        # the already-attached src color while the dst color attaches
+        def tag_col_v(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "bucket": vb(v), "src": v,
+                "dst": np.full(len(v), -1, dtype=np.int64),
+                "carry": np.full(len(v), -1, dtype=np.int64),
+                "label": b["label"].to_numpy(np.int64),
+                "is_edge": np.zeros(len(v), dtype=bool)})
+
+        def attach_color(g: pd.DataFrame, key: str) -> pd.DataFrame:
+            cols = g.loc[~g["is_edge"], ["src", "label"]] \
+                .rename(columns={"src": key, "label": "__c"})
+            e = g.loc[g["is_edge"],
+                      ["src", "dst", "carry"]].merge(cols, on=key)
+            return pd.DataFrame({
+                "src": e["src"].to_numpy(np.int64),
+                "dst": e["dst"].to_numpy(np.int64),
+                "carry": e["__c"].to_numpy(np.int64),
+                "prev": e["carry"].to_numpy(np.int64)})
+
+        # reversed edges, bucketed on src; attach src color (carry)
+        r1 = (fe.map_batches(
+            lambda b: pd.DataFrame({
+                "bucket": vb(b["dst"].to_numpy(np.int64)),
+                "src": b["dst"].to_numpy(np.int64),
+                "dst": b["src"].to_numpy(np.int64),
+                "carry": np.full(len(b), -1, dtype=np.int64),
+                "label": np.full(len(b), -1, dtype=np.int64),
+                "is_edge": np.ones(len(b), dtype=bool)}),
+            batch_format="pandas")
+            .union(colors.map_batches(tag_col_v,
+                                      batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(functools.partial(attach_color, key="src"),
+                        batch_format="pandas"))
+        # rebucket on dst; attach dst color; keep equal-color edges
+        rev_cc = (r1.map_batches(
+            lambda b: pd.DataFrame({
+                "bucket": vb(b["dst"].to_numpy(np.int64)),
+                "src": b["src"].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64),
+                "carry": b["carry"].to_numpy(np.int64),
+                "label": np.full(len(b), -1, dtype=np.int64),
+                "is_edge": np.ones(len(b), dtype=bool)}),
+            batch_format="pandas")
+            .union(colors.map_batches(tag_col_v,
+                                      batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(functools.partial(attach_color, key="dst"),
+                        batch_format="pandas")
+            .map_batches(
+                lambda b: (lambda m: pd.DataFrame({
+                    "bucket": vb(b.loc[m, "src"].to_numpy(np.int64)),
+                    "src": b.loc[m, "src"].to_numpy(np.int64),
+                    "dst": b.loc[m, "dst"].to_numpy(np.int64),
+                    "label": np.full(int(m.sum()), -1,
+                                     dtype=np.int64),
+                    "is_edge": np.ones(int(m.sum()), dtype=bool)}))(
+                    b["prev"] == b["carry"]),
+                batch_format="pandas").materialize())
+
+        # roots seed their own id; everyone else seeds +inf — after
+        # the fixpoint, marked iff label == color
+        marks0 = colors.map_batches(
+            lambda b: pd.DataFrame({
+                "vertex": b["vertex"].to_numpy(np.int64),
+                "label": np.where(
+                    b["vertex"].to_numpy(np.int64)
+                    == b["label"].to_numpy(np.int64),
+                    b["vertex"].to_numpy(np.int64), _SCC_INF)}),
+            batch_format="pandas")
+        marks = _dir_minlabel(rev_cc, marks0, num_buckets,
+                              max_inner, "mark")
+
+        # join colors + marks per vertex, split assigned vs surviving
+        def tag_cm(ds, k: int):
+            return ds.map_batches(
+                lambda b, _k=k: pd.DataFrame({
+                    "bucket": vb(b["vertex"].to_numpy(np.int64)),
+                    "vertex": b["vertex"].to_numpy(np.int64),
+                    "label": b["label"].to_numpy(np.int64),
+                    "kind": np.int8(_k)}),
+                batch_format="pandas")
+
+        def classify(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.loc[g["kind"] == 0, ["vertex", "label"]] \
+                .rename(columns={"label": "color"})
+            m = g.loc[g["kind"] == 1, ["vertex", "label"]] \
+                .rename(columns={"label": "mark"})
+            j = c.merge(m, on="vertex")
+            return pd.DataFrame({
+                "vertex": j["vertex"].to_numpy(np.int64),
+                "scc": j["color"].to_numpy(np.int64),
+                "done": j["mark"].to_numpy(np.int64)
+                == j["color"].to_numpy(np.int64)})
+
+        cm = (tag_cm(colors, 0).union(tag_cm(marks, 1))
+              .groupby("bucket").map_groups(classify,
+                                            batch_format="pandas")
+              .materialize())
+        done = cm.map_batches(lambda b: b.loc[b["done"],
+                                              ["vertex", "scc"]],
+                              batch_format="pandas").materialize()
+        d_df = done.to_pandas()
+        assigned.append(pd.DataFrame({
+            "vertex": d_df["vertex"].astype("int64"),
+            "scc": d_df["scc"].astype("int64")}))
+        gone = done.map_batches(lambda b: b[["vertex"]],
+                                batch_format="pandas").materialize()
+        fe = drop_incident(fe, gone)
+        act = _bound_blocks(cm.map_batches(
+            lambda b: b.loc[~b["done"], ["vertex"]],
+            batch_format="pandas").materialize(), num_buckets)
+    else:
+        if act.count() > 0:
+            raise RuntimeError(
+                f"SCC did not converge in {max_outer} outer rounds "
+                "(long SCC-DAG chain); raise max_outer")
+
+    out = (pd.concat(assigned, ignore_index=True) if assigned
+           else pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                              "scc": pd.Series([], dtype="int64")}))
+    return out.sort_values("vertex").reset_index(drop=True)
+
+
+def _shrink_vertices(act, gone, num_buckets: int):
+    """act minus gone via one bucketed cogroup."""
+    def tag(ds, g: bool):
+        return ds.map_batches(
+            lambda b, _g=g: pd.DataFrame({
+                "bucket": (pd.util.hash_array(
+                    b["vertex"].to_numpy(np.int64)) % num_buckets)
+                .astype(np.int64),
+                "vertex": b["vertex"].to_numpy(np.int64),
+                "g": np.full(len(b), _g)}),
+            batch_format="pandas")
+
+    def shrink(g: pd.DataFrame) -> pd.DataFrame:
+        dead = g.loc[g["g"], "vertex"]
+        alive = g.loc[~g["g"], "vertex"]
+        return pd.DataFrame({
+            "vertex": alive[~alive.isin(dead)].to_numpy(np.int64)})
+
+    return _bound_blocks(
+        tag(act, False).union(tag(gone, True))
+        .groupby("bucket").map_groups(shrink, batch_format="pandas")
+        .materialize(), num_buckets)
+
+
+# ------------------------- batched BFS / betweenness / closeness
+#
+# Exact multi-source BFS with shortest-path counts, run for ALL
+# sources in one level-synchronous sweep (state rows are keyed by
+# (source, vertex), so k sources cost one pass with k x frontier
+# rows, not k passes). On top of it: Brandes' dependency
+# accumulation (Brandes, J. Math. Sociol. 2001) batched over the
+# source set — with a sampled source set this is the Brandes-Pich
+# (2007) betweenness approximation, scaled by n/k; harmonic
+# closeness (Boldi-Vigna 2014) falls out of the distance table.
+
+
+def _sv_bucket(s: np.ndarray, v: np.ndarray,
+               num_buckets: int) -> np.ndarray:
+    return ((pd.util.hash_array(np.ascontiguousarray(s, np.int64))
+             ^ pd.util.hash_array(np.ascontiguousarray(v, np.int64)))
+            % num_buckets).astype(np.int64)
+
+
+def multi_source_bfs(edges, sources, *, directed: bool = False,
+                     num_buckets: int = 32,
+                     max_iters: int = 100) -> pd.DataFrame:
+    """Exact BFS distance AND shortest-path count from every source
+    to every reachable vertex, all sources in one batched sweep.
+    Returns (source, vertex, dist, sigma) — one row per reachable
+    pair; unreachable pairs are absent. Level-synchronous: sigma of
+    a level-(L+1) vertex sums the final sigmas of its level-L
+    predecessors, so counts are exact (Brandes' forward phase)."""
+    edges = _to_edge_ds(edges)
+
+    def mk_edges(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["src"].to_numpy(np.int64)
+        w = b["dst"].to_numpy(np.int64)
+        keep = u != w
+        u, w = u[keep], w[keep]
+        if not directed:
+            u, w = np.concatenate([u, w]), np.concatenate([w, u])
+        out = pd.DataFrame({"u": u, "w": w}).drop_duplicates()
+        out["__b"] = ((pd.util.hash_array(out["u"].to_numpy())
+                       ^ pd.util.hash_array(out["w"].to_numpy()))
+                      % num_buckets).astype(np.int64)
+        return out
+
+    edge_rows = (edges.map_batches(mk_edges, batch_format="pandas")
+                 .groupby("__b").map_groups(
+                     lambda g: g.drop_duplicates(["u", "w"]),
+                     batch_format="pandas")
+                 .map_batches(lambda b: pd.DataFrame({
+                     "bucket": (pd.util.hash_array(
+                         b["u"].to_numpy(np.int64)) % num_buckets)
+                     .astype(np.int64),
+                     "s": np.full(len(b), -1, dtype=np.int64),
+                     "v": b["u"].to_numpy(np.int64),
+                     "w": b["w"].to_numpy(np.int64),
+                     "sig": np.zeros(len(b), dtype=np.int64),
+                     "kind": np.zeros(len(b), dtype=np.int8)}),
+                     batch_format="pandas").materialize())
+
+    src_arr = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if edge_rows.count() == 0 or not len(src_arr):
+        return pd.DataFrame({"source": pd.Series([], dtype="int64"),
+                             "vertex": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="int64"),
+                             "sigma": pd.Series([], dtype="int64")})
+
+    init = pd.DataFrame({"s": src_arr, "v": src_arr,
+                         "d": np.zeros(len(src_arr), dtype=np.int64),
+                         "sig": np.ones(len(src_arr),
+                                        dtype=np.int64)})
+    settled = rd.from_pandas(init).materialize()
+    frontier = settled  # level-0 rows (d column ignored on frontier)
+
+    def tag_front(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(b["v"].to_numpy(np.int64))
+                       % num_buckets).astype(np.int64),
+            "s": b["s"].to_numpy(np.int64),
+            "v": b["v"].to_numpy(np.int64),
+            "w": np.full(len(b), -1, dtype=np.int64),
+            "sig": b["sig"].to_numpy(np.int64),
+            "kind": np.ones(len(b), dtype=np.int8)})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["kind"] == 0, ["v", "w"]]
+        f = g.loc[g["kind"] == 1, ["s", "v", "sig"]]
+        m = e.merge(f, on="v")
+        if not len(m):
+            return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "sig": pd.Series([], dtype="int64")})
+        r = m.groupby(["s", "w"], as_index=False)["sig"].sum()
+        return pd.DataFrame({"s": r["s"].to_numpy(np.int64),
+                             "v": r["w"].to_numpy(np.int64),
+                             "sig": r["sig"].to_numpy(np.int64)})
+
+    def settle(g: pd.DataFrame) -> pd.DataFrame:
+        """candidates (kind 1) minus already-settled pairs (kind 0),
+        sigma partials summed globally (all partials for a pair hash
+        to this bucket)."""
+        cand = g.loc[g["kind"] == 1, ["s", "v", "sig"]]
+        if not len(cand):
+            return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "sig": pd.Series([], dtype="int64")})
+        summed = cand.groupby(["s", "v"], as_index=False)["sig"].sum()
+        have = g.loc[g["kind"] == 0, ["s", "v"]]
+        m = summed.merge(have.assign(__h=True), on=["s", "v"],
+                         how="left")
+        new = m.loc[m["__h"].isna(), ["s", "v", "sig"]]
+        return pd.DataFrame({"s": new["s"].to_numpy(np.int64),
+                             "v": new["v"].to_numpy(np.int64),
+                             "sig": new["sig"].to_numpy(np.int64)})
+
+    def tag_sv(ds, k: int, cols=("s", "v", "sig")):
+        def f(b: pd.DataFrame, _k=k) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                     b["v"].to_numpy(np.int64),
+                                     num_buckets),
+                "s": b["s"].to_numpy(np.int64),
+                "v": b["v"].to_numpy(np.int64),
+                "sig": (b["sig"].to_numpy(np.int64) if "sig" in b
+                        else np.zeros(len(b), dtype=np.int64)),
+                "kind": np.full(len(b), _k, dtype=np.int8)})
+        return ds.map_batches(f, batch_format="pandas")
+
+    level = 0
+    for _ in range(max_iters):
+        cand = (edge_rows.union(frontier.map_batches(
+            tag_front, batch_format="pandas"))
+            .groupby("bucket").map_groups(expand,
+                                          batch_format="pandas"))
+        new = _bound_blocks(
+            tag_sv(cand, 1).union(tag_sv(settled, 0))
+            .groupby("bucket").map_groups(settle,
+                                          batch_format="pandas")
+            .materialize(), num_buckets)
+        level += 1
+        if new.count() == 0:
+            break
+        lvl = level
+
+        def with_d(b: pd.DataFrame, _d=lvl) -> pd.DataFrame:
+            return pd.DataFrame({
+                "s": b["s"].to_numpy(np.int64),
+                "v": b["v"].to_numpy(np.int64),
+                "d": np.full(len(b), _d, dtype=np.int64),
+                "sig": b["sig"].to_numpy(np.int64)})
+
+        nf = new.map_batches(with_d, batch_format="pandas") \
+            .materialize()
+        settled = _bound_blocks(settled.union(nf).materialize(),
+                                num_buckets)
+        frontier = nf
+    else:
+        raise RuntimeError(
+            f"multi_source_bfs did not converge in {max_iters} "
+            "rounds (eccentricity exceeds max_iters)")
+
+    df = settled.to_pandas()
+    out = pd.DataFrame({"source": df["s"].astype("int64"),
+                        "vertex": df["v"].astype("int64"),
+                        "dist": df["d"].astype("int64"),
+                        "sigma": df["sig"].astype("int64")})
+    return out.sort_values(["source", "vertex"]) \
+        .reset_index(drop=True)
+
+
+def harmonic_closeness(edges, *, k_sources: int | None = None,
+                       sources=None, seed: int = 0,
+                       directed: bool = False, num_buckets: int = 32,
+                       max_iters: int = 100) -> pd.DataFrame:
+    """Harmonic centrality H(v) = sum over sources s != v of
+    1/d(s, v) (Boldi-Vigna 2014). With ``k_sources`` the source set
+    is a deterministic hash-sample of the vertex set and the sum is
+    scaled by n/k — the standard sampled estimator; pass ``sources``
+    for the exact restricted sum."""
+    bfs, src_arr, n = _bfs_from_sample(edges, k_sources, sources,
+                                       seed, directed, num_buckets,
+                                       max_iters)
+    body = bfs.loc[bfs["dist"] > 0]
+    h = body.assign(h=1.0 / body["dist"].to_numpy(np.float64)) \
+        .groupby("vertex", as_index=False)["h"].sum()
+    scale = (n / len(src_arr)) if k_sources is not None else 1.0
+    return pd.DataFrame({
+        "vertex": h["vertex"].astype("int64"),
+        "harmonic": h["h"].to_numpy(np.float64) * scale}) \
+        .sort_values("vertex").reset_index(drop=True)
+
+
+def _vertices_of(edges, num_buckets: int):
+    edges = _to_edge_ds(edges)
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([b["src"].to_numpy(np.int64),
+                                      b["dst"].to_numpy(np.int64)]))
+        return pd.DataFrame({"vertex": v})
+
+    return (edges.map_batches(endpoints, batch_format="pandas")
+            .groupby("vertex").count()
+            .map_batches(lambda b: pd.DataFrame(
+                {"vertex": b["vertex"].to_numpy(np.int64)}),
+                batch_format="pandas").materialize())
+
+
+def _bfs_from_sample(edges, k_sources, sources, seed, directed,
+                     num_buckets, max_iters):
+    edges = _to_edge_ds(edges).materialize()
+    verts = _vertices_of(edges, num_buckets)
+    n = verts.count()
+    if sources is not None:
+        src_arr = np.unique(np.asarray(list(sources), dtype=np.int64))
+    else:
+        k = min(int(k_sources), n)
+        # deterministic hash-ranked sample of the vertex set,
+        # computed distributed: per-block top-k by hash, driver fold
+        def rank(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["vertex"].to_numpy(np.int64)
+            h = _prio(v, 0, seed)
+            o = np.argsort(h, kind="stable")[:k]
+            return pd.DataFrame({"vertex": v[o], "h": h[o]})
+
+        tops = verts.map_batches(rank, batch_format="pandas") \
+            .to_pandas()
+        tops = tops.sort_values(["h", "vertex"]).head(k)
+        src_arr = np.unique(tops["vertex"].to_numpy(np.int64))
+    bfs = multi_source_bfs(edges, src_arr, directed=directed,
+                           num_buckets=num_buckets,
+                           max_iters=max_iters)
+    return bfs, src_arr, n
+
+
+def betweenness_centrality(edges, *, k_sources: int | None = None,
+                           sources=None, seed: int = 0,
+                           directed: bool = False,
+                           num_buckets: int = 32,
+                           max_iters: int = 100) -> pd.DataFrame:
+    """(Approximate) betweenness centrality by Brandes' dependency
+    accumulation batched over a source set. With ``k_sources`` the
+    estimate is scaled by n/k (Brandes-Pich 2007); with an explicit
+    ``sources`` list the raw partial sums are returned (exact
+    betweenness when sources = all vertices). Undirected scores are
+    halved per convention. Returns (vertex, betweenness) for every
+    vertex of the graph.
+
+    Fully distributed: after the batched forward BFS, shortest-path
+    DAG edges are materialized by attaching (dist, sigma) of both
+    endpoints per source (two bucketed co-groups, the SCC
+    attach-color shape) and keeping dist_w == dist_u + 1; the
+    backward sweep runs one LEVEL at a time (deepest first) — a
+    level's deltas are final when computed, so each level is two
+    slim co-groups (successor contributions pre-summed per
+    (source, pred), then merged into the state) and nothing
+    cardinality-proportional touches the driver until the final
+    per-vertex fold."""
+    edges_ds = _to_edge_ds(edges).materialize()
+    bfs, src_arr, n = _bfs_from_sample(edges_ds, k_sources, sources,
+                                       seed, directed, num_buckets,
+                                       max_iters)
+    verts = _vertices_of(edges_ds, num_buckets).to_pandas()
+    empty_out = pd.DataFrame({
+        "vertex": verts["vertex"].astype("int64"),
+        "betweenness": np.zeros(len(verts))}) \
+        .sort_values("vertex").reset_index(drop=True)
+    if not len(bfs):
+        return empty_out
+
+    # state rows (s, v, d, sig, delta) as a Dataset
+    st0 = bfs.rename(columns={"source": "s", "vertex": "v",
+                              "dist": "d", "sigma": "sig"})
+    st0["delta"] = 0.0
+    st = rd.from_pandas(st0).materialize()
+    lmax = int(st0["d"].max())
+
+    def dir_edges(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["src"].to_numpy(np.int64)
+        w = b["dst"].to_numpy(np.int64)
+        keep = u != w
+        u, w = u[keep], w[keep]
+        if not directed:
+            u, w = np.concatenate([u, w]), np.concatenate([w, u])
+        return pd.DataFrame({"u": u, "w": w}).drop_duplicates()
+
+    # ---- attach (d, sig) of the u side: bucket state by (s, v) and
+    # edges by v=u; every source's state meets every edge at u
+    def tag_state_v(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["v"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(v) % num_buckets)
+            .astype(np.int64),
+            "s": b["s"].to_numpy(np.int64), "u": v,
+            "w": np.full(len(b), -1, dtype=np.int64),
+            "d": b["d"].to_numpy(np.int64),
+            "sig": b["sig"].to_numpy(np.int64),
+            "kind": np.ones(len(b), dtype=np.int8)})
+
+    def tag_edge_u(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (pd.util.hash_array(b["u"].to_numpy(np.int64))
+                       % num_buckets).astype(np.int64),
+            "s": np.full(len(b), -1, dtype=np.int64),
+            "u": b["u"].to_numpy(np.int64),
+            "w": b["w"].to_numpy(np.int64),
+            "d": np.zeros(len(b), dtype=np.int64),
+            "sig": np.zeros(len(b), dtype=np.int64),
+            "kind": np.zeros(len(b), dtype=np.int8)})
+
+    def attach_u(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["kind"] == 0, ["u", "w"]]
+        stt = g.loc[g["kind"] == 1, ["s", "u", "d", "sig"]]
+        m = e.merge(stt, on="u")
+        return pd.DataFrame({
+            "s": m["s"].to_numpy(np.int64),
+            "u": m["u"].to_numpy(np.int64),
+            "w": m["w"].to_numpy(np.int64),
+            "d_u": m["d"].to_numpy(np.int64),
+            "sig_u": m["sig"].to_numpy(np.int64)})
+
+    # global dedup of the directed edge list (a reverse duplicate in
+    # another block would otherwise double-count its contributions)
+    canon_edges = (edges_ds.map_batches(dir_edges,
+                                        batch_format="pandas")
+                   .map_batches(lambda b: b.assign(
+                       __b=((pd.util.hash_array(
+                           b["u"].to_numpy(np.int64))
+                           ^ pd.util.hash_array(
+                               b["w"].to_numpy(np.int64)))
+                           % num_buckets).astype(np.int64)),
+                       batch_format="pandas")
+                   .groupby("__b").map_groups(
+                       lambda g: g.drop_duplicates(["u", "w"])
+                       [["u", "w"]],
+                       batch_format="pandas").materialize())
+
+    half = (canon_edges.map_batches(tag_edge_u,
+                                    batch_format="pandas")
+            .union(st.map_batches(tag_state_v,
+                                  batch_format="pandas"))
+            .groupby("bucket").map_groups(attach_u,
+                                          batch_format="pandas"))
+
+    # ---- attach the w side by (s, w) and keep DAG edges
+    def tag_half(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                 b["w"].to_numpy(np.int64),
+                                 num_buckets),
+            "s": b["s"].to_numpy(np.int64),
+            "u": b["u"].to_numpy(np.int64),
+            "w": b["w"].to_numpy(np.int64),
+            "d_u": b["d_u"].to_numpy(np.int64),
+            "sig_u": b["sig_u"].to_numpy(np.int64),
+            "kind": np.zeros(len(b), dtype=np.int8)})
+
+    def tag_state_sv(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                 b["v"].to_numpy(np.int64),
+                                 num_buckets),
+            "s": b["s"].to_numpy(np.int64),
+            "u": np.full(len(b), -1, dtype=np.int64),
+            "w": b["v"].to_numpy(np.int64),
+            "d_u": b["d"].to_numpy(np.int64),
+            "sig_u": b["sig"].to_numpy(np.int64),
+            "kind": np.ones(len(b), dtype=np.int8)})
+
+    def attach_w(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["kind"] == 0]
+        stt = g.loc[g["kind"] == 1, ["s", "w", "d_u", "sig_u"]] \
+            .rename(columns={"d_u": "d_w", "sig_u": "sig_w"})
+        m = e.merge(stt, on=["s", "w"])
+        m = m.loc[m["d_w"] == m["d_u"] + 1]
+        return pd.DataFrame({
+            "s": m["s"].to_numpy(np.int64),
+            "u": m["u"].to_numpy(np.int64),
+            "w": m["w"].to_numpy(np.int64),
+            "sig_u": m["sig_u"].to_numpy(np.int64),
+            "sig_w": m["sig_w"].to_numpy(np.int64),
+            "d_w": m["d_w"].to_numpy(np.int64)})
+
+    dag = (half.map_batches(tag_half, batch_format="pandas")
+           .union(st.map_batches(tag_state_sv,
+                                 batch_format="pandas"))
+           .groupby("bucket").map_groups(attach_w,
+                                         batch_format="pandas")
+           .materialize())
+
+    # ---- backward sweep, one level at a time (deltas of a level
+    # are final before the level below reads them)
+    for lev in range(lmax, 0, -1):
+        def tag_dag_w(b: pd.DataFrame, _l=lev) -> pd.DataFrame:
+            b = b.loc[b["d_w"] == _l]
+            return pd.DataFrame({
+                "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                     b["w"].to_numpy(np.int64),
+                                     num_buckets),
+                "s": b["s"].to_numpy(np.int64),
+                "u": b["u"].to_numpy(np.int64),
+                "w": b["w"].to_numpy(np.int64),
+                "x": b["sig_u"].to_numpy(np.float64)
+                / b["sig_w"].to_numpy(np.float64),
+                "kind": np.zeros(len(b), dtype=np.int8)})
+
+        def tag_st_lev(b: pd.DataFrame, _l=lev) -> pd.DataFrame:
+            b = b.loc[b["d"] == _l]
+            return pd.DataFrame({
+                "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                     b["v"].to_numpy(np.int64),
+                                     num_buckets),
+                "s": b["s"].to_numpy(np.int64),
+                "u": np.full(len(b), -1, dtype=np.int64),
+                "w": b["v"].to_numpy(np.int64),
+                "x": b["delta"].to_numpy(np.float64),
+                "kind": np.ones(len(b), dtype=np.int8)})
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            e = g.loc[g["kind"] == 0, ["s", "u", "w", "x"]]
+            dl = g.loc[g["kind"] == 1, ["s", "w", "x"]] \
+                .rename(columns={"x": "delta_w"})
+            m = e.merge(dl, on=["s", "w"])
+            if not len(m):
+                return pd.DataFrame({
+                    "s": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="float64")})
+            m["c"] = m["x"] * (1.0 + m["delta_w"])
+            r = m.groupby(["s", "u"], as_index=False)["c"].sum()
+            return pd.DataFrame({"s": r["s"].to_numpy(np.int64),
+                                 "v": r["u"].to_numpy(np.int64),
+                                 "c": r["c"].to_numpy(np.float64)})
+
+        contrib = (dag.map_batches(tag_dag_w, batch_format="pandas")
+                   .union(st.map_batches(tag_st_lev,
+                                         batch_format="pandas"))
+                   .groupby("bucket").map_groups(
+                       contribs, batch_format="pandas"))
+
+        def tag_contrib(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                     b["v"].to_numpy(np.int64),
+                                     num_buckets),
+                "s": b["s"].to_numpy(np.int64),
+                "v": b["v"].to_numpy(np.int64),
+                "d": np.zeros(len(b), dtype=np.int64),
+                "sig": np.zeros(len(b), dtype=np.int64),
+                "delta": b["c"].to_numpy(np.float64),
+                "kind": np.ones(len(b), dtype=np.int8)})
+
+        def tag_st_all(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": _sv_bucket(b["s"].to_numpy(np.int64),
+                                     b["v"].to_numpy(np.int64),
+                                     num_buckets),
+                "s": b["s"].to_numpy(np.int64),
+                "v": b["v"].to_numpy(np.int64),
+                "d": b["d"].to_numpy(np.int64),
+                "sig": b["sig"].to_numpy(np.int64),
+                "delta": b["delta"].to_numpy(np.float64),
+                "kind": np.zeros(len(b), dtype=np.int8)})
+
+        def merge_delta(g: pd.DataFrame) -> pd.DataFrame:
+            base = g.loc[g["kind"] == 0,
+                         ["s", "v", "d", "sig", "delta"]]
+            add = g.loc[g["kind"] == 1, ["s", "v", "delta"]] \
+                .groupby(["s", "v"], as_index=False)["delta"].sum() \
+                .rename(columns={"delta": "c"})
+            m = base.merge(add, on=["s", "v"], how="left")
+            m["delta"] = m["delta"] + m["c"].fillna(0.0)
+            return m.drop(columns=["c"])
+
+        st = _bound_blocks(
+            st.map_batches(tag_st_all, batch_format="pandas")
+            .union(contrib.map_batches(tag_contrib,
+                                       batch_format="pandas"))
+            .groupby("bucket").map_groups(merge_delta,
+                                          batch_format="pandas")
+            .materialize(), num_buckets)
+
+    from .aggregates import grouped_agg
+    b = grouped_agg(
+        st.map_batches(
+            lambda bb: bb.loc[bb["s"] != bb["v"], ["v", "delta"]]
+            .rename(columns={"v": "vertex"}),
+            batch_format="pandas"),
+        ["vertex"], {"delta": ("delta", "sum")},
+        num_buckets=num_buckets).to_pandas()
+    out = verts.merge(b, on="vertex", how="left")
+    out["delta"] = out["delta"].fillna(0.0)
+    scale = (n / len(src_arr)) if k_sources is not None else 1.0
+    if not directed:
+        scale *= 0.5
+    return pd.DataFrame({
+        "vertex": out["vertex"].astype("int64"),
+        "betweenness": out["delta"].to_numpy(np.float64) * scale}) \
+        .sort_values("vertex").reset_index(drop=True)

@@ -165,6 +165,48 @@ def reconstruction_mse(ds, model: dict, *,
     return float(agg["sum(sse)"]) / max(int(agg["sum(n)"]), 1)
 
 
+def _rp_matrix(d: int, k: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian JL matrix, scaled 1/sqrt(k) — built
+    once per call site and broadcast, never per batch."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((k, d)) / np.sqrt(k)
+
+
+def _rp_batch(b: pd.DataFrame, m_ref, emb_col: str, out_col: str,
+              drop_input: bool) -> pd.DataFrame:
+    out = b.drop(columns=[emb_col]) if drop_input else b.copy()
+    if not len(b):
+        out[out_col] = pd.Series([], dtype="object")
+        return out
+    r = ray.get(m_ref)
+    out[out_col] = list(_emb_matrix(b, emb_col) @ r.T)
+    return out
+
+
+def random_projection_ds(ds, k: int, *, seed: int = 0,
+                         emb_col: str = "embedding",
+                         out_col: str = "rp",
+                         drop_input: bool = True):
+    """Johnson-Lindenstrauss Gaussian random projection to k dims —
+    the data-independent complement of PCA (no fit pass at all; a
+    JL map preserves pairwise distances within 1+-eps for
+    k = O(log n / eps^2), Johnson & Lindenstrauss 1984). The (k, d)
+    matrix is derived from the seed, ray.put once, and applied as
+    one matmul per batch."""
+    probe = ds.schema()  # cheap; d comes from the first batch below
+    del probe
+
+    def first_d(b: pd.DataFrame) -> int:
+        return len(b[emb_col].iloc[0])
+
+    d = first_d(ds.limit(1).to_pandas())
+    m_ref = ray.put(_rp_matrix(d, int(k), seed))
+    return ds.map_batches(
+        functools.partial(_rp_batch, m_ref=m_ref, emb_col=emb_col,
+                          out_col=out_col, drop_input=drop_input),
+        batch_format="pandas")
+
+
 def pca_pipeline(sf_dir: str, k: int = 8) -> pd.DataFrame:
     """Fit + project the embeddings table; returns (vec_id, pc)
     sorted by vec_id — the small-SF query/benchmark surface."""

@@ -255,3 +255,51 @@ def pmi_pairs(docs, *, window: int = 2, min_count: int = 2,
     return out.sort_values(["pmi", "a", "b"],
                            ascending=[False, True, True]) \
         .reset_index(drop=True)
+
+
+# ----------------------------------------------------- hashing trick
+
+def _hashed_batch(b: pd.DataFrame, dim: int, text_col: str,
+                  out_col: str, lowercase: bool, norm: bool,
+                  signed: bool, id_cols: list[str]) -> pd.DataFrame:
+    out = b[id_cols].copy()
+    docs = [_doc_terms(t, lowercase) for t in b[text_col]]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    mat = np.zeros((len(docs), dim))
+    if lens.sum():
+        flat = np.concatenate(
+            [np.asarray(d, dtype=object) for d in docs])
+        h = pd.util.hash_array(flat)
+        col = (h % np.uint64(dim)).astype(np.int64)
+        row = np.repeat(np.arange(len(docs)), lens)
+        # Weinberger sign bit kills the E[collision] bias
+        val = (np.where((h >> np.uint64(63)).astype(bool), 1.0, -1.0)
+               if signed else np.ones(len(flat)))
+        np.add.at(mat, (row, col), val)
+    if norm:
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.divide(mat, nrm, out=np.zeros_like(mat),
+                        where=nrm > 0)
+    out[out_col] = list(mat)
+    return out
+
+
+def hashed_vectors_ds(docs, dim: int = 1024, *,
+                      text_col: str = "text", out_col: str = "hv",
+                      lowercase: bool = True, norm: bool = True,
+                      signed: bool = True,
+                      id_cols: list[str] | None = None):
+    """Feature-hashing ("hashing trick") document vectors
+    (Weinberger et al., ICML 2009): term -> hash % dim with a signed
+    +-1 bucket update, NO vocabulary pass, NO broadcast state at all
+    — the open-vocabulary, fully shuffle-free complement of
+    `tfidf_vectors_ds` for corpora whose vocab can't be bounded.
+    One scatter-add per batch."""
+    return docs.map_batches(
+        functools.partial(_hashed_batch, dim=int(dim),
+                          text_col=text_col, out_col=out_col,
+                          lowercase=lowercase, norm=norm,
+                          signed=signed,
+                          id_cols=id_cols if id_cols is not None
+                          else ["doc_id"]),
+        batch_format="pandas")

@@ -131,3 +131,33 @@ class TestPipeline:
         np.testing.assert_allclose(
             np.stack(out["pc"].to_numpy()),
             (x - mean) @ comps.T, atol=1e-7)
+
+
+class TestRandomProjection:
+
+    def test_shape_and_determinism(self):
+        from osm_sidewalkreator_ray.pipelines.decomp import (
+            random_projection_ds)
+        x = _data(n=100, d=8, seed=13)
+        a = random_projection_ds(_ds(x, 1), 4, seed=3).to_pandas() \
+            .sort_values("vec_id")
+        b = random_projection_ds(_ds(x, 7), 4, seed=3).to_pandas() \
+            .sort_values("vec_id")
+        pa_ = np.stack(a["rp"].to_numpy())
+        pb = np.stack(b["rp"].to_numpy())
+        assert pa_.shape == (100, 4)
+        np.testing.assert_allclose(pa_, pb, atol=1e-12)
+        assert "embedding" not in a.columns
+
+    def test_distance_preservation(self):
+        from osm_sidewalkreator_ray.pipelines.decomp import (
+            random_projection_ds)
+        rng = np.random.RandomState(0)
+        x = rng.randn(60, 64)
+        out = random_projection_ds(_ds(x, 3), 32, seed=1) \
+            .to_pandas().sort_values("vec_id")
+        p = np.stack(out["rp"].to_numpy())
+        # JL: squared norms concentrate around the originals
+        r = np.linalg.norm(p, axis=1) / np.linalg.norm(x, axis=1)
+        assert 0.6 < r.min() and r.max() < 1.5
+        assert abs(np.median(r) - 1.0) < 0.15

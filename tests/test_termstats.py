@@ -169,3 +169,41 @@ class TestPmi:
         b = pmi_pairs(_ds(_docs_df(), 6), window=2, min_count=1,
                       vocab_size=1000, num_buckets=7)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHashedVectors:
+
+    def test_matches_reference_and_invariance(self):
+        from osm_sidewalkreator_ray.pipelines.termstats import (
+            hashed_vectors_ds)
+        df = _docs_df()
+        a = hashed_vectors_ds(_ds(df, 1), dim=16, norm=False) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = hashed_vectors_ds(_ds(df, 6), dim=16, norm=False) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for va, vb in zip(a["hv"], b["hv"]):
+            np.testing.assert_allclose(va, vb, atol=1e-12)
+        # sequential reference with the same hash
+        for _, row in a.iterrows():
+            toks = DOCS[int(row["doc_id"])].lower().split()
+            want = np.zeros(16)
+            if toks:
+                h = pd.util.hash_array(
+                    np.asarray(toks, dtype=object))
+                col = (h % np.uint64(16)).astype(np.int64)
+                sgn = np.where((h >> np.uint64(63)).astype(bool),
+                               1.0, -1.0)
+                np.add.at(want, col, sgn)
+            np.testing.assert_allclose(np.asarray(row["hv"]), want,
+                                       atol=1e-12)
+
+    def test_norm_and_empty_doc(self):
+        from osm_sidewalkreator_ray.pipelines.termstats import (
+            hashed_vectors_ds)
+        out = hashed_vectors_ds(_ds(_docs_df()), dim=32,
+                                norm=True).to_pandas()
+        byid = dict(zip(out["doc_id"],
+                        (np.linalg.norm(v) for v in out["hv"])))
+        assert byid[4] == 0.0  # the empty doc
+        for i in (0, 1, 2, 3, 5):
+            assert abs(byid[i] - 1.0) < 1e-12
