@@ -94,16 +94,33 @@ def build_vocab(docs, vocab_size: int = 4096, *,
                 min_df: int = 1, num_buckets: int = 32) -> dict:
     """Top-``vocab_size`` terms by document frequency (ties -> term
     asc, deterministic). Returns {"terms": [..], "df": (V,), "n_docs":
-    N} — O(vocab) driver state."""
+    N} — O(vocab) driver state: the folded df table holds DISTINCT
+    terms per block, so a per-block top-k is exact after the fold and
+    only blocks x k rows ever reach the driver (never the full
+    term table)."""
     folded = document_frequencies(
         docs, text_col=text_col, lowercase=lowercase,
-        num_buckets=num_buckets).to_pandas()
-    n_docs = int(folded.loc[folded["term"] == "\x00docs", "df"].sum())
-    folded = folded.loc[folded["term"] != "\x00docs"]
-    folded = folded.loc[folded["df"] >= min_df]
-    top = folded.sort_values(["df", "term"],
-                             ascending=[False, True]) \
-        .head(vocab_size).reset_index(drop=True)
+        num_buckets=num_buckets).materialize()
+    k = int(vocab_size)
+
+    def block_top(b: pd.DataFrame, _k=k, _m=min_df) -> pd.DataFrame:
+        body = b.loc[(b["term"] != "\x00docs") & (b["df"] >= _m)]
+        n = int(b.loc[b["term"] == "\x00docs", "df"].sum())
+        top = body.sort_values(["df", "term"],
+                               ascending=[False, True]).head(_k)
+        out = pd.DataFrame({"term": top["term"].astype(object),
+                            "df": top["df"].astype("int64")})
+        # marker row survives even when the block has no top terms
+        return pd.concat([out, pd.DataFrame(
+            {"term": ["\x00docs"], "df": [np.int64(n)]})],
+            ignore_index=True)
+
+    tops = folded.map_batches(block_top,
+                              batch_format="pandas").to_pandas()
+    n_docs = int(tops.loc[tops["term"] == "\x00docs", "df"].sum())
+    top = tops.loc[tops["term"] != "\x00docs"] \
+        .sort_values(["df", "term"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
     return {"terms": top["term"].tolist(),
             "df": top["df"].to_numpy(np.int64),
             "n_docs": n_docs,
@@ -227,12 +244,18 @@ def pmi_pairs(docs, *, window: int = 2, min_count: int = 2,
         vc = pd.Series(flat).value_counts()
         return vc.rename_axis("term").reset_index(name="c")
 
-    uni = grouped_agg(
+    uni_folded = grouped_agg(
         docs.map_batches(uni_partial, batch_format="pandas"),
         ["term"], {"c": ("c", "sum")},
-        num_buckets=num_buckets).to_pandas()
-    total = float(uni["c"].sum())
+        num_buckets=num_buckets).materialize()
+    # total token mass: distributed scalar; the driver only ever
+    # collects the VOCAB-restricted unigram rows (bounded), never
+    # the full term table
+    total = float(uni_folded.sum("c"))
     in_vocab = set(vocab["terms"])
+    uni = uni_folded.map_batches(
+        lambda b, _v=in_vocab: b.loc[b["term"].isin(_v)],
+        batch_format="pandas").to_pandas()
     cnt = dict(zip(uni["term"], uni["c"].astype(float)))
     c_ref = ray.put((cnt, in_vocab))
 
