@@ -3002,3 +3002,46 @@ def betweenness_centrality(edges, *, k_sources: int | None = None,
         "vertex": out["vertex"].astype("int64"),
         "betweenness": out["delta"].to_numpy(np.float64) * scale}) \
         .sort_values("vertex").reset_index(drop=True)
+
+
+def approx_diameter(edges, *, directed: bool = False, seed: int = 0,
+                    num_buckets: int = 32,
+                    max_iters: int = 100) -> dict:
+    """Double-sweep diameter lower bound (Magnien, Latapy, Habib,
+    ACM JEA 2009): BFS from a hash-picked start vertex, then BFS
+    from the farthest vertex found — the second eccentricity is a
+    lower bound that is exact on trees and empirically tight on web
+    graphs. Returns {"diameter_lb": int, "periphery_vertex": id,
+    "eccentricity_estimates": 2}; -1 on an empty graph. Two BFS
+    passes total — O(diameter) rounds each, slim label rows only."""
+    edges = _to_edge_ds(edges).materialize()
+    verts = _vertices_of(edges, num_buckets)
+    n = verts.count()
+    if n == 0:
+        return {"diameter_lb": -1, "periphery_vertex": -1,
+                "eccentricity_estimates": 0}
+
+    def pick_min_hash(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["vertex"].to_numpy(np.int64)
+        h = _prio(v, 0, seed)
+        i = int(np.argmin(h))
+        return pd.DataFrame({"vertex": [v[i]], "h": [h[i]]})
+
+    cand = verts.map_batches(pick_min_hash,
+                             batch_format="pandas").to_pandas()
+    start = int(cand.sort_values(["h", "vertex"]).iloc[0]["vertex"])
+
+    def far(bfs: pd.DataFrame) -> tuple[int, int]:
+        i = bfs["dist"].idxmax()
+        return int(bfs.loc[i, "vertex"]), int(bfs.loc[i, "dist"])
+
+    b1 = multi_source_bfs(edges, [start], directed=directed,
+                          num_buckets=num_buckets,
+                          max_iters=max_iters)
+    v1, _ = far(b1)
+    b2 = multi_source_bfs(edges, [v1], directed=directed,
+                          num_buckets=num_buckets,
+                          max_iters=max_iters)
+    v2, ecc2 = far(b2)
+    return {"diameter_lb": ecc2, "periphery_vertex": v2,
+            "eccentricity_estimates": 2}

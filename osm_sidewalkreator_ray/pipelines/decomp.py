@@ -193,13 +193,7 @@ def random_projection_ds(ds, k: int, *, seed: int = 0,
     k = O(log n / eps^2), Johnson & Lindenstrauss 1984). The (k, d)
     matrix is derived from the seed, ray.put once, and applied as
     one matmul per batch."""
-    probe = ds.schema()  # cheap; d comes from the first batch below
-    del probe
-
-    def first_d(b: pd.DataFrame) -> int:
-        return len(b[emb_col].iloc[0])
-
-    d = first_d(ds.limit(1).to_pandas())
+    d = len(ds.limit(1).to_pandas()[emb_col].iloc[0])
     m_ref = ray.put(_rp_matrix(d, int(k), seed))
     return ds.map_batches(
         functools.partial(_rp_batch, m_ref=m_ref, emb_col=emb_col,

@@ -144,3 +144,32 @@ class TestHarmonic:
             k_sources=3, num_buckets=4)
         assert dict(zip(got["vertex"], got["harmonic"])) \
             == pytest.approx({0: 2.0, 1: 2.0, 2: 2.0})
+
+
+class TestDiameter:
+
+    def test_path_exact(self):
+        from osm_sidewalkreator_ray.functions.graph import (
+            approx_diameter)
+        el = [(i, i + 1) for i in range(6)]
+        got = approx_diameter(
+            pd.DataFrame(el, columns=["src", "dst"]).astype("int64"),
+            num_buckets=4)
+        # double sweep is exact on trees
+        assert got["diameter_lb"] == 6
+
+    def test_cycle_lower_bound(self):
+        from osm_sidewalkreator_ray.functions.graph import (
+            approx_diameter)
+        el = [(i, (i + 1) % 8) for i in range(8)]
+        got = approx_diameter(
+            pd.DataFrame(el, columns=["src", "dst"]).astype("int64"),
+            num_buckets=4)
+        assert got["diameter_lb"] == 4  # true diameter of C8
+
+    def test_empty(self):
+        from osm_sidewalkreator_ray.functions.graph import (
+            approx_diameter)
+        got = approx_diameter(
+            pd.DataFrame({"src": [], "dst": []}).astype("int64"))
+        assert got["diameter_lb"] == -1
