@@ -4,20 +4,24 @@ container-decodable formats.
 
 Per the build brief, image/audio/video payloads are opaque ``binary``
 columns with typed metadata; decode is a ``map_batches`` stage.
-Four codecs are fully real, implemented on numpy + stdlib only:
+Five codecs are fully real, implemented on numpy + stdlib only:
 
 - **BMP** (24-bit uncompressed, the format the synthetic generator
   emits): header parse + bottom-up BGR row decode in ``_decode_bmp``.
 - **PNG** (stdlib ``zlib`` + ``struct``): full filter set
   (None/Sub/Up/Average/Paeth) decode for 8-bit gray/RGB/RGBA,
   filter-0 truecolor encode — ``encode_png`` / ``_decode_png``.
+- **JPEG** (baseline sequential DCT per ITU-T T.81; gray + YCbCr,
+  any sampling-factor geometry on decode, 4:4:4/4:2:0 + restart
+  markers on encode): ``stages/jpeg.py`` — the format of essentially
+  every web ``.jpg``. Progressive/arithmetic streams still raise.
 - **WAV** (16-bit PCM via stdlib ``wave``): ``_decode_wav``.
 - **Y4M** (YUV4MPEG2, the uncompressed video interchange format used
   by ffmpeg/mplayer; plain-text header + raw planes): ``_decode_y4m``
   — the video frame-sample stage decodes real container bytes.
 
 Formats that need codec libraries this container doesn't ship
-(JPEG/MP3/H.264) hit a clearly-marked ``NotImplementedError``
+(MP3/H.264, progressive JPEG) hit a clearly-marked ``NotImplementedError``
 plug point; ``fake=True`` remains as a deterministic pseudo-decode
 for pipeline tests that want payload-independence. Everything around
 decode — schema, batch size, setup-once state, output layout — is
@@ -40,6 +44,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-exported)
+
+_JPEG_SIG = b"\xff\xd8\xff"
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -334,13 +342,15 @@ class ImageResizer:
                 img = _decode_bmp(payload)
             elif payload[:8] == _PNG_SIG:
                 img = _decode_png(payload)
+            elif payload[:3] == _JPEG_SIG:
+                img = decode_jpeg(payload)
             elif self.fake:
                 rng = np.random.RandomState(_seed_from_bytes(payload))
                 img = rng.randint(0, 256, (self.out_h, self.out_w, 3),
                                   dtype=np.uint8)
             else:
                 raise NotImplementedError(
-                    "non-BMP/PNG image codec not available in this "
+                    "non-BMP/PNG/JPEG image codec not available in this "
                     "container; plug PIL.Image.open here")
             out.append(encode_bmp(
                 resize_bilinear(img, self.out_h, self.out_w)))
@@ -399,16 +409,26 @@ class ImageDecoder:
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         """-> uint8 grayscale (h, w)."""
-        if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
-            img = (_decode_bmp(payload) if payload[:2] == b"BM"
-                   else _decode_png(payload))
-            # ITU-R 601 luma, kept integer for determinism
+        if (payload[:2] == b"BM" or payload[:8] == _PNG_SIG
+                or payload[:3] == _JPEG_SIG):
+            if payload[:2] == b"BM":
+                img = _decode_bmp(payload)
+            elif payload[:8] == _PNG_SIG:
+                img = _decode_png(payload)
+            else:
+                img = decode_jpeg(payload)
+            # ITU-R 601 luma, kept integer for determinism. Every
+            # channel is widened BEFORE the scale: under NumPy 1.x
+            # value-based promotion `587 * uint8_array` lands in
+            # uint16 and wraps for G >= 112, which silently corrupted
+            # the luma of green-bright pixels.
             return ((299 * img[:, :, 0].astype(np.uint32)
-                     + 587 * img[:, :, 1]
-                     + 114 * img[:, :, 2]) // 1000).astype(np.uint8)
+                     + 587 * img[:, :, 1].astype(np.uint32)
+                     + 114 * img[:, :, 2].astype(np.uint32))
+                    // 1000).astype(np.uint8)
         if not self.fake:
             raise NotImplementedError(
-                "non-BMP/PNG image codec not available in this "
+                "non-BMP/PNG/JPEG image codec not available in this "
                 "container; plug PIL.Image.open here")
         rng = np.random.RandomState(_seed_from_bytes(payload))
         return rng.randint(0, 256, size=(height, width), dtype=np.uint8)

@@ -57,10 +57,12 @@ def test_real_decode_of_synthetic_payloads():
 
 
 def test_undecodable_payload_is_marked():
-    """Formats needing absent codec libs raise at the plug point."""
+    """Formats needing absent codec libs raise at the plug point.
+    (The magic must not match any of the real codecs — JPEG is now
+    decoded for real, so an unknown GIF-ish magic stands in.)"""
     t = synthetic_media(3).to_pandas()
     bogus = t.copy()
-    bogus["payload"] = [b"\xff\xd8\xff\xe0 not a real codec"] * len(t)
+    bogus["payload"] = [b"GIF89a not a real codec"] * len(t)
     with pytest.raises(NotImplementedError):
         ImageDecoder()(bogus[bogus["kind"] == "image"])
     with pytest.raises(NotImplementedError):
