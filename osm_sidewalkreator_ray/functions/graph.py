@@ -3045,3 +3045,103 @@ def approx_diameter(edges, *, directed: bool = False, seed: int = 0,
     v2, ecc2 = far(b2)
     return {"diameter_lb": ecc2, "periphery_vertex": v2,
             "eccentricity_estimates": 2}
+
+
+def modularity(edges, labels, num_buckets: int = 32,
+               label_col: str = "label") -> float:
+    """Newman modularity Q of a vertex partition over the UNDIRECTED
+    simple graph spanned by (src, dst) rows (self-loops and duplicate
+    /reverse edges removed first, matching ``triangle_count``'s
+    canonicalization).
+
+    Q = sum_c [ e_c/m - (d_c/(2m))^2 ]  (Newman & Girvan, PRE'04)
+    with e_c = within-community edge count, d_c = community degree
+    sum, m = total edge count — the standard score for a
+    ``label_propagation`` / ``connected_components`` partition.
+
+    Plan: labels attach to both endpoints via the generic partitioned
+    hash join (slim (vertex, label) rows only); per-batch partial
+    (label, e_in, deg) counts fold through ONE small groupby; the
+    final Q is a distributed sum of per-community terms. Driver state
+    is O(1) — no label set or edge set is ever collected, so the score
+    scales to partitions with millions of communities.
+
+    Vertices missing from ``labels`` contribute their incident edges
+    to m but to no community (a left-join would misscore them;
+    instead they are dropped from BOTH e_c and d_c, the convention
+    that keeps Q(sub-partition) comparable across candidate
+    clusterings of the same graph). Isolated labeled vertices add 0.
+    """
+    from .joins import hash_partition_join
+
+    edges = _to_edge_ds(edges)
+    if isinstance(labels, pd.DataFrame):
+        labels = rd.from_pandas(labels[["vertex", label_col]])
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        out = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        out["__b"] = (pd.util.hash_array(out["u"].to_numpy())
+                      ^ pd.util.hash_array(out["v"].to_numpy())) \
+            % num_buckets
+        return out
+
+    simple = (edges.map_batches(canon, batch_format="pandas")
+              .groupby("__b").map_groups(
+                  lambda g: g.drop_duplicates(["u", "v"])
+                  .drop(columns="__b"),
+                  batch_format="pandas").materialize())
+    m = simple.count()
+    if m == 0:
+        return 0.0
+
+    def lab_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vertex": b["vertex"].to_numpy(np.int64),
+            "lab": b[label_col].to_numpy(np.int64)})
+
+    lab_ds = labels.map_batches(lab_rows, batch_format="pandas")
+
+    def key_u(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vertex": b["u"].to_numpy(np.int64),
+                             "v": b["v"].to_numpy(np.int64)})
+
+    e1 = hash_partition_join(
+        simple.map_batches(key_u, batch_format="pandas"), lab_ds,
+        on="vertex", num_buckets=num_buckets)
+
+    def key_v(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lab_u": b["lab"].to_numpy(np.int64),
+                             "vertex": b["v"].to_numpy(np.int64)})
+
+    e2 = hash_partition_join(
+        e1.map_batches(key_v, batch_format="pandas"), lab_ds,
+        on="vertex", num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        lu = b["lab_u"].to_numpy(np.int64)
+        lv = b["lab"].to_numpy(np.int64)
+        same = pd.Series(lu[lu == lv]).value_counts()
+        du = pd.Series(lu).value_counts()
+        dv = pd.Series(lv).value_counts()
+        deg = du.add(dv, fill_value=0)
+        out = pd.DataFrame({"lab": deg.index.to_numpy(np.int64),
+                            "deg": deg.to_numpy(np.int64)})
+        out["e_in"] = same.reindex(out["lab"]).fillna(0) \
+            .to_numpy(np.int64)
+        return out
+
+    per_lab = (e2.map_batches(partials, batch_format="pandas")
+               .groupby("lab").sum(["e_in", "deg"]))
+
+    def q_terms(b: pd.DataFrame) -> pd.DataFrame:
+        e_in = b["sum(e_in)"].to_numpy(np.float64)
+        deg = b["sum(deg)"].to_numpy(np.float64)
+        return pd.DataFrame({"q": e_in / m - (deg / (2.0 * m)) ** 2})
+
+    total = per_lab.map_batches(q_terms, batch_format="pandas").sum("q")
+    return float(total if total is not None else 0.0)
