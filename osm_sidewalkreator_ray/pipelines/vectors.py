@@ -1426,3 +1426,151 @@ def ndcg_at_k_ds(ds, query_col: str, score_col: str, rel_col: str,
     return pd.DataFrame({
         "ndcg": [round(float(p["ndcg_sum"].sum()) / max(n, 1), 6)],
         "n_queries": [n]})
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _train_coarse(sample: np.ndarray, n_clusters: int,
+                  rng: np.random.RandomState,
+                  iters: int = 5) -> np.ndarray:
+    """Unit-norm coarse centroids via cosine Lloyd on the sample
+    (same recipe as ``ivf_topk``'s inline trainer)."""
+    cent = sample[rng.choice(len(sample), n_clusters,
+                             replace=False)].copy()
+    for _ in range(iters):
+        lab = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            sel = sample[lab == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def _pq_fit(x: np.ndarray, m: int, k_centroids: int,
+            rng: np.random.RandomState, iters: int = 8) -> np.ndarray:
+    """Per-subspace Lloyd k-means on the given matrix (NOT normalized
+    — IVF-PQ trains on residuals). Returns (m, k_centroids, d/m)."""
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k_centroids, sub))
+    for j in range(m):
+        s = x[:, j * sub:(j + 1) * sub]
+        cent = s[rng.choice(len(s), k_centroids, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (-2 * s @ cent.T + (cent ** 2).sum(1))
+            lab = d2.argmin(1)
+            for c in range(k_centroids):
+                sel = s[lab == c]
+                if len(sel):
+                    cent[c] = sel.mean(0)
+        books[j] = cent
+    return books
+
+
+def ivfpq_build(sf_dir: str, n_clusters: int = 16, m: int = 16,
+                k_centroids: int = 16, seed: int = 42,
+                sample_n: int = 2048):
+    """Build the faiss-style IVFADC index (Jégou/Douze/Schmid,
+    TPAMI'11 §V): coarse quantizer + product-quantized RESIDUALS.
+
+    Returns (codes Dataset of (vec_id, list_id, codes), coarse
+    centroids, residual codebooks). Training reads only a
+    ``limit(sample_n)`` sample on the driver; the corpus is encoded in
+    ONE map_batches pass against the broadcast models. At corpus scale
+    write the codes Dataset as parquet PARTITIONED BY list_id — then a
+    query's ``n_probe`` lists prune at the read and the scan touches
+    m bytes x N x n_probe/n_clusters instead of the whole table
+    (``pq_topk_stored`` scans every code; this is the next 10-100x)."""
+    sample_df = (_read_emb(sf_dir, ["embedding"]).limit(sample_n)
+                 ).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in sample_df["embedding"]])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    coarse = _train_coarse(x, n_clusters, rng)
+    lab = (x @ coarse.T).argmax(axis=1)
+    books = _pq_fit(x - coarse[lab], m, k_centroids, rng)
+    state_ref = ray.put((coarse, books))
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        c, b = ray.get(state_ref)
+        mn = _batch_matrix(batch)
+        mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True),
+                             1e-12)
+        lb = (mn @ c.T).argmax(axis=1)
+        codes = _pq_encode_matrix(mn - c[lb], b)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"],
+            "list_id": lb.astype(np.int64),
+            "codes": [r.tobytes() for r in codes]})
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    return (ds.map_batches(enc, batch_format="pandas",
+                           batch_size=4096), coarse, books)
+
+
+def ivfpq_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
+               m: int = 16, k_centroids: int = 16, n_probe: int = 4,
+               shortlist: int = 50, seed: int = 42):
+    """IVF-PQ ANN: probe ``n_probe`` inverted lists, ADC-scan only
+    their residual codes, exact-rerank only the global shortlist
+    (fetched via a pushed-down ``vec_id in (...)`` parquet filter).
+
+    approx_sim(q, x) = q . c_list + sum_j lut[j, code_j]  — exact
+    decomposition of the inner product through x = c_list + r with the
+    PQ approximation of r; the residual LUT is shared across lists
+    (one (m, k_centroids) table per query). Composes ``ivf_topk``'s
+    list pruning with ``pq_topk_stored``'s compressed scan; recall vs
+    the exact oracle is asserted in tests."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    codes_ds, coarse, books = ivfpq_build(
+        sf_dir, n_clusters, m, k_centroids, seed)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    sub = q.shape[0] // m
+    lut = np.einsum("jkc,jc->jk", books, q.reshape(m, sub))
+    base = coarse @ q  # q . c_list per list
+    probes = np.argsort(-base)[:n_probe]
+    scan_ref = ray.put((lut, base, np.asarray(probes)))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        l, bs, pr = ray.get(scan_ref)
+        keep = np.isin(batch["list_id"].to_numpy(np.int64), pr)
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "approx_sim": pd.Series([], dtype="float64")})
+        sel = batch.loc[keep]
+        codes = np.frombuffer(b"".join(sel["codes"]),
+                              dtype=np.uint8).reshape(keep.sum(), -1)
+        approx = bs[sel["list_id"].to_numpy(np.int64)] \
+            + l[np.arange(codes.shape[1])[None, :], codes].sum(1)
+        kk = min(shortlist, len(approx))
+        top = np.argpartition(-approx, kk - 1)[:kk]
+        return pd.DataFrame({"vec_id": sel["vec_id"].to_numpy()[top],
+                             "approx_sim": approx[top]})
+
+    part = codes_ds.map_batches(scan, batch_format="pandas").to_pandas()
+    short = (part.sort_values(["approx_sim", "vec_id"],
+                              ascending=[False, True]).head(shortlist))
+    ids = short["vec_id"].to_numpy(dtype=np.int64)
+    rer = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(pa_array_int64(ids)))
+    mm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in rer["embedding"].to_pylist()])
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": rer["vec_id"].to_numpy(),
+                       "cosine_sim": mm @ q})
+    df = df.sort_values(["cosine_sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df.reset_index(drop=True)

@@ -616,3 +616,51 @@ class TestEvalMetrics:
         assert np.isclose(got2["ndcg"][0], round(np.mean(vals), 6),
                           atol=1e-6)
         assert got2["n_queries"][0] == len(vals)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_recall_vs_exact():
+    """IVF-PQ (residual ADC over probed lists + exact rerank) finds
+    the bulk of the exact top-10 and always the query itself."""
+    import pandas as pd
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF}/embeddings.parquet'")
+    exact = set(con.sql(V.ANN_TOPK_SQL).df()["vec_id"])
+    got = V.ivfpq_topk(SF, n_probe=8)
+    assert len(got) == 10
+    assert 0 in set(got["vec_id"])
+    assert len(exact & set(got["vec_id"])) / 10 >= 0.5
+    pd.testing.assert_frame_equal(got, V.ivfpq_topk(SF, n_probe=8))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_probe_all_recalls_like_pq():
+    """Probing every list removes the IVF pruning error: recall can
+    only match-or-beat the pruned query's."""
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF}/embeddings.parquet'")
+    exact = set(con.sql(V.ANN_TOPK_SQL).df()["vec_id"])
+    pruned = V.ivfpq_topk(SF, n_probe=2, shortlist=100)
+    full = V.ivfpq_topk(SF, n_probe=16, shortlist=100)
+    r_pruned = len(exact & set(pruned["vec_id"])) / 10
+    r_full = len(exact & set(full["vec_id"])) / 10
+    assert r_full >= r_pruned
+    assert r_full >= 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_build_shapes():
+    from osm_sidewalkreator_ray.pipelines import vectors as V
+    codes_ds, coarse, books = V.ivfpq_build(SF, n_clusters=8, m=8)
+    df = codes_ds.to_pandas()
+    assert coarse.shape[0] == 8
+    assert books.shape[:2] == (8, 16)
+    assert df["list_id"].between(0, 7).all()
+    assert {len(c) for c in df["codes"]} == {8}
+    # every vector is encoded exactly once
+    assert df["vec_id"].is_unique
+    np.testing.assert_allclose(np.linalg.norm(coarse, axis=1), 1.0)
