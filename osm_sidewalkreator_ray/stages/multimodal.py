@@ -11,17 +11,19 @@ Five codecs are fully real, implemented on numpy + stdlib only:
 - **PNG** (stdlib ``zlib`` + ``struct``): full filter set
   (None/Sub/Up/Average/Paeth) decode for 8-bit gray/RGB/RGBA,
   filter-0 truecolor encode — ``encode_png`` / ``_decode_png``.
-- **JPEG** (baseline sequential DCT per ITU-T T.81; gray + YCbCr,
-  any sampling-factor geometry on decode, 4:4:4/4:2:0 + restart
-  markers on encode): ``stages/jpeg.py`` — the format of essentially
-  every web ``.jpg``. Progressive/arithmetic streams still raise.
+- **JPEG** (ITU-T T.81; gray + YCbCr, any sampling-factor geometry
+  on decode, 4:4:4/4:2:0 + restart markers on encode): baseline
+  sequential AND progressive (SOF2 spectral-selection + successive-
+  approximation) streams decode — ``stages/jpeg.py`` /
+  ``stages/jpeg_progressive.py``. Arithmetic-coded streams still
+  raise.
 - **WAV** (16-bit PCM via stdlib ``wave``): ``_decode_wav``.
 - **Y4M** (YUV4MPEG2, the uncompressed video interchange format used
   by ffmpeg/mplayer; plain-text header + raw planes): ``_decode_y4m``
   — the video frame-sample stage decodes real container bytes.
 
 Formats that need codec libraries this container doesn't ship
-(MP3/H.264, progressive JPEG) hit a clearly-marked ``NotImplementedError``
+(MP3/H.264) hit a clearly-marked ``NotImplementedError``
 plug point; ``fake=True`` remains as a deterministic pseudo-decode
 for pipeline tests that want payload-independence. Everything around
 decode — schema, batch size, setup-once state, output layout — is

@@ -87,13 +87,23 @@ def test_quant_table_scaling():
     assert scaled_quant_table(QTBL_LUMA, 100).min() >= 1
 
 
-def test_progressive_raises():
-    """A SOF2 (progressive) frame header hits the honest plug point."""
+def test_progressive_frame_without_scan_raises():
+    """SOF2 now DECODES (tests/test_jpeg_progressive.py); a frame
+    header with no scan data is a corrupt stream, not a plug point."""
     import struct
     sof2 = struct.pack(">BBH", 0xFF, 0xC2, 2 + 9) \
         + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="0xC2"):
+    with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(b"\xff\xd8" + sof2)
+
+
+def test_arithmetic_sof_raises():
+    """Arithmetic-coded frames remain the honest plug point."""
+    import struct
+    sof9 = struct.pack(">BBH", 0xFF, 0xC9, 2 + 9) \
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="0xC9"):
+        decode_jpeg(b"\xff\xd8" + sof9)
 
 
 def test_not_jpeg_raises():
