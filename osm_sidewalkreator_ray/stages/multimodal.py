@@ -17,6 +17,10 @@ Five codecs are fully real, implemented on numpy + stdlib only:
   approximation) streams decode — ``stages/jpeg.py`` /
   ``stages/jpeg_progressive.py``. Arithmetic-coded streams still
   raise.
+- **GIF** (87a/89a: real LZW both directions, interlace, local/global
+  palettes, transparency, multi-frame animation with disposal
+  compositing): ``stages/gif.py`` — animated GIFs also feed the
+  video frame-sample stage.
 - **WAV** (16-bit PCM via stdlib ``wave``): ``_decode_wav``.
 - **Y4M** (YUV4MPEG2, the uncompressed video interchange format used
   by ffmpeg/mplayer; plain-text header + raw planes): ``_decode_y4m``
@@ -47,6 +51,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .gif import decode_gif, decode_gif_frames, encode_gif  # noqa: F401 (re-exported)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-exported)
 
 _JPEG_SIG = b"\xff\xd8\xff"
@@ -346,14 +351,16 @@ class ImageResizer:
                 img = _decode_png(payload)
             elif payload[:3] == _JPEG_SIG:
                 img = decode_jpeg(payload)
+            elif payload[:4] == b"GIF8":
+                img = decode_gif(payload)
             elif self.fake:
                 rng = np.random.RandomState(_seed_from_bytes(payload))
                 img = rng.randint(0, 256, (self.out_h, self.out_w, 3),
                                   dtype=np.uint8)
             else:
                 raise NotImplementedError(
-                    "non-BMP/PNG/JPEG image codec not available in this "
-                    "container; plug PIL.Image.open here")
+                    "non-BMP/PNG/JPEG/GIF image codec not available in "
+                    "this container; plug PIL.Image.open here")
             out.append(encode_bmp(
                 resize_bilinear(img, self.out_h, self.out_w)))
         return pd.DataFrame({
@@ -412,13 +419,15 @@ class ImageDecoder:
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         """-> uint8 grayscale (h, w)."""
         if (payload[:2] == b"BM" or payload[:8] == _PNG_SIG
-                or payload[:3] == _JPEG_SIG):
+                or payload[:3] == _JPEG_SIG or payload[:4] == b"GIF8"):
             if payload[:2] == b"BM":
                 img = _decode_bmp(payload)
             elif payload[:8] == _PNG_SIG:
                 img = _decode_png(payload)
-            else:
+            elif payload[:3] == _JPEG_SIG:
                 img = decode_jpeg(payload)
+            else:
+                img = decode_gif(payload)
             # ITU-R 601 luma, kept integer for determinism. Every
             # channel is widened BEFORE the scale: under NumPy 1.x
             # value-based promotion `587 * uint8_array` lands in
@@ -430,8 +439,8 @@ class ImageDecoder:
                     // 1000).astype(np.uint8)
         if not self.fake:
             raise NotImplementedError(
-                "non-BMP/PNG/JPEG image codec not available in this "
-                "container; plug PIL.Image.open here")
+                "non-BMP/PNG/JPEG/GIF image codec not available in "
+                "this container; plug PIL.Image.open here")
         rng = np.random.RandomState(_seed_from_bytes(payload))
         return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
@@ -507,6 +516,16 @@ class VideoFrameSampler:
                 ) -> tuple[np.ndarray, int]:
         if payload[:9] == b"YUV4MPEG2":
             return _decode_y4m(payload)
+        if payload[:4] == b"GIF8":
+            frames, delays = decode_gif_frames(payload)
+            luma = np.stack([
+                ((299 * f[:, :, 0].astype(np.uint32)
+                  + 587 * f[:, :, 1].astype(np.uint32)
+                  + 114 * f[:, :, 2].astype(np.uint32)) // 1000
+                 ).astype(np.uint8) for f in frames])
+            # fps from the mean per-frame delay (centiseconds)
+            mean_cs = (sum(delays) / len(delays)) if delays else 0
+            return luma, int(round(100.0 / mean_cs)) if mean_cs else 10
         if not self.fake:
             raise NotImplementedError(
                 "compressed video codec not available in this "

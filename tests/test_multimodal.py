@@ -58,11 +58,11 @@ def test_real_decode_of_synthetic_payloads():
 
 def test_undecodable_payload_is_marked():
     """Formats needing absent codec libs raise at the plug point.
-    (The magic must not match any of the real codecs — JPEG is now
-    decoded for real, so an unknown GIF-ish magic stands in.)"""
+    (The magic must not match any of the real codecs — JPEG and GIF
+    now decode for real, so an AVIF-ish magic stands in.)"""
     t = synthetic_media(3).to_pandas()
     bogus = t.copy()
-    bogus["payload"] = [b"GIF89a not a real codec"] * len(t)
+    bogus["payload"] = [b"\x00\x00\x00 ftypavifnot-a-codec"] * len(t)
     with pytest.raises(NotImplementedError):
         ImageDecoder()(bogus[bogus["kind"] == "image"])
     with pytest.raises(NotImplementedError):
