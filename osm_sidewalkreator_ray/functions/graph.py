@@ -47,12 +47,16 @@ def _bound_blocks(ds, num_buckets: int):
     return ds
 
 
-def connected_components(edges, num_buckets: int = 32,
-                         max_iters: int = 50) -> pd.DataFrame:
-    """Edges (src, dst int64 Dataset or DataFrame) -> components.
-
-    Returns one row per vertex: (vertex, component) with
-    ``component = min vertex id of its connected component``.
+def connected_components_ds(edges, num_buckets: int = 32,
+                            max_iters: int = 50) -> "rd.Dataset":
+    """Edges (src, dst int64 Dataset or DataFrame) -> components, as a
+    streaming DATASET of one row per vertex: (vertex, component) with
+    ``component = min vertex id of its connected component``. At
+    corpus scale the per-vertex result is itself corpus-sized (one
+    row per document in a dedup closure), so it must compose into the
+    next stage — a keep-representative join, a parquet write — without
+    a driver collect; ``connected_components`` is the thin collecting
+    wrapper for small graphs and the SQL oracles.
 
     Physical plan per iteration: labels are bucketed by
     ``hash(vertex) % B``; the (undirected) edge list is bucketed the
@@ -77,8 +81,9 @@ def connected_components(edges, num_buckets: int = 32,
     edge_rows = edges.map_batches(undirect,
                                   batch_format="pandas").materialize()
     if edge_rows.count() == 0:
-        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
-                             "component": pd.Series([], dtype="int64")})
+        return rd.from_pandas(pd.DataFrame(
+            {"vertex": pd.Series([], dtype="int64"),
+             "component": pd.Series([], dtype="int64")}))
 
     def init_labels(b: pd.DataFrame) -> pd.DataFrame:
         v = np.unique(np.concatenate([b["src"].to_numpy(),
@@ -146,18 +151,36 @@ def connected_components(edges, num_buckets: int = 32,
             f"connected_components did not converge in {max_iters} "
             "iterations (component diameter exceeds max_iters); "
             "raise max_iters")
-    df = labels.to_pandas().rename(columns={"label": "component"})
+    return labels.map_batches(
+        lambda b: b.rename(columns={"label": "component"}),
+        batch_format="pandas")
+
+
+def connected_components(edges, num_buckets: int = 32,
+                         max_iters: int = 50) -> pd.DataFrame:
+    """Collecting wrapper over ``connected_components_ds`` (sorted by
+    vertex) — for small graphs, tests and the DuckDB oracles; corpus-
+    scale callers compose the Dataset form instead."""
+    ds = connected_components_ds(edges, num_buckets=num_buckets,
+                                 max_iters=max_iters)
+    df = ds.to_pandas()
+    if df.empty:  # from_pandas of an empty frame drops the schema
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
     return df.sort_values("vertex").reset_index(drop=True)
 
 
-def pagerank(edges, damping: float = 0.85, iters: int = 20,
-             num_buckets: int = 32, weight_col: str | None = None,
-             personalization: dict | None = None):
+def pagerank_ds(edges, damping: float = 0.85, iters: int = 20,
+                num_buckets: int = 32, weight_col: str | None = None,
+                personalization: dict | None = None) -> "rd.Dataset":
     """Distributed PageRank over a directed edge Dataset/DataFrame
     (src, dst int64) — the canonical iterative graph op beside
     ``connected_components`` (PEGASUS, Kang et al. ICDM'09: PR as
-    repeated sparse matvec). Returns (vertex, rank) as a pandas
-    DataFrame (ranks sum to 1).
+    repeated sparse matvec). Returns a streaming DATASET of
+    (vertex, rank) rows (ranks sum to 1) — per-vertex output is
+    host-count-sized at web scale, so it composes into a join or a
+    parquet write without a driver collect; ``pagerank`` is the
+    collecting wrapper.
 
     Physical plan: edge rows carry ``w = 1/outdeg(src)`` and are
     bucketed by ``hash(src) % B`` ONCE up front; each iteration is
@@ -198,8 +221,9 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
     edge_rows = edges.map_batches(tag_edges,
                                   batch_format="pandas").materialize()
     if edge_rows.count() == 0:
-        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="float64")})
+        return rd.from_pandas(pd.DataFrame(
+            {"vertex": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="float64")}))
 
     # out-weight sums -> edge factor w/Σw, attached once (static)
     def partial_deg(b: pd.DataFrame) -> pd.DataFrame:
@@ -324,8 +348,26 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
 
         ranks = insums.map_batches(new_rank, batch_format="pandas")
 
-    df = ranks.to_pandas()
-    df["vertex"] = df["vertex"].astype("int64")
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vertex": b["vertex"].to_numpy(np.int64),
+            "rank": b["rank"].to_numpy(np.float64)})
+
+    return ranks.map_batches(finish, batch_format="pandas")
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 20,
+             num_buckets: int = 32, weight_col: str | None = None,
+             personalization: dict | None = None) -> pd.DataFrame:
+    """Collecting wrapper over ``pagerank_ds`` (sorted by vertex) —
+    for small graphs, tests and oracles."""
+    ds = pagerank_ds(edges, damping=damping, iters=iters,
+                     num_buckets=num_buckets, weight_col=weight_col,
+                     personalization=personalization)
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
     return df.sort_values("vertex").reset_index(drop=True)
 
 

@@ -322,6 +322,27 @@ class TestStreamingScorerForms:
             pd.testing.assert_frame_equal(
                 got[sorted(got.columns)], want[sorted(want.columns)])
 
+    def test_graph_ds_forms_are_datasets_and_match(self):
+        """Per-vertex graph outputs are corpus-sized at 100 TB (one
+        row per doc/host), so the library exposes Dataset forms that
+        compose into the next stage; wrappers must agree exactly."""
+        from ray.data import Dataset
+        from osm_sidewalkreator_ray.functions.graph import (
+            connected_components, connected_components_ds, pagerank,
+            pagerank_ds)
+        edges = pd.DataFrame({"src": [1, 2, 5, 9, 9],
+                              "dst": [2, 3, 6, 1, 9]})
+        cds = connected_components_ds(edges)
+        assert isinstance(cds, Dataset)
+        got = (cds.to_pandas().sort_values("vertex")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, connected_components(edges))
+        pds = pagerank_ds(edges, iters=5)
+        assert isinstance(pds, Dataset)
+        got = (pds.to_pandas().sort_values("vertex")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, pagerank(edges, iters=5))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestPageRank:
