@@ -1036,10 +1036,12 @@ def random_walks(edges, walk_len: int = 5, walks_per_vertex: int = 1,
 # Isolated vertices keep their own id as label.
 
 
-def label_propagation(edges, iters: int = 5,
-                      num_buckets: int = 32) -> pd.DataFrame:
+def label_propagation_ds(edges, iters: int = 5,
+                         num_buckets: int = 32) -> "rd.Dataset":
     """(vertex, community) after ``iters`` synchronous rounds over the
-    UNDIRECTED view of (src, dst) edges.
+    UNDIRECTED view of (src, dst) edges, as a streaming DATASET (the
+    per-vertex community map is corpus-sized at web scale;
+    ``label_propagation`` is the collecting wrapper).
 
     Known synchronous-LPA property (Raghavan §IV): bipartite-ish
     structures — e.g. an isolated edge pair — oscillate (the two
@@ -1138,9 +1140,21 @@ def label_propagation(edges, iters: int = 5,
                         batch_format="pandas").materialize(),
             num_buckets)
 
-    labels = labels.to_pandas()
-    out = labels.rename(columns={"label": "community"})
-    return out.sort_values("vertex").reset_index(drop=True)
+    return labels.map_batches(
+        lambda b: b.rename(columns={"label": "community"}),
+        batch_format="pandas")
+
+
+def label_propagation(edges, iters: int = 5,
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """Collecting wrapper over ``label_propagation_ds`` (sorted by
+    vertex) — for small graphs, tests and oracles."""
+    df = label_propagation_ds(edges, iters=iters,
+                              num_buckets=num_buckets).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "community": pd.Series([], dtype="int64")})
+    return df.sort_values("vertex").reset_index(drop=True)
 
 
 def sssp_weighted(edges, sources, weight_col: str = "w",
