@@ -349,16 +349,20 @@ def _write_doclens(docs, index_dir: str) -> None:
             "dl": np.array([len(_tokens(t)) for t in b["text"]],
                            dtype=np.int64)})
 
-    dl = docs.map_batches(lens, batch_format="pandas").to_pandas()
     for sub in ("_doclens", "_meta"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+    # the (doc_id, dl) table is corpus-sized: never collect it to the
+    # driver. Materialize the SLIM rows once (16 bytes/doc in the
+    # object store), read the two meta scalars off tiny aggregates,
+    # and let write_parquet fan the files out from the workers —
+    # Ray's per-execution unique filenames keep appends collision-free
+    dl_ds = docs.map_batches(lens, batch_format="pandas").materialize()
+    n_docs = dl_ds.count()
+    total_len = int(dl_ds.sum("dl")) if n_docs else 0
+    dl_ds.write_parquet(os.path.join(index_dir, "_doclens"))
     tag = uuid.uuid4().hex
-    pq.write_table(pa.Table.from_pandas(dl, preserve_index=False),
-                   os.path.join(index_dir, "_doclens",
-                                f"part-{tag}.parquet"))
-    meta = pa.table({"n_docs": pa.array([len(dl)], pa.int64()),
-                     "total_len": pa.array([int(dl["dl"].sum())],
-                                           pa.int64())})
+    meta = pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                     "total_len": pa.array([total_len], pa.int64())})
     pq.write_table(meta, os.path.join(index_dir, "_meta",
                                       f"part-{tag}.parquet"))
 
