@@ -3918,3 +3918,105 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = 64,
                              chunk_tokens, overlap).to_pandas()
     return (out.sort_values(["doc_id", "chunk_idx"])
             .reset_index(drop=True))
+
+
+# ------------------------------------------------ blocklist phrase gate
+#
+# C4-style "bad words" curation gate (Raffel et al. 2020 drop any page
+# containing a blocklisted word or phrase): the blocklist is tiny by
+# definition (~10^3-10^4 phrases even in production), so it is the
+# canonical broadcast side — phrase token n-grams hashed into one
+# sorted uint64 array PER PHRASE LENGTH, ``ray.put`` once, probed per
+# batch with the same ``np.searchsorted`` machinery as
+# ``decontaminate_ds``. Multi-word phrases match exact token
+# sequences, not substrings, so "scan join" never fires inside
+# "rescan joint". Nothing shuffles; the corpus streams.
+
+
+def blocklist_hashes(phrases) -> dict[int, np.ndarray]:
+    """Phrase list -> {phrase_length_in_tokens: sorted uint64 hash
+    array}. Driver-side helper; the result is what you ``ray.put``
+    and hand to :func:`blocklist_filter_ds`. Phrases normalize
+    through the engine tokenizer, so whitespace variants collapse."""
+    by_len: dict[int, list] = {}
+    for p in phrases:
+        toks = _tokens(p)
+        if toks:
+            by_len.setdefault(len(toks), []).append(" ".join(toks))
+    return {n: np.unique(pd.util.hash_array(
+                np.asarray(sorted(set(ps)), dtype=object)))
+            for n, ps in by_len.items()}
+
+
+def blocklist_filter_ds(docs, phrase_hashes, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Streaming form: documents Dataset -> Dataset of (doc_id,
+    n_hits, keep). ``phrase_hashes`` is the dict from
+    :func:`blocklist_hashes` (or an ObjectRef to one). ``n_hits``
+    counts the DISTINCT blocklisted phrases present in the doc;
+    ``keep`` is n_hits == 0 (the C4 drop rule)."""
+    import ray as _ray
+    ref = (phrase_hashes if isinstance(phrase_hashes, _ray.ObjectRef)
+           else _ray.put(phrase_hashes))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        tables = _ray.get(ref)
+        toks = [_tokens(t) for t in batch[text_col]]
+        hits = np.zeros(len(toks), dtype=np.int64)
+        for n, table in tables.items():
+            per_doc = [_ngram_hashes(w, n) for w in toks]
+            lens = np.fromiter((len(a) for a in per_doc),
+                               dtype=np.int64, count=len(per_doc))
+            if not lens.sum() or not len(table):
+                continue
+            allh = np.concatenate([a for a in per_doc if len(a)])
+            idx = np.searchsorted(table, allh)
+            idx[idx == len(table)] = 0
+            hit = table[idx] == allh
+            seg = np.repeat(np.arange(len(per_doc)), lens)
+            hits += np.bincount(seg, weights=hit,
+                                minlength=len(per_doc)
+                                ).astype(np.int64)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(np.int64),
+                             "n_hits": hits,
+                             "keep": hits == 0})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+_BLOCKLIST_DEMO = ("hash scan", "batch batch batch", "dup window",
+                   "sort merge")
+
+
+def blocklist_filter(sf_dir: str, phrases=_BLOCKLIST_DEMO
+                     ) -> pd.DataFrame:
+    """Collecting oracle form over the documents table with the fixed
+    demo phrase list mirrored in ``BLOCKLIST_FILTER_SQL``."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    out = blocklist_filter_ds(docs, blocklist_hashes(phrases))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+BLOCKLIST_FILTER_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+phr(ng) AS (VALUES ('hash scan'), ('batch batch batch'),
+                   ('dup window'), ('sort merge')),
+doc_ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> array_to_string(w[i:i+1], ' '))) AS ng
+  FROM tok WHERE len(w) >= 2
+  UNION
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM tok WHERE len(w) >= 3),
+hits AS (
+  SELECT d.doc_id, COUNT(DISTINCT d.ng) AS n_hits
+  FROM doc_ng d JOIN phr p ON d.ng = p.ng GROUP BY d.doc_id)
+SELECT t.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) = 0 AS keep
+FROM tok t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
+"""
