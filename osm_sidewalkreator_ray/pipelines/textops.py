@@ -2696,8 +2696,9 @@ def epoch_shuffle_ds(ds, id_col: str = "doc_id", epoch: int = 0,
     function of (id, epoch, seed), so retries, re-runs and different
     block layouts give byte-identical epochs."""
     mult = np.uint64(2654435761)
-    off = np.uint64(epoch) * np.uint64(0x9E3779B97F4A7C15) \
-        + np.uint64(seed)
+    # wraparound mod 2^64 is intentional; do it in Python ints so
+    # numpy's scalar-overflow RuntimeWarning never fires
+    off = np.uint64((epoch * 0x9E3779B97F4A7C15 + seed) % (1 << 64))
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

@@ -1044,7 +1044,8 @@ def quantize_embeddings_ds(emb, ranges: np.ndarray,
     """Encode vectors to uint8 codes: (id_col, codes binary). Constant
     dimensions map to code 0."""
     mn, mx = ranges[0], ranges[1]
-    scale = np.where(mx > mn, 255.0 / (mx - mn), 0.0)
+    scale = np.divide(255.0, mx - mn, out=np.zeros_like(mx, dtype=np.float64),
+                      where=mx > mn)
 
     def enc(b: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(b[col].to_numpy()).astype(np.float64)
