@@ -143,7 +143,22 @@ def build_key_bloom(ds, on: str, n_bits: int = 1 << 20,
         np.bitwise_or.at(bits, idx >> 3, masks[idx & 7])
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def or_fold(b: pd.DataFrame) -> pd.DataFrame:
+        acc0 = np.zeros(nbytes, dtype=np.uint8)
+        for blob in b["bits"]:
+            acc0 |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame({"bits": [acc0.tobytes()]})
+
+    # coarse partials (one bitmap per ~256k rows, not per default-1024
+    # batch) + two streaming 64-way OR-fold levels keep the driver
+    # collect bounded (~#partials/4096 rows) instead of linear in
+    # batch count — a 1B-row build side would otherwise ship ~976k
+    # 128-KiB partials (~120 GB) to the driver
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=_TAG_BATCH_ROWS)
+            .map_batches(or_fold, batch_format="pandas", batch_size=64)
+            .map_batches(or_fold, batch_format="pandas", batch_size=64)
+            .to_pandas())
     acc = np.zeros(nbytes, dtype=np.uint8)
     for blob in rows["bits"]:
         acc |= np.frombuffer(blob, dtype=np.uint8)
@@ -803,6 +818,51 @@ def _sphere_xyz(lat_deg: np.ndarray, lon_deg: np.ndarray
             _EARTH_R_M * np.sin(lat))
 
 
+def _home3d(b: pd.DataFrame, lat_col: str, lon_col: str,
+            w: float) -> pd.DataFrame:
+    """Drop NULL-coord rows and attach chord-space coords + HOME cell
+    ids (__x/__y/__z, __cx/__cy/__cz) — the shared first step of every
+    3-D-chord-grid join."""
+    b = b[b[lat_col].notna() & b[lon_col].notna()].copy()
+    x, y, z = _sphere_xyz(b[lat_col].to_numpy(), b[lon_col].to_numpy())
+    b["__x"], b["__y"], b["__z"] = x, y, z
+    b["__cx"] = _cell_of(x, w)
+    b["__cy"] = _cell_of(y, w)
+    b["__cz"] = _cell_of(z, w)
+    return b
+
+
+def _ring27(b: pd.DataFrame) -> pd.DataFrame:
+    """Replicate home-tagged rows to their 3x3x3 cell ring (27 copies;
+    all non-cell columns — including any time column a caller
+    attached — carry through the replication unchanged). One shared
+    definition so the ring geometry of the three geodesic joins can
+    never drift apart."""
+    cx = b["__cx"].to_numpy(np.int64)
+    cy = b["__cy"].to_numpy(np.int64)
+    cz = b["__cz"].to_numpy(np.int64)
+    n = len(b)
+    rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
+    off = np.arange(-1, 2)
+    rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
+    rep["__cy"] = np.repeat(cy, 27) + np.tile(
+        np.tile(np.repeat(off, 3), 3), n)
+    rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
+    return rep
+
+
+def _bucket3d(b: pd.DataFrame, num_buckets: int,
+              time_col: str | None = None) -> np.ndarray:
+    """Bucket id from the (cx, cy, cz[, ct]) cell tuple — the shared
+    shuffle key hash of the chord-grid joins."""
+    h = (pd.util.hash_array(b["__cx"].to_numpy(np.int64))
+         ^ pd.util.hash_array(b["__cy"].to_numpy(np.int64) * 3)
+         ^ pd.util.hash_array(b["__cz"].to_numpy(np.int64) * 7))
+    if time_col is not None:
+        h = h ^ pd.util.hash_array(b[time_col].to_numpy(np.int64) * 13)
+    return (h % num_buckets).astype(np.int64)
+
+
 def haversine_m(lat_a, lon_a, lat_b, lon_b) -> np.ndarray:
     """Great-circle distance in meters (vectorized haversine)."""
     la, lb = np.radians(np.asarray(lat_a, np.float64)), \
@@ -847,29 +907,12 @@ def haversine_distance_join(left, right, d_m: float,
     rcols = [f.name for f in _arrow_schema(right)]
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[l_lat].notna() & b[l_lon].notna()].copy()
-        x, y, z = _sphere_xyz(b[l_lat].to_numpy(), b[l_lon].to_numpy())
-        b["__x"], b["__y"], b["__z"] = x, y, z
-        b["__cx"] = _cell_of(x, w)
-        b["__cy"] = _cell_of(y, w)
-        b["__cz"] = _cell_of(z, w)
+        b = _home3d(b, l_lat, l_lon, w)
         b["__side"] = np.int8(0)
         return b
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[r_lat].notna() & b[r_lon].notna()]
-        x, y, z = _sphere_xyz(b[r_lat].to_numpy(), b[r_lon].to_numpy())
-        cx, cy, cz = _cell_of(x, w), _cell_of(y, w), _cell_of(z, w)
-        n = len(b)
-        rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
-        off = np.arange(-1, 2)
-        rep["__x"] = np.repeat(x, 27)
-        rep["__y"] = np.repeat(y, 27)
-        rep["__z"] = np.repeat(z, 27)
-        rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
-        rep["__cy"] = np.repeat(cy, 27) + np.tile(
-            np.tile(np.repeat(off, 3), 3), n)
-        rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
+        rep = _ring27(_home3d(b, r_lat, r_lon, w))
         rep["__side"] = np.int8(1)
         return rep
 
@@ -880,12 +923,7 @@ def haversine_distance_join(left, right, d_m: float,
             b = b.copy()
             for c in missing:
                 b[c] = None
-            b["__b"] = ((pd.util.hash_array(b["__cx"].to_numpy(np.int64))
-                         ^ pd.util.hash_array(
-                             b["__cy"].to_numpy(np.int64) * 3)
-                         ^ pd.util.hash_array(
-                             b["__cz"].to_numpy(np.int64) * 7))
-                        % num_buckets).astype(np.int64)
+            b["__b"] = _bucket3d(b, num_buckets)
             return b[lcols + rcols + aux + ["__b", "__side"]]
         return f
 
@@ -961,29 +999,12 @@ def haversine_knn_join(left, right, k: int, max_dist_m: float,
     rcols = [f.name for f in _arrow_schema(right)]
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[l_lat].notna() & b[l_lon].notna()].copy()
-        x, y, z = _sphere_xyz(b[l_lat].to_numpy(), b[l_lon].to_numpy())
-        b["__x"], b["__y"], b["__z"] = x, y, z
-        b["__cx"] = _cell_of(x, w)
-        b["__cy"] = _cell_of(y, w)
-        b["__cz"] = _cell_of(z, w)
+        b = _home3d(b, l_lat, l_lon, w)
         b["__side"] = np.int8(0)
         return b
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[r_lat].notna() & b[r_lon].notna()]
-        x, y, z = _sphere_xyz(b[r_lat].to_numpy(), b[r_lon].to_numpy())
-        cx, cy, cz = _cell_of(x, w), _cell_of(y, w), _cell_of(z, w)
-        n = len(b)
-        rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
-        off = np.arange(-1, 2)
-        rep["__x"] = np.repeat(x, 27)
-        rep["__y"] = np.repeat(y, 27)
-        rep["__z"] = np.repeat(z, 27)
-        rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
-        rep["__cy"] = np.repeat(cy, 27) + np.tile(
-            np.tile(np.repeat(off, 3), 3), n)
-        rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
+        rep = _ring27(_home3d(b, r_lat, r_lon, w))
         rep["__side"] = np.int8(1)
         return rep
 
@@ -994,12 +1015,7 @@ def haversine_knn_join(left, right, k: int, max_dist_m: float,
             b = b.copy()
             for c in missing:
                 b[c] = None
-            b["__b"] = ((pd.util.hash_array(b["__cx"].to_numpy(np.int64))
-                         ^ pd.util.hash_array(
-                             b["__cy"].to_numpy(np.int64) * 3)
-                         ^ pd.util.hash_array(
-                             b["__cz"].to_numpy(np.int64) * 7))
-                        % num_buckets).astype(np.int64)
+            b["__b"] = _bucket3d(b, num_buckets)
             return b[lcols + rcols + aux + ["__b", "__side"]]
         return f
 
@@ -1086,43 +1102,25 @@ def spacetime_join(left, right, d_m: float, dt_s: float,
                 / np.timedelta64(1, "s"))
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[l_lat].notna() & b[l_lon].notna()
-              & b[l_ts].notna()].copy()
-        x, y, z = _sphere_xyz(b[l_lat].to_numpy(), b[l_lon].to_numpy())
-        t = _tsec(b[l_ts])
-        ct = _cell_of(t, dt_s)
+        b = _home3d(b[b[l_ts].notna()], l_lat, l_lon, w)
+        b["__t"] = _tsec(b[l_ts])
+        ct = _cell_of(b["__t"].to_numpy(), dt_s)
         n = len(b)
+        # left rows replicate along the TIME ring only (x3); space
+        # cells stay the home cell
         rep = b.iloc[np.repeat(np.arange(n), 3)].copy()
-        rep["__x"] = np.repeat(x, 3)
-        rep["__y"] = np.repeat(y, 3)
-        rep["__z"] = np.repeat(z, 3)
-        rep["__t"] = np.repeat(t, 3)
-        rep["__cx"] = np.repeat(_cell_of(x, w), 3)
-        rep["__cy"] = np.repeat(_cell_of(y, w), 3)
-        rep["__cz"] = np.repeat(_cell_of(z, w), 3)
         rep["__ct"] = np.repeat(ct, 3) + np.tile(
             np.arange(-1, 2), n)
         rep["__side"] = np.int8(0)
         return rep
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b[r_lat].notna() & b[r_lon].notna()
-              & b[r_ts].notna()]
-        x, y, z = _sphere_xyz(b[r_lat].to_numpy(), b[r_lon].to_numpy())
-        t = _tsec(b[r_ts])
-        cx, cy, cz = _cell_of(x, w), _cell_of(y, w), _cell_of(z, w)
-        n = len(b)
-        rep = b.iloc[np.repeat(np.arange(n), 27)].copy()
-        off = np.arange(-1, 2)
-        rep["__x"] = np.repeat(x, 27)
-        rep["__y"] = np.repeat(y, 27)
-        rep["__z"] = np.repeat(z, 27)
-        rep["__t"] = np.repeat(t, 27)
-        rep["__cx"] = np.repeat(cx, 27) + np.tile(np.repeat(off, 9), n)
-        rep["__cy"] = np.repeat(cy, 27) + np.tile(
-            np.tile(np.repeat(off, 3), 3), n)
-        rep["__cz"] = np.repeat(cz, 27) + np.tile(np.tile(off, 9), n)
-        rep["__ct"] = np.repeat(_cell_of(t, dt_s), 27)
+        b = _home3d(b[b[r_ts].notna()], r_lat, r_lon, w)
+        b["__t"] = _tsec(b[r_ts])
+        b["__ct"] = _cell_of(b["__t"].to_numpy(), dt_s)
+        # right rows replicate along the SPACE ring only (x27); __t and
+        # the home __ct carry through the replication as row columns
+        rep = _ring27(b)
         rep["__side"] = np.int8(1)
         return rep
 
@@ -1134,14 +1132,7 @@ def spacetime_join(left, right, d_m: float, dt_s: float,
             b = b.copy()
             for c in missing:
                 b[c] = None
-            b["__b"] = ((pd.util.hash_array(b["__cx"].to_numpy(np.int64))
-                         ^ pd.util.hash_array(
-                             b["__cy"].to_numpy(np.int64) * 3)
-                         ^ pd.util.hash_array(
-                             b["__cz"].to_numpy(np.int64) * 7)
-                         ^ pd.util.hash_array(
-                             b["__ct"].to_numpy(np.int64) * 13))
-                        % num_buckets).astype(np.int64)
+            b["__b"] = _bucket3d(b, num_buckets, time_col="__ct")
             return b[lcols + rcols + aux + ["__b", "__side"]]
         return f
 

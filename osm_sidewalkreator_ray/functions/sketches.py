@@ -353,10 +353,36 @@ def exact_quantile(ds, column: str, q: float,
             return float(x_lo + (h - k_lo) * (x_hi - x_lo))
 
         # narrow: rows below the pivot globally = lo_count + below_p
-        if lo_count + below_p > k_lo:       # targets are < pivot
+        g = lo_count + below_p
+        if g > k_hi:                        # BOTH targets are < pivot
             hi = np.nextafter(pivot, -np.inf)
-        else:                               # targets are >= pivot
-            lo, lo_count = pivot, lo_count + below_p
+        elif g <= k_lo:                     # BOTH targets are >= pivot
+            lo, lo_count = pivot, g
+        else:
+            # k_lo < g <= k_hi (fractional h only): the pivot falls
+            # BETWEEN the two interpolation order statistics — exactly
+            # g = k_hi rows sit below it, so the largest below-pivot
+            # value has rank k_lo and the smallest at/above-pivot value
+            # has rank k_hi. Narrowing either bracket edge would drop
+            # one of them (the former bug: IndexError at the collect);
+            # instead one more slim pass (two numbers per batch) reads
+            # both edges and finishes exactly.
+            def edges(b: pd.DataFrame, _lo=lo, _hi=hi,
+                      _p=pivot) -> pd.DataFrame:
+                v = b[column].to_numpy(dtype=np.float64)
+                v = v[~np.isnan(v)]
+                inb = v[(v >= _lo) & (v <= _hi)]
+                below = inb[inb < _p]
+                atup = inb[inb >= _p]
+                return pd.DataFrame({
+                    "mx_below": [below.max() if len(below)
+                                 else -np.inf],
+                    "mn_at": [atup.min() if len(atup) else np.inf]})
+
+            e = ds.map_batches(edges, batch_format="pandas").to_pandas()
+            x_lo = float(e["mx_below"].max())
+            x_hi = float(e["mn_at"].min())
+            return float(x_lo + (h - k_lo) * (x_hi - x_lo))
         nxt = lo + (hi - lo) / 2.0
         if not (lo < nxt < hi) or nxt == pivot:
             # bracket narrowed to one representable value (ties):

@@ -82,9 +82,14 @@ def running_agg(ds, order_col: str, value_col: str, out_col: str,
         g["__intra"] = cum_pd(g[value_col])
         return g
 
+    # materialized: per_bucket is consumed TWICE (the bucket-totals
+    # collect below and the returned finalize stage); without the pin
+    # the tag+shuffle — and every upstream stage — would re-execute on
+    # the second consumption
     per_bucket = (ds.map_batches(tag, batch_format="pandas")
                   .groupby("__wb").map_groups(intra,
-                                              batch_format="pandas"))
+                                              batch_format="pandas")
+                  .materialize())
 
     # O(#buckets) driver fold: bucket totals -> exclusive prefix folds
     # (an all-empty Dataset collects to a columnLESS frame — guard)
@@ -148,9 +153,11 @@ def global_rank(ds, order_cols: list[str], out_col: str = "rank",
         g["__intra"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
+    # materialized for the same two-consumer reason as running_agg
     per_bucket = (ds.map_batches(tag, batch_format="pandas")
                   .groupby("__wb").map_groups(intra,
-                                              batch_format="pandas"))
+                                              batch_format="pandas")
+                  .materialize())
 
     cp = per_bucket.map_batches(
         lambda b: b.groupby("__wb", as_index=False)

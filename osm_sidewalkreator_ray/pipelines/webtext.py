@@ -432,8 +432,21 @@ def url_dedup_ds(pages, url_col: str = "url", id_col: str = "warc_ts"):
     keyed = winners.map_batches(
         lambda b: b.rename(columns={"__id": id_col}),
         batch_format="pandas")
+
+    def pick_one(df: pd.DataFrame) -> pd.DataFrame:
+        # two captures can share (norm_url, min id) — e.g. identical
+        # warc_ts from a coarse-resolution source — and the equi-join
+        # would emit BOTH as "survivors". Every candidate of a
+        # norm_url shares its single winner key, hence one bucket, so
+        # a per-bucket deterministic pick (sorted by raw url, stable)
+        # is globally exact: exactly one row per canonical URL.
+        df = df.sort_values(["norm_url", id_col, url_col],
+                            kind="mergesort")
+        return df.drop_duplicates(subset=["norm_url"], keep="first")
+
     return hash_partition_join(normed, keyed,
-                               on=["norm_url", id_col], how="inner")
+                               on=["norm_url", id_col], how="inner",
+                               group_fn=pick_one)
 
 
 # ------------------------------------------------ robots.txt filter

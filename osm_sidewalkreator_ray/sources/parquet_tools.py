@@ -271,7 +271,22 @@ def read_range_partitioned(out_dir: str, col: str, edges: np.ndarray,
             files.extend(os.path.join(d, f) for f in sorted(
                 os.listdir(d)) if f.endswith(".parquet"))
     if not files:
-        return None
+        # empty-but-typed Dataset (same contract as
+        # read_parquet_pruned): find any partition file for the schema
+        # rather than returning None into a caller's .map_batches
+        all_files = sorted(
+            os.path.join(out_dir, d, f)
+            for d in os.listdir(out_dir) if d.startswith("__range=")
+            and os.path.isdir(os.path.join(out_dir, d))
+            for f in os.listdir(os.path.join(out_dir, d))
+            if f.endswith(".parquet"))
+        if not all_files:
+            raise FileNotFoundError(
+                f"no __range=* parquet under {out_dir}")
+        sch = pq.read_schema(all_files[0])
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
     ds = rd.read_parquet(files, columns=columns)
 
     def residual(t: pa.Table) -> pa.Table:
@@ -377,9 +392,16 @@ def _write_parquet_blocks(ds, out_dir: str) -> list[str]:
     def write(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0:
             return pd.DataFrame({"path": pd.Series(dtype=object)})
-        tag = hashlib.sha1(
-            b"".join(c.combine_chunks().buffers()[-1] or b""
-                     for c in t.columns)).hexdigest()[:16]
+        # hash the full IPC serialization of the (chunk-normalized)
+        # block: covers EVERY buffer — validity bitmaps, string
+        # offsets, data — plus schema and row order. Hashing only one
+        # buffer per column (the former scheme) let different contents
+        # collide to one content-addressed name and silently overwrite
+        # each other across versions.
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t.combine_chunks())
+        tag = hashlib.sha1(sink.getvalue()).hexdigest()[:16]
         path = os.path.join(out_dir, f"block-{tag}.parquet")
         tmp = path + ".tmp"
         pq.write_table(t, tmp)

@@ -110,9 +110,22 @@ def read_tar_shards(out_dir: str, id_col: str = "doc_id"):
     task per shard file."""
     import ray.data as rd
 
-    paths = sorted(
-        os.path.join(out_dir, p) for p in os.listdir(out_dir)
-        if p.endswith(".tar"))
+    # the manifest defines the valid file set: a later, smaller write
+    # may leave stale shard files from a previous run on disk (the
+    # writer only converges files it still owns), and globbing would
+    # silently feed those deleted docs back to the trainer
+    man = os.path.join(out_dir, "_manifest.jsonl")
+    if os.path.exists(man):
+        paths = []
+        with open(man) as f:
+            for line in f:
+                if line.strip():
+                    paths.append(json.loads(line)["shard_path"])
+        paths.sort()
+    else:
+        paths = sorted(
+            os.path.join(out_dir, p) for p in os.listdir(out_dir)
+            if p.endswith(".tar"))
     files = rd.read_binary_files(paths, include_paths=True)
 
     def parse(b: pd.DataFrame) -> pd.DataFrame:

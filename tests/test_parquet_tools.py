@@ -221,12 +221,12 @@ class TestRangePartitionedWrite:
         assert len(got) == len(ref)
         assert np.isclose(got["l_extendedprice"].sum(),
                           ref["l_extendedprice"].sum())
-        # out-of-range -> None (no partitions opened)
-        assert read_range_partitioned(
-            out, "l_extendedprice", edges, 10 ** 9, None) is None \
-            or read_range_partitioned(
-                out, "l_extendedprice", edges,
-                10 ** 9, None).count() == 0
+        # out-of-range -> empty but TYPED Dataset (same contract as
+        # read_parquet_pruned; returning None crashed composing callers)
+        empty = read_range_partitioned(out, "l_extendedprice", edges,
+                                       10 ** 9, None)
+        assert empty is not None and empty.count() == 0
+        assert "l_extendedprice" in empty.schema().names
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -345,3 +345,40 @@ def test_table_job_cli(tmp_path):
     assert info["rows"] == 31 and info["versions"] == [1, 2]
     vac = run(["vacuum", "--table", t, "--keep", "1"])
     assert vac["versions"] == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContentHashCollision:
+    def test_blocks_with_same_tail_buffer_do_not_collide(self, tmp_path):
+        """Regression: the content-addressed block name used to hash
+        only each column's LAST Arrow buffer, so ['ab','c'] and
+        ['a','bc'] (same data buffer, different offsets) collided and
+        one version's file silently overwrote the other's."""
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            commit_replace, read_table_version)
+        t = str(tmp_path / "tbl")
+        df_a = pd.DataFrame({"s": ["ab", "c"]})
+        df_b = pd.DataFrame({"s": ["a", "bc"]})
+        v1 = commit_replace(rd.from_pandas(df_a), t)
+        v2 = commit_replace(rd.from_pandas(df_b), t)
+        # time travel must return each version's own rows
+        got1 = sorted(read_table_version(t, v1).to_pandas()["s"])
+        got2 = sorted(read_table_version(t, v2).to_pandas()["s"])
+        assert got1 == ["ab", "c"]
+        assert got2 == ["a", "bc"]
+
+    def test_null_vs_zero_do_not_collide(self, tmp_path):
+        import ray.data as rd
+        import pyarrow as pa
+        from osm_sidewalkreator_ray.sources.parquet_tools import (
+            commit_replace, read_table_version)
+        t = str(tmp_path / "tbl")
+        v1 = commit_replace(rd.from_arrow(pa.table(
+            {"x": pa.array([1, None], type=pa.int64())})), t)
+        v2 = commit_replace(rd.from_arrow(pa.table(
+            {"x": pa.array([1, 0], type=pa.int64())})), t)
+        assert read_table_version(
+            t, v1).to_pandas()["x"].isna().sum() == 1
+        assert read_table_version(
+            t, v2).to_pandas()["x"].isna().sum() == 0

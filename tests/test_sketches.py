@@ -317,3 +317,25 @@ class TestHLLSetOps:
         sc = hll_sketch(rd.from_pandas(pd.DataFrame(
             {"v": np.arange(200000, 260000, dtype=np.int64)})), "v")
         assert hll_intersection_count(sa, sc) < 6000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_quantile_straddle_pivot_fractional_h():
+    """Regression: a pivot landing BETWEEN the two interpolation order
+    statistics (fractional h; rows-below == k_hi) used to narrow the
+    bracket past the upper statistic and crash at the collect step."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.functions.sketches import exact_quantile
+
+    rng = np.random.RandomState(0)
+    for n, q in [(200, 0.5), (1000, 0.25), (1000, 0.99)]:
+        v = rng.permutation(np.arange(n, dtype=np.float64))
+        ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+        # tiny max_collect forces the bisection path at any n
+        got = exact_quantile(ds, "x", q, max_collect=10)
+        assert got == pytest.approx(float(np.quantile(v, q)), abs=1e-9)
+    # massive ties still resolve via the collapsed-bracket branch
+    v = np.repeat([1.0, 2.0, 2.0, 3.0], 500)
+    ds = rd.from_pandas(
+        pd.DataFrame({"x": rng.permutation(v)})).repartition(8)
+    assert exact_quantile(ds, "x", 0.5, max_collect=10) == 2.0

@@ -66,3 +66,24 @@ class TestTarShards:
                 .sort_values("doc_id").reset_index(drop=True))
         assert back["text"].tolist() == ["héllo wörld ✓", ""]
         assert back["meta_json"].isna().all()
+
+    def test_reader_honors_manifest_over_stale_shards(self, tmp_path):
+        """Regression: a smaller re-write leaves a stale shard file
+        from a previous run on disk; the reader must trust the
+        manifest's file set, not the directory glob."""
+        import ray.data as rd
+        from osm_sidewalkreator_ray.sources.tar_shards import (
+            read_tar_shards, write_tar_shards)
+        out = str(tmp_path / "shards")
+        big = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [f"doc {i}" for i in range(6)]})
+        write_tar_shards(rd.from_pandas(big), out, docs_per_shard=3)
+        small = pd.DataFrame({
+            "doc_id": np.arange(2, dtype=np.int64),
+            "text": [f"new {i}" for i in range(2)]})
+        write_tar_shards(rd.from_pandas(small), out, docs_per_shard=3)
+        got = read_tar_shards(out).to_pandas().sort_values("doc_id")
+        # docs 3..5 live in stale shard-000001.tar and must NOT appear
+        assert got["doc_id"].tolist() == [0, 1]
+        assert got["text"].tolist() == ["new 0", "new 1"]

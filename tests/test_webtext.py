@@ -392,6 +392,27 @@ class TestUrlNormalizeDedup:
                            suffixes=("", "_ref"))
         assert (merged["payload"] == merged["payload_ref"]).all()
 
+    def test_url_dedup_single_survivor_on_timestamp_tie(self):
+        """Regression: two captures sharing (norm_url, min warc_ts)
+        used to BOTH survive the keeper join, breaking the one-row-
+        per-canonical-URL contract."""
+        from osm_sidewalkreator_ray.pipelines import webtext as W
+        df = pd.DataFrame({
+            "url": ["https://a.org/x", "HTTPS://A.ORG:443/x",
+                    "https://a.org/x?utm_source=f",
+                    "https://b.org/y", "https://b.org/y/#frag"],
+            "warc_ts": [100, 100, 250, 7, 7],
+            "payload": [0, 1, 2, 3, 4]})
+        out = (W.url_dedup_ds(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("norm_url")
+               .reset_index(drop=True))
+        assert len(out) == 2  # exactly one survivor per canonical URL
+        assert out["n_dups"].astype(int).tolist() == [3, 2]
+        assert out["warc_ts"].tolist() == [100, 7]
+        # deterministic pick: smallest raw url among the tied captures
+        assert out["url"].tolist() == ["HTTPS://A.ORG:443/x",
+                                       "https://b.org/y"]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRefreshCorpus:
