@@ -47,6 +47,35 @@ def _bound_blocks(ds, num_buckets: int):
     return ds
 
 
+def _multiset_sig(ds, cols: tuple) -> tuple:
+    """Order-insensitive signature of a Dataset's rows over ``cols``:
+    (row count, wrapped mod-2^64 sum of avalanche row hashes). Used as
+    the fixpoint test of the iterative label loops. A missed change
+    requires the hash-sum delta to be exactly 0 mod 2^64 (~2^-64 per
+    round) — unlike a raw label-value sum, which collides
+    DETERMINISTICALLY on structured values (four vertices dropping
+    from the 2^62 INF sentinel to label 0 shift the sum by exactly
+    2^64, reading as 'converged' while labels still move)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b[cols[0]].to_numpy(np.int64))
+        for i, c in enumerate(cols[1:], 1):
+            hc = pd.util.hash_array(b[c].to_numpy(np.int64))
+            r = np.uint64(i)
+            h = h ^ ((hc << r) | (hc >> (np.uint64(64) - r)))
+        # signed-int64 VIEW of the wrapped uint64 sum: a raw uint64
+        # partial above 2^63 would make Ray harmonize mixed
+        # int64/uint64 blocks to float64, silently rounding the
+        # signature and making it partitioning-dependent
+        s = h.sum(dtype=np.uint64).astype(np.int64)
+        return pd.DataFrame({"n": [len(b)], "s": [int(s)]})
+
+    mm = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if mm.empty:
+        return (0, 0)
+    return (int(mm["n"].sum()),
+            sum(int(v) for v in mm["s"]) % (1 << 64))
+
+
 def connected_components_ds(edges, num_buckets: int = 32,
                             max_iters: int = 50) -> "rd.Dataset":
     """Edges (src, dst int64 Dataset or DataFrame) -> components, as a
@@ -132,9 +161,7 @@ def connected_components_ds(edges, num_buckets: int = 32,
             merged.groupby("vertex").min("label")
             .map_batches(_as_labels, batch_format="pandas")
             .materialize(), num_buckets)
-        s = labels.map_batches(
-            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
-            batch_format="pandas").to_pandas()["s"].sum()
+        s = _multiset_sig(labels, ("vertex", "label"))
         if s == prev_sum:
             converged = True
             break
@@ -614,19 +641,6 @@ def connected_components_star(edges, num_buckets: int = 32,
                                  "v": out_m[keep]}).drop_duplicates()
         return f
 
-    def moments(ds) -> tuple:
-        mm = ds.map_batches(
-            lambda b: pd.DataFrame({
-                "n": [len(b)],
-                "su": [int(b["u"].sum())], "sv": [int(b["v"].sum())],
-                "sx": [int((b["u"].to_numpy(np.int64)
-                            ^ b["v"].to_numpy(np.int64)).sum())]}),
-            batch_format="pandas").to_pandas()
-        if mm.empty:
-            return (0, 0, 0, 0)
-        return (int(mm["n"].sum()), int(mm["su"].sum()),
-                int(mm["sv"].sum()), int(mm["sx"].sum()))
-
     prev = None
     converged = False
     for _ in range(max_iters):
@@ -642,7 +656,7 @@ def connected_components_star(edges, num_buckets: int = 32,
                                             b["v"].to_numpy(np.int64))})
                        .drop_duplicates(),
                        batch_format="pandas").materialize())
-        sig = moments(cur)
+        sig = _multiset_sig(cur, ("u", "v"))
         if sig == prev:
             converged = True
             break
@@ -907,7 +921,10 @@ def _walk_choice_hash(walk_id: np.ndarray, step: int,
         x = (walk_id.astype(np.uint64)
              + np.uint64(step) * np.uint64(0x9E3779B97F4A7C15)
              + np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
+        # full murmur3 fmix64 (the half-finalizer correlated draws
+        # across sequential walk ids)
         x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
         return x ^ (x >> np.uint64(33))
 
 
@@ -2251,9 +2268,7 @@ def _dir_minlabel(edge_rows, labels0, num_buckets: int,
             .groupby("vertex").min("label")
             .map_batches(_as_labels, batch_format="pandas")
             .materialize(), num_buckets)
-        s = labels.map_batches(
-            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}),
-            batch_format="pandas").to_pandas()["s"].sum()
+        s = _multiset_sig(labels, ("vertex", "label"))
         if s == prev:
             return labels
         prev = s
@@ -2746,10 +2761,17 @@ def harmonic_closeness(edges, *, k_sources: int | None = None,
     h = body.assign(h=1.0 / body["dist"].to_numpy(np.float64)) \
         .groupby("vertex", as_index=False)["h"].sum()
     scale = (n / len(src_arr)) if k_sources is not None else 1.0
-    return pd.DataFrame({
+    got = pd.DataFrame({
         "vertex": h["vertex"].astype("int64"),
-        "harmonic": h["h"].to_numpy(np.float64) * scale}) \
-        .sort_values("vertex").reset_index(drop=True)
+        "harmonic": h["h"].to_numpy(np.float64) * scale})
+    # emit EVERY graph vertex, harmonic=0 for ones unreachable from
+    # all sources — same row-set contract as betweenness_centrality
+    # (silently absent rows broke downstream all-vertex joins)
+    verts = _vertices_of(_to_edge_ds(edges), num_buckets).to_pandas()
+    out = (verts.astype({"vertex": "int64"})
+           .merge(got, on="vertex", how="left"))
+    out["harmonic"] = out["harmonic"].fillna(0.0)
+    return out.sort_values("vertex").reset_index(drop=True)
 
 
 def _vertices_of(edges, num_buckets: int):

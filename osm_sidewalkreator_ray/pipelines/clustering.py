@@ -49,7 +49,12 @@ def _u01(ids: np.ndarray, rnd: int, seed: int) -> np.ndarray:
         x = (ids.astype(np.uint64)
              + np.uint64(rnd) * np.uint64(0x9E3779B97F4A7C15)
              + np.uint64(seed + 1) * np.uint64(0xC2B2AE3D27D4EB4F))
+        # full murmur3 fmix64: the earlier half-finalizer (one
+        # multiply + xorshift) left sequential ids clustered in a
+        # ~[0.43, 0.67] band, so any keep-probability below ~0.43
+        # sampled NOTHING — k-means|| rounds silently under-sampled
         x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
         x = x ^ (x >> np.uint64(33))
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
@@ -125,8 +130,26 @@ def kmeans_init(ds, k: int, *, seed: int = 0, rounds: int = 5,
         return pd.concat([marker, out[["kind", id_col, emb_col, "d2"]]],
                          ignore_index=True)
 
-    phi = np.inf  # round 1 samples everything below prob 1 cap
+    # k-means|| (Bahmani et al. 2012): each round samples with
+    # probability ell*d2/phi where phi is the CURRENT cost. Seeding
+    # phi = inf made round 1 a pure cost pass that sampled nothing
+    # (rounds=1 was unusable, and every call burned a wasted pass);
+    # instead pay one explicit SLIM cost pass (one float per batch, no
+    # embedding payload moves) so all ``rounds`` sampling rounds are
+    # real.
+    def cost_only(b: pd.DataFrame, c_ref) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"d2": pd.Series([], dtype="float64")})
+        _, d2 = _nearest(_emb_matrix(b, emb_col), ray.get(c_ref))
+        return pd.DataFrame({"d2": [float(d2.sum())]})
+
+    c_ref0 = ray.put(cands)
+    phi = float(ds.map_batches(
+        functools.partial(cost_only, c_ref=c_ref0),
+        batch_format="pandas").to_pandas()["d2"].sum())
     for rnd in range(1, rounds + 1):
+        if phi == 0.0:
+            break
         c_ref = ray.put(cands)
         got = ds.map_batches(
             functools.partial(sample, c_ref=c_ref, rnd=rnd, phi=phi),

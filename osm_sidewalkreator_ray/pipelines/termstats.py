@@ -190,13 +190,19 @@ def tfidf_pipeline(sf_dir: str, vocab_size: int = 64,
 # ---------------------------------------------------------------- pmi
 
 def _pair_partial(b: pd.DataFrame, window: int, text_col: str,
-                  lowercase: bool) -> pd.DataFrame:
+                  lowercase: bool, vocab_ref=None) -> pd.DataFrame:
     empty = pd.DataFrame({"a": pd.Series([], dtype="object"),
                           "b": pd.Series([], dtype="object"),
                           "c": pd.Series([], dtype="int64")})
     flat, plen, starts = _flat_padded(b[text_col], 1, lowercase)
     if not len(flat):
         return empty
+    # vocab prefilter: pairs are restricted to vocab x vocab anyway
+    # (attach drops the rest), so drop out-of-vocab PAIRS here —
+    # after windowing, so token distances are unchanged — instead of
+    # shuffling the open-vocabulary pair table (heavy-tailed corpora
+    # make that orders of magnitude larger than the bounded result)
+    voc = ray.get(vocab_ref) if vocab_ref is not None else None
     frames = []
     for off in range(1, window + 1):
         ends = np.concatenate(
@@ -206,6 +212,12 @@ def _pair_partial(b: pd.DataFrame, window: int, text_col: str,
             continue
         x = flat[ends - off]
         y = flat[ends]
+        if voc is not None:
+            m = (pd.Series(x).isin(voc)
+                 & pd.Series(y).isin(voc)).to_numpy()
+            if not m.any():
+                continue
+            x, y = x[m], y[m]
         lo = np.minimum(x, y)
         hi = np.maximum(x, y)
         frames.append(pd.DataFrame({"a": lo, "b": hi}))
@@ -228,9 +240,11 @@ def pmi_pairs(docs, *, window: int = 2, min_count: int = 2,
     construction: observed pairs over a bounded vocab."""
     vocab = build_vocab(docs, vocab_size, text_col=text_col,
                         lowercase=lowercase, num_buckets=num_buckets)
+    vocab_ref = ray.put(set(vocab["terms"]))
     parts = docs.map_batches(
         functools.partial(_pair_partial, window=window,
-                          text_col=text_col, lowercase=lowercase),
+                          text_col=text_col, lowercase=lowercase,
+                          vocab_ref=vocab_ref),
         batch_format="pandas")
     folded = grouped_agg(parts, ["a", "b"], {"c": ("c", "sum")},
                          num_buckets=num_buckets)

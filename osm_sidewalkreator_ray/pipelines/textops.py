@@ -321,14 +321,27 @@ def _shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
     if not words:
         return np.empty(0, dtype=np.uint64)
     th = pd.util.hash_array(np.asarray(words, dtype=object))
+
+    def mixmul(h, j):
+        # position multiplier: _MIX cycles every 3, so rotate by
+        # (j // 3) bits to keep positions distinct for ANY k (indexing
+        # _MIX[j] raised IndexError for k >= 4). The rotation is 0 for
+        # j < 3, so k <= 3 outputs — every golden fixture and oracle —
+        # are byte-identical to the original scheme.
+        v = h * np.uint64(_MIX[j % len(_MIX)])
+        r = np.uint64((j // len(_MIX)) % 63)
+        if r:
+            v = (v << r) | (v >> (np.uint64(64) - r))
+        return v
+
     if len(th) < k:
         combo = np.uint64(0)
         for j, h in enumerate(th):
-            combo ^= np.uint64(h) * np.uint64(_MIX[j % k])
+            combo ^= mixmul(np.uint64(h), j)
         return np.array([combo], dtype=np.uint64)
     acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
     for j in range(k):
-        acc ^= th[j:len(th) - k + 1 + j] * np.uint64(_MIX[j])
+        acc ^= mixmul(th[j:len(th) - k + 1 + j], j)
     return np.unique(acc)
 
 
@@ -378,6 +391,9 @@ def _explode_bands(batch: pd.DataFrame, num_perm: int, bands: int,
     coarse bucket). Shared by the full and incremental minhash paths —
     identical banding is what makes the incremental result provably a
     filter of the full run's."""
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm="
+                         f"{num_perm}")
     n = len(batch)
     rows_per_band = num_perm // bands
     s = np.frombuffer(b"".join(batch["sig"]),
@@ -423,14 +439,15 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     collected; every shuffle moves one slim row per candidate/doc.
     """
     import functools
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm="
+                         f"{num_perm}")  # fail BEFORE the sig pass
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    rows_per_band = num_perm // bands
     from ..functions.blocks import coalesce_slim
     sigs = coalesce_slim(ds.map_batches(
         functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42),
         batch_format="pandas", batch_size=1024).materialize())
 
-    import functools
     exploded = sigs.map_batches(
         functools.partial(_explode_bands, num_perm=num_perm, bands=bands,
                           coarse_buckets=coarse_buckets),
@@ -1307,18 +1324,21 @@ _BULLET = ("-", "*", "•")
 
 def _gopher_batch(batch: pd.DataFrame, max_dup_line_frac: float,
                   max_symbol_ratio: float,
-                  max_bullet_frac: float) -> pd.DataFrame:
+                  max_bullet_frac: float,
+                  tokens: list | None = None) -> pd.DataFrame:
     """Repetition/format signals from the Gopher data-quality rules
     (Rae et al. 2021, arXiv:2112.11446 A1.1), the subset expressible
     over plain text lines: duplicate-line fraction, symbol-to-word
-    ratio (# and ... marks), bullet-line fraction."""
+    ratio (# and ... marks), bullet-line fraction. ``tokens`` lets a
+    fused caller (curate pipeline) pass per-doc token lists it has
+    already computed, so each doc tokenizes once per batch."""
     out = {"doc_id": batch["doc_id"], "dup_line_frac": [],
            "symbol_ratio": [], "bullet_frac": [], "gopher_pass": []}
-    for text in batch["text"]:
+    for j, text in enumerate(batch["text"]):
         lines = [ln for ln in text.split("\n") if ln.strip()]
         n_lines = len(lines)
         dup = (1.0 - len(set(lines)) / n_lines) if n_lines else 0.0
-        words = _tokens(text)
+        words = tokens[j] if tokens is not None else _tokens(text)
         n_words = len(words)
         sym = ((text.count("#") + text.count("..."))
                / n_words if n_words else 0.0)
@@ -2223,13 +2243,14 @@ def _curate_rows(docs, ref, min_tokens: int, max_dup_line_frac: float,
 
     def fused(batch: pd.DataFrame) -> pd.DataFrame:
         bench = _ray.get(ref)
+        toks = [_tokens(t) for t in batch["text"]]
         gop_pass = _gopher_batch(
             batch, max_dup_line_frac, max_symbol_ratio,
-            max_bullet_frac)["gopher_pass"].to_numpy()
+            max_bullet_frac, tokens=toks)["gopher_pass"].to_numpy()
         out = {"doc_id": batch["doc_id"].to_numpy().astype(np.int64),
                "h": [], "gate_pass": [], "contaminated": []}
         for j, text in enumerate(batch["text"]):
-            w = _tokens(text)
+            w = toks[j]
             gate = (len(w) >= min_tokens) and bool(gop_pass[j])
             doc_ng = _ngram_hashes(w, n)
             if len(doc_ng) and len(bench):
@@ -3443,7 +3464,12 @@ def _poisson_counts(ids: np.ndarray, rep: int, seed: int
         x = (ids.astype(np.uint64)
              + np.uint64(rep) * np.uint64(0x9E3779B97F4A7C15)
              + np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))
+        # full murmur3 fmix64 (the half-finalizer left sequential ids
+        # clustered around u~0.5, collapsing the Poisson draws to k=1
+        # and silently shrinking bootstrap variance)
         x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        x = x ^ (x >> np.uint64(33))
     u = ((x >> np.uint64(11)).astype(np.float64) + 0.5) / 2.0 ** 53
     # cumulative Poisson(1) pmf: e^-1 * (1, 1, 1/2, 1/6, 1/24, 1/120)
     cdf = np.cumsum(np.exp(-1.0)

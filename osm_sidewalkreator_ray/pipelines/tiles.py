@@ -1062,6 +1062,14 @@ def isochrone_polygons(dists, threshold: float, dir_k: int = 6,
         res = cell_res(cell)
         if np.any(res < dir_k):
             raise ValueError("cell res must be >= dir_k")
+        if np.unique(res).size != 1:
+            # mixed resolutions would silently alias onto wrong mask
+            # pixels (the tile grid assumes exactly dir_k levels below
+            # the tile); the cell-node street graph is single-res by
+            # construction, so fail loud instead
+            raise ValueError(
+                "isochrone_polygons: cells must share ONE resolution "
+                f"(got {sorted(np.unique(res).tolist())})")
         tile = cell_parent(cell, int(res[0]) - dir_k)
         h = pd.util.hash_array(tile)
         return pd.DataFrame({"cell": cell, "tile": tile,

@@ -173,3 +173,18 @@ class TestDiameter:
         got = approx_diameter(
             pd.DataFrame({"src": [], "dst": []}).astype("int64"))
         assert got["diameter_lb"] == -1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_harmonic_emits_zero_rows_for_unreachable():
+    """Regression: vertices unreachable from every source were absent
+    from the output instead of carrying harmonic=0 (row-set contract
+    of betweenness_centrality)."""
+    # two disjoint components; sources restricted to the first
+    edges = pd.DataFrame({"src": [0, 1, 10, 11],
+                          "dst": [1, 2, 11, 12]})
+    got = harmonic_closeness(edges, sources=[0])
+    assert got["vertex"].tolist() == [0, 1, 2, 10, 11, 12]
+    zeros = got.set_index("vertex")["harmonic"]
+    assert zeros[10] == 0.0 and zeros[11] == 0.0 and zeros[12] == 0.0
+    assert zeros[1] > 0.0

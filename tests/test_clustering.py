@@ -131,3 +131,42 @@ class TestKMeans:
         assert out["cluster"].tolist() == [0, 1, 2]
         assert out["n"].sum() == len(df)
         assert (out["mean_sq_dist"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMeansParRounds:
+    def test_rounds_1_is_usable(self):
+        """Regression: phi seeded at inf made round 1 sample nothing,
+        so rounds=1 always raised 'only 1 distinct candidates'."""
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines.clustering import \
+            kmeans_init
+        rng = np.random.RandomState(0)
+        pts = np.vstack([rng.normal(0, 0.1, (40, 4)),
+                         rng.normal(5, 0.1, (40, 4))])
+        df = pd.DataFrame({
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": [r for r in pts]})
+        cents = kmeans_init(rd.from_pandas(df), k=2, rounds=1,
+                            oversample=8.0)
+        assert cents.shape == (2, 4)
+
+
+def test_u01_uniform_on_sequential_ids():
+    """Regression: the half fmix64 finalizer clustered sequential ids
+    into u ~ [0.43, 0.67], so probabilities below ~0.43 never fired."""
+    from osm_sidewalkreator_ray.pipelines.clustering import _u01
+    u = _u01(np.arange(10000, dtype=np.int64), 1, 0)
+    hist, _ = np.histogram(u, bins=10, range=(0.0, 1.0))
+    assert hist.min() > 800 and hist.max() < 1200
+    assert u.min() < 0.01 and u.max() > 0.99
+
+
+def test_poisson_counts_match_poisson1():
+    from osm_sidewalkreator_ray.pipelines.textops import \
+        _poisson_counts
+    c = _poisson_counts(np.arange(100000, dtype=np.int64), 1, 42)
+    h = np.bincount(c, minlength=6) / len(c)
+    expect = np.exp(-1.0) * np.array([1, 1, 1 / 2, 1 / 6, 1 / 24,
+                                      1 / 120])
+    assert np.allclose(h[:6], expect, atol=0.01)

@@ -890,3 +890,68 @@ class TestSSSPWeighted:
         e = pd.DataFrame({"src": [0], "dst": [1], "w": [-1.0]})
         with pytest.raises(Exception, match="negative"):
             sssp_weighted(rd.from_pandas(e), sources=[0]).to_string()
+
+
+class TestShingleWidths:
+    """Regression: _shingle_hashes indexed _MIX (3 entries) by raw
+    window position, crashing for any k >= 4."""
+
+    def test_k4_and_k5_no_crash_and_distinct(self):
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            _shingle_hashes
+        words = "the quick brown fox jumps over the lazy dog".split()
+        for k in (1, 2, 3, 4, 5, 7):
+            sh = _shingle_hashes(words, k)
+            assert len(sh) >= 1
+            assert sh.dtype == np.uint64
+        # short-doc path (len < k) must not crash either
+        assert len(_shingle_hashes(["a", "b", "c", "d"], 5)) == 1
+        # positions j and j+3 use rotated multipliers: swapping
+        # tokens 3 apart must change the k=4 shingle hash
+        a = _shingle_hashes(["w", "x", "y", "z"], 4)
+        b = _shingle_hashes(["z", "x", "y", "w"], 4)
+        assert not np.array_equal(a, b)
+
+    def test_k3_output_unchanged(self):
+        # golden-stability: the k<=3 scheme is byte-identical to the
+        # original (rotation = 0), keeping every fixture valid
+        from osm_sidewalkreator_ray.pipelines.textops import (
+            _MIX, _shingle_hashes)
+        words = ["aa", "bb", "cc", "dd"]
+        th = pd.util.hash_array(np.asarray(words, dtype=object))
+        acc = np.zeros(2, dtype=np.uint64)
+        for j in range(3):
+            acc ^= th[j:2 + j] * np.uint64(_MIX[j])
+        assert np.array_equal(np.unique(acc),
+                              _shingle_hashes(words, 3))
+
+    def test_bands_must_divide_num_perm(self):
+        from osm_sidewalkreator_ray.pipelines.textops import \
+            _explode_bands
+        with pytest.raises(ValueError, match="divide"):
+            _explode_bands(pd.DataFrame({"sig": [], "doc_id": []}),
+                           num_perm=64, bands=12, coarse_buckets=8)
+
+
+class TestMultisetSig:
+    def test_partition_invariant_and_sentinel_safe(self):
+        """Regression: the raw label-sum fixpoint test collided
+        deterministically when labels dropped by an exact multiple of
+        2^64 (four vertices leaving the 2^62 INF sentinel)."""
+        import ray.data as rd
+        from osm_sidewalkreator_ray.functions.graph import \
+            _multiset_sig
+        INF = np.int64(1) << 62
+        before = pd.DataFrame({
+            "vertex": np.arange(8, dtype=np.int64),
+            "label": np.concatenate([np.full(4, INF), np.arange(4)])})
+        after = before.copy()
+        after.loc[:3, "label"] = 0  # sum shifted by exactly 4*2^62
+        sig_b = _multiset_sig(rd.from_pandas(before), ("vertex", "label"))
+        sig_a = _multiset_sig(rd.from_pandas(after), ("vertex", "label"))
+        assert sig_b != sig_a
+        # same multiset, different block layout -> same signature
+        sh = before.sample(frac=1, random_state=3)
+        assert _multiset_sig(
+            rd.from_pandas(sh).repartition(3), ("vertex", "label")) \
+            == sig_b

@@ -759,3 +759,22 @@ class TestGeohashAndCompaction:
                          for i in range(0, 40, 3)], dtype=np.int64)
         np.testing.assert_array_equal(compact_cells(diag),
                                       np.sort(diag))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_isochrone_mixed_resolution_raises():
+    """Regression: mixed-resolution distance rows silently aliased
+    onto wrong mask pixels (the tile grid assumes one res)."""
+    import ray.data as rd
+    from osm_sidewalkreator_ray.cells import latlng_to_cell
+    from osm_sidewalkreator_ray.pipelines.tiles import \
+        isochrone_polygons
+    c10 = latlng_to_cell(np.array([10.0]), np.array([10.0]), 10)
+    c11 = latlng_to_cell(np.array([10.0]), np.array([10.0]), 11)
+    dists = pd.DataFrame({
+        "vertex": np.concatenate([c10, c11]).astype(np.int64),
+        "dist": [1.0, 1.0]})
+    with pytest.raises((ValueError, Exception)) as ei:
+        isochrone_polygons(rd.from_pandas(dists), threshold=5.0,
+                           dir_k=6).to_pandas()
+    assert "resolution" in str(ei.value)
