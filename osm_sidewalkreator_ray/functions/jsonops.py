@@ -47,8 +47,11 @@ def _key_pattern(key: str) -> re.Pattern:
 def _unquote(tok: pd.Series) -> pd.Series:
     quoted = tok.str.startswith('"').fillna(False)
     out = tok.copy()
+    # only the UNQUOTED null token is JSON null; deciding after
+    # unquoting also nulled the legitimate string value "null"
+    # (divergence from the json path and from DuckDB)
+    out[~quoted & (tok == "null")] = None
     out[quoted] = tok[quoted].str.slice(1, -1)
-    out[out == "null"] = None
     return out
 
 
@@ -123,7 +126,12 @@ def extract_batch(docs: pd.Series, fields: dict[str, str],
     for i, (path, typ) in enumerate(fields.items()):
         s = pd.Series(vals[i], index=docs.index, dtype="object")
         if typ == "bool":
-            out[path.replace(".", "_")] = s.astype("boolean")
+            # non-bool scalars become NA (same semantics as the regex
+            # path's _cast); astype('boolean') on them would raise and
+            # one dirty document would kill the whole task
+            out[path.replace(".", "_")] = s.map(
+                lambda v: v if isinstance(v, bool) else None) \
+                .astype("boolean")
         elif typ in ("int64", "float64"):
             out[path.replace(".", "_")] = pd.to_numeric(
                 s, errors="coerce").astype(_TYPES[typ])

@@ -139,6 +139,11 @@ def _encode_word(word: str, rank: dict, cache_key: str) -> list[str]:
             break
         _, i = min(ranked)
         syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
+    if len(_ENCODE_MEMO) > 1 << 18:
+        # size cap (same pattern as unigram._SEG_MEMO): workers are
+        # pooled across jobs, so an unbounded word-type memo grows
+        # with every distinct word ever seen until the worker OOMs
+        _ENCODE_MEMO.clear()
     _ENCODE_MEMO[memo_key] = syms
     return syms
 

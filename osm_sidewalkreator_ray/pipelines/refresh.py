@@ -122,20 +122,29 @@ def refresh_corpus(existing, new, threshold: float = 0.5,
                                    columns=["doc_id", "reason"])
            .sort_values("doc_id").reset_index(drop=True)}
 
-    # 4. maintenance (optional)
-    if index_dir is not None and kept:
-        from .search import update_inverted_index
-        out["touched_buckets"] = update_inverted_index(
-            accepted_ds.select_columns(["doc_id", "text"]),
-            index_dir)
-    if lang_state is not None and kept:
+    # 4. maintenance (optional). The all-duplicates batch (kept empty)
+    # is the steady-state common case — the promised keys must still
+    # be present: an empty delta touches no buckets and merges to the
+    # unchanged input state (KeyError on result['lang_state'] was the
+    # former behavior).
+    if index_dir is not None:
+        if kept:
+            from .search import update_inverted_index
+            out["touched_buckets"] = update_inverted_index(
+                accepted_ds.select_columns(["doc_id", "text"]),
+                index_dir)
+        else:
+            out["touched_buckets"] = []
+    if lang_state is not None:
         if isinstance(lang_state, pd.DataFrame):
             lang_state = rd.from_pandas(lang_state)
-        delta = agg_state_ds(accepted_ds.select_columns(["lang"]),
-                             ["lang"], LANG_STATS_SPEC)
-        out["lang_state"] = (merge_agg_states(lang_state, delta,
-                                              ["lang"],
-                                              LANG_STATS_SPEC)
-                             .to_pandas().sort_values("lang")
+        if kept:
+            delta = agg_state_ds(accepted_ds.select_columns(["lang"]),
+                                 ["lang"], LANG_STATS_SPEC)
+            merged = merge_agg_states(lang_state, delta, ["lang"],
+                                      LANG_STATS_SPEC)
+        else:
+            merged = lang_state
+        out["lang_state"] = (merged.to_pandas().sort_values("lang")
                              .reset_index(drop=True))
     return out

@@ -33,26 +33,32 @@ def _bucket_of(terms: np.ndarray, num_buckets: int) -> np.ndarray:
     return (pd.util.hash_array(terms) % num_buckets).astype(np.int64)
 
 
+def _explode_terms(batch: pd.DataFrame,
+                   num_buckets: int) -> pd.DataFrame:
+    """(doc_id, text) batch -> long (term, doc_id, tf, b) rows — ONE
+    shared definition for build and incremental update, so the two
+    can never bucket or tokenize differently (divergence would
+    corrupt partition pruning)."""
+    terms, ids, tfs = [], [], []
+    for did, text in zip(batch["doc_id"], batch["text"]):
+        cnt = Counter(_tokens(text))
+        terms.extend(cnt.keys())
+        tfs.extend(cnt.values())
+        ids.extend([did] * len(cnt))
+    t = np.asarray(terms, dtype=object)
+    out = pd.DataFrame({
+        "term": t,
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "tf": pd.Series(tfs, dtype="int64")})
+    out["b"] = _bucket_of(t, num_buckets) if len(out) else \
+        pd.Series([], dtype="int64")
+    return out
+
+
 def build_inverted_index(docs, out_dir: str, num_buckets: int = 32):
     """documents Dataset (doc_id, text) -> hive-partitioned parquet
     index at ``out_dir`` (b=<bucket>/...), one row per term:
     (term, df, doc_ids list asc, tfs list aligned)."""
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        terms, ids, tfs = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            cnt = Counter(_tokens(text))
-            terms.extend(cnt.keys())
-            tfs.extend(cnt.values())
-            ids.extend([did] * len(cnt))
-        t = np.asarray(terms, dtype=object)
-        out = pd.DataFrame({
-            "term": t,
-            "doc_id": pd.Series(ids, dtype="int64"),
-            "tf": pd.Series(tfs, dtype="int64")})
-        out["b"] = _bucket_of(t, num_buckets) if len(out) else \
-            pd.Series([], dtype="int64")
-        return out
-
     def postings(g: pd.DataFrame) -> pd.DataFrame:
         # whole bucket at once: one sort, one groupby-agg (vectorized)
         g = g.sort_values(["term", "doc_id"], kind="mergesort")
@@ -64,10 +70,16 @@ def build_inverted_index(docs, out_dir: str, num_buckets: int = 32):
             "tfs": agg["tf"].agg(list).to_numpy(object),
             "b": agg["b"].first().to_numpy(np.int64)})
 
-    rows = docs.map_batches(explode, batch_format="pandas")
+    # materialize the slim long rows once: the postings shuffle AND
+    # the BM25 doc-length sidecar both read them, so the corpus is
+    # tokenized exactly once (deriving dl = sum(tf) from these rows
+    # replaces a second full tokenize pass over the documents)
+    rows = docs.map_batches(
+        lambda b: _explode_terms(b, num_buckets),
+        batch_format="pandas").materialize()
     idx = rows.groupby("b").map_groups(postings, batch_format="pandas")
     idx.write_parquet(out_dir, partition_cols=["b"])
-    _write_doclens(docs, out_dir)   # BM25 sidecars (append-only)
+    _write_doclens_from_rows(rows, out_dir)
     return out_dir
 
 
@@ -82,10 +94,19 @@ def _load_postings(index_dir: str, terms: list[str],
     ds = pads.dataset(index_dir, partitioning="hive")
     expr = (pads.field("b").isin(buckets)
             & pads.field("term").isin(list(map(str, t))))
-    tbl = ds.to_table(columns=["term", "doc_ids"], filter=expr)
-    return {term: np.asarray(ids, dtype=np.int64)
-            for term, ids in zip(tbl["term"].to_pylist(),
-                                 tbl["doc_ids"].to_pylist())}
+    tbl = ds.to_table(columns=["term", "df", "doc_ids"], filter=expr)
+    # a crash window in update_inverted_index can leave a stale file
+    # next to the merged one; the merged row's postings are a superset,
+    # so the max-df row per term is always the current one
+    out: dict[str, np.ndarray] = {}
+    best: dict[str, int] = {}
+    for term, df, ids in zip(tbl["term"].to_pylist(),
+                             tbl["df"].to_pylist(),
+                             tbl["doc_ids"].to_pylist()):
+        if term not in best or df > best[term]:
+            best[term] = df
+            out[term] = np.asarray(ids, dtype=np.int64)
+    return out
 
 
 def search_index(index_dir: str, terms: list[str], mode: str = "and",
@@ -247,25 +268,17 @@ def update_inverted_index(new_docs, index_dir: str,
     postings, explode ONLY the terms that gained docs back to long
     rows, merge with the new rows, re-aggregate, write a fresh file
     and drop the old ones (temp + rename for the new file, so a crash
-    mid-bucket leaves the old postings readable)."""
+    mid-bucket leaves the old postings readable).
+
+    CONVERGENT under crashes and Ray task retries: the merge dedupes
+    (term, doc_id) pairs, so re-merging a bucket whose directory
+    already holds the merged file (a retry, or a crash between rename
+    and old-file removal) is a no-op on content; readers tolerate the
+    transient old+merged coexistence by keeping the max-``df`` row per
+    term (the merged row's postings are a superset of the stale
+    row's), and the next update's merge re-reads and removes both."""
     import os
     import uuid
-
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        terms, ids, tfs = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            cnt = Counter(_tokens(text))
-            terms.extend(cnt.keys())
-            tfs.extend(cnt.values())
-            ids.extend([did] * len(cnt))
-        t = np.asarray(terms, dtype=object)
-        out = pd.DataFrame({
-            "term": t,
-            "doc_id": pd.Series(ids, dtype="int64"),
-            "tf": pd.Series(tfs, dtype="int64")})
-        out["b"] = _bucket_of(t, num_buckets) if len(out) else \
-            pd.Series([], dtype="int64")
-        return out
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -296,18 +309,26 @@ def update_inverted_index(new_docs, index_dir: str,
                         "tf": np.concatenate(
                             [np.asarray(x, dtype=np.int64)
                              for x in aff["tfs"]])}))
-        merged = pd.concat(long_rows, ignore_index=True) \
-            .sort_values(["term", "doc_id"], kind="mergesort")
+        # (term, doc_id) dedup makes the merge IDEMPOTENT: on a retry
+        # the new rows are already inside the exploded old postings
+        # and fold to the same lists instead of duplicating doc_ids
+        merged = (pd.concat(long_rows, ignore_index=True)
+                  .drop_duplicates(["term", "doc_id"])
+                  .sort_values(["term", "doc_id"], kind="mergesort"))
         agg = merged.groupby("term", sort=True)
         fresh = pd.DataFrame({
             "term": list(agg.groups.keys()),
             "df": agg["doc_id"].count().to_numpy(np.int64),
             "doc_ids": agg["doc_id"].agg(list).to_numpy(object),
             "tfs": agg["tf"].agg(list).to_numpy(object)})
-        out = pd.concat([fresh]
-                        + [k[["term", "df", "doc_ids", "tfs"]]
-                           for k in keep_rows if len(k)],
-                        ignore_index=True).sort_values("term")
+        kept = [k[["term", "df", "doc_ids", "tfs"]]
+                for k in keep_rows if len(k)]
+        out = pd.concat([fresh] + kept, ignore_index=True)
+        # old + merged files can coexist after a crash window; their
+        # untouched terms are identical rows — keep one
+        out = (out.sort_values(["term", "df"],
+                               ascending=[True, False])
+               .drop_duplicates("term", keep="first"))
         os.makedirs(part_dir, exist_ok=True)
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(part_dir,
@@ -319,44 +340,47 @@ def update_inverted_index(new_docs, index_dir: str,
             os.remove(f)
         return pd.DataFrame({"b": [b]})
 
-    touched = (new_docs.map_batches(explode, batch_format="pandas")
-               .groupby("b").map_groups(merge_bucket,
-                                        batch_format="pandas")
+    rows = new_docs.map_batches(
+        lambda b: _explode_terms(b, num_buckets),
+        batch_format="pandas").materialize()
+    touched = (rows.groupby("b").map_groups(merge_bucket,
+                                            batch_format="pandas")
                .to_pandas())
-    _write_doclens(new_docs, index_dir)   # append-only BM25 sidecars
+    _write_doclens_from_rows(rows, index_dir)  # append-only sidecars
     return sorted(int(x) for x in touched.get("b", []))
 
 
 # --------------------------------------------------- BM25 ranking
 
-def _write_doclens(docs, index_dir: str) -> None:
+def _write_doclens_from_rows(rows, index_dir: str) -> None:
     """Append-only (doc_id, dl) sidecar under ``_doclens/`` plus a
     (n_docs, total_len) row under ``_meta/`` — underscore prefixes
     keep pyarrow's hive loader from mixing them into the postings.
     Append-only means ``update_inverted_index`` just adds files; the
-    reader sums the meta rows."""
+    reader sums the meta rows.
+
+    ``rows`` is the already-exploded (term, doc_id, tf) table: a
+    doc's length is exactly sum(tf), so the sidecar costs one slim
+    grouped aggregation instead of a SECOND full tokenize pass over
+    the corpus. Zero-token docs have no rows and so no dl entry —
+    they can never be a BM25 hit, and they carry 0 into total_len
+    either way; n_docs likewise counts docs with at least one term
+    (consistent between build and update by construction)."""
     import os
     import uuid
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def lens(b: pd.DataFrame) -> pd.DataFrame:
-        # .to_numpy(): a filtered pandas block keeps its original
-        # index, and mixing it with a fresh 0..n-1 Series would UNION
-        # the indexes (row duplication + NaNs)
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(np.int64),
-            "dl": np.array([len(_tokens(t)) for t in b["text"]],
-                           dtype=np.int64)})
+    from ..functions.aggregates import grouped_agg as _gagg
 
     for sub in ("_doclens", "_meta"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
     # the (doc_id, dl) table is corpus-sized: never collect it to the
-    # driver. Materialize the SLIM rows once (16 bytes/doc in the
-    # object store), read the two meta scalars off tiny aggregates,
-    # and let write_parquet fan the files out from the workers —
-    # Ray's per-execution unique filenames keep appends collision-free
-    dl_ds = docs.map_batches(lens, batch_format="pandas").materialize()
+    # driver; read the two meta scalars off tiny aggregates and let
+    # write_parquet fan the files out from the workers — Ray's
+    # per-execution unique filenames keep appends collision-free
+    dl_ds = _gagg(rows.select_columns(["doc_id", "tf"]),
+                  ["doc_id"], {"dl": ("tf", "sum")}).materialize()
     n_docs = dl_ds.count()
     total_len = int(dl_ds.sum("dl")) if n_docs else 0
     dl_ds.write_parquet(os.path.join(index_dir, "_doclens"))
@@ -392,6 +416,12 @@ def bm25_search(index_dir: str, terms: list[str], k: int = 10,
     if tbl.num_rows == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
+    # stale+merged coexistence tolerance (see update_inverted_index):
+    # keep the max-df row per term
+    tdf = tbl.to_pandas().sort_values(["term", "df"],
+                                      ascending=[True, False]) \
+        .drop_duplicates("term", keep="first")
+    tbl = pa.Table.from_pandas(tdf, preserve_index=False)
 
     meta = pads.dataset(
         os.path.join(index_dir, "_meta")).to_table().to_pandas()

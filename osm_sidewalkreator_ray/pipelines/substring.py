@@ -29,6 +29,16 @@ tokens"; window identity is exact token identity (64-bit hashes — the
 collision probability at 10^12 windows is ~3e-6 corpus-wide and any
 collision only over-excises one window, it cannot corrupt text).
 
+SELF-OVERLAPPING runs (periodic text like ``a a a a a a`` with L=2):
+every window past the first duplicates it, and their excised spans
+overlap the kept first window, so the run collapses BELOW one full
+copy (here to a single token). This matches the paper's reference
+behavior on periodic byte runs (every duplicated range except one is
+cut, and the cuts overlap the keeper), is asserted by
+``test_within_doc_overlapping_run``, and is what the SQL oracle
+computes — "keeping exactly one copy" is exact only for
+non-self-overlapping duplicates.
+
 Output is ``(doc_id, n_tokens, n_removed, clean_md5)``: the digest
 keeps the op SQL-checkable without shipping cleaned text to the
 driver; a production run keeps the cleaned text in the pipeline

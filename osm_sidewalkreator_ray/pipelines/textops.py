@@ -297,6 +297,13 @@ def incremental_exact_dedup(existing, new):
         batch_format="pandas")
 
     out = fresh.union(confirmed_new).to_pandas()
+    if out.empty:
+        # every new doc was a duplicate (the steady-state batch): an
+        # all-empty union collects to a columnLESS frame, so the
+        # column ops below would raise KeyError
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "content_hash":
+                             pd.Series([], dtype="uint64")})
     # in-batch dups among the new docs themselves: keep min doc_id
     out = (out.sort_values("doc_id").groupby("content_hash", sort=False)
            .head(1))

@@ -171,6 +171,11 @@ def unigram_train(docs, vocab_size: int = 96,
     (piece, logp), sorted by piece. ``vocab_size`` counts ALL pieces
     including the forced single characters; if chars alone exceed it
     the char set is the final vocabulary (coverage beats the cap)."""
+    if not 0.0 < shrink_frac <= 1.0:
+        # shrink_frac=0 keeps n_multi unchanged every round: the
+        # prune-to-target loop would never progress (a silent hang
+        # burning cluster time, not an error)
+        raise ValueError(f"shrink_frac={shrink_frac} must be in (0, 1]")
     types = word_type_table(docs).materialize()
     seed = seed_pieces(types, max_piece_len, seed_size, num_buckets)
     model = seed.rename(columns={"n": "count"}).copy()
@@ -256,8 +261,13 @@ def unigram_encode_ds(docs, model: pd.DataFrame,
 
 def unigram_pipeline(sf_dir: str, vocab_size: int = 96,
                      **train_kw):
-    """Collecting form: train on the corpus, encode the corpus."""
+    """Collecting form: train on the corpus, encode the corpus.
+    ``max_piece_len`` threads through to BOTH training and encoding —
+    encoding with a shorter viterbi window than the model was trained
+    with would silently never use the longer pieces."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     model = unigram_train(docs, vocab_size=vocab_size, **train_kw)
-    df = unigram_encode_ds(docs, model).to_pandas()
+    df = unigram_encode_ds(
+        docs, model,
+        max_piece_len=train_kw.get("max_piece_len", 6)).to_pandas()
     return model, df.sort_values("doc_id").reset_index(drop=True)

@@ -106,3 +106,38 @@ def test_json_profile_counts_paths():
     assert prof[("k", "number")] == 5
     assert prof[("k", "string")] == 5
     assert prof[("m.x", "number")] == 5
+
+
+def test_null_string_value_survives_both_paths():
+    """Regression: the regex path nulled the legitimate string value
+    "null" after unquoting, diverging from the json path and DuckDB."""
+    import duckdb
+    from osm_sidewalkreator_ray.functions.jsonops import extract_batch
+    doc = '{"k": "null"}'
+    for p in ("regex", "json"):
+        got = extract_batch(pd.Series([doc]), {"k": "string"}, parser=p)
+        assert got["k"].iloc[0] == "null", p
+    # real JSON null -> NA on both paths (matching DuckDB)
+    for p in ("regex", "json"):
+        got = extract_batch(pd.Series(['{"k": null}']),
+                            {"k": "string"}, parser=p)
+        assert pd.isna(got["k"].iloc[0]), p
+    ref = duckdb.sql(
+        "SELECT json_extract_string('{\"k\": \"null\"}', '$.k')"
+    ).fetchone()[0]
+    assert ref == "null"
+
+
+def test_bool_cast_tolerates_dirty_scalars():
+    """Regression: the general path raised TypeError on non-bool
+    scalars (one dirty doc killed the whole task); both paths now
+    yield NA."""
+    from osm_sidewalkreator_ray.functions.jsonops import extract_batch
+    nested = extract_batch(pd.Series(['{"a": {"k": "yes"}}']),
+                           {"a.k": "bool"})
+    assert pd.isna(nested["a_k"].iloc[0])
+    flat_r = extract_batch(pd.Series(['{"k": "yes"}']),
+                           {"k": "bool"}, parser="regex")
+    flat_j = extract_batch(pd.Series(['{"k": "yes"}']),
+                           {"k": "bool"}, parser="json")
+    assert pd.isna(flat_r["k"].iloc[0]) and pd.isna(flat_j["k"].iloc[0])

@@ -218,3 +218,63 @@ def test_hybrid_search_broadcast_path_equals_pushdown():
     b = S.hybrid_search(SF, ["join", "scan"], k=10, index_dir=d,
                         pushdown_max_hits=0)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUpdateCrashTolerance:
+    def test_stale_file_coexistence_is_tolerated_and_converges(
+            self, tmp_path):
+        """Regression: a crash between the merged file's rename and
+        the old files' removal (or a Ray task retry) left old+merged
+        coexisting; readers picked an arbitrary duplicate and the next
+        update baked duplicate doc_ids into postings."""
+        import os
+        import shutil
+        import ray.data as rd
+        import pyarrow.dataset as pads
+        from osm_sidewalkreator_ray.pipelines import search as S
+        from osm_sidewalkreator_ray.pipelines.textops import _read_docs
+        docs = _read_docs(SF, ["doc_id", "text"]).to_pandas()
+        a = docs[docs.doc_id % 3 == 0]
+        b = docs[docs.doc_id % 3 == 1]
+        c = docs[docs.doc_id % 3 == 2]
+
+        d = str(tmp_path / "idx")
+        S.build_inverted_index(rd.from_pandas(a), d)
+        # snapshot one bucket's pre-update file, update, then restore
+        # the stale file NEXT TO the merged one (the crash window)
+        bdirs = sorted(p for p in os.listdir(d) if p.startswith("b="))
+        victim = os.path.join(d, bdirs[0])
+        stale_src = [os.path.join(victim, f)
+                     for f in os.listdir(victim)
+                     if f.endswith(".parquet")]
+        saved = [(p, open(p, "rb").read()) for p in stale_src]
+        S.update_inverted_index(rd.from_pandas(b), d)
+        for p, blob in saved:
+            if not os.path.exists(p):  # removed by the merge: restore
+                with open(p, "wb") as f:
+                    f.write(blob)
+
+        # 1. readers tolerate the coexistence (max-df row wins)
+        full_dir = str(tmp_path / "full_ab")
+        S.build_inverted_index(
+            rd.from_pandas(pd.concat([a, b])), full_dir)
+        for terms, mode in ((["join", "scan"], "and"),
+                            (["join", "scan"], "or")):
+            r1 = S.search_index(d, terms, mode=mode)
+            r2 = S.search_index(full_dir, terms, mode=mode)
+            pd.testing.assert_frame_equal(r1, r2)
+
+        # 2. the NEXT update re-merges both copies without duplicating
+        S.update_inverted_index(rd.from_pandas(c), d)
+        full3 = str(tmp_path / "full_abc")
+        S.build_inverted_index(rd.from_pandas(docs), full3)
+
+        def load(dd):
+            t = pads.dataset(dd, partitioning="hive").to_table(
+                columns=["term", "df", "doc_ids"]).to_pandas()
+            t["doc_ids"] = t["doc_ids"].map(
+                lambda x: tuple(int(v) for v in x))
+            return t.sort_values("term").reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(load(d), load(full3))

@@ -3,6 +3,8 @@
 import math
 from collections import Counter
 
+import pytest
+
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -162,3 +164,33 @@ class TestUnigramEncode:
         assert len(enc) == docs.count()
         nonempty = enc[enc["n_words"] > 0]
         assert (nonempty["n_pieces"] >= nonempty["n_words"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_threads_max_piece_len():
+    """Regression: unigram_pipeline trained with max_piece_len but
+    encoded with the default 6, so longer trained pieces were never
+    used at encode time."""
+    from osm_sidewalkreator_ray.pipelines.unigram import (
+        unigram_encode_ds, viterbi_segment)
+    lp = {"abcdefgh": -1.0, **{c: -10.0 for c in "abcdefgh"}}
+    assert viterbi_segment("abcdefgh", lp, 8) == ["abcdefgh"]
+    assert viterbi_segment("abcdefgh", lp, 6) == list("abcdefgh")
+    # encode respects the passed window
+    import ray.data as rd
+    model = pd.DataFrame({"piece": list(lp), "logp": list(lp.values())})
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1],
+                                        "text": ["abcdefgh"]}))
+    enc8 = unigram_encode_ds(docs, model, max_piece_len=8).to_pandas()
+    enc6 = unigram_encode_ds(docs, model, max_piece_len=6).to_pandas()
+    assert enc8["n_pieces"].iloc[0] == 1
+    assert enc6["n_pieces"].iloc[0] == 8
+
+
+def test_train_rejects_zero_shrink_frac():
+    import ray.data as rd
+    from osm_sidewalkreator_ray.pipelines.unigram import unigram_train
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1],
+                                        "text": ["ab ab"]}))
+    with pytest.raises(ValueError, match="shrink_frac"):
+        unigram_train(docs, shrink_frac=0.0)

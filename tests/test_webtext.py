@@ -588,3 +588,28 @@ class TestRobotsAndBroadcastJoin:
         with pytest.raises(ValueError):
             broadcast_join(rd.from_pandas(big), big, left_on="k",
                            max_small_rows=100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refresh_all_duplicate_batch_keeps_promised_keys():
+    """Regression: when every new doc is a duplicate (the steady-state
+    common case), lang_state / touched_buckets were omitted from the
+    result instead of returning the unchanged state."""
+    from osm_sidewalkreator_ray.functions.aggregates import (
+        agg_state_ds)
+    from osm_sidewalkreator_ray.pipelines.refresh import (
+        LANG_STATS_SPEC, refresh_corpus)
+    ex = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["same text here", "other doc"],
+        "lang": ["en", "en"]}))
+    nw = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11], "text": ["same text here", "other doc"],
+        "lang": ["en", "en"]}))
+    state = agg_state_ds(ex.select_columns(["lang"]), ["lang"],
+                         LANG_STATS_SPEC).to_pandas()
+    out = refresh_corpus(ex, nw, threshold=0.5, lang_state=state)
+    assert out["accepted_ids"] == []
+    # the key is present and equals the unchanged input state
+    got = out["lang_state"].sort_values("lang").reset_index(drop=True)
+    want = state.sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
