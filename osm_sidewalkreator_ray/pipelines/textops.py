@@ -637,12 +637,37 @@ def _shingle_batch(batch: pd.DataFrame, k: int) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
-                        coarse_buckets: int = 64,
-                        max_posting: int | None = None):
+                        coarse_buckets: int = 64):
     """EXACT n-gram (word k-shingle) Jaccard near-dup pairs — no LSH,
     no recall loss: every pair with Jaccard >= threshold is returned.
 
-    Physical plan (inverted shingle index, all shuffles slim):
+    This is the PREFIX-FILTERED (ppjoin) plan — the scale-safe default
+    (see ``ngram_jaccard_pairs_prefix`` for the physical plan and the
+    prefix-filter theorem). The full-inverted-index plan survives as
+    ``ngram_jaccard_pairs_fullindex``, a TEST REFERENCE ONLY: its
+    candidate volume grows with posting-list size squared (the Zipf
+    head of common shingles), i.e. effectively quadratic in corpus
+    size; the prefix plan's candidates scale with duplicate-cluster
+    sizes — the inherent output complexity of all-pairs dedup — and
+    the identity test (tests/test_dedup_graph.py) proves the two plans
+    return identical pairs."""
+    return ngram_jaccard_pairs_prefix(sf_dir, threshold=threshold, k=k,
+                                      coarse_buckets=coarse_buckets)
+
+
+def ngram_jaccard_pairs_fullindex(sf_dir: str, threshold: float = 0.5,
+                                  k: int = 3, coarse_buckets: int = 64,
+                                  max_posting: int | None = None):
+    """TEST REFERENCE plan for ``ngram_jaccard_pairs`` — the full
+    inverted shingle index. NOT the default: every doc pair sharing
+    >= 1 shingle becomes a candidate row, so the Zipf head of common
+    shingles makes candidate volume grow with posting-list size
+    squared at corpus scale. Kept because its completely different
+    physical shape (partial shared-counts summed through the join
+    buckets, no verify stage) cross-checks the prefix plan in the
+    identity test.
+
+    Physical plan (all shuffles slim):
     shingle hashes per doc -> exploded (shingle, doc_id) rows, grouped
     by ``shingle % coarse_buckets`` (Python-call count O(buckets)) ->
     per-shingle candidate pairs with PARTIAL shared-shingle counts
@@ -650,19 +675,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
     partials -> two hash-partition joins attach |A| and |B| ->
     jaccard = shared / (|A| + |B| - shared), filtered.
 
-    ``max_posting``: at corpus scale, a shingle shared by thousands of
-    docs contributes O(len^2) candidate pairs; capping the posting
-    list drops those shingles (UNDER-counting intersections — the op
-    becomes a lower bound). Default None = exact. The published scale
-    path beyond the cap is prefix filtering (Bayardo/Ma/Srikant
-    "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
-    ppjoin, WWW'08): index only each doc's first
-    |d| - ceil(t*|d|) + 1 shingles in a global order for candidate
-    generation, then verify candidates against full shingle sets —
-    the same candidates+verify shape as ``minhash_dedup_pairs``.
-
-    Cost is quadratic in true duplicate-cluster sizes — the inherent
-    output complexity of all-pairs dedup — but never in corpus size.
+    ``max_posting``: capping the posting list drops hot shingles
+    (UNDER-counting intersections — the op becomes a lower bound).
+    Default None = exact.
     """
     j2 = _shared_shingle_counts(sf_dir, k, coarse_buckets,
                                 max_posting)
@@ -692,7 +707,7 @@ def _shared_shingle_counts(sf_dir: str, k: int, coarse_buckets: int,
     """Shared candidate machinery for the shingle-overlap family
     (Jaccard and containment): a Dataset with one row per doc pair
     sharing >= 1 shingle, columns (doc_a, na, shared, doc_id = doc_b,
-    n_sh = nb). All shuffles slim; see ngram_jaccard_pairs for the
+    n_sh = nb). All shuffles slim; see ngram_jaccard_pairs_fullindex for
     plan."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     import functools

@@ -102,8 +102,8 @@ class TestConnectedComponents:
         """ppjoin-style prefix filtering is LOSSLESS: identical pair
         set + jaccards as the full inverted-index exact variant."""
         from osm_sidewalkreator_ray.pipelines import textops as T
-        full = T.ngram_jaccard_pairs(SF).reset_index(drop=True)
-        pref = T.ngram_jaccard_pairs_prefix(SF).reset_index(drop=True)
+        full = T.ngram_jaccard_pairs_fullindex(SF).reset_index(drop=True)
+        pref = T.ngram_jaccard_pairs(SF).reset_index(drop=True)
         pd.testing.assert_frame_equal(pref, full)
 
     def test_near_dup_components_matches_sql_oracle(self):
