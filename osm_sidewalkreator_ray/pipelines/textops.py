@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -46,15 +47,21 @@ def _tokens(text: str) -> list[str]:
 # sf_dir, collects and sorts (small results only).
 
 
-def _token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    n = batch["text"].map(lambda s: len(_tokens(s)))
-    return pd.DataFrame({"doc_id": batch["doc_id"],
-                         "n_tokens": n.astype("int64")})
+def _token_count_batch(batch: pa.Table) -> pa.Table:
+    """Pure-Arrow token count: trim + whitespace split + list length,
+    all C++ kernels, zero Python objects. A trimmed-empty doc's split
+    still yields one '' token, hence the if_else to 0."""
+    trimmed = pc.utf8_trim_whitespace(batch["text"])
+    n = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+    n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pc.cast(n, pa.int64())})
 
 
 def doc_token_counts_ds(docs):
     """Streaming form: documents Dataset (doc_id, text) -> Dataset."""
-    return docs.map_batches(_token_count_batch, batch_format="pandas")
+    return docs.map_batches(_token_count_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def doc_token_counts(sf_dir: str):
@@ -71,24 +78,36 @@ FROM documents ORDER BY doc_id
 """
 
 
-def _quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    stop = STOPWORDS["en"]
-    toks = batch["text"].map(_tokens)
-    n = toks.map(len).astype("int64")
-    mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                        if ws else 0.0)
-    stop_ratio = toks.map(lambda ws: sum(w in stop for w in ws) / len(ws)
-                          if ws else 0.0)
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"], "n_tokens": n,
-        "mean_token_len": mean_len.round(6),
-        "stop_ratio": stop_ratio.round(6)})
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    """Arrow-native quality scorer: one C++ tokenize for the batch,
+    per-token codepoint lengths (``pc.utf8_length``) and stopword
+    membership (``pc.is_in``) reduced to per-doc sums via
+    ``np.add.reduceat`` — no per-doc Python, no object columns except
+    the flat token array Arrow already holds. Values are identical to
+    the per-doc form (integer sums divided once per doc)."""
+    fl, counts = _flat_tokens_arrow(batch["text"])
+    tok_len = pc.utf8_length(fl).to_numpy(zero_copy_only=False)
+    is_stop = pc.is_in(
+        fl, value_set=pa.array(sorted(STOPWORDS["en"]))) \
+        .to_numpy(zero_copy_only=False)
+    len_sum = _seg_sums(tok_len, counts)
+    stop_sum = _seg_sums(is_stop, counts)
+    nz = counts > 0
+    denom = np.where(nz, counts, 1).astype(np.float64)
+    mean_len = np.where(nz, len_sum / denom, 0.0)
+    stop_ratio = np.where(nz, stop_sum / denom, 0.0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(counts, pa.int64()),
+        "mean_token_len": pa.array(np.round(mean_len, 6)),
+        "stop_ratio": pa.array(np.round(stop_ratio, 6))})
 
 
 def doc_quality_ds(docs):
     """Streaming form: documents Dataset (doc_id, text) -> Dataset of
     quality-score columns."""
-    return docs.map_batches(_quality_batch, batch_format="pandas")
+    return docs.map_batches(_quality_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def doc_quality(sf_dir: str):
@@ -115,15 +134,24 @@ FROM t ORDER BY doc_id
 """
 
 
-def _fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    norm = batch["text"].map(lambda s: _WS.sub(" ", s.strip()))
-    fp = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
-    return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace normalization in Arrow (trim + one RE2 regex over
+    the whole column), then md5 per normalized string — the only
+    per-row Python left, since there is no vectorized md5. The digest
+    dominates, so the loop is not the bottleneck."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+",
+        replacement=" ")
+    fp = [hashlib.md5(s.encode()).hexdigest()
+          for s in norm.to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fingerprint": pa.array(fp, pa.string())})
 
 
 def doc_fingerprint_ds(docs):
     """Streaming form: documents Dataset (doc_id, text) -> Dataset."""
-    return docs.map_batches(_fingerprint_batch, batch_format="pandas")
+    return docs.map_batches(_fingerprint_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def doc_fingerprint(sf_dir: str):
@@ -139,19 +167,27 @@ FROM documents ORDER BY doc_id
 """
 
 
-def _lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = batch["text"].map(_tokens)
-    scores = {lang: toks.map(lambda ws, s=sw: sum(w in s for w in ws))
-              for lang, sw in STOPWORDS.items()}
-    en, pt, es = scores["en"], scores["pt"], scores["es"]
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Arrow-native stopword-voting language ID: one tokenize, one
+    ``pc.is_in`` per language over the flat token array, per-doc vote
+    sums via reduceat; same deterministic tie-break (en > pt > es)."""
+    fl, counts = _flat_tokens_arrow(batch["text"])
+    votes = {}
+    for lang, sw in STOPWORDS.items():
+        hit = pc.is_in(fl, value_set=pa.array(sorted(sw))) \
+            .to_numpy(zero_copy_only=False)
+        votes[lang] = _seg_sums(hit, counts)
+    en, pt, es = votes["en"], votes["pt"], votes["es"]
     pred = np.where((en >= pt) & (en >= es), "en",
                     np.where(pt >= es, "pt", "es"))
-    return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
+    return pa.table({"doc_id": batch["doc_id"],
+                     "lang_pred": pa.array(pred)})
 
 
 def lang_id_ds(docs):
     """Streaming form: documents Dataset (doc_id, text) -> Dataset."""
-    return docs.map_batches(_lang_id_batch, batch_format="pandas")
+    return docs.map_batches(_lang_id_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def lang_id(sf_dir: str):
@@ -321,38 +357,156 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def _mixmul(h, j: int):
+    """Position-j mixing of token hash(es) ``h`` (scalar or uint64
+    array). The _MIX multipliers cycle every 3; rotate by (j // 3)
+    bits to keep positions distinct for ANY k (the rotation is 0 for
+    j < 3, so k <= 3 outputs — every golden fixture and oracle — are
+    byte-identical to the original scheme)."""
+    v = h * np.uint64(_MIX[j % len(_MIX)])
+    r = np.uint64((j // len(_MIX)) % 63)
+    if r:
+        v = (v << r) | (v >> (np.uint64(64) - r))
+    return v
+
+
 def _shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
-    """Unique k-gram shingle hashes, fully vectorized: per-token
-    64-bit hashes (pandas siphash, deterministic) combined across the
-    k-window with distinct odd multipliers."""
+    """Unique k-gram shingle hashes for ONE doc: per-token 64-bit
+    hashes (pandas siphash, deterministic) combined across the
+    k-window with distinct odd multipliers. Hot-path batches use
+    ``_shingle_hashes_batch`` (one hash call for the whole batch);
+    this per-doc form is the identity-tested reference and the entry
+    point for single-doc callers."""
     if not words:
         return np.empty(0, dtype=np.uint64)
     th = pd.util.hash_array(np.asarray(words, dtype=object))
-
-    def mixmul(h, j):
-        # position multiplier: _MIX cycles every 3, so rotate by
-        # (j // 3) bits to keep positions distinct for ANY k (indexing
-        # _MIX[j] raised IndexError for k >= 4). The rotation is 0 for
-        # j < 3, so k <= 3 outputs — every golden fixture and oracle —
-        # are byte-identical to the original scheme.
-        v = h * np.uint64(_MIX[j % len(_MIX)])
-        r = np.uint64((j // len(_MIX)) % 63)
-        if r:
-            v = (v << r) | (v >> (np.uint64(64) - r))
-        return v
-
     if len(th) < k:
         combo = np.uint64(0)
         for j, h in enumerate(th):
-            combo ^= mixmul(np.uint64(h), j)
+            combo ^= _mixmul(np.uint64(h), j)
         return np.array([combo], dtype=np.uint64)
     acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
     for j in range(k):
-        acc ^= mixmul(th[j:len(th) - k + 1 + j], j)
+        acc ^= _mixmul(th[j:len(th) - k + 1 + j], j)
     return np.unique(acc)
 
 
 _MIX = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the segmented arange that
+    turns per-doc offsets + counts into flat global indices."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    o = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=o[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(o, counts)
+
+
+def _flat_tokens_arrow(texts) -> tuple[pa.Array, np.ndarray]:
+    """Whole-batch tokenization: texts (pa.Array / ChunkedArray /
+    sequence of str) -> (flat Arrow StringArray of all tokens in doc
+    order, int64 per-doc token counts). ONE Arrow C++
+    ``utf8_split_whitespace`` replaces the per-doc regex split —
+    semantics match ``_tokens`` exactly (strip, split on whitespace
+    runs, no empty tokens; identity-tested): after
+    ``utf8_trim_whitespace`` the split emits an empty token ONLY for
+    whole-empty docs, which the not-equal filter removes."""
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    elif isinstance(texts, pd.Series):
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    sp = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr))
+    fl = pc.list_flatten(sp)
+    nonempty = pc.not_equal(fl, "")
+    ntok = pc.list_value_length(sp).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if not pc.all(nonempty).as_py():
+        # whole-empty docs contribute exactly one '' placeholder each
+        empties = np.flatnonzero(
+            ~nonempty.to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        ntok[doc_of[empties]] -= 1
+        fl = fl.filter(nonempty)
+    return fl, ntok
+
+
+def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
+    """``_flat_tokens_arrow`` with the flat tokens as a numpy object
+    array — for consumers that feed ``pd.util.hash_array``."""
+    fl, ntok = _flat_tokens_arrow(texts)
+    return fl.to_numpy(zero_copy_only=False), ntok
+
+
+def _seg_sums(values: np.ndarray, counts: np.ndarray,
+              dtype=np.int64) -> np.ndarray:
+    """Per-doc sums of a flat per-token array: reduceat at non-empty
+    doc starts; empty docs get 0."""
+    out = np.zeros(len(counts), dtype=dtype)
+    nz = counts > 0
+    if values.size:
+        cnz = counts[nz]
+        st = np.zeros(len(cnz), dtype=np.int64)
+        np.cumsum(cnz[:-1], out=st[1:])
+        out[nz] = np.add.reduceat(values, st, dtype=dtype)
+    return out
+
+
+def _shingle_hashes_batch(texts, k: int = 3) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``_shingle_hashes`` over a WHOLE batch: one token
+    hash call, one windowed combine, one lexsort-dedupe — no per-doc
+    Python. Returns (flat, counts): ``flat`` concatenates each doc's
+    ascending unique shingle hashes; ``counts[i]`` is doc i's count.
+    Byte-identical to mapping ``_shingle_hashes`` per doc
+    (identity-tested in tests/test_textops_vectorized.py)."""
+    flat_tok, ntok = _flat_tokens(texts)
+    nd = len(ntok)
+    if flat_tok.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(nd, np.int64)
+    th = pd.util.hash_array(flat_tok)
+    starts = np.zeros(nd, dtype=np.int64)
+    np.cumsum(ntok[:-1], out=starts[1:])
+    big = ntok >= k
+    nw = np.where(big, ntok - k + 1, 0).astype(np.int64)
+    small = (ntok > 0) & ~big
+    counts_raw = nw + small.astype(np.int64)
+    o = np.zeros(nd, dtype=np.int64)
+    np.cumsum(counts_raw[:-1], out=o[1:])
+    out = np.zeros(int(counts_raw.sum()), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if big.any():
+            nb = nw[big]
+            seg = _seg_arange(nb)
+            wi = np.repeat(starts[big], nb) + seg
+            acc = np.zeros(len(wi), dtype=np.uint64)
+            for j in range(k):
+                acc ^= _mixmul(th[wi + j], j)
+            out[np.repeat(o[big], nb) + seg] = acc
+        if small.any():
+            sst, sn = starts[small], ntok[small]
+            combo = np.zeros(len(sst), dtype=np.uint64)
+            for j in range(k - 1):
+                m = sn > j
+                combo[m] ^= _mixmul(th[sst[m] + j], j)
+            out[o[small]] = combo
+    # per-doc ascending unique without a per-doc np.unique loop:
+    # lexsort by (doc, hash), then drop adjacent duplicates per doc
+    docidx = np.repeat(np.arange(nd, dtype=np.int64), counts_raw)
+    order = np.lexsort((out, docidx))
+    vals, d = out[order], docidx[order]
+    keep = np.ones(len(vals), dtype=bool)
+    keep[1:] = (vals[1:] != vals[:-1]) | (d[1:] != d[:-1])
+    return vals[keep], np.bincount(
+        d[keep], minlength=nd).astype(np.int64)
 
 
 class MinHasher:
@@ -375,11 +529,27 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs, shingles = [], []
-        for t in batch["text"]:
-            sh = _shingle_hashes(_tokens(t), self.k)
-            shingles.append(np.sort(sh).tobytes())
-            sigs.append(self.signature_from_shingles(sh).tobytes())
+        # whole-batch path: one tokenize + one shingle-hash combine
+        # (_shingle_hashes_batch) and one (shingles, num_perm) matrix
+        # with per-doc mins via minimum.reduceat — byte-identical to
+        # the per-doc signature_from_shingles loop (identity-tested)
+        flat, counts = _shingle_hashes_batch(batch["text"], self.k)
+        nd = len(counts)
+        sig = np.zeros((nd, self.num_perm), dtype=np.uint64)
+        nz = counts > 0
+        if flat.size:
+            with np.errstate(over="ignore"):
+                v = (flat[:, None] * self.a[None, :]
+                     + self.b[None, :]) % np.uint64(_MERSENNE)
+            cnz = counts[nz]
+            st = np.zeros(len(cnz), dtype=np.int64)
+            np.cumsum(cnz[:-1], out=st[1:])
+            sig[nz] = np.minimum.reduceat(v, st, axis=0)
+        off = np.zeros(nd + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        shingles = [flat[off[i]:off[i + 1]].tobytes()
+                    for i in range(nd)]
+        sigs = [sig[i].tobytes() for i in range(nd)]
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "sig": sigs, "shingles": shingles})
 
@@ -550,13 +720,11 @@ def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     ``pd.util.hash_array`` call, bits unpacked to a (tokens, 64) sign
     matrix, per-doc bit sums via ``np.add.reduceat``."""
     powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    toks = [_tokens(t) for t in batch["text"]]
-    counts = np.array([len(t) for t in toks], dtype=np.int64)
-    acc = np.zeros((len(toks), 64), dtype=np.int64)
-    flat = [w for ws in toks for w in ws]
+    flat, counts = _flat_tokens(batch["text"])
+    acc = np.zeros((len(counts), 64), dtype=np.int64)
     nz = counts > 0
-    if flat:
-        hv = pd.util.hash_array(np.asarray(flat, dtype=object))
+    if flat.size:
+        hv = pd.util.hash_array(flat)
         # unpackbits on the little-endian words gives bit k =
         # (hv >> k) & 1 as a compact (tokens, 64) uint8 matrix —
         # no 512 B/token uint64 broadcast temp
@@ -627,13 +795,13 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
 # ---------------------------------------------- exact n-gram Jaccard
 
 def _shingle_batch(batch: pd.DataFrame, k: int) -> pd.DataFrame:
-    out_sh, out_n = [], []
-    for t in batch["text"]:
-        sh = _shingle_hashes(_tokens(t), k)
-        out_sh.append(np.sort(sh).tobytes())
-        out_n.append(len(sh))
+    flat, counts = _shingle_hashes_batch(batch["text"], k)
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    out_sh = [flat[off[i]:off[i + 1]].tobytes()
+              for i in range(len(counts))]
     return pd.DataFrame({"doc_id": batch["doc_id"], "shingles": out_sh,
-                         "n_sh": pd.Series(out_n, dtype="int64")})
+                         "n_sh": pd.Series(counts, dtype="int64")})
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
