@@ -143,6 +143,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": T.NGRAM_JACCARD_SQL,
         # components over the exact pairs: recursive closure, min-label
         "near_dup_components": T.NEAR_DUP_COMPONENTS_SQL,
+        # exact-recall banded plan + md5-derived token hash make the
+        # whole SimHash op SQL-reproducible (bit-vote rebuild +
+        # popcount-of-xor self-join)
+        "simhash_near_dups": T.SIMHASH_NEAR_DUPS_SQL,
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "corpus_clean": T.CORPUS_CLEAN_SQL,

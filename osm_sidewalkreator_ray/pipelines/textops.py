@@ -714,17 +714,34 @@ def _exact_verify_pairs(cand, docs_with_shingles, threshold: float):
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def _md5_token_hashes(flat: np.ndarray) -> np.ndarray:
+    """64-bit token hash = first 8 bytes (big-endian) of md5(token).
+    Chosen over pandas' siphash because DuckDB reproduces it exactly
+    (``('0x' || substr(md5(tk), 1, 16))::UBIGINT``), which makes the
+    SimHash family end-to-end SQL-oracle-checkable. md5 runs once per
+    UNIQUE token in the batch (vocab-bounded, not corpus-bounded),
+    then scatters to occurrences via the np.unique inverse index."""
+    if flat.size == 0:
+        return np.empty(0, np.uint64)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in uniq), dtype=np.uint64, count=len(uniq))
+    return uh[inv]
+
+
 def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) batch -> (doc_id, simhash int64). Fully
-    vectorized: every token of every doc is hashed in ONE
-    ``pd.util.hash_array`` call, bits unpacked to a (tokens, 64) sign
-    matrix, per-doc bit sums via ``np.add.reduceat``."""
+    vectorized: one Arrow tokenize, one md5 per unique token
+    (``_md5_token_hashes`` — SQL-reproducible), bits unpacked to a
+    (tokens, 64) sign matrix, per-doc bit sums via
+    ``np.add.reduceat``."""
     powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
     flat, counts = _flat_tokens(batch["text"])
     acc = np.zeros((len(counts), 64), dtype=np.int64)
     nz = counts > 0
     if flat.size:
-        hv = pd.util.hash_array(flat)
+        hv = _md5_token_hashes(flat)
         # unpackbits on the little-endian words gives bit k =
         # (hv >> k) & 1 as a compact (tokens, 64) uint8 matrix —
         # no 512 B/token uint64 broadcast temp
@@ -774,6 +791,11 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
     one vectorized XOR-popcount — no join, unlike the MinHash path's
     shingle-store joins) -> global pair dedup by pair-hash bucket
     (a pair sharing several bands surfaces in several buckets).
+
+    Because recall is exact and the token hash is the md5-derived one
+    DuckDB reproduces (``_md5_token_hashes``), the whole op has a full
+    SQL oracle: SIMHASH_NEAR_DUPS_SQL rebuilds every doc's simhash
+    bit-by-bit and self-joins on ``bit_count(xor(a, b)) <= h``.
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     from ..functions.blocks import coalesce_slim
@@ -790,6 +812,42 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
                              "doc_b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# Full DuckDB oracle for simhash_near_dups: rebuilds each doc's
+# simhash from the same md5 token hash (SUM of per-bit +-1 votes,
+# bit set when the vote sum is positive), left-joins back so
+# zero-token docs keep simhash 0 (the engine's value), then
+# self-joins on popcount-of-xor — exact because the banded plan's
+# recall is exact for max_hamming <= bands - 1.
+SIMHASH_NEAR_DUPS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+th AS (SELECT doc_id,
+              ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h
+       FROM tok),
+bitsum AS (
+  SELECT doc_id, r.range AS bit,
+         SUM(CASE WHEN (h >> r.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(64) r GROUP BY doc_id, r.range),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::HUGEINT << bit)
+                  ELSE 0 END)::UBIGINT AS simhash
+  FROM bitsum GROUP BY doc_id),
+sim0 AS (
+  SELECT t.doc_id, COALESCE(sim.simhash, 0::UBIGINT) AS simhash
+  FROM t LEFT JOIN sim ON t.doc_id = sim.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sim0 a JOIN sim0 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------- exact n-gram Jaccard

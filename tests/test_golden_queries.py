@@ -25,7 +25,6 @@ SF = "/root/testdata/sf0.01"
 NO_ORACLE_QUERIES = [
     "events_user_count_approx_by_type",
     "minhash_dedup_pairs",
-    "simhash_near_dups",
     "ivf_topk",
     "sidewalk_features",
     "crossings_kerbs",

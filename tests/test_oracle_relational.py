@@ -128,6 +128,12 @@ class TestTextOracles:
         df = T.simhash_fingerprints(SF)
         assert df["doc_id"].is_unique and len(df) > 0
 
+    def test_simhash_near_dups_oracle(self, con):
+        # full SQL oracle: DuckDB rebuilds each simhash from the same
+        # md5 token hash and self-joins on bit_count(xor(...)) <= 3
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.simhash_near_dups(SF), T.SIMHASH_NEAR_DUPS_SQL, con)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestVectorOracles:
