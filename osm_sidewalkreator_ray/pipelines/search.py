@@ -63,11 +63,15 @@ def build_inverted_index(docs, out_dir: str, num_buckets: int = 32):
         # whole bucket at once: one sort, one groupby-agg (vectorized)
         g = g.sort_values(["term", "doc_id"], kind="mergesort")
         agg = g.groupby("term", sort=True)
+        n = agg.ngroups
         return pd.DataFrame({
             "term": list(agg.groups.keys()),
             "df": agg["doc_id"].count().to_numpy(np.int64),
             "doc_ids": agg["doc_id"].agg(list).to_numpy(object),
             "tfs": agg["tf"].agg(list).to_numpy(object),
+            # generation 0 at build; update_inverted_index bumps it so
+            # readers can break df ties toward the newest row
+            "gen": np.zeros(n, dtype=np.int64),
             "b": agg["b"].first().to_numpy(np.int64)})
 
     # materialize the slim long rows once: the postings shuffle AND
@@ -79,8 +83,42 @@ def build_inverted_index(docs, out_dir: str, num_buckets: int = 32):
         batch_format="pandas").materialize()
     idx = rows.groupby("b").map_groups(postings, batch_format="pandas")
     idx.write_parquet(out_dir, partition_cols=["b"])
+    _write_format_marker(out_dir)
     _write_doclens_from_rows(rows, out_dir)
     return out_dir
+
+
+INDEX_FORMAT_VERSION = 2
+
+
+def _write_format_marker(index_dir: str) -> None:
+    """``_format.json`` records the index layout version (underscore
+    prefix keeps it out of pyarrow dataset discovery). v2 = postings
+    carry a ``gen`` column and the BM25 sidecars are derived from the
+    exploded rows (zero-token docs excluded from n_docs/avgdl) with
+    idempotent, content-addressed writes. A dir WITHOUT the marker
+    predates v2: its sidecar semantics differ, so v2 updates refuse
+    to append to it (mixing both in one _meta read would skew idf)."""
+    import json
+    import os
+    path = os.path.join(index_dir, "_format.json")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": INDEX_FORMAT_VERSION,
+                       "sidecars": "dl-from-rows",
+                       "postings": "gen-column"}, f)
+        os.rename(tmp, path)
+
+
+def _index_format_version(index_dir: str) -> int:
+    import json
+    import os
+    path = os.path.join(index_dir, "_format.json")
+    if not os.path.exists(path):
+        return 1
+    with open(path) as f:
+        return int(json.load(f).get("version", 1))
 
 
 def _load_postings(index_dir: str, terms: list[str],
@@ -94,17 +132,25 @@ def _load_postings(index_dir: str, terms: list[str],
     ds = pads.dataset(index_dir, partitioning="hive")
     expr = (pads.field("b").isin(buckets)
             & pads.field("term").isin(list(map(str, t))))
-    tbl = ds.to_table(columns=["term", "df", "doc_ids"], filter=expr)
+    cols = ["term", "df", "doc_ids"]
+    has_gen = "gen" in ds.schema.names
+    if has_gen:
+        cols.append("gen")
+    tbl = ds.to_table(columns=cols, filter=expr)
     # a crash window in update_inverted_index can leave a stale file
-    # next to the merged one; the merged row's postings are a superset,
-    # so the max-df row per term is always the current one
+    # next to the merged one; keep the newest generation's row (df
+    # breaks remaining ties for pre-gen v1 indexes, where the merged
+    # row's postings are a superset of the stale one's)
     out: dict[str, np.ndarray] = {}
-    best: dict[str, int] = {}
-    for term, df, ids in zip(tbl["term"].to_pylist(),
-                             tbl["df"].to_pylist(),
-                             tbl["doc_ids"].to_pylist()):
-        if term not in best or df > best[term]:
-            best[term] = df
+    best: dict[str, tuple] = {}
+    gens = (tbl["gen"].to_pylist() if has_gen
+            else [0] * tbl.num_rows)
+    for term, df, ids, gen in zip(tbl["term"].to_pylist(),
+                                  tbl["df"].to_pylist(),
+                                  tbl["doc_ids"].to_pylist(), gens):
+        key = (gen, df)
+        if term not in best or key > best[term]:
+            best[term] = key
             out[term] = np.asarray(ids, dtype=np.int64)
     return out
 
@@ -270,15 +316,29 @@ def update_inverted_index(new_docs, index_dir: str,
     and drop the old ones (temp + rename for the new file, so a crash
     mid-bucket leaves the old postings readable).
 
-    CONVERGENT under crashes and Ray task retries: the merge dedupes
-    (term, doc_id) pairs, so re-merging a bucket whose directory
-    already holds the merged file (a retry, or a crash between rename
-    and old-file removal) is a no-op on content; readers tolerate the
-    transient old+merged coexistence by keeping the max-``df`` row per
-    term (the merged row's postings are a superset of the stale
-    row's), and the next update's merge re-reads and removes both."""
+    CONVERGENT under crashes and Ray task retries — for postings AND
+    sidecars: the merge dedupes (term, doc_id) pairs, so re-merging a
+    bucket whose directory already holds the merged file (a retry, or
+    a crash between rename and old-file removal) is a no-op on
+    content; merged rows carry ``gen = max(old gens) + 1``, so
+    readers resolve the transient old+merged coexistence by keeping
+    the newest generation's row per term (deterministic even when a
+    contract-violating re-ingest leaves df tied with different tfs);
+    and the ``_doclens``/``_meta`` sidecar writes are
+    content-addressed (deterministic update id, write-once), so a
+    crashed-then-retried update never double-counts dl or meta rows.
+
+    Requires a v2 (``_format.json``) index: v1 dirs predate the
+    row-derived sidecar semantics, and appending v2 meta rows to them
+    would skew BM25 idf/avgdl — rebuild instead."""
     import os
     import uuid
+
+    if _index_format_version(index_dir) < INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{index_dir} is a v1 index (no _format.json): its "
+            "sidecar semantics predate row-derived doclens; rebuild "
+            "with build_inverted_index before incremental updates")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -288,6 +348,7 @@ def update_inverted_index(new_docs, index_dir: str,
         new_terms = set(g["term"])
         keep_rows, long_rows = [], [g[["term", "doc_id", "tf"]]]
         old_files = []
+        max_gen = 0
         if os.path.isdir(part_dir):
             for fn in sorted(os.listdir(part_dir)):
                 if not fn.endswith(".parquet"):
@@ -295,6 +356,10 @@ def update_inverted_index(new_docs, index_dir: str,
                 old_files.append(os.path.join(part_dir, fn))
                 old = pq.read_table(
                     os.path.join(part_dir, fn)).to_pandas()
+                if "gen" not in old.columns:
+                    old = old.assign(gen=np.int64(0))
+                max_gen = max(max_gen, int(old["gen"].max())
+                              if len(old) else 0)
                 hit = old["term"].isin(new_terms)
                 keep_rows.append(old[~hit])
                 aff = old[hit]
@@ -316,18 +381,21 @@ def update_inverted_index(new_docs, index_dir: str,
                   .drop_duplicates(["term", "doc_id"])
                   .sort_values(["term", "doc_id"], kind="mergesort"))
         agg = merged.groupby("term", sort=True)
+        n_fresh = agg.ngroups
         fresh = pd.DataFrame({
             "term": list(agg.groups.keys()),
             "df": agg["doc_id"].count().to_numpy(np.int64),
             "doc_ids": agg["doc_id"].agg(list).to_numpy(object),
-            "tfs": agg["tf"].agg(list).to_numpy(object)})
-        kept = [k[["term", "df", "doc_ids", "tfs"]]
+            "tfs": agg["tf"].agg(list).to_numpy(object),
+            # newest generation wins any reader-side tie-break
+            "gen": np.full(n_fresh, max_gen + 1, dtype=np.int64)})
+        kept = [k[["term", "df", "doc_ids", "tfs", "gen"]]
                 for k in keep_rows if len(k)]
         out = pd.concat([fresh] + kept, ignore_index=True)
         # old + merged files can coexist after a crash window; their
-        # untouched terms are identical rows — keep one
-        out = (out.sort_values(["term", "df"],
-                               ascending=[True, False])
+        # untouched terms are identical rows — keep the newest gen
+        out = (out.sort_values(["term", "gen", "df"],
+                               ascending=[True, False, False])
                .drop_duplicates("term", keep="first"))
         os.makedirs(part_dir, exist_ok=True)
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
@@ -353,11 +421,16 @@ def update_inverted_index(new_docs, index_dir: str,
 # --------------------------------------------------- BM25 ranking
 
 def _write_doclens_from_rows(rows, index_dir: str) -> None:
-    """Append-only (doc_id, dl) sidecar under ``_doclens/`` plus a
-    (n_docs, total_len) row under ``_meta/`` — underscore prefixes
-    keep pyarrow's hive loader from mixing them into the postings.
-    Append-only means ``update_inverted_index`` just adds files; the
-    reader sums the meta rows.
+    """Content-addressed (doc_id, dl) sidecar under ``_doclens/``
+    plus a (n_docs, total_len) row under ``_meta/`` — underscore
+    prefixes keep pyarrow's hive loader from mixing them into the
+    postings. Each update contributes one ``upd-<uid>`` unit where
+    ``uid`` is a DETERMINISTIC order-independent hash of the
+    (doc_id, dl) rows, and both the doclens directory and the meta
+    file are write-once (tmp + atomic rename; skip when the target
+    already exists) — so a crashed-then-retried update can never
+    duplicate dl rows or inflate n_docs/total_len. The reader still
+    just sums the meta rows.
 
     ``rows`` is the already-exploded (term, doc_id, tf) table: a
     doc's length is exactly sum(tf), so the sidecar costs one slim
@@ -365,8 +438,10 @@ def _write_doclens_from_rows(rows, index_dir: str) -> None:
     the corpus. Zero-token docs have no rows and so no dl entry —
     they can never be a BM25 hit, and they carry 0 into total_len
     either way; n_docs likewise counts docs with at least one term
-    (consistent between build and update by construction)."""
+    (consistent between build and update by construction; the
+    ``_format.json`` v2 marker records this semantics boundary)."""
     import os
+    import shutil
     import uuid
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -376,19 +451,49 @@ def _write_doclens_from_rows(rows, index_dir: str) -> None:
     for sub in ("_doclens", "_meta"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
     # the (doc_id, dl) table is corpus-sized: never collect it to the
-    # driver; read the two meta scalars off tiny aggregates and let
-    # write_parquet fan the files out from the workers — Ray's
-    # per-execution unique filenames keep appends collision-free
+    # driver; read the meta scalars and the deterministic update id
+    # off tiny aggregates and let write_parquet fan the files out
+    # from the workers
     dl_ds = _gagg(rows.select_columns(["doc_id", "tf"]),
                   ["doc_id"], {"dl": ("tf", "sum")}).materialize()
     n_docs = dl_ds.count()
     total_len = int(dl_ds.sum("dl")) if n_docs else 0
-    dl_ds.write_parquet(os.path.join(index_dir, "_doclens"))
-    tag = uuid.uuid4().hex
-    meta = pa.table({"n_docs": pa.array([n_docs], pa.int64()),
-                     "total_len": pa.array([total_len], pa.int64())})
-    pq.write_table(meta, os.path.join(index_dir, "_meta",
-                                      f"part-{tag}.parquet"))
+
+    def _hash_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # commutative mix: per-row 64-bit mix summed mod 2^64, so the
+        # uid is independent of row order / partitioning
+        with np.errstate(over="ignore"):
+            h = (b["doc_id"].to_numpy(np.uint64)
+                 * np.uint64(0x9E3779B185EBCA87)
+                 ^ b["dl"].to_numpy(np.uint64)
+                 * np.uint64(0xC2B2AE3D27D4EB4F))
+        return pd.DataFrame({"h": [np.uint64(h.sum(dtype=np.uint64))]})
+
+    parts = dl_ds.map_batches(_hash_partial,
+                              batch_format="pandas").to_pandas()
+    with np.errstate(over="ignore"):
+        uid = f"{int(parts['h'].to_numpy(np.uint64).sum(dtype=np.uint64)):016x}-{n_docs}"
+
+    dl_final = os.path.join(index_dir, "_doclens", f"upd-{uid}")
+    if not os.path.exists(dl_final):
+        tmp = os.path.join(index_dir, "_doclens",
+                           f".tmp-{uuid.uuid4().hex}")
+        dl_ds.write_parquet(tmp)
+        try:
+            os.rename(tmp, dl_final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    meta_final = os.path.join(index_dir, "_meta",
+                              f"part-{uid}.parquet")
+    if not os.path.exists(meta_final):
+        meta = pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                         "total_len": pa.array([total_len],
+                                               pa.int64())})
+        mtmp = os.path.join(index_dir, "_meta",
+                            f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(meta, mtmp)
+        os.rename(mtmp, meta_final)
 
 
 def bm25_search(index_dir: str, terms: list[str], k: int = 10,
@@ -409,18 +514,27 @@ def bm25_search(index_dir: str, terms: list[str], k: int = 10,
     t = np.asarray(sorted(set(terms)), dtype=object)
     buckets = sorted(set(_bucket_of(t, num_buckets).tolist()))
     dset = pads.dataset(index_dir, partitioning="hive")
+    cols = ["term", "df", "doc_ids", "tfs"]
+    has_gen = "gen" in dset.schema.names
+    if has_gen:
+        cols.append("gen")
     tbl = dset.to_table(
-        columns=["term", "df", "doc_ids", "tfs"],
+        columns=cols,
         filter=(pads.field("b").isin(buckets)
                 & pads.field("term").isin(list(map(str, t)))))
     if tbl.num_rows == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
     # stale+merged coexistence tolerance (see update_inverted_index):
-    # keep the max-df row per term
-    tdf = tbl.to_pandas().sort_values(["term", "df"],
-                                      ascending=[True, False]) \
-        .drop_duplicates("term", keep="first")
+    # keep the newest generation's row per term (df breaks remaining
+    # ties for pre-gen v1 indexes)
+    tdf = tbl.to_pandas()
+    if not has_gen:
+        tdf = tdf.assign(gen=np.int64(0))
+    tdf = tdf.sort_values(["term", "gen", "df"],
+                          ascending=[True, False, False]) \
+        .drop_duplicates("term", keep="first") \
+        .drop(columns=["gen"])
     tbl = pa.Table.from_pandas(tdf, preserve_index=False)
 
     meta = pads.dataset(

@@ -149,12 +149,14 @@ class TestIncrementalIndexUpdate:
         d = str(tmp_path / "ix")
         S.build_inverted_index(rd.from_pandas(base), d, num_buckets=8)
         before = {p: sorted(os.listdir(os.path.join(d, p)))
-                  for p in os.listdir(d)}
+                  for p in os.listdir(d)
+                  if os.path.isdir(os.path.join(d, p))}
         new = pd.DataFrame({"doc_id": [3], "text": ["alpha alpha"]})
         touched = S.update_inverted_index(rd.from_pandas(new), d,
                                           num_buckets=8)
         after = {p: sorted(os.listdir(os.path.join(d, p)))
-                 for p in os.listdir(d)}
+                 for p in os.listdir(d)
+                 if os.path.isdir(os.path.join(d, p))}
         t_dirs = {f"b={b}" for b in touched}
         for p in before:
             if p.startswith("_"):
@@ -162,6 +164,82 @@ class TestIncrementalIndexUpdate:
             if p not in t_dirs:
                 assert before[p] == after[p], p
         assert len(touched) == 1  # only alpha's bucket
+
+    def test_update_retry_is_idempotent(self, tmp_path):
+        """A crashed-then-retried update (same new docs folded twice)
+        must not duplicate postings, dl rows, or meta rows — the
+        sidecars are content-addressed write-once units."""
+        import os
+        import ray.data as rd
+        import pyarrow.dataset as pads
+        from osm_sidewalkreator_ray.pipelines import search as S
+        base = pd.DataFrame({"doc_id": [1, 2],
+                             "text": ["alpha beta", "beta gamma"]})
+        d = str(tmp_path / "ix")
+        S.build_inverted_index(rd.from_pandas(base), d, num_buckets=8)
+        new = pd.DataFrame({"doc_id": [3, 4],
+                            "text": ["alpha delta", "gamma gamma"]})
+        S.update_inverted_index(rd.from_pandas(new), d, num_buckets=8)
+        score1 = S.bm25_search(d, ["alpha", "gamma"], k=10,
+                               num_buckets=8)
+        meta1 = pads.dataset(os.path.join(d, "_meta")) \
+            .to_table().to_pandas()
+        # the retry: identical batch folded again
+        S.update_inverted_index(rd.from_pandas(new), d, num_buckets=8)
+        score2 = S.bm25_search(d, ["alpha", "gamma"], k=10,
+                               num_buckets=8)
+        meta2 = pads.dataset(os.path.join(d, "_meta")) \
+            .to_table().to_pandas()
+        pd.testing.assert_frame_equal(score1, score2)
+        assert meta1["n_docs"].sum() == meta2["n_docs"].sum()
+        assert meta1["total_len"].sum() == meta2["total_len"].sum()
+        dl = pads.dataset(os.path.join(d, "_doclens")) \
+            .to_table().to_pandas()
+        assert dl["doc_id"].is_unique
+
+    def test_update_refuses_v1_index(self, tmp_path):
+        import os
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import search as S
+        base = pd.DataFrame({"doc_id": [1], "text": ["alpha beta"]})
+        d = str(tmp_path / "ix")
+        S.build_inverted_index(rd.from_pandas(base), d, num_buckets=4)
+        os.remove(os.path.join(d, "_format.json"))  # simulate v1 dir
+        with pytest.raises(ValueError, match="v1 index"):
+            S.update_inverted_index(
+                rd.from_pandas(pd.DataFrame(
+                    {"doc_id": [2], "text": ["beta"]})), d,
+                num_buckets=4)
+
+    def test_merged_gen_beats_stale_row(self, tmp_path):
+        """Newest-generation tie-break: plant a stale pre-update file
+        next to the merged one (the crash window) with EQUAL df but
+        different tfs — readers must score from the merged row."""
+        import os
+        import ray.data as rd
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import search as S
+        base = pd.DataFrame({"doc_id": [1], "text": ["alpha alpha"]})
+        d = str(tmp_path / "ix")
+        S.build_inverted_index(rd.from_pandas(base), d, num_buckets=1)
+        part = os.path.join(d, "b=0")
+        [f0] = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        stale = pq.read_table(os.path.join(part, f0))
+        # the ADVICE scenario: doc 1 re-ingested with CHANGED text —
+        # tf for "alpha" drops 2 -> 1 while df stays 1, so the stale
+        # row ties the merged row on df and only gen disambiguates
+        reingest = pd.DataFrame({"doc_id": [1], "text": ["alpha"]})
+        S.update_inverted_index(rd.from_pandas(reingest), d,
+                                num_buckets=1)
+        clean = S.bm25_search(d, ["alpha"], k=5, num_buckets=1)
+        # resurrect the stale gen-0 file alongside the merged gen-1
+        pq.write_table(stale, os.path.join(part, "zz-stale.parquet"))
+        dirty = S.bm25_search(d, ["alpha"], k=5, num_buckets=1)
+        # readers must score from the merged (gen-1, tf=1) row with
+        # or without the stale file present
+        pd.testing.assert_frame_equal(clean, dirty)
+        post = S._load_postings(d, ["alpha"], num_buckets=1)
+        assert list(post["alpha"]) == [1]
 
 
 @pytest.mark.usefixtures("ray_session")
