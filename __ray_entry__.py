@@ -76,7 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": T.simhash_near_dups,
         "token_topk": T.token_topk,
         "doc_length_quantiles": T.doc_length_quantiles,
-        "corpus_clean": T.corpus_clean,
+        # corpus_clean folded per the 50-query cap: its min-token
+        # gate + exact dedup are stages of curate_corpus_full below
+        # (still pytest-oracled standalone and a standing bench query)
+        # full curation incl. fused near-dedup (gate -> contaminated
+        # -> duplicate -> near_duplicate -> kept)
+        "curate_corpus_full": T.curate_corpus_full,
         "sample_documents": T.sample_documents,
         # vector similarity
         "embedding_norms": V.embedding_norms,
@@ -149,7 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": T.SIMHASH_NEAR_DUPS_SQL,
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
-        "corpus_clean": T.CORPUS_CLEAN_SQL,
+        "curate_corpus_full": T.CURATE_CORPUS_FULL_SQL,
         "sample_documents": T.SAMPLE_DOCUMENTS_SQL,
         "embedding_norms": V.NORMS_SQL,
         "ann_topk": V.ANN_TOPK_SQL,

@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True,
                     help="output root; parquet partitioned by status")
     ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--near-dup", action="store_true",
+                    help="fuse near-dedup: MinHash-shaped exact "
+                         "prefix-Jaccard pairs -> components -> "
+                         "keep-longest; losers get status "
+                         "near_duplicate (curate_corpus_full_ds)")
     ap.add_argument("--checkpoint", action="store_true",
                     help="resumable mode: write per-bucket partitions "
                          "+ manifest (state/checkpoint layout); an "
@@ -82,16 +87,25 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     if args.checkpoint:
         from osm_sidewalkreator_ray.state.checkpoint import read_output
-        T.curate_corpus_checkpointed(docs, ray.put(bench), args.out,
-                                     min_tokens=args.min_tokens)
+        if args.near_dup:
+            T.curate_corpus_full_checkpointed(
+                docs, ray.put(bench), args.out,
+                min_tokens=args.min_tokens)
+            out_df = read_output(os.path.join(args.out, "final"))
+        else:
+            T.curate_corpus_checkpointed(docs, ray.put(bench),
+                                         args.out,
+                                         min_tokens=args.min_tokens)
+            out_df = read_output(args.out)
         wall = time.perf_counter() - t0
-        out_df = read_output(args.out)
         by_status = out_df["status"].value_counts().to_dict() \
             if len(out_df) else {}
         by_status = {k: int(v) for k, v in by_status.items()}
     else:
-        verdicts = T.curate_corpus_ds(docs, ray.put(bench),
-                                      min_tokens=args.min_tokens)
+        mk = (T.curate_corpus_full_ds if args.near_dup
+              else T.curate_corpus_ds)
+        verdicts = mk(docs, ray.put(bench),
+                      min_tokens=args.min_tokens)
         verdicts.write_parquet(args.out, partition_cols=["status"])
         wall = time.perf_counter() - t0
         counts = (rd.read_parquet(args.out).groupby("status").count()

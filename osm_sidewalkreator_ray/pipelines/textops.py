@@ -1103,11 +1103,36 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
     generation, and the candidate-pair shuffle all scale down, and no
     suffix-only shingle ever contributes a candidate."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs_prefix_ds(ds, threshold=threshold,
+                                          k=k,
+                                          coarse_buckets=coarse_buckets)
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs_prefix_ds(docs, threshold: float = 0.5,
+                                  k: int = 3,
+                                  coarse_buckets: int = 64):
+    """Streaming core of :func:`ngram_jaccard_pairs_prefix`: documents
+    Dataset (doc_id, text) -> verified pairs Dataset."""
     import functools
     from ..functions.blocks import coalesce_slim
-    sh = coalesce_slim(ds.map_batches(
+    sh = coalesce_slim(docs.map_batches(
         functools.partial(_shingle_batch, k=k),
         batch_format="pandas", batch_size=1024).materialize())
+    return _prefix_pairs_from_shingles(sh, threshold, coarse_buckets)
+
+
+def _prefix_pairs_from_shingles(sh, threshold: float,
+                                coarse_buckets: int):
+    """Prefix-filter candidate generation + exact verify over an
+    existing (doc_id, shingles, n_sh) Dataset — shared by the
+    standalone pair op and the fused curation pipeline (which feeds a
+    survivors-only shingle table)."""
 
     def explode_prefix(b: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []
@@ -1138,13 +1163,7 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
 
     cand = (sh.map_batches(explode_prefix, batch_format="pandas")
             .groupby("cb").map_groups(bucket_pairs, batch_format="pandas"))
-    pairs = _exact_verify_pairs(cand, sh, threshold)
-    df = pairs.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return _exact_verify_pairs(cand, sh, threshold)
 
 
 NGRAM_JACCARD_SQL = r"""
@@ -2660,6 +2679,306 @@ SELECT f.doc_id,
             WHEN d.rn > 1 THEN 'duplicate'
             ELSE 'kept' END AS status
 FROM flags f LEFT JOIN dup d USING (doc_id) ORDER BY f.doc_id
+"""
+
+
+# ------------------------------ full curation: + fused near-dedup
+#
+# curate_corpus_ds stops at exact dedup; the one-shot production pass
+# also removes NEAR-duplicates among the survivors. Precedence (first
+# failing stage wins): gate_fail -> contaminated -> duplicate (exact,
+# min doc_id keeps) -> near_duplicate (cluster keep-LONGEST, ties to
+# smaller doc_id) -> kept.
+
+
+def _near_dup_losers(docs, kept_ids_ds, threshold: float, k: int,
+                     coarse_buckets: int) -> np.ndarray:
+    """Near-dup cluster LOSERS among the kept docs: shingle the corpus
+    once, semi-join the slim shingle table against the kept ids (a
+    hash-partition join — no corpus-sized broadcast), prefix-filtered
+    exact-Jaccard pairs, connected components, keep-longest. The pair
+    set, the components and the loser list are all bounded by
+    near-dup CLUSTER membership (the op's inherent output size), so
+    the driver-side component step holds at corpus scale; the shuffles
+    before it move one slim row per doc/candidate."""
+    import functools
+    from ..functions.blocks import coalesce_slim
+    from ..functions.graph import connected_components
+    from ..functions.joins import hash_partition_join
+
+    sh = coalesce_slim(docs.map_batches(
+        functools.partial(_shingle_batch, k=k),
+        batch_format="pandas", batch_size=1024).materialize())
+    # explicit Arrow schemas so the join's tagged union pads with the
+    # right types (binary shingles, never inferred as string)
+    sh_arrow = sh.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+            "shingles": pa.array(list(b["shingles"]), pa.binary()),
+            "n_sh": pa.array(b["n_sh"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    kept_arrow = kept_ids_ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64())}),
+        batch_format="pandas")
+    sh_kept = hash_partition_join(sh_arrow, kept_arrow, on="doc_id",
+                                  how="semi")
+    pairs = _prefix_pairs_from_shingles(sh_kept, threshold,
+                                        coarse_buckets).to_pandas()
+    if pairs.empty:
+        return np.empty(0, dtype=np.int64)
+    comp = connected_components(pd.DataFrame({
+        "src": pairs["doc_a"].astype("int64"),
+        "dst": pairs["doc_b"].astype("int64")}))
+    comp = comp.rename(columns={"vertex": "doc_id"})
+    ids = frozenset(comp["doc_id"].tolist())
+    tc = (doc_token_counts_ds(docs).map_batches(
+        lambda b: b[b["doc_id"].isin(ids)], batch_format="pandas")
+        .to_pandas())
+    df = comp.merge(tc, on="doc_id").sort_values(
+        ["component", "n_tokens", "doc_id"],
+        ascending=[True, False, True], kind="mergesort")
+    keeper = df.groupby("component")["doc_id"].transform("first")
+    return np.sort(df.loc[df["doc_id"] != keeper,
+                          "doc_id"].to_numpy(np.int64))
+
+
+def curate_corpus_full_ds(docs, bench_hashes, threshold: float = 0.5,
+                          min_tokens: int = 5,
+                          max_dup_line_frac: float = 0.3,
+                          max_symbol_ratio: float = 0.1,
+                          max_bullet_frac: float = 0.9, n: int = 3,
+                          k: int = 3, num_buckets: int = 64,
+                          coarse_buckets: int = 64):
+    """One-shot curation WITH near-dedup fused in: documents Dataset
+    -> (doc_id, status) Dataset with statuses gate_fail /
+    contaminated / duplicate / near_duplicate / kept.
+
+    Stage 1 is exactly :func:`curate_corpus_ds` (fused gates +
+    decontamination + exact dedup, one shuffle). Its slim verdicts
+    are materialized (2 columns per doc — the op's decision output,
+    not the corpus) so stage 2 can (a) semi-join the shingle table
+    down to the kept docs and (b) re-emit every verdict row. Stage 2
+    runs the prefix-filtered exact-Jaccard chain
+    (:func:`_near_dup_losers`); the MinHash+LSH candidates plug into
+    the identical pair->components->keep-best chain at lower cost
+    when approximate recall is acceptable — driving the composed op
+    from the exact pairs keeps the WHOLE pipeline SQL-checkable
+    (CURATE_CORPUS_FULL_SQL). Losers are re-labeled by a broadcast
+    sorted id array (bounded by cluster membership, never the
+    corpus)."""
+    import ray as _ray
+    verdicts = curate_corpus_ds(
+        docs, bench_hashes, min_tokens=min_tokens,
+        max_dup_line_frac=max_dup_line_frac,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac, n=n,
+        num_buckets=num_buckets).materialize()
+    kept_ids = verdicts.map_batches(
+        lambda b: b.loc[b["status"] == "kept", ["doc_id"]],
+        batch_format="pandas")
+    losers = _near_dup_losers(docs, kept_ids, threshold, k,
+                              coarse_buckets)
+    ref = _ray.put(losers)
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        lo = _ray.get(ref)
+        hit = np.isin(b["doc_id"].to_numpy(np.int64), lo)
+        status = np.where(hit & (b["status"] == "kept"),
+                          "near_duplicate", b["status"])
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "status": status})
+
+    return verdicts.map_batches(mark, batch_format="pandas")
+
+
+def curate_corpus_full_checkpointed(docs, bench_hashes, out_dir: str,
+                                    threshold: float = 0.5,
+                                    min_tokens: int = 5,
+                                    max_dup_line_frac: float = 0.3,
+                                    max_symbol_ratio: float = 0.1,
+                                    max_bullet_frac: float = 0.9,
+                                    n: int = 3, k: int = 3,
+                                    num_buckets: int = 64,
+                                    coarse_buckets: int = 64,
+                                    skip_keys_exact=None,
+                                    skip_keys_final=None):
+    """Resumable two-phase form of :func:`curate_corpus_full_ds`.
+
+    Phase 1 commits the exact-curation verdicts per content-hash
+    bucket under ``out_dir``/exact (the curate_corpus_checkpointed
+    machinery); a re-submit skips committed buckets. Phase 2 reads
+    the committed verdicts back as a Dataset (never a driver
+    collect), computes the near-dup losers, and commits the FINAL
+    (doc_id, status) rows per ``doc_id % num_buckets`` partition
+    under ``out_dir``/final — so a crash between phases resumes with
+    phase 1 entirely from parquet. ``skip_keys_*`` are fault
+    injection for the resume tests. Returns phase 2's manifest
+    rows."""
+    import hashlib as _hl
+    import os
+
+    from ..state.checkpoint import run_partitioned
+    curate_corpus_checkpointed(
+        docs, bench_hashes, os.path.join(out_dir, "exact"),
+        min_tokens=min_tokens, max_dup_line_frac=max_dup_line_frac,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac, n=n,
+        num_buckets=num_buckets, skip_keys=skip_keys_exact)
+    # per-partition manifest.json sidecars live next to the data
+    # files — restrict discovery to the parquet payload
+    verdicts = rd.read_parquet(os.path.join(out_dir, "exact", "part"),
+                               file_extensions=["parquet"],
+                               columns=["doc_id", "status"])
+    kept_ids = verdicts.map_batches(
+        lambda b: b.loc[b["status"] == "kept", ["doc_id"]],
+        batch_format="pandas")
+    losers = _near_dup_losers(docs, kept_ids, threshold, k,
+                              coarse_buckets)
+    import ray as _ray
+    ref = _ray.put(losers)
+
+    def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        lo = _ray.get(ref)
+        hit = np.isin(b["doc_id"].to_numpy(np.int64), lo)
+        status = np.where(hit & (b["status"] == "kept"),
+                          "near_duplicate", b["status"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "status": status,
+            "__b": (b["doc_id"].to_numpy(np.int64) % num_buckets)})
+
+    rows = verdicts.map_batches(with_bucket, batch_format="pandas")
+    cfg = _hl.sha1(
+        f"curate_full:v1:{threshold}:{min_tokens}:"
+        f"{max_dup_line_frac}:{max_symbol_ratio}:{max_bullet_frac}:"
+        f"{n}:{k}:{num_buckets}:{coarse_buckets}".encode()).hexdigest()
+    return run_partitioned(
+        rows, ["__b"], lambda g: g[["doc_id", "status"]],
+        os.path.join(out_dir, "final"), config_hash=cfg,
+        skip_keys=skip_keys_final)
+
+
+def curate_corpus_full(sf_dir: str, bench_mod: int = 97,
+                       bench_tokens: int = 50, **kw):
+    """Oracle form of the fused full-curation pass (eval set derived
+    as in :func:`curate_corpus`)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n = kw.get("n", 3)
+
+    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
+        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
+        return pd.DataFrame({"h": benchmark_ngram_hashes(
+            donors, n=n, max_tokens=bench_tokens)})
+
+    bench_rows = docs.map_batches(
+        bench_part, batch_format="pandas").to_pandas()
+    bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
+    import ray as _ray
+    out = curate_corpus_full_ds(docs, _ray.put(bench), **kw)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# CURATE_CORPUS_SQL's stages + the exact near-dup chain over the
+# exact-dedup survivors: trigram-Jaccard pairs (string shingles ==
+# the engine's 64-bit hash shingles absent collisions), recursive
+# min-label components, keep-LONGEST per component (ties to smaller
+# doc_id), losers re-labeled near_duplicate.
+CURATE_CORPUS_FULL_SQL = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     x -> trim(x) <> '') AS lines
+  FROM documents),
+sig AS (
+  SELECT doc_id, text, len(w) AS n_tokens, w,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+         END AS dup_line_frac,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE ((len(text) - len(replace(text, '#', '')))
+                    + (len(text) - len(replace(text, '...', ''))) / 3)
+                   * 1.0 / len(w) END AS symbol_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines,
+                       x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
+                            OR ltrim(x) LIKE chr(8226) || '%'))
+                   * 1.0 / len(lines) END AS bullet_frac
+  FROM tok),
+bench_src AS (
+  SELECT doc_id, w[1:50] AS w FROM tok WHERE doc_id % 97 = 0),
+bench AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM bench_src WHERE len(w) >= 3),
+doc_ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' '))) AS ng
+  FROM tok WHERE len(w) >= 3),
+contam AS (SELECT DISTINCT d.doc_id
+           FROM doc_ng d JOIN bench b USING (ng)),
+flags AS (
+  SELECT s.doc_id, s.text,
+         (s.n_tokens >= 5 AND s.dup_line_frac <= 0.3
+          AND s.symbol_ratio <= 0.1 AND s.bullet_frac <= 0.9)
+           AS gate_pass,
+         c.doc_id IS NOT NULL AS contaminated
+  FROM sig s LEFT JOIN contam c USING (doc_id)),
+dup AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+  FROM flags WHERE gate_pass AND NOT contaminated),
+kept0 AS (SELECT doc_id FROM dup WHERE rn = 1),
+shn AS (
+  SELECT t.doc_id,
+         CASE WHEN len(t.w) < 3 THEN [array_to_string(t.w, chr(1))]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t.w) - 2),
+                     i -> t.w[i] || chr(1) || t.w[i+1] || chr(1)
+                          || t.w[i+2]))
+         END AS s
+  FROM tok t JOIN kept0 USING (doc_id)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM shn a JOIN shn b ON a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component
+  FROM walk GROUP BY node),
+tc AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT c.doc_id,
+         FIRST_VALUE(c.doc_id) OVER (
+           PARTITION BY c.component
+           ORDER BY t.n_tokens DESC, c.doc_id) AS keeper
+  FROM comp c JOIN tc t USING (doc_id)),
+losers AS (SELECT doc_id FROM ranked WHERE doc_id <> keeper)
+SELECT f.doc_id,
+       CASE WHEN NOT f.gate_pass THEN 'gate_fail'
+            WHEN f.contaminated THEN 'contaminated'
+            WHEN d.rn > 1 THEN 'duplicate'
+            WHEN l.doc_id IS NOT NULL THEN 'near_duplicate'
+            ELSE 'kept' END AS status
+FROM flags f LEFT JOIN dup d USING (doc_id)
+             LEFT JOIN losers l ON f.doc_id = l.doc_id
+ORDER BY f.doc_id
 """
 
 

@@ -468,6 +468,65 @@ class TestRound4TextOps:
         from osm_sidewalkreator_ray.pipelines import textops as T
         check(T.near_dup_keep_best(SF), T.NEAR_DUP_KEEP_BEST_SQL, con)
 
+    def test_curate_corpus_full(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.curate_corpus_full(SF), T.CURATE_CORPUS_FULL_SQL, con)
+
+    def test_curate_corpus_full_planted_statuses(self):
+        """All five statuses fire with the documented precedence:
+        gate_fail -> contaminated -> duplicate (exact, min id) ->
+        near_duplicate (keep-LONGEST) -> kept."""
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        body = "alpha beta gamma delta epsilon zeta"
+        bench = T.benchmark_ngram_hashes(["zeta eta theta iota"])
+        docs = rd.from_items([
+            {"doc_id": 0, "text": body},         # exact keeper, then
+            #   near-dup loser to 5 (5 is longer) -> near_duplicate
+            {"doc_id": 1, "text": body},                  # duplicate
+            {"doc_id": 2, "text": "too short"},           # gate_fail
+            {"doc_id": 3, "text": body + " zeta eta theta iota"},
+            {"doc_id": 4, "text": "zeta eta"},            # gate_fail
+            {"doc_id": 5, "text": body + " longer tail"},  # kept
+        ])                                                # 3: contaminated
+        df = (T.curate_corpus_full_ds(docs, ray.put(bench))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert df["status"].tolist() == [
+            "near_duplicate", "duplicate", "gate_fail", "contaminated",
+            "gate_fail", "kept"]
+
+    def test_curate_corpus_full_checkpoint_resume(self, tmp_path):
+        """Two-phase resume: a run that loses final-phase buckets
+        (fault injection) resumes computing ONLY those, and the
+        resumed output equals the streaming one-shot form."""
+        import json
+        import numpy as np
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        from osm_sidewalkreator_ray.state.checkpoint import read_output
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        bench = np.empty(0, dtype=np.uint64)
+        want = (T.curate_corpus_full_ds(docs, ray.put(bench))
+                .to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+        out = str(tmp_path / "full")
+        m1 = T.curate_corpus_full_checkpointed(
+            docs, ray.put(bench), out, num_buckets=8,
+            skip_keys_final={(1,), (6,)})
+        assert len(m1) == 6
+        m2 = T.curate_corpus_full_checkpointed(
+            docs, ray.put(bench), out, num_buckets=8)
+        resumed = sorted(tuple(json.loads(s)) for s in m2["key"])
+        assert resumed == [(1,), (6,)]
+        got = (read_output(f"{out}/final").sort_values("doc_id")
+               .reset_index(drop=True)[["doc_id", "status"]])
+        assert got.equals(want)
+
     def test_near_dup_keep_best_policy(self):
         """Keepers are the longest doc per component (ties -> min
         doc_id), exactly one keeper per component."""
