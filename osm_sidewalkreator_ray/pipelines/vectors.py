@@ -1575,3 +1575,267 @@ def ivfpq_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
                         ascending=[False, True]).head(k)
     df["cosine_sim"] = df["cosine_sim"].round(6)
     return df.reset_index(drop=True)
+
+
+# ------------------------------------ graph ANN: NSW per IVF list
+#
+# The retrieval-industry default complement to IVF-PQ: a navigable
+# small-world graph (Malkov et al., "Approximate nearest neighbor
+# algorithm based on navigable small world graphs", Inf. Systems '14;
+# the layered variant is HNSW, TPAMI'18). True HNSW insertion is
+# inherently sequential; the DISTRIBUTED construction here follows the
+# verdict's partitioned recipe: build an independent two-layer NSW per
+# IVF coarse list, so every graph build is a bounded dense problem
+# ((N / n_clusters)^2 within one task) and lists build in parallel via
+# groupby(list_id).map_groups. Query = probe the n_probe nearest
+# lists (the IVF routing step) and run greedy ef-search inside each
+# probed list's graph, seeded through its hub layer — the search
+# touches O(ef * M) vectors instead of the probed lists' full scan
+# that IVF-PQ's ADC does.
+
+
+def _nsw_list_graph(g: pd.DataFrame, n_neighbors: int,
+                    hub_stride: int) -> pd.DataFrame:
+    """One coarse list -> NSW rows (vec_id, list_id, neighbors,
+    hub_neighbors, is_entry, vec float32 bytes). Layer 0: each node
+    links to its n_neighbors nearest in-list nodes (exact, dense).
+    Layer 1 (hubs): every hub_stride-th node by id order also links
+    to its nearest hubs — the long-range lattice greedy descent
+    enters through. Entry = the node nearest the list mean."""
+    ids = g["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in g["embedding"].to_numpy()[order]])
+    mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True),
+                         1e-12)
+    n = len(ids)
+    m_eff = min(n_neighbors, n - 1)
+    sims = mm @ mm.T
+    np.fill_diagonal(sims, -np.inf)
+    if m_eff > 0:
+        nbr_idx = np.argpartition(-sims, m_eff - 1,
+                                  axis=1)[:, :m_eff]
+        # deterministic: order each row's links by sim desc
+        row_s = np.take_along_axis(sims, nbr_idx, axis=1)
+        ordr = np.argsort(-row_s, kind="stable", axis=1)
+        nbr_idx = np.take_along_axis(nbr_idx, ordr, axis=1)
+        neighbors = [ids[r].tolist() for r in nbr_idx]
+    else:
+        neighbors = [[] for _ in range(n)]
+    hubs = np.zeros(n, dtype=bool)
+    hubs[::hub_stride] = True
+    hub_pos = np.flatnonzero(hubs)
+    hub_nbrs = [[] for _ in range(n)]
+    if len(hub_pos) > 1:
+        hs = sims[np.ix_(hub_pos, hub_pos)]
+        hm = min(m_eff if m_eff > 0 else 1, len(hub_pos) - 1)
+        hidx = np.argpartition(-hs, hm - 1, axis=1)[:, :hm]
+        row_s = np.take_along_axis(hs, hidx, axis=1)
+        ordr = np.argsort(-row_s, kind="stable", axis=1)
+        hidx = np.take_along_axis(hidx, ordr, axis=1)
+        for i, p in enumerate(hub_pos):
+            hub_nbrs[p] = ids[hub_pos[hidx[i]]].tolist()
+    centroid = mm.mean(axis=0)
+    entry_pos = int(np.argmax(mm @ centroid))
+    is_entry = np.zeros(n, dtype=bool)
+    # the entry must sit on the hub layer so descent starts there
+    if not hubs[entry_pos]:
+        entry_pos = int(hub_pos[np.argmax(mm[hub_pos] @ centroid)])
+    is_entry[entry_pos] = True
+    return pd.DataFrame({
+        "vec_id": ids,
+        "list_id": np.full(n, int(g["list_id"].iloc[0]),
+                           dtype=np.int64),
+        "neighbors": neighbors,
+        "hub_neighbors": hub_nbrs,
+        "is_hub": hubs,
+        "is_entry": is_entry,
+        "vec": [mm[i].astype(np.float32).tobytes() for i in range(n)]})
+
+
+def nsw_build(sf_dir: str, n_clusters: int = 16, n_neighbors: int = 8,
+              hub_stride: int = 8, seed: int = 42,
+              sample_n: int = 2048):
+    """Distributed NSW construction: coarse quantizer trained on a
+    driver sample (the ivfpq recipe), corpus assigned to lists in one
+    map_batches pass, one bounded dense graph build per list via
+    groupby(list_id).map_groups. Returns (graph Dataset, coarse
+    centroids). List count should grow ~sqrt(N) at scale (same sizing
+    rule as IVF) so the per-task (N/L)^2 stays bounded."""
+    sample_df = (_read_emb(sf_dir, ["embedding"]).limit(sample_n)
+                 ).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in sample_df["embedding"]])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    coarse = _train_coarse(x, n_clusters, rng)
+    cref = ray.put(coarse)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        mn = _batch_matrix(batch)
+        mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True),
+                             1e-12)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(np.int64),
+            "list_id": (mn @ c.T).argmax(axis=1).astype(np.int64),
+            "embedding": batch["embedding"]})
+
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    import functools
+    graph = assigned.groupby("list_id").map_groups(
+        functools.partial(_nsw_list_graph, n_neighbors=n_neighbors,
+                          hub_stride=hub_stride),
+        batch_format="pandas")
+    return graph, coarse
+
+
+def _nsw_search_rows(rows: pd.DataFrame, q: np.ndarray,
+                     ef: int) -> list[tuple[float, int]]:
+    """Greedy best-first ef-search over ONE probed list's graph rows:
+    descend the hub layer from the entry, then refine on layer 0.
+    Returns [(sim, vec_id)] of the <= ef best visited nodes."""
+    import heapq
+    d = q.shape[0]
+    ids = rows["vec_id"].to_numpy(np.int64)
+    vecs = np.frombuffer(b"".join(rows["vec"]),
+                         dtype=np.float32).reshape(len(ids), d)
+    sim_all = vecs @ q.astype(np.float32)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    nbrs = rows["neighbors"].to_numpy()
+    hnbrs = rows["hub_neighbors"].to_numpy()
+
+    def search(adj, seeds, budget):
+        visited = set(seeds)
+        cand = [(-float(sim_all[pos[s]]), s) for s in seeds]
+        heapq.heapify(cand)
+        best = [(float(sim_all[pos[s]]), s) for s in seeds]
+        heapq.heapify(best)
+        while cand:
+            negs, v = heapq.heappop(cand)
+            if len(best) >= budget and -negs < best[0][0]:
+                break
+            for u in adj[pos[v]]:
+                u = int(u)
+                if u in visited:
+                    continue
+                visited.add(u)
+                s = float(sim_all[pos[u]])
+                if len(best) < budget or s > best[0][0]:
+                    heapq.heappush(best, (s, u))
+                    if len(best) > budget:
+                        heapq.heappop(best)
+                    heapq.heappush(cand, (-s, u))
+        return best
+
+    entry = int(ids[rows["is_entry"].to_numpy(bool)][0])
+    # layer 1: cheap hub descent to find good layer-0 seeds
+    hub_best = search(hnbrs, [entry], max(4, ef // 8))
+    seeds = [v for _, v in hub_best]
+    return search(nbrs, seeds, ef)
+
+
+def nsw_topk(sf_dir: str, k: int = 10, n_clusters: int = 16,
+             n_neighbors: int = 8, n_probe: int = 4, ef: int = 50,
+             seed: int = 42, _graph=None, _coarse=None):
+    """Graph-ANN top-k for the standard probe query (vec_id 0, the
+    ``ann_topk`` oracle's query): IVF routing to ``n_probe`` lists,
+    greedy NSW ef-search inside each, exact float64 rerank of the
+    fused shortlist via a pushed-down ``vec_id IN`` parquet fetch
+    (the ``pq_topk_stored`` fetch shape). Candidate budget = ef per
+    probed list — compare recall against ``ivfpq_topk`` at
+    ``shortlist == n_probe * ef`` for the like-for-like bar."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if _graph is None:
+        _graph, _coarse = nsw_build(sf_dir, n_clusters=n_clusters,
+                                    n_neighbors=n_neighbors, seed=seed)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = set(np.argsort(-(_coarse @ q))[:n_probe].tolist())
+
+    probed = _graph.map_batches(
+        lambda b: b[b["list_id"].isin(probes)],
+        batch_format="pandas").to_pandas()
+    found: list[tuple[float, int]] = []
+    for _, rows in probed.groupby("list_id"):
+        found.extend(_nsw_search_rows(rows, q, ef))
+    if not found:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cosine_sim": pd.Series([], dtype="float64")})
+    ids = np.unique(np.array([v for _, v in found], dtype=np.int64))
+    rer = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(pa_array_int64(ids)))
+    mm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in rer["embedding"].to_pylist()])
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": rer["vec_id"].to_numpy(),
+                       "cosine_sim": mm @ q})
+    df = df.sort_values(["cosine_sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df.reset_index(drop=True)
+
+
+def nsw_write(sf_dir: str, index_dir: str, n_clusters: int = 16,
+              n_neighbors: int = 8, hub_stride: int = 8,
+              seed: int = 42) -> str:
+    """Stored-index variant: persist the NSW graph as parquet
+    PARTITIONED BY list_id (plus a _coarse.npy sidecar), so a query
+    reads ONLY its probed lists' partitions — the same read-pruning
+    contract as the ivfpq docstring prescribes."""
+    import os
+    graph, coarse = nsw_build(sf_dir, n_clusters=n_clusters,
+                              n_neighbors=n_neighbors,
+                              hub_stride=hub_stride, seed=seed)
+    graph.write_parquet(index_dir, partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "_coarse.npy"), coarse)
+    return index_dir
+
+
+def nsw_topk_stored(sf_dir: str, index_dir: str, k: int = 10,
+                    n_probe: int = 4, ef: int = 50) -> pd.DataFrame:
+    """Query a ``nsw_write`` index: hive-pruned read of the probed
+    lists' partitions only, greedy ef-search per list, pushed-down
+    exact rerank. Returns the same shape as ``nsw_topk``."""
+    import os
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    coarse = np.load(os.path.join(index_dir, "_coarse.npy"))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(-(coarse @ q))[:n_probe].tolist()
+    probed = pads.dataset(index_dir, partitioning="hive").to_table(
+        filter=pads.field("list_id").isin(probes)).to_pandas()
+    found: list[tuple[float, int]] = []
+    for _, rows in probed.groupby("list_id"):
+        found.extend(_nsw_search_rows(rows, q, ef))
+    if not found:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cosine_sim": pd.Series([], dtype="float64")})
+    ids = np.unique(np.array([v for _, v in found], dtype=np.int64))
+    rer = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(pa_array_int64(ids)))
+    mm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in rer["embedding"].to_pylist()])
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": rer["vec_id"].to_numpy(),
+                       "cosine_sim": mm @ q})
+    df = df.sort_values(["cosine_sim", "vec_id"],
+                        ascending=[False, True]).head(k)
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    return df.reset_index(drop=True)

@@ -1,5 +1,6 @@
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -664,3 +665,51 @@ def test_ivfpq_build_shapes():
     # every vector is encoded exactly once
     assert df["vec_id"].is_unique
     np.testing.assert_allclose(np.linalg.norm(coarse, axis=1), 1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNswGraphAnn:
+    def test_recall_at_least_ivfpq_equal_budget(self):
+        """The verdict's bar: graph-ANN recall >= IVF-PQ at EQUAL
+        candidate budget (n_probe * ef == shortlist) on the sf0.01
+        embeddings; both share the coarse router, so the probed-list
+        ceiling is common."""
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        sf = "/root/testdata/sf0.01"
+        exact = set(V.ann_topk(sf, k=10)["vec_id"])
+        nsw = V.nsw_topk(sf, k=10, n_probe=4, ef=50)
+        ivf = V.ivfpq_topk(sf, k=10, n_probe=4, shortlist=200)
+        r_nsw = len(exact & set(nsw["vec_id"])) / 10
+        r_ivf = len(exact & set(ivf["vec_id"])) / 10
+        assert r_nsw >= r_ivf, (r_nsw, r_ivf)
+        assert r_nsw >= 0.5
+
+    def test_stored_equals_inline_and_deterministic(self):
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        import tempfile
+        sf = "/root/testdata/sf0.01"
+        a = V.nsw_topk(sf, k=10, n_probe=4, ef=50)
+        b = V.nsw_topk(sf, k=10, n_probe=4, ef=50)
+        pd.testing.assert_frame_equal(a, b)  # deterministic
+        d = tempfile.mkdtemp() + "/nsw"
+        V.nsw_write(sf, d)
+        c = V.nsw_topk_stored(sf, d, k=10, n_probe=4, ef=50)
+        pd.testing.assert_frame_equal(a, c)
+
+    def test_tiny_lists_survive(self):
+        """Graph build on degenerate lists (singleton / pair) must not
+        crash and the search must still surface the vectors."""
+        import ray
+        import ray.data as rd
+        from osm_sidewalkreator_ray.pipelines import vectors as V
+        rng = np.random.RandomState(0)
+        g = pd.DataFrame({
+            "vec_id": [7],
+            "list_id": [3],
+            "embedding": [rng.randn(8).tolist()]})
+        rows = V._nsw_list_graph(g, n_neighbors=8, hub_stride=8)
+        assert rows["neighbors"].iloc[0] == []
+        assert bool(rows["is_entry"].iloc[0])
+        q = rng.randn(8)
+        got = V._nsw_search_rows(rows, q / np.linalg.norm(q), ef=10)
+        assert [v for _, v in got] == [7]
