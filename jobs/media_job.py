@@ -46,21 +46,31 @@ def main(argv=None) -> int:
                  include_dashboard=False)
     import ray.data as rd
     from osm_sidewalkreator_ray.stages.multimodal import (
-        audio_near_dups, phash_near_dups, video_near_dups)
+        audio_near_dups_ds, phash_near_dups_ds, video_near_dups_ds)
 
     t0 = time.time()
     ds = rd.read_parquet(args.data)
-    fn = {"image": phash_near_dups, "audio": audio_near_dups,
-          "video": video_near_dups}[args.mode]
+    fn = {"image": phash_near_dups_ds, "audio": audio_near_dups_ds,
+          "video": video_near_dups_ds}[args.mode]
     pairs = fn(ds, max_hamming=args.max_hamming)
     os.makedirs(args.out, exist_ok=True)
-    # explicit schema: from_pandas on an EMPTY frame loses dtypes
+    # stream the pair Dataset straight to parquet — no driver collect
+    # (pair volume is cluster-sized at 100 TB even though it is tiny
+    # at test scale); count comes off the written dataset
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    table = pa.table({c: pa.array(pairs[c].to_numpy(), pa.int64())
-                      for c in pairs.columns})
-    pq.write_table(table, os.path.join(args.out, "pairs.parquet"))
-    print(json.dumps({"mode": args.mode, "pairs": int(len(pairs)),
+    pairs.write_parquet(args.out)
+    written = rd.read_parquet(args.out,
+                              file_extensions=["parquet"])
+    n_pairs = written.count() if written.schema() is not None else 0
+    if n_pairs == 0:
+        # an all-empty write leaves no typed file; pin the schema so
+        # downstream readers of --out always see the contract
+        import pyarrow.parquet as pq
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ("media_a", "media_b", "hamming")})
+        pq.write_table(empty, os.path.join(args.out,
+                                           "pairs-empty.parquet"))
+    print(json.dumps({"mode": args.mode, "pairs": int(n_pairs),
                       "max_hamming": args.max_hamming,
                       "out": args.out,
                       "sec": round(time.time() - t0, 3)}))

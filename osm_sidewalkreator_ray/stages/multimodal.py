@@ -697,31 +697,54 @@ class ImagePHasher:
                              "phash": hashes.view(np.int64)})
 
 
-def phash_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
-                    coarse_buckets: int = 64) -> pd.DataFrame:
-    """Perceptual near-duplicate image pairs: (media_a, media_b,
-    hamming) for every image pair whose dHashes differ in
-    <= max_hamming bits. The payload column is dropped at the hashing
-    stage — only slim (media_id, phash) rows enter the banded search
-    (exact pigeonhole recall, see functions/hamming.py)."""
+def _media_near_dups_ds(media_ds, kind: str, hasher, sig_col: str,
+                        batch_size: int, max_hamming: int, bands: int,
+                        coarse_buckets: int):
+    """Shared streaming near-dup chain for all three media kinds:
+    filter to ``kind``, fingerprint via the actor-style stage (the
+    payload column is dropped there — only slim (media_id, sig) rows
+    enter the banded search), banded-hamming pairs as a DATASET. Pair
+    output streams to parquet at scale instead of collecting on the
+    driver (exact pigeonhole recall, see functions/hamming.py)."""
     from ..functions.hamming import banded_hamming_pairs
 
-    imgs = media_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "image")),
+    sel = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], kind)),
         batch_format="pyarrow")
-    sigs = imgs.map_batches(ImagePHasher(), batch_format="pandas",
-                            batch_size=256)
-    df = banded_hamming_pairs(sigs, "media_id", "phash",
-                              max_hamming=max_hamming, bands=bands,
-                              coarse_buckets=coarse_buckets,
-                              out_a="media_a",
-                              out_b="media_b").to_pandas()
+    sigs = sel.map_batches(hasher, batch_format="pandas",
+                           batch_size=batch_size)
+    return banded_hamming_pairs(sigs, "media_id", sig_col,
+                                max_hamming=max_hamming, bands=bands,
+                                coarse_buckets=coarse_buckets,
+                                out_a="media_a", out_b="media_b")
+
+
+def _collect_pairs(pairs_ds) -> pd.DataFrame:
+    df = pairs_ds.to_pandas()
     if df.empty:
         return pd.DataFrame({"media_a": pd.Series([], dtype="int64"),
                              "media_b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
     return df.sort_values(["media_a", "media_b"]) \
         .reset_index(drop=True)
+
+
+def phash_near_dups_ds(media_ds, max_hamming: int = 6, bands: int = 8,
+                       coarse_buckets: int = 64):
+    """Streaming form: perceptual near-duplicate image pairs Dataset
+    (media_a, media_b, hamming), dHash distance <= max_hamming."""
+    return _media_near_dups_ds(media_ds, "image", ImagePHasher(),
+                               "phash", 256, max_hamming, bands,
+                               coarse_buckets)
+
+
+def phash_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
+                    coarse_buckets: int = 64) -> pd.DataFrame:
+    """Collecting wrapper over :func:`phash_near_dups_ds` (driver
+    oracles / small results only)."""
+    return _collect_pairs(phash_near_dups_ds(
+        media_ds, max_hamming=max_hamming, bands=bands,
+        coarse_buckets=coarse_buckets))
 
 
 class AudioFingerprinter:
@@ -759,29 +782,21 @@ class AudioFingerprinter:
                              "afp": hashes.view(np.int64)})
 
 
+def audio_near_dups_ds(media_ds, max_hamming: int = 6, bands: int = 8,
+                       coarse_buckets: int = 64):
+    """Streaming form: near-duplicate audio pairs Dataset by spectral
+    fingerprint; exact pigeonhole recall within max_hamming."""
+    return _media_near_dups_ds(media_ds, "audio", AudioFingerprinter(),
+                               "afp", 256, max_hamming, bands,
+                               coarse_buckets)
+
+
 def audio_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
                     coarse_buckets: int = 64) -> pd.DataFrame:
-    """Near-duplicate audio pairs by spectral fingerprint: (media_a,
-    media_b, hamming); exact pigeonhole recall within max_hamming
-    (see functions/hamming.py)."""
-    from ..functions.hamming import banded_hamming_pairs
-
-    auds = media_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "audio")),
-        batch_format="pyarrow")
-    sigs = auds.map_batches(AudioFingerprinter(),
-                            batch_format="pandas", batch_size=256)
-    df = banded_hamming_pairs(sigs, "media_id", "afp",
-                              max_hamming=max_hamming, bands=bands,
-                              coarse_buckets=coarse_buckets,
-                              out_a="media_a",
-                              out_b="media_b").to_pandas()
-    if df.empty:
-        return pd.DataFrame({"media_a": pd.Series([], dtype="int64"),
-                             "media_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    return df.sort_values(["media_a", "media_b"]) \
-        .reset_index(drop=True)
+    """Collecting wrapper over :func:`audio_near_dups_ds`."""
+    return _collect_pairs(audio_near_dups_ds(
+        media_ds, max_hamming=max_hamming, bands=bands,
+        coarse_buckets=coarse_buckets))
 
 
 class VideoFingerprinter:
@@ -817,25 +832,18 @@ class VideoFingerprinter:
                              "vfp": hashes.view(np.int64)})
 
 
+def video_near_dups_ds(media_ds, max_hamming: int = 6, bands: int = 8,
+                       coarse_buckets: int = 64):
+    """Streaming form: near-duplicate video pairs Dataset by temporal
+    dHash; exact pigeonhole recall within max_hamming."""
+    return _media_near_dups_ds(media_ds, "video", VideoFingerprinter(),
+                               "vfp", 64, max_hamming, bands,
+                               coarse_buckets)
+
+
 def video_near_dups(media_ds, max_hamming: int = 6, bands: int = 8,
                     coarse_buckets: int = 64) -> pd.DataFrame:
-    """Near-duplicate video pairs by temporal dHash: (media_a,
-    media_b, hamming); exact pigeonhole recall within max_hamming."""
-    from ..functions.hamming import banded_hamming_pairs
-
-    vids = media_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "video")),
-        batch_format="pyarrow")
-    sigs = vids.map_batches(VideoFingerprinter(),
-                            batch_format="pandas", batch_size=64)
-    df = banded_hamming_pairs(sigs, "media_id", "vfp",
-                              max_hamming=max_hamming, bands=bands,
-                              coarse_buckets=coarse_buckets,
-                              out_a="media_a",
-                              out_b="media_b").to_pandas()
-    if df.empty:
-        return pd.DataFrame({"media_a": pd.Series([], dtype="int64"),
-                             "media_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    return df.sort_values(["media_a", "media_b"]) \
-        .reset_index(drop=True)
+    """Collecting wrapper over :func:`video_near_dups_ds`."""
+    return _collect_pairs(video_near_dups_ds(
+        media_ds, max_hamming=max_hamming, bands=bands,
+        coarse_buckets=coarse_buckets))

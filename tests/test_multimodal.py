@@ -428,6 +428,9 @@ def test_media_job_cli(tmp_path):
         rc = main(["audio", "--data", data, "--out", out])
     assert rc == 0
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
-    got = pq.read_table(f"{out}/pairs.parquet").to_pandas()
+    # streaming write: the pair Dataset lands as one-or-more parquet
+    # files under out/ instead of a single driver-collected file
+    import pyarrow.dataset as pads
+    got = pads.dataset(out, format="parquet").to_table().to_pandas()
     assert rep["pairs"] == len(got)
-    assert list(got.columns) == ["media_a", "media_b", "hamming"]
+    assert sorted(got.columns) == ["hamming", "media_a", "media_b"]
