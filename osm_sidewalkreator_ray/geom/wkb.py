@@ -221,3 +221,109 @@ def bbox_of_lines(coords, offsets):
     starts = np.asarray(offsets[:-1], dtype=np.intp)
     return (np.minimum.reduceat(x, starts), np.minimum.reduceat(y, starts),
             np.maximum.reduceat(x, starts), np.maximum.reduceat(y, starts))
+
+
+# ------------------------------------------------------- GeoArrow layout
+#
+# SURVEY.md §1.3's follow-on to WKB: the GeoArrow-native encoding
+# (https://geoarrow.org, v0.1 interleaved layout) keeps coordinates as
+# Arrow nested lists instead of opaque binary blobs, so read-side
+# consumers get the ragged (coords, offsets) layout ZERO-COPY from the
+# column buffers — no per-feature WKB parse. Types:
+#   linestring: list<fixed_size_list<double>[2]>
+#   polygon:    list<list<fixed_size_list<double>[2]>>  (ring 0 = shell)
+# The converters below map exactly onto this package's ragged numpy
+# layout (module docstring), so every kernel runs unchanged on either
+# encoding.
+
+import pyarrow as _pa
+
+GEOARROW_LINESTRING = _pa.list_(_pa.list_(_pa.float64(), 2))
+GEOARROW_POLYGON = _pa.list_(_pa.list_(_pa.list_(_pa.float64(), 2)))
+
+
+def lines_to_geoarrow(coords: np.ndarray,
+                      offsets: np.ndarray) -> "_pa.Array":
+    """Ragged lines -> GeoArrow linestring array (zero-copy over the
+    interleaved coord buffer)."""
+    flat = _pa.array(np.ascontiguousarray(
+        coords, dtype=np.float64).reshape(-1), type=_pa.float64())
+    verts = _pa.FixedSizeListArray.from_arrays(flat, 2)
+    return _pa.ListArray.from_arrays(
+        _pa.array(np.asarray(offsets, dtype=np.int32),
+                  type=_pa.int32()), verts)
+
+
+def geoarrow_to_lines(arr) -> tuple[np.ndarray, np.ndarray]:
+    """GeoArrow linestring array -> (coords (M,2), offsets (N+1)).
+    Coordinate buffer is read zero-copy; offsets account for any
+    array-level slice offset."""
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    coords = np.asarray(arr.values.values, dtype=np.float64) \
+        .reshape(-1, 2)
+    # normalize to a 0-based offset window over the used span
+    coords = coords[offsets[0]:offsets[-1]]
+    return coords, offsets - offsets[0]
+
+
+def polygons_to_geoarrow(coords: np.ndarray, ring_offsets: np.ndarray,
+                         poly_offsets: np.ndarray) -> "_pa.Array":
+    """Ragged polygons -> GeoArrow polygon array."""
+    flat = _pa.array(np.ascontiguousarray(
+        coords, dtype=np.float64).reshape(-1), type=_pa.float64())
+    verts = _pa.FixedSizeListArray.from_arrays(flat, 2)
+    rings = _pa.ListArray.from_arrays(
+        _pa.array(np.asarray(ring_offsets, dtype=np.int32),
+                  type=_pa.int32()), verts)
+    return _pa.ListArray.from_arrays(
+        _pa.array(np.asarray(poly_offsets, dtype=np.int32),
+                  type=_pa.int32()), rings)
+
+
+def geoarrow_to_polygons(arr) \
+        -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """GeoArrow polygon array -> (coords, ring_offsets, poly_offsets)
+    in this package's ragged layout."""
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    poly_off = np.asarray(arr.offsets, dtype=np.int64)
+    rings = arr.values
+    ring_off = np.asarray(rings.offsets, dtype=np.int64)
+    coords = np.asarray(rings.values.values, dtype=np.float64) \
+        .reshape(-1, 2)
+    # window to the used span and rebase both offset levels
+    ring_off = ring_off[poly_off[0]:poly_off[-1] + 1]
+    coords = coords[ring_off[0]:ring_off[-1]]
+    return (coords, ring_off - ring_off[0], poly_off - poly_off[0])
+
+
+def wkb_lines_to_geoarrow(wkbs) -> "_pa.Array":
+    """Convenience: LineString WKB column -> GeoArrow column (single-
+    part lines only; MultiLineStrings must be flattened upstream)."""
+    coords, offsets, part_of = decode_lines(wkbs)
+    if len(part_of) != len(wkbs):
+        raise ValueError("MultiLineString rows must be flattened "
+                         "before GeoArrow encoding (1 row = 1 line)")
+    return lines_to_geoarrow(coords, offsets)
+
+
+def geoarrow_lines_to_wkb(arr) -> list[bytes]:
+    coords, offsets = geoarrow_to_lines(arr)
+    return encode_lines(coords, offsets)
+
+
+def wkb_polygons_to_geoarrow(wkbs) -> "_pa.Array":
+    """Polygon WKB column -> GeoArrow column (single-part polygons;
+    MultiPolygons must be flattened upstream)."""
+    coords, ring_off, poly_off, part_of = decode_polygons(wkbs)
+    if len(part_of) != len(wkbs):
+        raise ValueError("MultiPolygon rows must be flattened before "
+                         "GeoArrow encoding (1 row = 1 polygon)")
+    return polygons_to_geoarrow(coords, ring_off, poly_off)
+
+
+def geoarrow_polygons_to_wkb(arr) -> list[bytes]:
+    coords, ring_off, poly_off = geoarrow_to_polygons(arr)
+    return encode_polygons(coords, ring_off, poly_off)

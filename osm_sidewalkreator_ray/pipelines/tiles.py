@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..cells import (cell_bounds, cell_ixy, cell_parent, cell_res,
                      cover_bboxes, latlng_to_cell)
@@ -249,7 +250,8 @@ def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
                         id_col: str = "feature_id", res: int = 13,
                         dir_res: int = 5, batch_size: int = 4096,
                         geometry: str = "line",
-                        simplify_tol: float = 0.0):
+                        simplify_tol: float = 0.0,
+                        encoding: str = "wkb"):
     """Write line features as a hive-partitioned vector-tile layout.
 
     Partition dirs are the DIR_RES ancestor of each tile cell
@@ -258,11 +260,19 @@ def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
     (4**dir_res worst case), and resumable per partition. The slice
     stage is embarrassingly parallel (no shuffle); the only data
     movement is the partitioned write.
+
+    ``encoding='geoarrow'`` stores the sliced geometry as a GeoArrow
+    nested-list column (``geometry``) instead of opaque WKB bytes
+    (SURVEY.md §1.3's follow-on): read-side consumers get the ragged
+    coordinate layout zero-copy from the column buffers, skipping the
+    per-feature WKB parse (geom/wkb.py GeoArrow section).
     """
     if dir_res > res:
         raise ValueError("dir_res must be <= res")
     if geometry not in ("line", "polygon"):
         raise ValueError("geometry must be 'line' or 'polygon'")
+    if encoding not in ("wkb", "geoarrow"):
+        raise ValueError("encoding must be 'wkb' or 'geoarrow'")
     if geometry == "line":
         def slicer(b):
             return slice_lines_to_tiles(b, wkb_col, id_col, res,
@@ -284,6 +294,18 @@ def export_vector_tiles(ds, out_dir: str, wkb_col: str = "wkb",
 
     sliced = ds.map_batches(stage, batch_format="pandas",
                             batch_size=batch_size)
+    if encoding == "geoarrow":
+        from ..geom import wkb as _wkb
+        conv = (_wkb.wkb_lines_to_geoarrow if geometry == "line"
+                else _wkb.wkb_polygons_to_geoarrow)
+
+        def to_geoarrow(b: pd.DataFrame) -> pa.Table:
+            cols = {c: pa.array(b[c]) for c in b.columns
+                    if c != "wkb"}
+            cols["geometry"] = conv(list(b["wkb"]))
+            return pa.table(cols)
+
+        sliced = sliced.map_batches(to_geoarrow, batch_format="pandas")
     sliced.write_parquet(out_dir, partition_cols=["tile_group"])
     return out_dir
 

@@ -778,3 +778,59 @@ def test_isochrone_mixed_resolution_raises():
         isochrone_polygons(rd.from_pandas(dists), threshold=5.0,
                            dir_k=6).to_pandas()
     assert "resolution" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGeoArrowEncoding:
+    def test_roundtrip_codecs(self):
+        from osm_sidewalkreator_ray.geom import wkb as W
+        coords = np.array([[0, 0], [1, 0], [1, 1], [0, 0],
+                           [5, 5], [6, 5]], float)
+        off = np.array([0, 4, 6])
+        ga = W.lines_to_geoarrow(coords, off)
+        c2, o2 = W.geoarrow_to_lines(ga)
+        assert np.array_equal(coords, c2) and np.array_equal(off, o2)
+        wk = W.encode_lines(coords, off)
+        assert W.geoarrow_lines_to_wkb(ga) == wk
+        assert W.wkb_lines_to_geoarrow(wk).equals(ga)
+        pc_ = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0],
+                        [0.5, 0.5], [1, 0.5], [1, 1], [0.5, 0.5]],
+                       float)
+        ro, po = np.array([0, 5, 9]), np.array([0, 2])
+        gp = W.polygons_to_geoarrow(pc_, ro, po)
+        c3, r3, p3 = W.geoarrow_to_polygons(gp)
+        assert (np.array_equal(pc_, c3) and np.array_equal(ro, r3)
+                and np.array_equal(po, p3))
+        wkp = W.encode_polygons(pc_, ro, po)
+        assert W.geoarrow_polygons_to_wkb(gp) == wkp
+
+    def test_export_geoarrow_equals_wkb_path(self, tmp_path):
+        """The same export in both encodings carries IDENTICAL
+        geometry: decoding the GeoArrow column back to WKB reproduces
+        the WKB path byte-for-byte, per (feature_id, cell,
+        piece_idx)."""
+        import ray.data as rd
+        from osm_sidewalkreator_ray.geom import wkb as W
+        from osm_sidewalkreator_ray.pipelines.tiles import \
+            export_vector_tiles
+        df = TestVectorTiles()._lines()
+        wkb_dir = str(tmp_path / "wkb")
+        ga_dir = str(tmp_path / "ga")
+        export_vector_tiles(rd.from_pandas(df[["feature_id", "wkb"]]),
+                            wkb_dir, res=TestVectorTiles.RES,
+                            dir_res=3)
+        export_vector_tiles(rd.from_pandas(df[["feature_id", "wkb"]]),
+                            ga_dir, res=TestVectorTiles.RES,
+                            dir_res=3, encoding="geoarrow")
+        a = rd.read_parquet(wkb_dir).to_pandas()
+        b = rd.read_parquet(ga_dir).to_pandas()
+        key = ["feature_id", "cell", "piece_idx"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a[key].equals(b[key])
+        import pyarrow as pa
+        ga_col = pa.array(
+            [list(map(list, v)) for v in b["geometry"]],
+            type=W.GEOARROW_LINESTRING)
+        back = W.geoarrow_lines_to_wkb(ga_col)
+        assert list(a["wkb"]) == back
