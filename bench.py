@@ -126,8 +126,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ngram_jaccard_pairs", lambda: T.ngram_jaccard_pairs(sf_dir))
     timed("simhash_near_dups", lambda: T.simhash_near_dups(sf_dir))
     timed("corpus_clean", lambda: T.corpus_clean(sf_dir))
+    timed("curate_corpus_full", lambda: T.curate_corpus_full(sf_dir))
     timed("token_topk", lambda: T.token_topk(sf_dir))
     timed("ann_topk", lambda: V.ann_topk(sf_dir))
+    timed("nsw_topk", lambda: V.nsw_topk(sf_dir))
     from osm_sidewalkreator_ray.pipelines import tiles as TL
     timed("tile_pyramid", lambda: TL.tile_pyramid_query(sf_dir))
     from osm_sidewalkreator_ray.pipelines import trajectory as TJ
