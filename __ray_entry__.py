@@ -152,6 +152,9 @@ def oracle_sql() -> dict[str, str]:
         # whole SimHash op SQL-reproducible (bit-vote rebuild +
         # popcount-of-xor self-join)
         "simhash_near_dups": T.SIMHASH_NEAR_DUPS_SQL,
+        # md5 token hash + rotation shingles + inlined (a, b) perm
+        # literals rebuild the FULL MinHash/LSH/verify chain in SQL
+        "minhash_dedup_pairs": T.MINHASH_DEDUP_SQL,
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "curate_corpus_full": T.CURATE_CORPUS_FULL_SQL,
@@ -160,6 +163,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": V.ANN_TOPK_SQL,
         "knn_join_sample": V.KNN_SQL,
         "embedding_near_dups": V.EMBEDDING_NEAR_DUPS_EXACT_SQL,
-        # minhash_dedup_pairs / simhash_fingerprints /
-        # geospatial: rows-only (non-SQL ops)
+        # simhash_fingerprints / geospatial: rows-only (non-SQL ops)
     }

@@ -370,25 +370,52 @@ def _mixmul(h, j: int):
     return v
 
 
-def _shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
+def _rotmix(h, j: int):
+    """Position-j mixing by pure bit ROTATION (left by (21*j) % 64) —
+    the SQL-reproducible alternative to ``_mixmul``: DuckDB has no
+    wrapping multiply, but a rotate is two exact HUGEINT-safe shifts
+    (``(h*2^r) % 2^64 + (h >> (64-r))``). Distinct for j < 64 because
+    21 is invertible mod 64."""
+    r = np.uint64((21 * j) % 64)
+    if not r:
+        return h
+    return (h << r) | (h >> (np.uint64(64) - r))
+
+
+def _shingle_hashes(words: list[str], k: int = 3, *, hash_fn=None,
+                    mix=None) -> np.ndarray:
     """Unique k-gram shingle hashes for ONE doc: per-token 64-bit
-    hashes (pandas siphash, deterministic) combined across the
-    k-window with distinct odd multipliers. Hot-path batches use
-    ``_shingle_hashes_batch`` (one hash call for the whole batch);
+    hashes (pandas siphash by default, deterministic) combined across
+    the k-window with a per-position mixing function. Hot-path batches
+    use ``_shingle_hashes_batch`` (one hash call for the whole batch);
     this per-doc form is the identity-tested reference and the entry
-    point for single-doc callers."""
+    point for single-doc callers. ``hash_fn``/``mix`` select the hash
+    family: the default (siphash + ``_mixmul``) is the historical one
+    pinned by golden fixtures; (``_md5_token_hashes`` + ``_rotmix``)
+    is the SQL-oracle-reproducible one used by the MinHash family."""
+    hash_fn = hash_fn or pd.util.hash_array
+    mix = mix or _mixmul
     if not words:
         return np.empty(0, dtype=np.uint64)
-    th = pd.util.hash_array(np.asarray(words, dtype=object))
+    th = hash_fn(np.asarray(words, dtype=object))
     if len(th) < k:
         combo = np.uint64(0)
         for j, h in enumerate(th):
-            combo ^= _mixmul(np.uint64(h), j)
+            combo ^= mix(np.uint64(h), j)
         return np.array([combo], dtype=np.uint64)
     acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
     for j in range(k):
-        acc ^= _mixmul(th[j:len(th) - k + 1 + j], j)
+        acc ^= mix(th[j:len(th) - k + 1 + j], j)
     return np.unique(acc)
+
+
+def _md5_shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
+    """``_shingle_hashes`` over the md5-derived token hash with the
+    rotation mix — every step exactly reproducible in DuckDB SQL
+    (see MINHASH_DEDUP_SQL), which is what buys the MinHash family
+    its full oracle."""
+    return _shingle_hashes(words, k, hash_fn=_md5_token_hashes,
+                           mix=_rotmix)
 
 
 _MIX = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
@@ -460,19 +487,22 @@ def _seg_sums(values: np.ndarray, counts: np.ndarray,
     return out
 
 
-def _shingle_hashes_batch(texts, k: int = 3) \
-        -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes_batch(texts, k: int = 3, *, hash_fn=None,
+                          mix=None) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized ``_shingle_hashes`` over a WHOLE batch: one token
     hash call, one windowed combine, one lexsort-dedupe — no per-doc
     Python. Returns (flat, counts): ``flat`` concatenates each doc's
     ascending unique shingle hashes; ``counts[i]`` is doc i's count.
-    Byte-identical to mapping ``_shingle_hashes`` per doc
-    (identity-tested in tests/test_textops_vectorized.py)."""
+    Byte-identical to mapping ``_shingle_hashes`` per doc with the
+    same ``hash_fn``/``mix`` pair (identity-tested in
+    tests/test_textops_vectorized.py)."""
+    hash_fn = hash_fn or pd.util.hash_array
+    mix = mix or _mixmul
     flat_tok, ntok = _flat_tokens(texts)
     nd = len(ntok)
     if flat_tok.size == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(nd, np.int64)
-    th = pd.util.hash_array(flat_tok)
+    th = hash_fn(flat_tok)
     starts = np.zeros(nd, dtype=np.int64)
     np.cumsum(ntok[:-1], out=starts[1:])
     big = ntok >= k
@@ -489,14 +519,14 @@ def _shingle_hashes_batch(texts, k: int = 3) \
             wi = np.repeat(starts[big], nb) + seg
             acc = np.zeros(len(wi), dtype=np.uint64)
             for j in range(k):
-                acc ^= _mixmul(th[wi + j], j)
+                acc ^= mix(th[wi + j], j)
             out[np.repeat(o[big], nb) + seg] = acc
         if small.any():
             sst, sn = starts[small], ntok[small]
             combo = np.zeros(len(sst), dtype=np.uint64)
             for j in range(k - 1):
                 m = sn > j
-                combo[m] ^= _mixmul(th[sst[m] + j], j)
+                combo[m] ^= mix(th[sst[m] + j], j)
             out[o[small]] = combo
     # per-doc ascending unique without a per-doc np.unique loop:
     # lexsort by (doc, hash), then drop adjacent duplicates per doc
@@ -510,15 +540,30 @@ def _shingle_hashes_batch(texts, k: int = 3) \
 
 
 class MinHasher:
-    """Actor-pool stage: permutation parameters built once per actor."""
+    """Actor-pool stage: permutation parameters built once per actor.
 
-    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42):
+    ``token_hash`` selects the shingle-hash family: ``"md5"`` (default
+    of the public minhash entry points) is the SQL-reproducible
+    md5+rotation scheme that buys ``minhash_dedup_pairs`` its full
+    DuckDB oracle (MINHASH_DEDUP_SQL); ``"sip"`` is the historical
+    pandas-siphash + odd-multiplier scheme shared with the n-gram
+    family's golden fixtures."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42,
+                 token_hash: str = "md5"):
         self.a, self.b = _minhash_params(num_perm, seed)
         self.k = k
         self.num_perm = num_perm
+        if token_hash not in ("md5", "sip"):
+            raise ValueError(f"token_hash={token_hash!r}")
+        self.token_hash = token_hash
+        self._hash_fn = _md5_token_hashes if token_hash == "md5" else None
+        self._mix = _rotmix if token_hash == "md5" else None
 
     def signature(self, words: list[str]) -> np.ndarray:
-        return self.signature_from_shingles(_shingle_hashes(words, self.k))
+        return self.signature_from_shingles(
+            _shingle_hashes(words, self.k, hash_fn=self._hash_fn,
+                            mix=self._mix))
 
     def signature_from_shingles(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
@@ -533,7 +578,8 @@ class MinHasher:
         # (_shingle_hashes_batch) and one (shingles, num_perm) matrix
         # with per-doc mins via minimum.reduceat — byte-identical to
         # the per-doc signature_from_shingles loop (identity-tested)
-        flat, counts = _shingle_hashes_batch(batch["text"], self.k)
+        flat, counts = _shingle_hashes_batch(
+            batch["text"], self.k, hash_fn=self._hash_fn, mix=self._mix)
         nd = len(counts)
         sig = np.zeros((nd, self.num_perm), dtype=np.uint64)
         nz = counts > 0
@@ -590,20 +636,33 @@ def _explode_bands(batch: pd.DataFrame, num_perm: int, bands: int,
 
 
 def _minhash_batch(batch: pd.DataFrame, num_perm: int, k: int,
-                   seed: int) -> pd.DataFrame:
-    key = (num_perm, k, seed)
+                   seed: int, token_hash: str = "md5") -> pd.DataFrame:
+    key = (num_perm, k, seed, token_hash)
     h = _HASHER_CACHE.get(key)
     if h is None:
-        h = _HASHER_CACHE[key] = MinHasher(num_perm, k, seed)
+        h = _HASHER_CACHE[key] = MinHasher(num_perm, k, seed, token_hash)
     return h(batch)
 
 
 def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                         threshold: float = 0.5, coarse_buckets: int = 64,
+                        token_hash: str = "md5",
                         _as_dataset: bool = False):
-    """MinHash+LSH near-dup (rows-only: not SQL-expressible at scale).
+    """MinHash+LSH near-dup pairs with a FULL DuckDB oracle.
     (Broder '97 resemblance sketches; banding per Leskovec/Rajaraman/
     Ullman, Mining of Massive Datasets ch. 3.)
+
+    The default ``token_hash="md5"`` makes every step SQL-reproducible
+    (MINHASH_DEDUP_SQL): token hash = first 8 md5 bytes (the SimHash
+    family's scheme), shingle = XOR of per-position rotations,
+    signature = min over shingles of ``(a*x + b) mod 2^64 mod (2^61-1)``
+    with the (a, b) literals inlined into the SQL, LSH candidacy =
+    exact equality of a band's value tuple, and the verify step's
+    Jaccard computed over the same md5 shingle sets. The oracle's only
+    approximation is a ~2^-63 band-hash collision that could surface
+    an extra (still Jaccard-verified) engine pair — negligible at any
+    tested scale. ``token_hash="sip"`` keeps the historical
+    pandas-siphash scheme.
 
     Physical plan: shingle->minhash signatures (actor pool, shingle
     hashes kept as a bytes column) -> SLIM band rows (band, band_hash,
@@ -622,7 +681,8 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     from ..functions.blocks import coalesce_slim
     sigs = coalesce_slim(ds.map_batches(
-        functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42),
+        functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42,
+                          token_hash=token_hash),
         batch_format="pandas", batch_size=1024).materialize())
 
     exploded = sigs.map_batches(
@@ -656,6 +716,88 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _minhash_dedup_sql(num_perm: int = 64, bands: int = 16,
+                       threshold: float = 0.5, k: int = 3,
+                       seed: int = 42) -> str:
+    """Full DuckDB oracle for ``minhash_dedup_pairs``: rebuilds the
+    md5 token hash, rotation-combined k=3 shingles, the 64 permuted
+    min-hashes ((a*x + b) wrapping mod 2^64 then mod 2^61-1, with the
+    seed-42 (a, b) literals inlined below), band-tuple equality for
+    LSH candidacy, and the exact shingle-Jaccard verify — every step
+    integer-exact in HUGEINT, so the SQL reproduces the engine
+    bit-for-bit (band-hash collisions aside, ~2^-63 per compared
+    pair). Short docs (< k tokens) hash their full token run as ONE
+    shingle, matching ``_shingle_hashes``' small-doc path via the
+    COALESCE(LEAD, 0) identity (rot(0) = 0 = XOR identity)."""
+    assert k == 3, "SQL oracle is written for the default k=3"
+    a, b = _minhash_params(num_perm, seed)
+    rpb = num_perm // bands
+    perms = ",\n    ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+    two64 = "18446744073709551616"
+    mers = str((1 << 61) - 1)
+
+    def rot(expr: str, r: int) -> str:
+        return (f"(((({expr})::HUGEINT * {1 << r}) % {two64})::UBIGINT"
+                f" + (({expr}) >> {64 - r}))")
+
+    sh_big = ("xor(xor(hs[i], " + rot("hs[i + 1]", 21) + "), "
+              + rot("hs[i + 2]", 42) + ")")
+    sh_small = ("xor(xor(hs[1], "
+                + rot("COALESCE(hs[2], 0::UBIGINT)", 21) + "), "
+                + rot("COALESCE(hs[3], 0::UBIGINT)", 42) + ")")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+th AS (
+  SELECT doc_id,
+         list_transform(w, tk ->
+             ('0x' || substr(md5(tk), 1, 16))::UBIGINT) AS hs
+  FROM tok),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) < 3 THEN [{sh_small}]
+              ELSE list_transform(generate_series(1, len(hs) - 2),
+                                  i -> {sh_big}) END AS ss
+  FROM th),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh0),
+perms(i, a, b) AS (VALUES
+    {perms}),
+mh AS (
+  SELECT sh.doc_id, p.i,
+         MIN((((p.a::HUGEINT * sh.s::HUGEINT) % {two64} + p.b)
+              % {two64}) % {mers}) AS v
+  FROM sh CROSS JOIN perms p GROUP BY sh.doc_id, p.i),
+bs AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(v::VARCHAR, ',' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, i // {rpb}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bs x JOIN bs y ON x.band = y.band AND x.sig = y.sig
+                      AND x.doc_id < y.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.ni * 1.0 / (ca.nsh + cb.nsh - i.ni), 6) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.doc_a
+JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE i.ni * 1.0 / (ca.nsh + cb.nsh - i.ni) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+MINHASH_DEDUP_SQL = _minhash_dedup_sql()
 
 
 def _exact_verify_pairs(cand, docs_with_shingles, threshold: float):
@@ -3580,7 +3722,8 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, top_k: int = 20):
 
 def incremental_minhash_pairs(existing, new, num_perm: int = 64,
                               bands: int = 16, threshold: float = 0.5,
-                              coarse_buckets: int = 64):
+                              coarse_buckets: int = 64,
+                              token_hash: str = "md5"):
     """Verified near-dup pairs (doc_a, doc_b, jaccard) where AT LEAST
     ONE side is a NEW doc — new-vs-existing plus new-vs-new; the
     existing corpus is assumed internally deduped, so its
@@ -3601,7 +3744,9 @@ def incremental_minhash_pairs(existing, new, num_perm: int = 64,
     stored artifact: feed a Dataset of (doc_id, sig, shingles) rows
     straight into this function to skip re-sharding the corpus text
     (the pass-through is keyed on column presence, like
-    ``incremental_exact_dedup``'s content_hash).
+    ``incremental_exact_dedup``'s content_hash). Stored sigs must
+    have been built with the SAME ``token_hash`` family — mixing the
+    md5 and sip schemes across the two sides silently finds nothing.
     """
     import functools
     from ..functions.blocks import coalesce_slim
@@ -3612,7 +3757,7 @@ def incremental_minhash_pairs(existing, new, num_perm: int = 64,
             return ds
         return coalesce_slim(ds.map_batches(
             functools.partial(_minhash_batch, num_perm=num_perm, k=3,
-                              seed=42),
+                              seed=42, token_hash=token_hash),
             batch_format="pandas", batch_size=1024).materialize())
 
     sigs_ex, sigs_new = sigs_of(existing), sigs_of(new)

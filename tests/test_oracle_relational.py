@@ -128,6 +128,14 @@ class TestTextOracles:
         df = T.simhash_fingerprints(SF)
         assert df["doc_id"].is_unique and len(df) > 0
 
+    def test_minhash_dedup_oracle(self, con):
+        # full SQL oracle: DuckDB rebuilds the md5 token hash, the
+        # rotation-combined shingles, all 64 permuted min-hashes
+        # (inlined (a, b) literals), band-tuple LSH candidacy, and
+        # the exact-Jaccard verify — bit-for-bit vs the engine
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.minhash_dedup_pairs(SF), T.MINHASH_DEDUP_SQL, con)
+
     def test_simhash_near_dups_oracle(self, con):
         # full SQL oracle: DuckDB rebuilds each simhash from the same
         # md5 token hash and self-joins on bit_count(xor(...)) <= 3

@@ -92,16 +92,29 @@ class TestShingleBatchIdentity:
 
 
 class TestMinHasherIdentity:
-    def test_call_matches_per_doc_loop(self):
-        h = T.MinHasher(num_perm=32, k=3, seed=7)
+    @pytest.mark.parametrize("token_hash", ["sip", "md5"])
+    def test_call_matches_per_doc_loop(self, token_hash):
+        h = T.MinHasher(num_perm=32, k=3, seed=7, token_hash=token_hash)
+        per_doc = (T._shingle_hashes if token_hash == "sip"
+                   else T._md5_shingle_hashes)
         batch = pd.DataFrame({"doc_id": np.arange(len(EDGE_TEXTS)),
                               "text": EDGE_TEXTS})
         out = h(batch)
         for i, t in enumerate(EDGE_TEXTS):
-            sh = T._shingle_hashes(_ref_tokens(t), 3)
+            sh = per_doc(_ref_tokens(t), 3)
             assert out["shingles"].iloc[i] == np.sort(sh).tobytes()
             assert out["sig"].iloc[i] == \
                 h.signature_from_shingles(sh).tobytes()
+
+    def test_md5_batch_matches_per_doc(self):
+        flat, counts = T._shingle_hashes_batch(
+            EDGE_TEXTS, 3, hash_fn=T._md5_token_hashes, mix=T._rotmix)
+        off = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        for i, t in enumerate(EDGE_TEXTS):
+            ref = np.sort(T._md5_shingle_hashes(_ref_tokens(t), 3))
+            got = flat[off[i]:off[i + 1]]
+            assert np.array_equal(got, ref), t
 
 
 class TestScorerIdentity:
