@@ -138,6 +138,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_urgent_orders": R.ANTI_JOIN_SQL,
         "top3_parts_per_brand": R.TOP3_BRAND_SQL,
         "events_daily_rollup": R.EVENTS_ROLLUP_SQL,
+        # splitmix64 hash + exact-integer register sum make the whole
+        # HLL estimate bit-reproducible in SQL (not just approximate)
+        "events_user_count_approx_by_type": R.APPROX_USERS_BY_TYPE_SQL,
         "doc_quality": T.QUALITY_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
         "lang_id": T.LANG_ID_SQL,

@@ -110,12 +110,26 @@ def _hll_estimate(regs: np.ndarray) -> float:
 
 
 def _hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
-    """Vectorized estimator over a (groups, m) register matrix."""
+    """Estimator over a (groups, m) register matrix.
+
+    The register sum Σ 2^-reg is accumulated as the EXACT integer
+    Σ 2^(64-reg) (a Python int ≤ m·2^64 — ranks are ≤ 64) and rounded
+    to float ONCE at the final division, so the estimate is
+    deterministic regardless of summation order — which is what lets
+    the SQL oracle (relational.APPROX_USERS_BY_TYPE_SQL) reproduce it
+    bit-for-bit with a HUGEINT SUM. Per group the work is one
+    65-bin bincount, not O(m) floats."""
     m = regs.shape[1]
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)),
-                                 axis=1)
+    n_g = regs.shape[0]
+    est = np.empty(n_g, dtype=np.float64)
     zeros = (regs == 0).sum(axis=1)
+    for g in range(n_g):
+        cnt = np.bincount(regs[g], minlength=65)
+        s = 0
+        for r in np.flatnonzero(cnt):
+            s += int(cnt[r]) << (64 - int(r))
+        est[g] = alpha * m * m / (s / float(1 << 64))
     small = (est <= 2.5 * m) & (zeros > 0)
     with np.errstate(divide="ignore"):
         lc = m * np.log(m / np.maximum(zeros, 1))

@@ -827,8 +827,15 @@ def events_user_count_approx_by_type(sf_dir: str, b: int = 12):
     (type, batch) regardless of user cardinality. Includes the GLOBAL
     sketch as an ``event_type='*'`` row (folds the scalar
     events_user_count_approx export under the driver's query-count
-    cap). Rows-only check; the error contract vs the exact query lives
-    in tests."""
+    cap).
+
+    FULL SQL oracle (APPROX_USERS_BY_TYPE_SQL): the sketch hash is
+    pandas' numeric hash — the splitmix64 finalizer, whose wrapping
+    multiplies DuckDB reproduces with a 32-bit-split HUGEINT mulmod —
+    the rank is 65 - len(bin(rest)), and the estimator's register sum
+    is an exact integer (``_hll_estimate_rows``), so the whole
+    estimate is bit-reproducible in SQL, not just approximately
+    equal."""
     from ..functions.aggregates import hll_distinct_by
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     by = hll_distinct_by(ds, "event_type", "user_id", b=b)
@@ -837,6 +844,72 @@ def events_user_count_approx_by_type(sf_dir: str, b: int = 12):
                               by.columns[-1]: total.iloc[0, 0]})
     total_row.columns = list(by.columns)
     return pd.concat([total_row, by], ignore_index=True)
+
+
+def _approx_users_by_type_sql(b: int = 12) -> str:
+    """DuckDB oracle for ``events_user_count_approx_by_type``:
+    replays the HLL pipeline exactly — splitmix64 finalizer (pandas'
+    int64 hash) via 32-bit-split wrapping multiplies, register index =
+    top ``b`` hash bits, rank = 1 + clz of the sentinel-capped
+    remainder (bin() drops leading zeros, so clz = 64 - len), register
+    = MAX(rank) per (type, idx), and the estimate from the exact
+    integer register sum Σ 2^(64-r) + zeros·2^64 with the
+    linear-counting small-range branch. The '*' global row rides a
+    UNION ALL duplicate of the scan."""
+    m = 1 << b
+    t64 = str(1 << 64)
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+
+    def mul(v: str, c: int) -> str:
+        # (v * c) mod 2^64 without overflowing HUGEINT: split v into
+        # 32-bit halves; (vh*c)·2^32 mod 2^64 needs only vh*c mod 2^32
+        cl = c % (1 << 32)
+        return (f"((({v} % 4294967296)::HUGEINT * {c} + "
+                f"((({v} // 4294967296)::HUGEINT * {cl}) % 4294967296)"
+                f" * 4294967296) % {t64})::UBIGINT")
+
+    sent = 1 << (b - 1)
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  UNION ALL SELECT '*' AS event_type, user_id FROM events),
+h1 AS (
+  SELECT event_type,
+         (((user_id::HUGEINT % {t64}) + {t64}) % {t64})::UBIGINT AS v
+  FROM ev),
+h2 AS (SELECT event_type, xor(v, v >> 30) AS v FROM h1),
+h3 AS (SELECT event_type, {mul('v', 0xBF58476D1CE4E5B9)} AS v FROM h2),
+h4 AS (SELECT event_type, xor(v, v >> 27) AS v FROM h3),
+h5 AS (SELECT event_type, {mul('v', 0x94D049BB133111EB)} AS v FROM h4),
+hh AS (SELECT event_type, xor(v, v >> 31) AS v FROM h5),
+rr AS (
+  SELECT event_type, v >> {64 - b} AS idx,
+         65 - length(bin(
+             ((v::HUGEINT * {m}) % {t64})::UBIGINT + {sent})) AS rank
+  FROM hh),
+regs AS (
+  SELECT event_type, idx, MAX(rank) AS r
+  FROM rr GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type,
+         SUM((1::UBIGINT << (64 - r))::HUGEINT) AS s_nz,
+         {m} - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type, zeros,
+         ({alpha}::DOUBLE * {m} * {m})
+           / ((s_nz + zeros::HUGEINT * {t64})::DOUBLE / {t64}::DOUBLE) AS raw
+  FROM agg)
+SELECT event_type,
+       ROUND(CASE WHEN raw <= {2.5 * m}::DOUBLE AND zeros > 0
+                  THEN {m} * ln({m}::DOUBLE / zeros) ELSE raw END,
+             1) AS approx_distinct
+FROM est
+ORDER BY event_type
+"""
+
+
+APPROX_USERS_BY_TYPE_SQL = _approx_users_by_type_sql()
 
 
 def q12_priority_shipping(sf_dir: str):

@@ -23,7 +23,6 @@ SF = "/root/testdata/sf0.01"
 
 # every query the driver records as `no_oracle` in CORRECTNESS_r03
 NO_ORACLE_QUERIES = [
-    "events_user_count_approx_by_type",
     "ivf_topk",
     "sidewalk_features",
     "crossings_kerbs",

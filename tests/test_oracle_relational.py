@@ -128,6 +128,32 @@ class TestTextOracles:
         df = T.simhash_fingerprints(SF)
         assert df["doc_id"].is_unique and len(df) > 0
 
+    def test_hll_by_type_oracle(self, con):
+        # full SQL oracle for the HLL sketch: splitmix64 finalizer via
+        # 32-bit-split HUGEINT mulmod, rank from bin()-length, and the
+        # exact-integer register sum — bit-for-bit vs the engine
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        check(R.events_user_count_approx_by_type(SF),
+              R.APPROX_USERS_BY_TYPE_SQL, con)
+
+    def test_hll_by_type_oracle_raw_branch(self):
+        # the sf corpora only exercise linear counting; force the raw
+        # estimator branch (no zero registers) with 200k distinct ids
+        import duckdb
+        from osm_sidewalkreator_ray.functions.aggregates import (
+            _hll_registers, _hll_estimate)
+        from osm_sidewalkreator_ray.pipelines import relational as R
+        rng = np.random.RandomState(0)
+        vals = rng.randint(0, 1 << 62, size=200000).astype(np.int64)
+        regs = _hll_registers(vals, 12)
+        assert int((regs == 0).sum()) == 0  # raw branch engaged
+        eng = round(_hll_estimate(regs), 1)
+        c = duckdb.connect()
+        c.register("events", pd.DataFrame(
+            {"event_type": ["x"] * len(vals), "user_id": vals}))
+        got = c.sql(R.APPROX_USERS_BY_TYPE_SQL).df()
+        assert (got["approx_distinct"] == eng).all()
+
     def test_minhash_dedup_oracle(self, con):
         # full SQL oracle: DuckDB rebuilds the md5 token hash, the
         # rotation-combined shingles, all 64 permuted min-hashes
