@@ -473,6 +473,26 @@ def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
     return fl.to_numpy(zero_copy_only=False), ntok
 
 
+def _flat_token_hashes(texts, hash_fn=None) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Per-token 64-bit hashes for a whole batch WITHOUT materializing
+    every token as a Python object: tokenize in Arrow, dictionary-
+    encode the flat token array C++-side, hash only the UNIQUE vocab
+    (the one step that genuinely needs Python strings — md5 or
+    pandas siphash), then scatter to occurrences via the dictionary
+    indices. Identical to hashing the flat object array directly
+    (both hash functions are per-element), but the Python-object cost
+    is vocab-bounded instead of token-bounded."""
+    hash_fn = hash_fn or pd.util.hash_array
+    fl, ntok = _flat_tokens_arrow(texts)
+    if len(fl) == 0:
+        return np.empty(0, dtype=np.uint64), ntok
+    enc = fl.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return hash_fn(vocab).astype(np.uint64)[idx], ntok
+
+
 def _seg_sums(values: np.ndarray, counts: np.ndarray,
               dtype=np.int64) -> np.ndarray:
     """Per-doc sums of a flat per-token array: reduceat at non-empty
@@ -496,13 +516,11 @@ def _shingle_hashes_batch(texts, k: int = 3, *, hash_fn=None,
     Byte-identical to mapping ``_shingle_hashes`` per doc with the
     same ``hash_fn``/``mix`` pair (identity-tested in
     tests/test_textops_vectorized.py)."""
-    hash_fn = hash_fn or pd.util.hash_array
     mix = mix or _mixmul
-    flat_tok, ntok = _flat_tokens(texts)
+    th, ntok = _flat_token_hashes(texts, hash_fn)
     nd = len(ntok)
-    if flat_tok.size == 0:
+    if th.size == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(nd, np.int64)
-    th = hash_fn(flat_tok)
     starts = np.zeros(nd, dtype=np.int64)
     np.cumsum(ntok[:-1], out=starts[1:])
     big = ntok >= k
@@ -573,8 +591,10 @@ class MinHasher:
         v = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
         return v.min(axis=1)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # whole-batch path: one tokenize + one shingle-hash combine
+    def __call__(self, batch):
+        # whole-batch path (pandas OR pyarrow batch — pyarrow is
+        # zero-copy from the object store and skips materializing the
+        # document strings): one tokenize + one shingle-hash combine
         # (_shingle_hashes_batch) and one (shingles, num_perm) matrix
         # with per-doc mins via minimum.reduceat — byte-identical to
         # the per-doc signature_from_shingles loop (identity-tested)
@@ -596,6 +616,11 @@ class MinHasher:
         shingles = [flat[off[i]:off[i + 1]].tobytes()
                     for i in range(nd)]
         sigs = [sig[i].tobytes() for i in range(nd)]
+        if isinstance(batch, pa.Table):
+            return pa.table({"doc_id": batch["doc_id"],
+                             "sig": pa.array(sigs, pa.binary()),
+                             "shingles": pa.array(shingles,
+                                                  pa.binary())})
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "sig": sigs, "shingles": shingles})
 
@@ -683,7 +708,8 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     sigs = coalesce_slim(ds.map_batches(
         functools.partial(_minhash_batch, num_perm=num_perm, k=3, seed=42,
                           token_hash=token_hash),
-        batch_format="pandas", batch_size=1024).materialize())
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1024).materialize())
 
     exploded = sigs.map_batches(
         functools.partial(_explode_bands, num_perm=num_perm, bands=bands,
@@ -872,18 +898,18 @@ def _md5_token_hashes(flat: np.ndarray) -> np.ndarray:
     return uh[inv]
 
 
-def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, text) batch -> (doc_id, simhash int64). Fully
-    vectorized: one Arrow tokenize, one md5 per unique token
-    (``_md5_token_hashes`` — SQL-reproducible), bits unpacked to a
-    (tokens, 64) sign matrix, per-doc bit sums via
-    ``np.add.reduceat``."""
+def _simhash_batch(batch):
+    """(doc_id, text) batch (pandas OR pyarrow — the pyarrow form is
+    zero-copy from the object store and never materializes document
+    strings) -> (doc_id, simhash int64). Fully vectorized: one Arrow
+    tokenize, one md5 per unique token (``_md5_token_hashes`` —
+    SQL-reproducible), bits unpacked to a (tokens, 64) sign matrix,
+    per-doc bit sums via ``np.add.reduceat``."""
     powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    flat, counts = _flat_tokens(batch["text"])
+    hv, counts = _flat_token_hashes(batch["text"], _md5_token_hashes)
     acc = np.zeros((len(counts), 64), dtype=np.int64)
     nz = counts > 0
-    if flat.size:
-        hv = _md5_token_hashes(flat)
+    if hv.size:
         # unpackbits on the little-endian words gives bit k =
         # (hv >> k) & 1 as a compact (tokens, 64) uint8 matrix —
         # no 512 B/token uint64 broadcast temp
@@ -901,6 +927,9 @@ def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
         acc[nz] = np.add.reduceat(signs, starts, axis=0,
                                   dtype=np.int64)
     sim = ((acc > 0).astype(np.uint64) @ powers).view(np.int64)
+    if isinstance(batch, pa.Table):
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(sim, pa.int64())})
     return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sim})
 
 
@@ -909,7 +938,8 @@ def simhash_fingerprints(sf_dir: str):
     rows-only check). See ``_simhash_batch`` for the vectorized
     kernel — no per-word Python loop."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(_simhash_batch, batch_format="pandas")
+    out = ds.map_batches(_simhash_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -943,7 +973,8 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3, bands: int = 4,
     from ..functions.blocks import coalesce_slim
     from ..functions.hamming import banded_hamming_pairs
     sigs = coalesce_slim(
-        ds.map_batches(_simhash_batch, batch_format="pandas")
+        ds.map_batches(_simhash_batch, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .materialize())
     dedup = banded_hamming_pairs(sigs, "doc_id", "simhash",
                                  max_hamming=max_hamming, bands=bands,
@@ -994,12 +1025,19 @@ ORDER BY doc_a, doc_b
 
 # ---------------------------------------------- exact n-gram Jaccard
 
-def _shingle_batch(batch: pd.DataFrame, k: int) -> pd.DataFrame:
+def _shingle_batch(batch, k: int):
+    """(doc_id, text) batch (pandas OR pyarrow) -> per-doc sorted
+    unique shingle-hash blobs. The pyarrow form never materializes
+    document strings (tokens dictionary-encode C++-side)."""
     flat, counts = _shingle_hashes_batch(batch["text"], k)
     off = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
     out_sh = [flat[off[i]:off[i + 1]].tobytes()
               for i in range(len(counts))]
+    if isinstance(batch, pa.Table):
+        return pa.table({"doc_id": batch["doc_id"],
+                         "shingles": pa.array(out_sh, pa.binary()),
+                         "n_sh": pa.array(counts, pa.int64())})
     return pd.DataFrame({"doc_id": batch["doc_id"], "shingles": out_sh,
                          "n_sh": pd.Series(counts, dtype="int64")})
 
@@ -1082,7 +1120,8 @@ def _shared_shingle_counts(sf_dir: str, k: int, coarse_buckets: int,
     from ..functions.blocks import coalesce_slim
     sh = coalesce_slim(ds.map_batches(
         functools.partial(_shingle_batch, k=k),
-        batch_format="pandas", batch_size=1024).materialize())
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1024).materialize())
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []
@@ -1265,7 +1304,8 @@ def ngram_jaccard_pairs_prefix_ds(docs, threshold: float = 0.5,
     from ..functions.blocks import coalesce_slim
     sh = coalesce_slim(docs.map_batches(
         functools.partial(_shingle_batch, k=k),
-        batch_format="pandas", batch_size=1024).materialize())
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1024).materialize())
     return _prefix_pairs_from_shingles(sh, threshold, coarse_buckets)
 
 
@@ -2850,7 +2890,8 @@ def _near_dup_losers(docs, kept_ids_ds, threshold: float, k: int,
 
     sh = coalesce_slim(docs.map_batches(
         functools.partial(_shingle_batch, k=k),
-        batch_format="pandas", batch_size=1024).materialize())
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1024).materialize())
     # explicit Arrow schemas so the join's tagged union pads with the
     # right types (binary shingles, never inferred as string)
     sh_arrow = sh.map_batches(
@@ -3758,7 +3799,8 @@ def incremental_minhash_pairs(existing, new, num_perm: int = 64,
         return coalesce_slim(ds.map_batches(
             functools.partial(_minhash_batch, num_perm=num_perm, k=3,
                               seed=42, token_hash=token_hash),
-            batch_format="pandas", batch_size=1024).materialize())
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024).materialize())
 
     sigs_ex, sigs_new = sigs_of(existing), sigs_of(new)
 
