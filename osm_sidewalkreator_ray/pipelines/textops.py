@@ -508,19 +508,23 @@ def _seg_sums(values: np.ndarray, counts: np.ndarray,
 
 
 def _shingle_hashes_batch(texts, k: int = 3, *, hash_fn=None,
-                          mix=None) -> tuple[np.ndarray, np.ndarray]:
+                          mix=None, with_ntok: bool = False):
     """Vectorized ``_shingle_hashes`` over a WHOLE batch: one token
     hash call, one windowed combine, one lexsort-dedupe — no per-doc
     Python. Returns (flat, counts): ``flat`` concatenates each doc's
     ascending unique shingle hashes; ``counts[i]`` is doc i's count.
-    Byte-identical to mapping ``_shingle_hashes`` per doc with the
-    same ``hash_fn``/``mix`` pair (identity-tested in
+    With ``with_ntok`` the per-doc TOKEN counts ride along as a third
+    element (the tokenization already happened — consumers like the
+    fused curation's keep-longest rule then skip a whole extra corpus
+    scan). Byte-identical to mapping ``_shingle_hashes`` per doc with
+    the same ``hash_fn``/``mix`` pair (identity-tested in
     tests/test_textops_vectorized.py)."""
     mix = mix or _mixmul
     th, ntok = _flat_token_hashes(texts, hash_fn)
     nd = len(ntok)
     if th.size == 0:
-        return np.empty(0, dtype=np.uint64), np.zeros(nd, np.int64)
+        empty = (np.empty(0, dtype=np.uint64), np.zeros(nd, np.int64))
+        return empty + (ntok,) if with_ntok else empty
     starts = np.zeros(nd, dtype=np.int64)
     np.cumsum(ntok[:-1], out=starts[1:])
     big = ntok >= k
@@ -553,8 +557,9 @@ def _shingle_hashes_batch(texts, k: int = 3, *, hash_fn=None,
     vals, d = out[order], docidx[order]
     keep = np.ones(len(vals), dtype=bool)
     keep[1:] = (vals[1:] != vals[:-1]) | (d[1:] != d[:-1])
-    return vals[keep], np.bincount(
-        d[keep], minlength=nd).astype(np.int64)
+    res = (vals[keep], np.bincount(
+        d[keep], minlength=nd).astype(np.int64))
+    return res + (ntok,) if with_ntok else res
 
 
 class MinHasher:
@@ -1025,21 +1030,30 @@ ORDER BY doc_a, doc_b
 
 # ---------------------------------------------- exact n-gram Jaccard
 
-def _shingle_batch(batch, k: int):
+def _shingle_batch(batch, k: int, with_ntok: bool = False):
     """(doc_id, text) batch (pandas OR pyarrow) -> per-doc sorted
     unique shingle-hash blobs. The pyarrow form never materializes
-    document strings (tokens dictionary-encode C++-side)."""
-    flat, counts = _shingle_hashes_batch(batch["text"], k)
+    document strings (tokens dictionary-encode C++-side). With
+    ``with_ntok`` an ``n_tok`` column rides along (free — the stage
+    tokenized anyway)."""
+    res = _shingle_hashes_batch(batch["text"], k, with_ntok=with_ntok)
+    flat, counts = res[0], res[1]
     off = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
     out_sh = [flat[off[i]:off[i + 1]].tobytes()
               for i in range(len(counts))]
     if isinstance(batch, pa.Table):
-        return pa.table({"doc_id": batch["doc_id"],
-                         "shingles": pa.array(out_sh, pa.binary()),
-                         "n_sh": pa.array(counts, pa.int64())})
-    return pd.DataFrame({"doc_id": batch["doc_id"], "shingles": out_sh,
-                         "n_sh": pd.Series(counts, dtype="int64")})
+        cols = {"doc_id": batch["doc_id"],
+                "shingles": pa.array(out_sh, pa.binary()),
+                "n_sh": pa.array(counts, pa.int64())}
+        if with_ntok:
+            cols["n_tok"] = pa.array(res[2], pa.int64())
+        return pa.table(cols)
+    out = pd.DataFrame({"doc_id": batch["doc_id"], "shingles": out_sh,
+                        "n_sh": pd.Series(counts, dtype="int64")})
+    if with_ntok:
+        out["n_tok"] = pd.Series(res[2], dtype="int64")
+    return out
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3,
@@ -2889,16 +2903,18 @@ def _near_dup_losers(docs, kept_ids_ds, threshold: float, k: int,
     from ..functions.joins import hash_partition_join
 
     sh = coalesce_slim(docs.map_batches(
-        functools.partial(_shingle_batch, k=k),
+        functools.partial(_shingle_batch, k=k, with_ntok=True),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1024).materialize())
     # explicit Arrow schemas so the join's tagged union pads with the
-    # right types (binary shingles, never inferred as string)
+    # right types (binary shingles, never inferred as string); n_tok
+    # rides along so keep-longest needs NO extra corpus scan
     sh_arrow = sh.map_batches(
         lambda b: pa.table({
             "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
             "shingles": pa.array(list(b["shingles"]), pa.binary()),
-            "n_sh": pa.array(b["n_sh"].to_numpy(), pa.int64())}),
+            "n_sh": pa.array(b["n_sh"].to_numpy(), pa.int64()),
+            "n_tok": pa.array(b["n_tok"].to_numpy(), pa.int64())}),
         batch_format="pandas")
     kept_arrow = kept_ids_ds.map_batches(
         lambda b: pa.table({
@@ -2915,9 +2931,14 @@ def _near_dup_losers(docs, kept_ids_ds, threshold: float, k: int,
         "dst": pairs["doc_b"].astype("int64")}))
     comp = comp.rename(columns={"vertex": "doc_id"})
     ids = frozenset(comp["doc_id"].tolist())
-    tc = (doc_token_counts_ds(docs).map_batches(
-        lambda b: b[b["doc_id"].isin(ids)], batch_format="pandas")
-        .to_pandas())
+    # token counts come off the ALREADY-MATERIALIZED shingle table
+    # (slim columns, cluster members only) — the tokenization
+    # happened in the shingle pass; no third read of the corpus text
+    tc = (sh.map_batches(
+        lambda b: b.loc[b["doc_id"].isin(ids),
+                        ["doc_id", "n_tok"]]
+        .rename(columns={"n_tok": "n_tokens"}),
+        batch_format="pandas").to_pandas())
     df = comp.merge(tc, on="doc_id").sort_values(
         ["component", "n_tokens", "doc_id"],
         ascending=[True, False, True], kind="mergesort")
