@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": T.exact_dedup,
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        # fastText-style hashed-BoW linear classifier distilling the
+        # stopword-density gate (CCNet recipe: local fit on a hash
+        # sample, streaming corpus scoring); iterative -> rows-only
+        "quality_classifier": T.quality_classifier,
         "near_dup_components": T.near_dup_components,
         # simhash_fingerprints folded: near_dups computes and consumes
         # the fingerprints; the per-doc export is pytest-covered

@@ -4822,3 +4822,106 @@ SELECT t.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        COALESCE(h.n_hits, 0) = 0 AS keep
 FROM tok t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
 """
+
+
+# --------------------------- fastText-style linear text classifier
+
+
+def _hashed_features_batch(batch, d: int = 512, bigrams: bool = True,
+                           stop_thr: float = 0.06):
+    """(doc_id, text) batch (pyarrow or pandas) -> dense hashed
+    bag-of-words feature rows (feature hashing per Weinberger '09;
+    token + bigram features per fastText, Joulin '16): md5 token
+    hashes (the SQL-reproducible family, vocab-bounded Python cost)
+    modulo ``d`` as unigram counts, XOR-rotation-combined adjacent
+    pairs as bigram counts, each row l1-normalized. Label ``y`` =
+    the stopword-density quality gate (``_quality_batch``'s
+    stop_ratio >= ``stop_thr``), computed in the same pass — the
+    weak-label a quality classifier distills. A linear model can
+    realize this boundary (the label is a thresholded sum of the
+    stopword feature buckets), so trainability is by construction,
+    not luck. Output rows are the (vec_id, embedding, y) shape
+    ``vectors.logreg_fit_ds`` trains on."""
+    th, ntok = _flat_token_hashes(batch["text"], _md5_token_hashes)
+    nd = len(ntok)
+    rows = np.zeros((nd, d), dtype=np.float64)
+    if th.size:
+        docidx = np.repeat(np.arange(nd, dtype=np.int64), ntok)
+        np.add.at(rows, (docidx,
+                         (th % np.uint64(d)).astype(np.int64)), 1.0)
+        if bigrams and len(th) > 1:
+            same = docidx[1:] == docidx[:-1]
+            bg = th[:-1] ^ _rotmix(th[1:], 1)
+            np.add.at(rows, (docidx[:-1][same],
+                             (bg[same] % np.uint64(d))
+                             .astype(np.int64)), 1.0)
+    s = rows.sum(axis=1, keepdims=True)
+    s[s == 0] = 1.0
+    # proportions x 100: the gate boundary lives at stop-bucket-sum
+    # ~ 0.03, so unscaled features would need |w| ~ 1e3 — the scale
+    # puts the separating plane within a few hundred GD steps
+    rows *= 100.0 / s
+    qual = _quality_batch(batch if isinstance(batch, pa.Table)
+                          else pa.Table.from_pandas(
+                              batch[["doc_id", "text"]]))
+    y = (qual["stop_ratio"].to_numpy(zero_copy_only=False)
+         >= stop_thr).astype(np.float64)
+    return pd.DataFrame({
+        "vec_id": np.asarray(batch["doc_id"].to_numpy(), np.int64),
+        "embedding": list(rows), "y": y})
+
+
+def quality_classifier(sf_dir: str, d: int = 512, iters: int = 400,
+                       lr: float = 5.0, l2: float = 0.0,
+                       sample_mod: int = 1,
+                       distributed_fit: bool = False):
+    """Model-based document scoring, fastText-shape (Joulin '16 —
+    the CCNet/LLM-corpus quality-filter recipe): hashed bag-of-words
+    features -> logistic regression -> streaming per-document
+    scores. The demo task is self-contained and deterministic:
+    distill the stopword-density quality gate into the linear model
+    (weak-label distillation — the same shape as training a quality
+    classifier on curation-gate verdicts and scoring the rest of the
+    corpus with it).
+
+    Scale (the CCNet shape): featurization is one map_batches pass
+    (vocab-bounded md5); the feature table is materialized ONCE
+    (d doubles per doc, not the text). The TRAINING set is a
+    deterministic hash-sample (``doc_id % sample_mod == 0`` — size
+    it so the sample is driver-collectable; classifiers need
+    thousands of examples, not the corpus) fit locally in
+    microseconds per epoch, and the CORPUS is scored by one
+    streaming matvec pass against the broadcast weights. Set
+    ``distributed_fit`` to train on the full feature table via
+    ``vectors.logreg_fit_ds`` (O(d) driver state, one slim gradient
+    fold per epoch) when the training set itself must exceed driver
+    memory. Rows-only driver check (iterative training is not
+    SQL-expressible); agreement == 1.0 with the gate it distills is
+    asserted in tests."""
+    import functools
+    from .vectors import (logreg_fit_ds, logreg_fit_local,
+                          logreg_predict_ds)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    feats = docs.map_batches(
+        functools.partial(_hashed_features_batch, d=d),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=2048).materialize()
+    if distributed_fit:
+        fit = logreg_fit_ds(feats, "y", iters=iters, lr=lr, l2=l2)
+        w, b = fit["w"], fit["b"]
+    else:
+        train = feats.map_batches(
+            lambda b: (b[(b["vec_id"].to_numpy(np.int64)
+                          & 0x7FFFFFFF) % sample_mod == 0]
+                       if sample_mod > 1 else b),
+            batch_format="pandas").to_pandas()
+        m = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+        fit = logreg_fit_local(m, train["y"].to_numpy(np.float64),
+                               iters=iters, lr=lr, l2=l2)
+        w, b = fit["w"], fit["b"]
+    out = logreg_predict_ds(feats, w, b).to_pandas()
+    out = out.rename(columns={"vec_id": "doc_id"})
+    # round below float-order jitter so the golden fixture is stable
+    # across block layouts
+    out["proba"] = out["proba"].astype(float).round(4)
+    return out.sort_values("doc_id").reset_index(drop=True)
