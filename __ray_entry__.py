@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fastText-style hashed-BoW linear classifier distilling the
         # stopword-density gate (CCNet recipe: local fit on a hash
         # sample, streaming corpus scoring); iterative -> rows-only
-        "quality_classifier": T.quality_classifier,
+        "trained_quality_classifier": T.trained_quality_classifier,
         "near_dup_components": T.near_dup_components,
         # simhash_fingerprints folded: near_dups computes and consumes
         # the fingerprints; the per-doc export is pytest-covered

@@ -4871,10 +4871,11 @@ def _hashed_features_batch(batch, d: int = 512, bigrams: bool = True,
         "embedding": list(rows), "y": y})
 
 
-def quality_classifier(sf_dir: str, d: int = 512, iters: int = 400,
-                       lr: float = 5.0, l2: float = 0.0,
-                       sample_mod: int = 1,
-                       distributed_fit: bool = False):
+def trained_quality_classifier(sf_dir: str, d: int = 512,
+                               iters: int = 400,
+                               lr: float = 5.0, l2: float = 0.0,
+                               sample_mod: int = 1,
+                               distributed_fit: bool = False):
     """Model-based document scoring, fastText-shape (Joulin '16 —
     the CCNet/LLM-corpus quality-filter recipe): hashed bag-of-words
     features -> logistic regression -> streaming per-document

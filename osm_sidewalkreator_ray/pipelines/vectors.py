@@ -842,6 +842,78 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+# --------------------------- in-context pretraining document order
+
+def incontext_order_ds(emb_ds, centroids: np.ndarray):
+    """In-context pretraining ordering (Shi et al. '23,
+    arXiv:2310.10638): place semantically related documents ADJACENT
+    in the training stream — cluster by embedding, then chain nearest
+    neighbors greedily within each cluster. Returns one row per doc:
+    (vec_id, cluster, pos); the concatenation order is (cluster, pos).
+
+    Physical plan: streaming nearest-centroid assign (broadcast
+    centroid matrix; the label rides the SAME batch as the vector —
+    no join) -> ONE cluster shuffle of (vec_id, cluster, embedding)
+    rows -> per-cluster greedy chain as a map_groups task (start at
+    the smallest vec_id, repeatedly jump to the nearest unvisited
+    member — one vectorized distance row per step, O(m²) flops
+    confined to the task). Partitioning assumption shared with
+    SemDeDup: a single cluster's members fit one task; pick k so
+    corpus/k does, re-split skewed clusters with a second k-means
+    level. Deterministic: ties in the per-step argmin resolve to the
+    smallest vec_id (members are pre-sorted by vec_id)."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        lab, _ = _assign(_batch_matrix(batch).astype(np.float64), c)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+            "cluster": lab.astype(np.int64),
+            "embedding": batch["embedding"].to_numpy()})
+
+    pairs = emb_ds.map_batches(tag, batch_format="pandas")
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        m = _batch_matrix(g).astype(np.float64)
+        n = len(ids)
+        order = np.empty(n, dtype=np.int64)
+        visited = np.zeros(n, dtype=bool)
+        cur = 0
+        x2 = np.einsum("ij,ij->i", m, m)
+        for step in range(n):
+            order[step] = cur
+            visited[cur] = True
+            if step + 1 == n:
+                break
+            d2 = x2 - 2.0 * (m @ m[cur]) + x2[cur]
+            d2[visited] = np.inf
+            cur = int(np.argmin(d2))  # first index = smallest vec_id
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = np.arange(n)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy(np.int64),
+            "pos": pos})
+
+    return pairs.groupby("cluster").map_groups(
+        chain, batch_format="pandas")
+
+
+def incontext_order(sf_dir: str, k: int = 8, iters: int = 5):
+    """Collecting form: fit k-means over the embeddings table, then
+    the within-cluster nearest-neighbor chain. Rows-only driver check
+    (greedy/iterative); the permutation property, chain optimality on
+    a line, and adjacent-similarity lift over a shuffled baseline are
+    tested."""
+    ds = _read_emb(sf_dir, ["vec_id", "embedding"])
+    fit = kmeans_fit_ds(ds, k=k, iters=iters)
+    df = incontext_order_ds(ds, fit["centroids"]).to_pandas()
+    return df.sort_values(["cluster", "pos"]).reset_index(drop=True)
+
+
 # --------------------------------------- covariance / distributed PCA
 
 def embedding_covariance(sf_dir: str):

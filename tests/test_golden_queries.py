@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.01"
 # every query the driver records as `no_oracle` in CORRECTNESS_r03
 NO_ORACLE_QUERIES = [
     "ivf_topk",
-    "quality_classifier",
+    "trained_quality_classifier",
     "sidewalk_features",
     "crossings_kerbs",
     "page_text_extract",

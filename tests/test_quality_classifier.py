@@ -1,4 +1,4 @@
-"""fastText-style hashed-BoW quality classifier (textops.quality_classifier).
+"""fastText-style hashed-BoW quality classifier (textops.trained_quality_classifier).
 
 The demo task distills the stopword-density gate (stop_ratio >= 0.06)
 into a linear model over hashed features — the boundary is a
@@ -28,7 +28,7 @@ def _gate_labels(sf: str) -> np.ndarray:
 @pytest.mark.usefixtures("ray_session")
 class TestQualityClassifier:
     def test_distills_the_gate_exactly(self):
-        out = T.quality_classifier(SF)
+        out = T.trained_quality_classifier(SF)
         y = _gate_labels(SF)
         assert len(out) == len(y)
         assert (out["pred"].to_numpy() == y).all()
@@ -37,13 +37,13 @@ class TestQualityClassifier:
         assert float(conf.min()) > 0.5
 
     def test_sampled_fit_is_deterministic_and_scores_all(self):
-        o1 = T.quality_classifier(SF, sample_mod=2)
-        o2 = T.quality_classifier(SF, sample_mod=2)
+        o1 = T.trained_quality_classifier(SF, sample_mod=2)
+        o2 = T.trained_quality_classifier(SF, sample_mod=2)
         assert o1.equals(o2)
         assert len(o1) == len(_gate_labels(SF))  # scores ALL docs
 
     def test_distributed_fit_runs(self):
-        out = T.quality_classifier(SF, distributed_fit=True, iters=60)
+        out = T.trained_quality_classifier(SF, distributed_fit=True, iters=60)
         assert len(out) == len(_gate_labels(SF))
         assert set(out.columns) == {"doc_id", "proba", "pred"}
 
