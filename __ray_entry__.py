@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted-pair recall bound; threshold 0.4 so the check
         # exercises real pairs (the synthetic corpus has no cos>=0.95)
         "embedding_near_dups": V.embedding_near_dups_exact,
+        # in-context pretraining order (cluster + greedy NN chain);
+        # greedy/iterative -> rows-only
+        "incontext_order": V.incontext_order,
         "ivf_topk": G.ivf_topk_query,
         # geospatial flagship (rows-only: not SQL-expressible).
         # Folded per the driver's 50-query cap: protoblocks + tiles +

@@ -25,6 +25,7 @@ SF = "/root/testdata/sf0.01"
 NO_ORACLE_QUERIES = [
     "ivf_topk",
     "trained_quality_classifier",
+    "incontext_order",
     "sidewalk_features",
     "crossings_kerbs",
     "page_text_extract",
