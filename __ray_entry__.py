@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stopword-density gate (CCNet recipe: local fit on a hash
         # sample, streaming corpus scoring); iterative -> rows-only
         "trained_quality_classifier": T.trained_quality_classifier,
+        # DSIR data selection: hashed-ngram importance log-ratios vs
+        # the stop-gate target distribution; integer-quantized scores
+        "dsir_select": T.dsir_select,
         "near_dup_components": T.near_dup_components,
         # simhash_fingerprints folded: near_dups computes and consumes
         # the fingerprints; the per-doc export is pytest-covered
@@ -165,6 +168,9 @@ def oracle_sql() -> dict[str, str]:
         # md5 token hash + rotation shingles + inlined (a, b) perm
         # literals rebuild the FULL MinHash/LSH/verify chain in SQL
         "minhash_dedup_pairs": T.MINHASH_DEDUP_SQL,
+        # quantized integer importance scores -> order-independent,
+        # bit-reproducible in SQL (the HLL estimator's trick)
+        "dsir_select": T.DSIR_SELECT_SQL,
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "curate_corpus_full": T.CURATE_CORPUS_FULL_SQL,

@@ -4926,3 +4926,135 @@ def trained_quality_classifier(sf_dir: str, d: int = 512,
     # across block layouts
     out["proba"] = out["proba"].astype(float).round(4)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------- DSIR data selection (importance ratios)
+
+
+def dsir_select(sf_dir: str, d: int = 4096, top_m: int = 100,
+                stop_thr: float = 0.06):
+    """DSIR data selection (Xie et al. '23, arXiv:2302.03169):
+    score every document by the hashed-n-gram importance log-ratio
+    between a TARGET distribution and the RAW corpus distribution,
+    then keep the top scorers — the standard recipe for selecting
+    pretraining data that "looks like" a high-quality target set.
+    The self-contained target here is the stopword-density gate
+    (ROUND(stop_ratio, 6) >= ``stop_thr``), so the whole op is
+    deterministic.
+
+    Physical plan: ONE streaming pass emits per-batch (raw, target)
+    bucket-count partials (two (d,) int vectors per batch — slim,
+    driver-summed, never the text); the smoothed log-ratio vector is
+    QUANTIZED to integer micro-units and broadcast; a second
+    streaming pass computes each doc's score as an exact INTEGER sum
+    of its token buckets' quantized ratios (``_seg_sums``), so the
+    result is summation-order independent — which is what buys the
+    FULL DuckDB oracle (DSIR_SELECT_SQL; same trick as the HLL
+    estimator). Top-m resolves per batch first (partial top-m, tie
+    to the smaller doc_id), then one small driver merge.
+    """
+    import functools
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        th, ntok = _flat_token_hashes(batch["text"], _md5_token_hashes)
+        idx = (th % np.uint64(d)).astype(np.int64)
+        raw = np.bincount(idx, minlength=d)
+        gate = (_quality_batch(batch)["stop_ratio"]
+                .to_numpy(zero_copy_only=False) >= stop_thr)
+        docidx = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        tgt = np.bincount(idx[gate[docidx]], minlength=d)
+        return pd.DataFrame({"raw": [raw.tobytes()],
+                             "tgt": [tgt.tobytes()]})
+
+    p = docs.map_batches(counts, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    rc = np.sum([np.frombuffer(v, dtype=np.int64) for v in p["raw"]],
+                axis=0)
+    tc = np.sum([np.frombuffer(v, dtype=np.int64) for v in p["tgt"]],
+                axis=0)
+    r_tot, t_tot = int(rc.sum()), int(tc.sum())
+    lr = (np.log((tc + 1.0) / (t_tot + d))
+          - np.log((rc + 1.0) / (r_tot + d))) * 1e6
+    # half-away-from-zero to match SQL ROUND (ties are measure-zero
+    # on log outputs)
+    q = np.where(lr >= 0, np.floor(lr + 0.5),
+                 np.ceil(lr - 0.5)).astype(np.int64)
+    ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        v = ray.get(ref)
+        th, ntok = _flat_token_hashes(batch["text"], _md5_token_hashes)
+        idx = (th % np.uint64(d)).astype(np.int64)
+        sq = _seg_sums(v[idx], ntok, dtype=np.int64)
+        out = pd.DataFrame({
+            "doc_id": np.asarray(batch["doc_id"].to_numpy(),
+                                 np.int64),
+            "score_q": sq})
+        # partial top-m (tie to smaller doc_id) — only m slim rows
+        # per batch ever reach the driver merge
+        return (out.sort_values(["score_q", "doc_id"],
+                                ascending=[False, True])
+                .head(top_m))
+
+    import ray as _ray  # noqa: F401  (ray.put above)
+    top = (docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+           .sort_values(["score_q", "doc_id"],
+                        ascending=[False, True]).head(top_m))
+    top["score"] = top["score_q"] / 1e6
+    return (top[["doc_id", "score"]].reset_index(drop=True))
+
+
+def _dsir_select_sql(d: int = 4096, top_m: int = 100,
+                     stop_thr: float = 0.06) -> str:
+    """DuckDB oracle for ``dsir_select``: rebuilds the md5 bucket
+    hash, the gate, both count vectors over the full range(d) bucket
+    domain, the SAME quantized integer log-ratios (ROUND matches the
+    engine's half-away-from-zero), and each doc's exact integer
+    score sum — bit-for-bit up to measure-zero rounding ties on ln
+    outputs."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w,
+         ROUND(CASE WHEN len(w) = 0 THEN 0.0
+               ELSE len(list_filter(w,
+                        x -> x IN ('the','a','of','and','to')))
+                    * 1.0 / len(w) END, 6) >= {stop_thr} AS is_tgt
+  FROM t),
+tb AS (
+  SELECT doc_id, is_tgt,
+         ('0x' || substr(md5(unnest(w)), 1, 16))::UBIGINT
+             % {d} AS b
+  FROM g),
+rawc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+tgtc AS (SELECT b, COUNT(*) AS c FROM tb WHERE is_tgt GROUP BY b),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM tb) AS r_tot,
+         (SELECT COUNT(*) FROM tb WHERE is_tgt) AS t_tot),
+lr AS (
+  SELECT r.range AS b,
+         CAST(ROUND((ln((COALESCE(tg.c, 0) + 1.0)
+                        / (tots.t_tot + {d}))
+                     - ln((COALESCE(rw.c, 0) + 1.0)
+                          / (tots.r_tot + {d}))) * 1000000)
+              AS BIGINT) AS q
+  FROM range({d}) r CROSS JOIN tots
+  LEFT JOIN rawc rw ON rw.b = r.range
+  LEFT JOIN tgtc tg ON tg.b = r.range),
+sc AS (
+  SELECT tb.doc_id, SUM(lr.q) AS sq
+  FROM tb JOIN lr ON lr.b = tb.b GROUP BY tb.doc_id)
+SELECT a.doc_id, COALESCE(sc.sq, 0) / 1000000.0 AS score
+FROM t a LEFT JOIN sc ON sc.doc_id = a.doc_id
+ORDER BY COALESCE(sc.sq, 0) DESC, a.doc_id
+LIMIT {top_m}
+"""
+
+
+DSIR_SELECT_SQL = _dsir_select_sql()

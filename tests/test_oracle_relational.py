@@ -154,6 +154,26 @@ class TestTextOracles:
         got = c.sql(R.APPROX_USERS_BY_TYPE_SQL).df()
         assert (got["approx_distinct"] == eng).all()
 
+    def test_dsir_select_oracle(self, con):
+        # full SQL oracle: bucket counts over range(d), quantized
+        # integer log-ratios, exact integer per-doc score sums
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.dsir_select(SF), T.DSIR_SELECT_SQL, con)
+
+    def test_dsir_selects_target_like_docs(self):
+        # the selected set must be enriched in target-gate docs
+        # relative to the corpus base rate
+        import pyarrow.parquet as pq
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        sel = T.dsir_select(SF, top_m=50)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        q = T._quality_batch(t).to_pandas()
+        gate = dict(zip(q["doc_id"], q["stop_ratio"] >= 0.06))
+        frac_sel = np.mean([gate[i] for i in sel["doc_id"]])
+        frac_all = np.mean(list(gate.values()))
+        assert frac_sel > frac_all
+
     def test_minhash_dedup_oracle(self, con):
         # full SQL oracle: DuckDB rebuilds the md5 token hash, the
         # rotation-combined shingles, all 64 permuted min-hashes
