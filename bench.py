@@ -128,8 +128,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("corpus_clean", lambda: T.corpus_clean(sf_dir))
     timed("curate_corpus_full", lambda: T.curate_corpus_full(sf_dir))
     timed("token_topk", lambda: T.token_topk(sf_dir))
+    timed("dsir_select", lambda: T.dsir_select(sf_dir))
+    timed("trained_quality_classifier",
+          lambda: T.trained_quality_classifier(sf_dir))
     timed("ann_topk", lambda: V.ann_topk(sf_dir))
     timed("nsw_topk", lambda: V.nsw_topk(sf_dir))
+    timed("incontext_order", lambda: V.incontext_order(sf_dir))
     from osm_sidewalkreator_ray.pipelines import tiles as TL
     timed("tile_pyramid", lambda: TL.tile_pyramid_query(sf_dir))
     from osm_sidewalkreator_ray.pipelines import trajectory as TJ
