@@ -54,22 +54,28 @@ def main(argv=None) -> int:
           "video": video_near_dups_ds}[args.mode]
     pairs = fn(ds, max_hamming=args.max_hamming)
     os.makedirs(args.out, exist_ok=True)
+    # a retried/refreshed run must not double-count: clear the
+    # previous run's parquet before writing (write_parquet appends
+    # uniquely-named files, it does not overwrite)
+    for old in os.listdir(args.out):
+        if old.endswith(".parquet"):
+            os.unlink(os.path.join(args.out, old))
     # stream the pair Dataset straight to parquet — no driver collect
     # (pair volume is cluster-sized at 100 TB even though it is tiny
     # at test scale); count comes off the written dataset
     import pyarrow as pa
     pairs.write_parquet(args.out)
-    written = rd.read_parquet(args.out,
-                              file_extensions=["parquet"])
-    n_pairs = written.count() if written.schema() is not None else 0
-    if n_pairs == 0:
-        # an all-empty write leaves no typed file; pin the schema so
-        # downstream readers of --out always see the contract
+    # an all-empty Dataset writes ZERO files (and read_parquet on an
+    # empty dir raises) — pin the typed empty file FIRST, then count
+    if not any(f.endswith(".parquet") for f in os.listdir(args.out)):
         import pyarrow.parquet as pq
         empty = pa.table({c: pa.array([], pa.int64())
                           for c in ("media_a", "media_b", "hamming")})
         pq.write_table(empty, os.path.join(args.out,
                                            "pairs-empty.parquet"))
+    written = rd.read_parquet(args.out,
+                              file_extensions=["parquet"])
+    n_pairs = written.count()
     print(json.dumps({"mode": args.mode, "pairs": int(n_pairs),
                       "max_hamming": args.max_hamming,
                       "out": args.out,

@@ -47,6 +47,16 @@ def _tokens(text: str) -> list[str]:
 # sf_dir, collects and sorts (small results only).
 
 
+def _round_half_away(x, nd: int = 6):
+    """Round NONNEGATIVE values half-away-from-zero at ``nd``
+    decimals — matching DuckDB's ROUND(), where Python's round() and
+    np.round() are half-to-even. Exactly-representable half cases
+    (e.g. jaccard 65/128 = 0.5078125) would otherwise diverge from
+    every SQL oracle by one ulp of the last kept digit."""
+    m = 10.0 ** nd
+    return np.floor(np.asarray(x, dtype=np.float64) * m + 0.5) / m
+
+
 def _token_count_batch(batch: pa.Table) -> pa.Table:
     """Pure-Arrow token count: trim + whitespace split + list length,
     all C++ kernels, zero Python objects. A trimmed-empty doc's split
@@ -99,8 +109,8 @@ def _quality_batch(batch: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_tokens": pa.array(counts, pa.int64()),
-        "mean_token_len": pa.array(np.round(mean_len, 6)),
-        "stop_ratio": pa.array(np.round(stop_ratio, 6))})
+        "mean_token_len": pa.array(_round_half_away(mean_len)),
+        "stop_ratio": pa.array(_round_half_away(stop_ratio))})
 
 
 def doc_quality_ds(docs):
@@ -138,7 +148,16 @@ def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Whitespace normalization in Arrow (trim + one RE2 regex over
     the whole column), then md5 per normalized string — the only
     per-row Python left, since there is no vectorized md5. The digest
-    dominates, so the loop is not the bottleneck."""
+    dominates, so the loop is not the bottleneck.
+
+    Normalization collapses RE2 ``\\s`` (ASCII: tab/newline/ff/cr/
+    space) — deliberately the SAME class FINGERPRINT_SQL's DuckDB
+    regexp uses, so engine and oracle agree on every input. Docs
+    whose only whitespace variation is a Unicode space (NBSP, \\x0b)
+    therefore keep distinct fingerprints, unlike the tokenizer
+    (``_flat_tokens_arrow``), which splits on Unicode whitespace;
+    fingerprints produced before this Arrow form (Python ``\\s``)
+    differ on such docs."""
     norm = pc.replace_substring_regex(
         pc.utf8_trim_whitespace(batch["text"]), pattern=r"\s+",
         replacement=" ")
@@ -490,7 +509,34 @@ def _flat_token_hashes(texts, hash_fn=None) \
     enc = fl.dictionary_encode()
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    return hash_fn(vocab).astype(np.uint64)[idx], ntok
+    uh = (_md5_hash_unique(vocab) if hash_fn is _md5_token_hashes
+          else hash_fn(vocab).astype(np.uint64))
+    return uh[idx], ntok
+
+
+def _flat_token_hashes_stop(texts):
+    """ONE tokenize pass shared by the md5 hash AND the stopword
+    gate: returns (th, ntok, stop_ratio) where stop_ratio is rounded
+    exactly as ``_quality_batch`` rounds it (equality-tested) — the
+    fused form ``dsir_select`` and the trained classifier use so the
+    gate costs no second tokenize of the batch."""
+    fl, ntok = _flat_tokens_arrow(texts)
+    nd = len(ntok)
+    if len(fl) == 0:
+        return (np.empty(0, dtype=np.uint64), ntok,
+                np.zeros(nd, dtype=np.float64))
+    enc = fl.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    th = _md5_hash_unique(vocab)[idx]
+    is_stop = pc.is_in(
+        enc.dictionary,
+        value_set=pa.array(sorted(STOPWORDS["en"])))         .to_numpy(zero_copy_only=False)[idx]
+    stop_sum = _seg_sums(is_stop, ntok)
+    nz = ntok > 0
+    denom = np.where(nz, ntok, 1).astype(np.float64)
+    sr = np.where(nz, stop_sum / denom, 0.0)
+    return th, ntok, _round_half_away(sr)
 
 
 def _seg_sums(values: np.ndarray, counts: np.ndarray,
@@ -609,25 +655,49 @@ class MinHasher:
         sig = np.zeros((nd, self.num_perm), dtype=np.uint64)
         nz = counts > 0
         if flat.size:
-            with np.errstate(over="ignore"):
-                v = (flat[:, None] * self.a[None, :]
-                     + self.b[None, :]) % np.uint64(_MERSENNE)
             cnz = counts[nz]
             st = np.zeros(len(cnz), dtype=np.int64)
             np.cumsum(cnz[:-1], out=st[1:])
-            sig[nz] = np.minimum.reduceat(v, st, axis=0)
+            ends = st + cnz
+            out_rows = np.flatnonzero(nz)
+            # bound the (shingles, num_perm) transient: the full-batch
+            # matrix is 8*num_perm bytes PER SHINGLE (~0.5 KiB at 64
+            # perms), i.e. ~1 GB for a 1024-doc batch of 2k-token docs
+            # — process doc RANGES of <=2^18 shingles (~128 MiB)
+            # instead; byte-identical (reduceat per range)
+            ch = 1 << 18
+            i = 0
+            with np.errstate(over="ignore"):
+                while i < len(cnz):
+                    j = i + 1
+                    tot = int(cnz[i])
+                    while j < len(cnz) and tot + int(cnz[j]) <= ch:
+                        tot += int(cnz[j])
+                        j += 1
+                    seg = flat[st[i]:ends[j - 1]]
+                    v = (seg[:, None] * self.a[None, :]
+                         + self.b[None, :]) % np.uint64(_MERSENNE)
+                    sig[out_rows[i:j]] = np.minimum.reduceat(
+                        v, st[i:j] - st[i], axis=0)
+                    i = j
         off = np.zeros(nd + 1, dtype=np.int64)
         np.cumsum(counts, out=off[1:])
         shingles = [flat[off[i]:off[i + 1]].tobytes()
                     for i in range(nd)]
         sigs = [sig[i].tobytes() for i in range(nd)]
+        # the thash marker rides the signature rows so a STORED
+        # artifact can be validated against the consumer's scheme
+        # (mixing md5- and sip-built sides silently finds nothing)
         if isinstance(batch, pa.Table):
             return pa.table({"doc_id": batch["doc_id"],
                              "sig": pa.array(sigs, pa.binary()),
                              "shingles": pa.array(shingles,
-                                                  pa.binary())})
+                                                  pa.binary()),
+                             "thash": pa.array(
+                                 [self.token_hash] * nd, pa.string())})
         return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "sig": sigs, "shingles": shingles})
+                             "sig": sigs, "shingles": shingles,
+                             "thash": self.token_hash})
 
 
 # task-form of MinHasher: the only state is the (a, b) permutation
@@ -761,7 +831,14 @@ def _minhash_dedup_sql(num_perm: int = 64, bands: int = 16,
     bit-for-bit (band-hash collisions aside, ~2^-63 per compared
     pair). Short docs (< k tokens) hash their full token run as ONE
     shingle, matching ``_shingle_hashes``' small-doc path via the
-    COALESCE(LEAD, 0) identity (rot(0) = 0 = XOR identity)."""
+    COALESCE(LEAD, 0) identity (rot(0) = 0 = XOR identity).
+
+    Domain caveat shared by every tokenizing oracle in this module
+    (ngram/simhash/quality/curation/DSIR too): the SQL side splits on
+    RE2 ASCII ``\\s+`` while the engine's Arrow tokenizer splits on
+    Unicode whitespace — on corpora containing NBSP/U+2000-class
+    separators the comparison diverges (as an oracle FAILURE, never
+    silent corruption). All test corpora are ASCII-whitespace."""
     assert k == 3, "SQL oracle is written for the default k=3"
     a, b = _minhash_params(num_perm, seed)
     rpb = num_perm // bands
@@ -878,13 +955,23 @@ def _exact_verify_pairs(cand, docs_with_shingles, threshold: float):
             if jac >= threshold:
                 out["doc_a"].append(int(a))
                 out["doc_b"].append(int(b))
-                out["jaccard"].append(round(jac, 6))
+                out["jaccard"].append(float(_round_half_away(jac)))
         return pd.DataFrame({"doc_a": pd.Series(out["doc_a"], dtype="int64"),
                              "doc_b": pd.Series(out["doc_b"], dtype="int64"),
                              "jaccard": pd.Series(out["jaccard"],
                                                   dtype="float64")})
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+def _md5_hash_unique(uniq) -> np.ndarray:
+    """md5-first-8-bytes hash of an ALREADY-UNIQUE token sequence —
+    the core both `_md5_token_hashes` (which dedupes first) and
+    `_flat_token_hashes` (whose dictionary is unique by construction)
+    share, so the vocab is never re-uniqued."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in uniq), dtype=np.uint64, count=len(uniq))
 
 
 def _md5_token_hashes(flat: np.ndarray) -> np.ndarray:
@@ -897,10 +984,7 @@ def _md5_token_hashes(flat: np.ndarray) -> np.ndarray:
     if flat.size == 0:
         return np.empty(0, np.uint64)
     uniq, inv = np.unique(flat, return_inverse=True)
-    uh = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-         for s in uniq), dtype=np.uint64, count=len(uniq))
-    return uh[inv]
+    return _md5_hash_unique(uniq)[inv]
 
 
 def _simhash_batch(batch):
@@ -1112,7 +1196,7 @@ def ngram_jaccard_pairs_fullindex(sf_dir: str, threshold: float = 0.5,
         return pd.DataFrame({
             "doc_a": b["doc_a"].to_numpy()[keep].astype(np.int64),
             "doc_b": b["doc_id"].to_numpy()[keep].astype(np.int64),
-            "jaccard": np.round(jac[keep], 6)})
+            "jaccard": _round_half_away(jac[keep])})
 
     df = j2.map_batches(finalize, batch_format="pandas").to_pandas()
     if df.empty:
@@ -1234,8 +1318,8 @@ def ngram_containment_pairs(sf_dir: str, threshold: float = 0.8,
         return pd.DataFrame({
             "doc_a": b["doc_a"].to_numpy()[keep].astype(np.int64),
             "doc_b": b["doc_id"].to_numpy()[keep].astype(np.int64),
-            "cont_a_in_b": np.round(ca[keep], 6),
-            "cont_b_in_a": np.round(cb[keep], 6)})
+            "cont_a_in_b": _round_half_away(ca[keep]),
+            "cont_b_in_a": _round_half_away(cb[keep])})
 
     df = j2.map_batches(finalize, batch_format="pandas").to_pandas()
     if df.empty:
@@ -2078,14 +2162,7 @@ def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 97,
     broadcast once."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
-    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
-        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
-        return pd.DataFrame({"h": benchmark_ngram_hashes(
-            donors, n=n, max_tokens=bench_tokens)})
-
-    bench_rows = docs.map_batches(
-        bench_part, batch_format="pandas").to_pandas()
-    bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
+    bench = _derive_bench(docs, bench_mod, bench_tokens, n)
     import ray as _ray
     out = decontaminate_ds(docs, _ray.put(bench), n=n)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -2802,6 +2879,44 @@ def curate_corpus_checkpointed(docs, bench_hashes, out_dir: str,
                            config_hash=cfg, skip_keys=skip_keys)
 
 
+def _relabel_losers_batch(b: pd.DataFrame, losers: np.ndarray,
+                          bucket_mod: int | None = None
+                          ) -> pd.DataFrame:
+    """The ONE near-dup relabel rule both full-curation forms share:
+    a doc in the loser set whose exact-curation status is 'kept'
+    becomes 'near_duplicate'; every other status wins precedence.
+    Keeping this in one place means the streaming and checkpointed
+    pipelines cannot drift apart. ``bucket_mod`` optionally appends
+    the checkpoint partition column."""
+    ids = b["doc_id"].to_numpy(np.int64)
+    hit = np.isin(ids, losers)
+    status = np.where(hit & (b["status"] == "kept"),
+                      "near_duplicate", b["status"])
+    out = {"doc_id": ids, "status": status}
+    if bucket_mod is not None:
+        out["__b"] = ids % bucket_mod
+    return pd.DataFrame(out)
+
+
+def _derive_bench(docs, bench_mod: int, bench_tokens: int,
+                  n: int) -> np.ndarray:
+    """Corpus-derived eval-set n-gram hashes (docs with
+    doc_id % bench_mod == 0 donate their first ``bench_tokens``
+    tokens), produced DISTRIBUTED (only uint64 hashes reach the
+    driver) and returned sorted-unique. The single derivation the
+    decontaminate / curate_corpus / curate_corpus_full oracle forms
+    all share — diverging copies would silently decontaminate the
+    entry points against different eval sets."""
+    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
+        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
+        return pd.DataFrame({"h": benchmark_ngram_hashes(
+            donors, n=n, max_tokens=bench_tokens)})
+
+    rows = docs.map_batches(bench_part,
+                            batch_format="pandas").to_pandas()
+    return np.unique(rows["h"].to_numpy(dtype=np.uint64))
+
+
 def curate_corpus(sf_dir: str, bench_mod: int = 97,
                   bench_tokens: int = 50, **kw):
     """Oracle form: eval set derived as in :func:`decontaminate`
@@ -2810,14 +2925,7 @@ def curate_corpus(sf_dir: str, bench_mod: int = 97,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n = kw.get("n", 3)
 
-    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
-        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
-        return pd.DataFrame({"h": benchmark_ngram_hashes(
-            donors, n=n, max_tokens=bench_tokens)})
-
-    bench_rows = docs.map_batches(
-        bench_part, batch_format="pandas").to_pandas()
-    bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
+    bench = _derive_bench(docs, bench_mod, bench_tokens, n)
     import ray as _ray
     out = curate_corpus_ds(docs, _ray.put(bench), **kw)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -2986,12 +3094,7 @@ def curate_corpus_full_ds(docs, bench_hashes, threshold: float = 0.5,
     ref = _ray.put(losers)
 
     def mark(b: pd.DataFrame) -> pd.DataFrame:
-        lo = _ray.get(ref)
-        hit = np.isin(b["doc_id"].to_numpy(np.int64), lo)
-        status = np.where(hit & (b["status"] == "kept"),
-                          "near_duplicate", b["status"])
-        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
-                             "status": status})
+        return _relabel_losers_batch(b, _ray.get(ref))
 
     return verdicts.map_batches(mark, batch_format="pandas")
 
@@ -3043,14 +3146,8 @@ def curate_corpus_full_checkpointed(docs, bench_hashes, out_dir: str,
     ref = _ray.put(losers)
 
     def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        lo = _ray.get(ref)
-        hit = np.isin(b["doc_id"].to_numpy(np.int64), lo)
-        status = np.where(hit & (b["status"] == "kept"),
-                          "near_duplicate", b["status"])
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(np.int64),
-            "status": status,
-            "__b": (b["doc_id"].to_numpy(np.int64) % num_buckets)})
+        return _relabel_losers_batch(b, _ray.get(ref),
+                                     bucket_mod=num_buckets)
 
     rows = verdicts.map_batches(with_bucket, batch_format="pandas")
     cfg = _hl.sha1(
@@ -3070,14 +3167,7 @@ def curate_corpus_full(sf_dir: str, bench_mod: int = 97,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n = kw.get("n", 3)
 
-    def bench_part(b: pd.DataFrame) -> pd.DataFrame:
-        donors = b.loc[b["doc_id"] % bench_mod == 0, "text"]
-        return pd.DataFrame({"h": benchmark_ngram_hashes(
-            donors, n=n, max_tokens=bench_tokens)})
-
-    bench_rows = docs.map_batches(
-        bench_part, batch_format="pandas").to_pandas()
-    bench = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
+    bench = _derive_bench(docs, bench_mod, bench_tokens, n)
     import ray as _ray
     out = curate_corpus_full_ds(docs, _ray.put(bench), **kw)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -3816,6 +3906,17 @@ def incremental_minhash_pairs(existing, new, num_perm: int = 64,
     def sigs_of(ds):
         names = ds.schema().names
         if "sig" in names and "shingles" in names:
+            if "thash" in names:
+                def validate(b: pd.DataFrame) -> pd.DataFrame:
+                    bad = b.loc[b["thash"] != token_hash, "thash"]
+                    if len(bad):
+                        raise ValueError(
+                            f"stored signatures were built with "
+                            f"token_hash={bad.iloc[0]!r}; this run "
+                            f"uses {token_hash!r} — rebuild the "
+                            f"artifact or pass the matching scheme")
+                    return b
+                return ds.map_batches(validate, batch_format="pandas")
             return ds
         return coalesce_slim(ds.map_batches(
             functools.partial(_minhash_batch, num_perm=num_perm, k=3,
@@ -4842,7 +4943,7 @@ def _hashed_features_batch(batch, d: int = 512, bigrams: bool = True,
     stopword feature buckets), so trainability is by construction,
     not luck. Output rows are the (vec_id, embedding, y) shape
     ``vectors.logreg_fit_ds`` trains on."""
-    th, ntok = _flat_token_hashes(batch["text"], _md5_token_hashes)
+    th, ntok, sr = _flat_token_hashes_stop(batch["text"])
     nd = len(ntok)
     rows = np.zeros((nd, d), dtype=np.float64)
     if th.size:
@@ -4861,11 +4962,7 @@ def _hashed_features_batch(batch, d: int = 512, bigrams: bool = True,
     # ~ 0.03, so unscaled features would need |w| ~ 1e3 — the scale
     # puts the separating plane within a few hundred GD steps
     rows *= 100.0 / s
-    qual = _quality_batch(batch if isinstance(batch, pa.Table)
-                          else pa.Table.from_pandas(
-                              batch[["doc_id", "text"]]))
-    y = (qual["stop_ratio"].to_numpy(zero_copy_only=False)
-         >= stop_thr).astype(np.float64)
+    y = (sr >= stop_thr).astype(np.float64)
     return pd.DataFrame({
         "vec_id": np.asarray(batch["doc_id"].to_numpy(), np.int64),
         "embedding": list(rows), "y": y})
@@ -4957,11 +5054,10 @@ def dsir_select(sf_dir: str, d: int = 4096, top_m: int = 100,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pd.DataFrame:
-        th, ntok = _flat_token_hashes(batch["text"], _md5_token_hashes)
+        th, ntok, sr = _flat_token_hashes_stop(batch["text"])
         idx = (th % np.uint64(d)).astype(np.int64)
         raw = np.bincount(idx, minlength=d)
-        gate = (_quality_batch(batch)["stop_ratio"]
-                .to_numpy(zero_copy_only=False) >= stop_thr)
+        gate = sr >= stop_thr
         docidx = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
         tgt = np.bincount(idx[gate[docidx]], minlength=d)
         return pd.DataFrame({"raw": [raw.tobytes()],

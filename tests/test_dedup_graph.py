@@ -598,6 +598,25 @@ class TestIncrementalMinhash:
         via_text = T.incremental_minhash_pairs(existing, new)
         pd.testing.assert_frame_equal(via_sigs, via_text)
 
+    def test_signature_scheme_mismatch_raises(self):
+        # stored sip-built signatures fed to an md5-default run must
+        # raise, not silently find zero pairs (the thash marker)
+        import functools
+        import pytest as _pt
+        import ray
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        docs = T._read_docs(SF, ["doc_id", "text"])
+        existing = docs.map_batches(lambda b: b[b["doc_id"] % 5 != 0],
+                                    batch_format="pandas")
+        new = docs.map_batches(lambda b: b[b["doc_id"] % 5 == 0],
+                               batch_format="pandas")
+        sig_sip = existing.map_batches(
+            functools.partial(T._minhash_batch, num_perm=64, k=3,
+                              seed=42, token_hash="sip"),
+            batch_format="pandas")
+        with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
+            T.incremental_minhash_pairs(sig_sip, new)
+
     def test_disjoint_batches_no_pairs(self):
         import pandas as pd
         import ray.data as rd

@@ -434,3 +434,38 @@ def test_media_job_cli(tmp_path):
     got = pads.dataset(out, format="parquet").to_table().to_pandas()
     assert rep["pairs"] == len(got)
     assert sorted(got.columns) == ["hamming", "media_a", "media_b"]
+
+    # re-run into the SAME --out: must not double-count (the retry /
+    # refresh shape) — previous files are cleared before the write
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["audio", "--data", data, "--out", out])
+    assert rc == 0
+    rep2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rep2["pairs"] == rep["pairs"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_job_cli_no_pairs(tmp_path):
+    # a corpus with no near-dups: the all-empty pair Dataset writes
+    # ZERO parquet files — the job must still exit 0 with pairs=0 and
+    # leave a typed empty file for downstream readers
+    import contextlib
+    import io
+    import json
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from jobs.media_job import main
+    from osm_sidewalkreator_ray.stages import multimodal as M
+    data = str(tmp_path / "media.parquet")
+    pq.write_table(M.synthetic_media(6, seed=3), data)
+    out = str(tmp_path / "dups")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["audio", "--data", data, "--out", out,
+                   "--max-hamming", "0"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = pads.dataset(out, format="parquet").to_table().to_pandas()
+    assert rep["pairs"] == len(got)
+    assert sorted(got.columns) == ["hamming", "media_a", "media_b"]

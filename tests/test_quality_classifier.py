@@ -58,6 +58,20 @@ class TestQualityClassifier:
         mp = np.stack(fp["embedding"].to_numpy())
         assert np.array_equal(ma, mp)
 
+    def test_fused_gate_equals_quality_batch(self):
+        # _flat_token_hashes_stop's one-pass stop_ratio must equal
+        # the standalone Arrow scorer's value bit-for-bit (the fused
+        # form is what dsir_select and the classifier gate on)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        th, ntok, sr = T._flat_token_hashes_stop(t["text"])
+        q = T._quality_batch(t).to_pandas()
+        assert np.array_equal(sr, q["stop_ratio"].to_numpy())
+        th2, nt2 = T._flat_token_hashes(t["text"],
+                                        T._md5_token_hashes)
+        assert np.array_equal(th, th2)
+        assert np.array_equal(ntok, nt2)
+
     def test_features_l1_scaled(self):
         t = pq.read_table(f"{SF}/documents.parquet",
                           columns=["doc_id", "text"]).slice(0, 32)

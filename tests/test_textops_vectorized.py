@@ -136,8 +136,13 @@ class TestScorerIdentity:
             ml = float(np.mean([len(w) for w in ws])) if ws else 0.0
             sr = sum(w in stop for w in ws) / len(ws) if ws else 0.0
             assert got["n_tokens"].iloc[i] == len(ws)
-            assert got["mean_token_len"].iloc[i] == round(ml, 6)
-            assert got["stop_ratio"].iloc[i] == round(sr, 6)
+            # half-away-from-zero (DuckDB ROUND semantics), not
+            # Python's banker's round — ties like 65/128 must match
+            # the SQL oracles bit-for-bit
+            assert got["mean_token_len"].iloc[i] == \
+                float(T._round_half_away(ml))
+            assert got["stop_ratio"].iloc[i] == \
+                float(T._round_half_away(sr))
 
     def test_lang_id(self):
         texts = ["the cat sat of the mat", "de o que e um dia",
