@@ -244,7 +244,8 @@ def lang_stats(sf_dir: str):
         "avg_chars": ("n_chars", "mean"),
     })
     df = out.to_pandas().sort_values("lang").reset_index(drop=True)
-    df["avg_chars"] = df["avg_chars"].round(4)
+    # half-away like DuckDB ROUND (see _round_half_away)
+    df["avg_chars"] = _round_half_away(df["avg_chars"], 4)
     return df
 
 
@@ -1657,9 +1658,10 @@ def doc_length_quantiles(sf_dir: str):
         x_hi = v[np.searchsorted(cum, hi + 1)]
         return float(x_lo + (h - lo) * (x_hi - x_lo))
 
+    r6 = lambda v: float(_round_half_away(v))  # DuckDB ROUND semantics
     return pd.DataFrame({
-        "p25": [round(q_cont(0.25), 6)], "p50": [round(q_cont(0.5), 6)],
-        "p75": [round(q_cont(0.75), 6)], "p95": [round(q_cont(0.95), 6)]})
+        "p25": [r6(q_cont(0.25))], "p50": [r6(q_cont(0.5))],
+        "p75": [r6(q_cont(0.75))], "p95": [r6(q_cont(0.95))]})
 
 
 DOC_LENGTH_QUANTILES_SQL = """
@@ -1696,9 +1698,9 @@ def grouped_length_quantiles(sf_dir: str, by: str = "lang"):
             return float(x_lo + (hh - lo) * (x_hi - x_lo))
 
         rows.append({by: g, "n_docs": n,
-                     "p25": round(q_cont(0.25), 6),
-                     "p50": round(q_cont(0.5), 6),
-                     "p95": round(q_cont(0.95), 6)})
+                     "p25": float(_round_half_away(q_cont(0.25))),
+                     "p50": float(_round_half_away(q_cont(0.5))),
+                     "p95": float(_round_half_away(q_cont(0.95)))})
     return pd.DataFrame(rows).reset_index(drop=True)
 
 
