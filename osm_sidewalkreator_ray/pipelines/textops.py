@@ -5015,6 +5015,12 @@ def trained_quality_classifier(sf_dir: str, d: int = 512,
                           & 0x7FFFFFFF) % sample_mod == 0]
                        if sample_mod > 1 else b),
             batch_format="pandas").to_pandas()
+        if train.empty or train["y"].nunique() < 2:
+            raise ValueError(
+                f"training sample is degenerate ({len(train)} rows, "
+                f"{train['y'].nunique() if len(train) else 0} "
+                f"classes) — lower sample_mod={sample_mod} so the "
+                f"hash sample keeps both label classes")
         m = np.stack(train["embedding"].to_numpy()).astype(np.float64)
         fit = logreg_fit_local(m, train["y"].to_numpy(np.float64),
                                iters=iters, lr=lr, l2=l2)
@@ -5156,3 +5162,50 @@ LIMIT {top_m}
 
 
 DSIR_SELECT_SQL = _dsir_select_sql()
+
+
+# ----------------------------- deterministic train/val/test split
+
+
+def corpus_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
+    """Deterministic train/val/test assignment by a CONTENT-
+    INDEPENDENT id hash (md5 of the decimal doc_id — the family
+    DuckDB reproduces), so the split survives re-crawls, re-sharding
+    and engine swaps, and a document can never migrate between
+    splits as the corpus grows (the leakage failure mode of
+    percentage-slice splits). bucket = md5(doc_id) % 100;
+    [0, test) -> test, [test, test+val) -> val, rest -> train.
+    One streaming map pass; full DuckDB oracle (CORPUS_SPLIT_SQL)."""
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch["doc_id"].to_numpy(), np.int64)
+        b = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:8], "big")
+             % 100 for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(
+            b < test_pct, "test",
+            np.where(b < test_pct + val_pct, "val", "train"))
+        return pd.DataFrame({"doc_id": ids, "split": split})
+
+    out = docs.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _corpus_split_sql(val_pct: int = 10, test_pct: int = 10) -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN b < {test_pct} THEN 'test'
+            WHEN b < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+                 % 100 AS b
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+CORPUS_SPLIT_SQL = _corpus_split_sql()

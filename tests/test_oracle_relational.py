@@ -154,6 +154,15 @@ class TestTextOracles:
         got = c.sql(R.APPROX_USERS_BY_TYPE_SQL).df()
         assert (got["approx_distinct"] == eng).all()
 
+    def test_corpus_split_oracle(self, con):
+        from osm_sidewalkreator_ray.pipelines import textops as T
+        check(T.corpus_split(SF), T.CORPUS_SPLIT_SQL, con)
+        # proportions land near the requested percentages
+        out = T.corpus_split(SF)
+        frac = out["split"].value_counts(normalize=True)
+        assert 0.03 < frac.get("test", 0) < 0.2
+        assert 0.03 < frac.get("val", 0) < 0.2
+
     def test_dsir_select_oracle(self, con):
         # full SQL oracle: bucket counts over range(d), quantized
         # integer log-ratios, exact integer per-doc score sums
