@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": T.dsir_select,
         # content-independent hash split (no cross-split migration
         # as the corpus grows); full SQL oracle
-        "corpus_split": T.corpus_split,
+        "corpus_split_assign": T.corpus_split_assign,
         "near_dup_components": T.near_dup_components,
         # simhash_fingerprints folded: near_dups computes and consumes
         # the fingerprints; the per-doc export is pytest-covered
@@ -174,7 +174,7 @@ def oracle_sql() -> dict[str, str]:
         # quantized integer importance scores -> order-independent,
         # bit-reproducible in SQL (the HLL estimator's trick)
         "dsir_select": T.DSIR_SELECT_SQL,
-        "corpus_split": T.CORPUS_SPLIT_SQL,
+        "corpus_split_assign": T.CORPUS_SPLIT_ASSIGN_SQL,
         "token_topk": T.TOKEN_TOPK_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "curate_corpus_full": T.CURATE_CORPUS_FULL_SQL,

@@ -56,10 +56,21 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     # a retried/refreshed run must not double-count: clear the
     # previous run's parquet before writing (write_parquet appends
-    # uniquely-named files, it does not overwrite)
-    for old in os.listdir(args.out):
-        if old.endswith(".parquet"):
-            os.unlink(os.path.join(args.out, old))
+    # uniquely-named files, it does not overwrite). Only OUR files
+    # may be deleted — a previous run leaves a marker; parquet in an
+    # unmarked dir is foreign data (e.g. --out mispointed at the
+    # input directory, which the lazy pipeline has not read yet) and
+    # deleting it would destroy it
+    marker = os.path.join(args.out, "_media_job.json")
+    existing_parquet = [f for f in os.listdir(args.out)
+                        if f.endswith(".parquet")]
+    if existing_parquet and not os.path.exists(marker):
+        raise SystemExit(
+            f"refusing to overwrite: {args.out} contains parquet "
+            f"files but no _media_job.json marker — it is not a "
+            f"previous run's output directory")
+    for old in existing_parquet:
+        os.unlink(os.path.join(args.out, old))
     # stream the pair Dataset straight to parquet — no driver collect
     # (pair volume is cluster-sized at 100 TB even though it is tiny
     # at test scale); count comes off the written dataset
@@ -76,6 +87,8 @@ def main(argv=None) -> int:
     written = rd.read_parquet(args.out,
                               file_extensions=["parquet"])
     n_pairs = written.count()
+    with open(marker, "w") as f:
+        json.dump({"mode": args.mode, "pairs": int(n_pairs)}, f)
     print(json.dumps({"mode": args.mode, "pairs": int(n_pairs),
                       "max_hamming": args.max_hamming,
                       "out": args.out,

@@ -48,13 +48,15 @@ def _tokens(text: str) -> list[str]:
 
 
 def _round_half_away(x, nd: int = 6):
-    """Round NONNEGATIVE values half-away-from-zero at ``nd``
-    decimals — matching DuckDB's ROUND(), where Python's round() and
-    np.round() are half-to-even. Exactly-representable half cases
-    (e.g. jaccard 65/128 = 0.5078125) would otherwise diverge from
-    every SQL oracle by one ulp of the last kept digit."""
+    """Round half-away-from-zero at ``nd`` decimals — matching
+    DuckDB's ROUND(), where Python's round() and np.round() are
+    half-to-even. Exactly-representable half cases (e.g. jaccard
+    65/128 = 0.5078125) would otherwise diverge from every SQL
+    oracle by one ulp of the last kept digit. Sign-symmetric (log
+    scores are negative)."""
     m = 10.0 ** nd
-    return np.floor(np.asarray(x, dtype=np.float64) * m + 0.5) / m
+    v = np.asarray(x, dtype=np.float64) * m
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / m
 
 
 def _token_count_batch(batch: pa.Table) -> pa.Table:
@@ -493,6 +495,23 @@ def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
     return fl.to_numpy(zero_copy_only=False), ntok
 
 
+def _encoded_tokens(texts):
+    """Tokenize + C++-side dictionary-encode a whole batch: returns
+    (idx, dictionary, vocab, ntok) where ``idx`` maps each token
+    occurrence to its entry in the unique ``dictionary`` (Arrow
+    array) / ``vocab`` (numpy object array) — the shared core of
+    `_flat_token_hashes` and `_flat_token_hashes_stop`, so the
+    encoding path cannot drift between them. idx/dictionary/vocab
+    are None when the batch has no tokens."""
+    fl, ntok = _flat_tokens_arrow(texts)
+    if len(fl) == 0:
+        return None, None, None, ntok
+    enc = fl.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return idx, enc.dictionary, vocab, ntok
+
+
 def _flat_token_hashes(texts, hash_fn=None) \
         -> tuple[np.ndarray, np.ndarray]:
     """Per-token 64-bit hashes for a whole batch WITHOUT materializing
@@ -504,12 +523,9 @@ def _flat_token_hashes(texts, hash_fn=None) \
     (both hash functions are per-element), but the Python-object cost
     is vocab-bounded instead of token-bounded."""
     hash_fn = hash_fn or pd.util.hash_array
-    fl, ntok = _flat_tokens_arrow(texts)
-    if len(fl) == 0:
+    idx, _, vocab, ntok = _encoded_tokens(texts)
+    if idx is None:
         return np.empty(0, dtype=np.uint64), ntok
-    enc = fl.dictionary_encode()
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
     uh = (_md5_hash_unique(vocab) if hash_fn is _md5_token_hashes
           else hash_fn(vocab).astype(np.uint64))
     return uh[idx], ntok
@@ -521,17 +537,14 @@ def _flat_token_hashes_stop(texts):
     exactly as ``_quality_batch`` rounds it (equality-tested) — the
     fused form ``dsir_select`` and the trained classifier use so the
     gate costs no second tokenize of the batch."""
-    fl, ntok = _flat_tokens_arrow(texts)
+    idx, dictionary, vocab, ntok = _encoded_tokens(texts)
     nd = len(ntok)
-    if len(fl) == 0:
+    if idx is None:
         return (np.empty(0, dtype=np.uint64), ntok,
                 np.zeros(nd, dtype=np.float64))
-    enc = fl.dictionary_encode()
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
     th = _md5_hash_unique(vocab)[idx]
     is_stop = pc.is_in(
-        enc.dictionary,
+        dictionary,
         value_set=pa.array(sorted(STOPWORDS["en"])))         .to_numpy(zero_copy_only=False)[idx]
     stop_sum = _seg_sums(is_stop, ntok)
     nz = ntok > 0
@@ -670,6 +683,23 @@ class MinHasher:
             i = 0
             with np.errstate(over="ignore"):
                 while i < len(cnz):
+                    if int(cnz[i]) > ch:
+                        # one OVERSIZED doc: sub-chunk its shingle
+                        # range and fold per-chunk minima — the bound
+                        # holds WITHIN a doc too (min of partition
+                        # minima == global min, byte-identical)
+                        row = np.full(self.num_perm,
+                                      np.iinfo(np.uint64).max,
+                                      dtype=np.uint64)
+                        for c0 in range(int(st[i]), int(ends[i]), ch):
+                            seg = flat[c0:min(c0 + ch, int(ends[i]))]
+                            v = (seg[:, None] * self.a[None, :]
+                                 + self.b[None, :]) \
+                                % np.uint64(_MERSENNE)
+                            row = np.minimum(row, v.min(axis=0))
+                        sig[out_rows[i]] = row
+                        i += 1
+                        continue
                     j = i + 1
                     tot = int(cnz[i])
                     while j < len(cnz) and tot + int(cnz[j]) <= ch:
@@ -1893,9 +1923,9 @@ def _gopher_batch(batch: pd.DataFrame, max_dup_line_frac: float,
                / n_words if n_words else 0.0)
         bullet = (sum(ln.lstrip().startswith(_BULLET) for ln in lines)
                   / n_lines if n_lines else 0.0)
-        out["dup_line_frac"].append(round(dup, 6))
-        out["symbol_ratio"].append(round(sym, 6))
-        out["bullet_frac"].append(round(bullet, 6))
+        out["dup_line_frac"].append(float(_round_half_away(dup)))
+        out["symbol_ratio"].append(float(_round_half_away(sym)))
+        out["bullet_frac"].append(float(_round_half_away(bullet)))
         out["gopher_pass"].append(dup <= max_dup_line_frac
                                   and sym <= max_symbol_ratio
                                   and bullet <= max_bullet_frac)
@@ -2222,7 +2252,7 @@ def domain_mixture_ds(docs, reps: dict, by: str = "lang"):
         frac = ((ids * _KNUTH) % (1 << 32)) / float(1 << 32)
         n = np.floor(rep).astype(np.int64) + (frac < rep - np.floor(rep))
         return pd.DataFrame({"doc_id": ids, by: batch[by].to_numpy(),
-                             "target_epochs": np.round(rep, 6),
+                             "target_epochs": _round_half_away(rep),
                              "n_repeats": n.astype(np.int64)})
     return docs.map_batches(f, batch_format="pandas")
 
@@ -2429,7 +2459,7 @@ def bigram_lm_score_ds(docs, model: pd.DataFrame,
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(),
             "n_bigrams": lens_a,
-            "avg_logp": np.round(avg, 6)})
+            "avg_logp": _round_half_away(avg)})
 
     return docs.map_batches(f, batch_format="pandas")
 
@@ -2652,7 +2682,8 @@ def tfidf_topk_ds(docs, idf_hashes: np.ndarray, idf_vals: np.ndarray,
                 out["doc_id"].append(did)
                 out["rank"].append(r)
                 out["term"].append(terms[j])
-                out["tfidf"].append(round(float(scores[j]), 6))
+                out["tfidf"].append(
+                    float(_round_half_away(scores[j])))
         return pd.DataFrame(out).astype({"doc_id": "int64",
                                          "rank": "int64"})
 
@@ -5058,7 +5089,6 @@ def dsir_select(sf_dir: str, d: int = 4096, top_m: int = 100,
     estimator). Top-m resolves per batch first (partial top-m, tie
     to the smaller doc_id), then one small driver merge.
     """
-    import functools
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pd.DataFrame:
@@ -5101,7 +5131,6 @@ def dsir_select(sf_dir: str, d: int = 4096, top_m: int = 100,
                                 ascending=[False, True])
                 .head(top_m))
 
-    import ray as _ray  # noqa: F401  (ray.put above)
     top = (docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True).to_pandas()
            .sort_values(["score_q", "doc_id"],
@@ -5167,7 +5196,8 @@ DSIR_SELECT_SQL = _dsir_select_sql()
 # ----------------------------- deterministic train/val/test split
 
 
-def corpus_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
+def corpus_split_assign(sf_dir: str, val_pct: int = 10,
+                        test_pct: int = 10):
     """Deterministic train/val/test assignment by a CONTENT-
     INDEPENDENT id hash (md5 of the decimal doc_id — the family
     DuckDB reproduces), so the split survives re-crawls, re-sharding
@@ -5175,7 +5205,10 @@ def corpus_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
     splits as the corpus grows (the leakage failure mode of
     percentage-slice splits). bucket = md5(doc_id) % 100;
     [0, test) -> test, [test, test+val) -> val, rest -> train.
-    One streaming map pass; full DuckDB oracle (CORPUS_SPLIT_SQL)."""
+    One streaming map pass; full DuckDB oracle
+    (CORPUS_SPLIT_ASSIGN_SQL). Complements `split_assign_ds` (the
+    column-adding Dataset form with arbitrary fractions) with a
+    driver-gate per-doc assignment query on the md5 hash family."""
     docs = _read_docs(sf_dir, ["doc_id"])
 
     def assign(batch: pa.Table) -> pd.DataFrame:
@@ -5194,7 +5227,8 @@ def corpus_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _corpus_split_sql(val_pct: int = 10, test_pct: int = 10) -> str:
+def _corpus_split_assign_sql(val_pct: int = 10,
+                             test_pct: int = 10) -> str:
     return f"""
 SELECT doc_id,
        CASE WHEN b < {test_pct} THEN 'test'
@@ -5208,4 +5242,4 @@ ORDER BY doc_id
 """
 
 
-CORPUS_SPLIT_SQL = _corpus_split_sql()
+CORPUS_SPLIT_ASSIGN_SQL = _corpus_split_assign_sql()

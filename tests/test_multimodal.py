@@ -446,6 +446,24 @@ def test_media_job_cli(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_media_job_refuses_foreign_out_dir(tmp_path):
+    # --out mispointed at a directory holding unrelated parquet (for
+    # example the INPUT dir): the job must refuse before deleting
+    # anything — foreign data survives untouched
+    import pyarrow.parquet as pq
+    from jobs.media_job import main
+    from osm_sidewalkreator_ray.stages import multimodal as M
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    data = str(data_dir / "media.parquet")
+    pq.write_table(M.synthetic_media(10, seed=5), data)
+    with pytest.raises(SystemExit):
+        main(["audio", "--data", data, "--out", str(data_dir)])
+    import os
+    assert os.path.exists(data)  # the input was NOT deleted
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_media_job_cli_no_pairs(tmp_path):
     # a corpus with no near-dups: the all-empty pair Dataset writes
     # ZERO parquet files — the job must still exit 0 with pairs=0 and

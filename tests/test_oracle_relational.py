@@ -154,11 +154,11 @@ class TestTextOracles:
         got = c.sql(R.APPROX_USERS_BY_TYPE_SQL).df()
         assert (got["approx_distinct"] == eng).all()
 
-    def test_corpus_split_oracle(self, con):
+    def test_corpus_split_assign_oracle(self, con):
         from osm_sidewalkreator_ray.pipelines import textops as T
-        check(T.corpus_split(SF), T.CORPUS_SPLIT_SQL, con)
+        check(T.corpus_split_assign(SF), T.CORPUS_SPLIT_ASSIGN_SQL, con)
         # proportions land near the requested percentages
-        out = T.corpus_split(SF)
+        out = T.corpus_split_assign(SF)
         frac = out["split"].value_counts(normalize=True)
         assert 0.03 < frac.get("test", 0) < 0.2
         assert 0.03 < frac.get("val", 0) < 0.2
